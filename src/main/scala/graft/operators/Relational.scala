@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Num.{dsum, fin}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational query surface (SURVEY §2.1).
+  *
+  * The reference's query engine is the CSR join graph + aggregations
+  * (csr2transmart observation stats); re-expressed here as declarative
+  * DataFrame plans over the star schema so Catalyst gets full pushdown,
+  * broadcast selection and AQE. All money aggregates go through
+  * [[graft.functions.Num.dsum]] for order-independent (oracle-stable) sums.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: scan + filter + hash aggregate. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        fin(dsum(col("l_quantity"))).as("sum_qty"),
+        fin(dsum(col("l_extendedprice"))).as("sum_base_price"),
+        fin(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        fin(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        round(dsum(col("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(dsum(col("l_discount")).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_charge,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-shaped: broadcast dim filter + 3-way join + top-k. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cut = lit("1998-06-01").cast("timestamp")
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = t.orders.filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t.lineitem.filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(fin(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped: 5-way star join with broadcast dims. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val dims = t.nation
+      .join(t.region.filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(t.orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(fin(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Window rank: the reference's latest/primary-record-per-entity idiom. */
+  def topCustomerPerNation(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val w = Window.partitionBy(col("n_name")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t.customer.join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n_name"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  private val topCustomerSql =
+    """SELECT n_name, c_custkey, c_name, c_acctbal FROM (
+      |  SELECT n_name, c_custkey, c_name, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey) x
+      |WHERE rn = 1 ORDER BY n_name""".stripMargin
+
+  /** Window running sum (exact decimal accumulation for oracle parity). */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.lineitem
+      .withColumn("running_revenue", fin(sum(col("l_extendedprice").cast(DecimalType(28, 6))).over(w)))
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("running_revenue"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val runningRevenueSql =
+    """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_revenue
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  /** Referential integrity: orphans on both sides of orders↔lineitem
+    * (the reference validates diagnosis→individual etc. the same way). */
+  def orphanCheck(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val ordersNoItems = t.orders.join(t.lineitem.select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(lit("order_without_lineitem").as("kind"), col("o_orderkey").as("key"))
+    val itemsNoOrder = t.lineitem.select("l_orderkey").distinct()
+      .join(t.orders.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .select(lit("lineitem_without_order").as("kind"), col("l_orderkey").as("key"))
+    ordersNoItems.unionAll(itemsNoOrder).orderBy(col("kind"), col("key"))
+  }
+
+  private val orphanSql =
+    """SELECT 'order_without_lineitem' AS kind, o_orderkey AS key FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem_without_order' AS kind, l_orderkey AS key
+      |FROM (SELECT DISTINCT l_orderkey FROM lineitem) li
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |ORDER BY kind, key""".stripMargin
+
+  /** Hierarchy rollup with tranSMART-style concept paths
+    * (reference: ontology_config tree node counts). */
+  def treeRollup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val joined = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+    val regionLevel = joined.groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"), fin(dsum(col("c_acctbal"))).as("total_acctbal"))
+      .select(concat(lit("\\"), col("r_name"), lit("\\")).as("path"), col("n_customers"), col("total_acctbal"))
+    val nationLevel = joined.groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), fin(dsum(col("c_acctbal"))).as("total_acctbal"))
+      .select(concat(lit("\\"), col("r_name"), lit("\\"), col("n_name"), lit("\\")).as("path"),
+        col("n_customers"), col("total_acctbal"))
+    regionLevel.unionAll(nationLevel).orderBy(col("path"))
+  }
+
+  private val treeRollupSql =
+    """WITH j AS (
+      |  SELECT r_name, n_name, c_acctbal FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey)
+      |SELECT '\' || r_name || '\' AS path, COUNT(*) AS n_customers,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_acctbal
+      |FROM j GROUP BY r_name
+      |UNION ALL
+      |SELECT '\' || r_name || '\' || n_name || '\' AS path, COUNT(*) AS n_customers,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_acctbal
+      |FROM j GROUP BY r_name, n_name
+      |ORDER BY path""".stripMargin
+
+  /** Distinct / count-distinct (entity key dedup accounting). */
+  def distinctCustomers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    t.orders.agg(
+      countDistinct(col("o_custkey")).as("n_customers_with_orders"),
+      count(lit(1)).as("n_orders"),
+      countDistinct(col("o_orderpriority")).as("n_priorities"))
+  }
+
+  private val distinctSql =
+    """SELECT COUNT(DISTINCT o_custkey) AS n_customers_with_orders,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_orderpriority) AS n_priorities
+      |FROM orders""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> Q(q1PricingSummary _, q1Sql),
+    "q3_shipping_priority" -> Q(q3ShippingPriority _, q3Sql),
+    "q5_local_supplier" -> Q(q5LocalSupplier _, q5Sql),
+    "q_top_customer_per_nation" -> Q(topCustomerPerNation _, topCustomerSql),
+    "q_running_revenue" -> Q(runningRevenue _, runningRevenueSql),
+    "q_orphan_check" -> Q(orphanCheck _, orphanSql),
+    "q_tree_rollup" -> Q(treeRollup _, treeRollupSql),
+    "q_distinct_customers" -> Q(distinctCustomers _, distinctSql),
+  )
+}

@@ -1,0 +1,23 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog over the driver-generated parquet tables of one scale factor.
+  *
+  * Plain `spark.read.parquet` so Catalyst keeps full pushdown/pruning; no
+  * caching here — operators decide what to persist. At cluster scale these
+  * would be partitioned table paths; the API shape is the same.
+  */
+final case class Tables(dir: String)(implicit spark: SparkSession) {
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  def events: DataFrame = t("events")
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
