@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[Map[String, Q]] = Seq(
     operators.Relational.queries,
+    operators.CsrQueries.queries,
   )
 
   private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)

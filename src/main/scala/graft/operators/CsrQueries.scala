@@ -1,0 +1,277 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Num.{dsum, fin}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CSR ETL operator queries (SURVEY §2.2) — the reference's sources2csr /
+  * csr2transmart semantics exercised on the synthetic star schema, each with
+  * a DuckDB oracle.
+  */
+object CsrQueries {
+
+  /** §2.2/11 — multi-source priority merge (sources_config attribute order).
+    * Source 0 ("clinic"): even customer keys, uppercased names.
+    * Source 1 ("registry"): all customers. First non-null wins. */
+  def entityMerge(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val src0 = t.customer.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("individual_id"),
+        upper(col("c_name")).as("name"),
+        col("c_acctbal").as("balance"))
+    val src1 = t.customer
+      .select(col("c_custkey").as("individual_id"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+    EntityMerge.merge(Seq(src0, src1), "individual_id",
+        Seq("name", "balance", "segment"), provenance = true)
+      .orderBy(col("individual_id"))
+  }
+
+  private val entityMergeSql =
+    """WITH src0 AS (
+      |  SELECT c_custkey AS individual_id, UPPER(c_name) AS name, c_acctbal AS balance
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |src1 AS (
+      |  SELECT c_custkey AS individual_id, c_name AS name, c_mktsegment AS segment
+      |  FROM customer)
+      |SELECT COALESCE(src0.individual_id, src1.individual_id) AS individual_id,
+      |  COALESCE(src0.name, src1.name) AS name,
+      |  src0.balance AS balance,
+      |  src1.segment AS segment,
+      |  CASE WHEN src0.name IS NOT NULL THEN 'src0'
+      |       WHEN src1.name IS NOT NULL THEN 'src1' END AS name_src,
+      |  CASE WHEN src0.balance IS NOT NULL THEN 'src0' END AS balance_src,
+      |  CASE WHEN src1.segment IS NOT NULL THEN 'src1' END AS segment_src
+      |FROM src0 FULL OUTER JOIN src1 ON src0.individual_id = src1.individual_id
+      |ORDER BY individual_id""".stripMargin
+
+  /** §2.2/12 — codebook decode (code→label broadcast map-join). */
+  def codebookDecode(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val t = Tables(dir)
+    val codebook = Seq(
+      ("l_returnflag", "R", "Returned"),
+      ("l_returnflag", "A", "Accepted"),
+      ("l_returnflag", "N", "NotReturned"),
+      ("l_linestatus", "O", "Open"),
+      ("l_linestatus", "F", "Finished"),
+    ).toDF("column_name", "code", "label")
+    CodebookDecode.decodeAll(t.lineitem, Seq("l_returnflag", "l_linestatus"), codebook)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val codebookDecodeSql =
+    """WITH cb(column_name, code, label) AS (VALUES
+      |  ('l_returnflag','R','Returned'), ('l_returnflag','A','Accepted'),
+      |  ('l_returnflag','N','NotReturned'), ('l_linestatus','O','Open'),
+      |  ('l_linestatus','F','Finished'))
+      |SELECT COALESCE(rf.label, l.l_returnflag) AS l_returnflag,
+      |       COALESCE(ls.label, l.l_linestatus) AS l_linestatus,
+      |       COUNT(*) AS n
+      |FROM lineitem l
+      |LEFT JOIN cb rf ON rf.column_name = 'l_returnflag' AND rf.code = l.l_returnflag
+      |LEFT JOIN cb ls ON ls.column_name = 'l_linestatus' AND ls.code = l.l_linestatus
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** §2.2/13 — heterogeneous date formats normalized to one DATE
+    * (sources_config per-column `date_format`). Each order's date is
+    * rendered in one of three source formats by key, then re-parsed. */
+  def dateNormalize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val fmtTag = col("o_orderkey") % 3
+    val raw = when(fmtTag === 0, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+      .when(fmtTag === 1, date_format(col("o_orderdate"), "yyyyMMdd"))
+      .otherwise(date_format(col("o_orderdate"), "MM-dd-yyyy"))
+    t.orders
+      .withColumn("raw_date", raw)
+      .withColumn("normalized",
+        when(fmtTag === 0, to_date(col("raw_date"), "dd/MM/yyyy"))
+          .when(fmtTag === 1, to_date(col("raw_date"), "yyyyMMdd"))
+          .otherwise(to_date(col("raw_date"), "MM-dd-yyyy")))
+      .select(col("o_orderkey"), col("raw_date"), col("normalized"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val dateNormalizeSql =
+    """WITH tagged AS (
+      |  SELECT o_orderkey,
+      |    CASE o_orderkey % 3
+      |      WHEN 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+      |      WHEN 1 THEN strftime(o_orderdate, '%Y%m%d')
+      |      ELSE strftime(o_orderdate, '%m-%d-%Y') END AS raw_date,
+      |    o_orderkey % 3 AS tag
+      |  FROM orders)
+      |SELECT o_orderkey, raw_date,
+      |  CASE tag
+      |    WHEN 0 THEN CAST(strptime(raw_date, '%d/%m/%Y') AS DATE)
+      |    WHEN 1 THEN CAST(strptime(raw_date, '%Y%m%d') AS DATE)
+      |    ELSE CAST(strptime(raw_date, '%m-%d-%Y') AS DATE) END AS normalized
+      |FROM tagged ORDER BY o_orderkey""".stripMargin
+
+  /** §2.2/14 — EAV melt: orders → typed observation facts. */
+  def eavMelt(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    import EavMelt._
+    melt(t.orders, "o_orderkey", Seq(
+        ("o_totalprice", "Order.totalprice", NumValue),
+        ("o_orderstatus", "Order.status", TextValue),
+        ("o_orderdate", "Order.date", DateValue)))
+      .orderBy(col("entity_id"), col("concept_cd"))
+  }
+
+  private val eavMeltSql =
+    """SELECT * FROM (
+      |  SELECT o_orderkey AS entity_id, 'Order.totalprice' AS concept_cd,
+      |    o_totalprice AS num_value, CAST(NULL AS VARCHAR) AS str_value, CAST(NULL AS DATE) AS date_value
+      |  FROM orders WHERE o_totalprice IS NOT NULL
+      |  UNION ALL
+      |  SELECT o_orderkey, 'Order.status', NULL, o_orderstatus, NULL
+      |  FROM orders WHERE o_orderstatus IS NOT NULL
+      |  UNION ALL
+      |  SELECT o_orderkey, 'Order.date', NULL, NULL, CAST(o_orderdate AS DATE)
+      |  FROM orders WHERE o_orderdate IS NOT NULL) x
+      |ORDER BY entity_id, concept_cd""".stripMargin
+
+  /** §2.2/15 — pivot long→wide (NGS gene×sample matrix shape). */
+  def pivotWide(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val vals = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("p_urgent", "p_high", "p_medium", "p_not_specified", "p_low")
+    val pivoted = t.orders.groupBy(col("o_custkey"))
+      .pivot("o_orderpriority", vals)
+      .agg(count(lit(1)))
+    vals.zip(names).foldLeft(pivoted) { case (df, (v, n)) =>
+        df.withColumn(n, coalesce(col(s"`$v`"), lit(0L))).drop(v)
+      }
+      .orderBy(col("o_custkey"))
+  }
+
+  private val pivotWideSql =
+    """SELECT o_custkey,
+      |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p_urgent,
+      |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p_high,
+      |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p_medium,
+      |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p_not_specified,
+      |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p_low
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** §2.2/17+22 — checksum snapshot diff (sync.py add/remove/change).
+    * old = orders before 2000-01-01; new = orders in [1996-01-01, 2000-06-01)
+    * with a simulated content change for keys % 7 == 0. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val o = t.orders
+    val oldSnap = o.filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+    val newSnap = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("2000-06-01").cast("timestamp"))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    SnapshotDiff.diff(oldSnap, newSnap, "o_orderkey",
+        Seq("o_orderstatus", "o_orderpriority", "o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val snapshotDiffSql =
+    """WITH old_snap AS (
+      |  SELECT o_orderkey, md5(o_orderstatus || '|' || o_orderpriority || '|' ||
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS old_sig
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+      |new_snap AS (
+      |  SELECT o_orderkey, md5(o_orderstatus || '|' || o_orderpriority || '|' ||
+      |    CAST(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END
+      |      AS DECIMAL(18,2)) AS VARCHAR)) AS new_sig
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '2000-06-01')
+      |SELECT COALESCE(old_snap.o_orderkey, new_snap.o_orderkey) AS o_orderkey,
+      |  CASE WHEN old_sig IS NULL THEN 'added'
+      |       WHEN new_sig IS NULL THEN 'removed'
+      |       WHEN old_sig <> new_sig THEN 'changed'
+      |       ELSE 'unchanged' END AS status,
+      |  old_sig, new_sig
+      |FROM old_snap FULL OUTER JOIN new_snap USING (o_orderkey)
+      |WHERE (CASE WHEN old_sig IS NULL THEN 'added'
+      |       WHEN new_sig IS NULL THEN 'removed'
+      |       WHEN old_sig <> new_sig THEN 'changed'
+      |       ELSE 'unchanged' END) <> 'unchanged'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** §2.2/21 — time-window aggregation (batch twin of the streaming path). */
+  def eventsHourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    t.events
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), fin(dsum(col("value"))).as("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  private val eventsHourlySql =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** §2.2/20 — gap-based sessionization (30-min inactivity closes a
+    * session); batch twin of streaming flatMapGroupsWithState. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  private val eventsSessionizeSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM numbered GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "csr_entity_merge" -> Q(entityMerge _, entityMergeSql),
+    "csr_codebook_decode" -> Q(codebookDecode _, codebookDecodeSql),
+    "csr_date_normalize" -> Q(dateNormalize _, dateNormalizeSql),
+    "csr_eav_melt" -> Q(eavMelt _, eavMeltSql),
+    "csr_pivot_wide" -> Q(pivotWide _, pivotWideSql),
+    "sync_snapshot_diff" -> Q(snapshotDiff _, snapshotDiffSql),
+    "events_hourly_agg" -> Q(eventsHourlyAgg _, eventsHourlySql),
+    "events_sessionize" -> Q(eventsSessionize _, eventsSessionizeSql),
+  )
+}

@@ -17,7 +17,18 @@ final case class Tables(dir: String)(implicit spark: SparkSession) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  def events: DataFrame = t("events")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
+    * rejects outright; read the nanos as long and rebuild a microsecond
+    * timestamp with integer division (epoch nanos exceed the double
+    * mantissa, so no floating-point path is acceptable here). Matches
+    * DuckDB's TIMESTAMP_NS → TIMESTAMP truncation. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -14,9 +14,13 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+import datetime
+
 def norm(v):
     if isinstance(v, float):
         return round(v, 9)
+    if hasattr(v, "isoformat"):  # datetime.datetime / date / pandas Timestamp
+        return v.isoformat()
     return v
 
 def rows_of(table):
