@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over `documents` (SURVEY §2.3 rows 31-34). */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "for")
+
+  /** §33 — token counting: whitespace tokens + a BPE-ish regex token count
+    * (alpha runs / digit runs / single other non-space chars). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_measured"),
+        size(words(col("text"))).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)")).as("subword_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenStatsSql =
+    """SELECT doc_id,
+      |  LENGTH(text) AS n_chars_measured,
+      |  LEN(string_split_regex(TRIM(text), '\s+')) AS ws_tokens,
+      |  LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS subword_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** §32 — quality scoring: length/punctuation/stopword signals combined
+    * into one deterministic linear score (no transcendentals — portable). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val n = length(col("text")).cast("double")
+    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?()]", ""))).cast("double")
+    val nTok = size(words(col("text"))).cast("double")
+    val nStop = stopwordCount(words(col("text")), stopwords).cast("double")
+    t.documents
+      .select(
+        col("doc_id"),
+        n.as("n_chars_measured"),
+        round(punct / n, 6).as("punct_ratio"),
+        round(nStop / nTok, 6).as("stopword_ratio"),
+        round(least(n / lit(500.0), lit(1.0)) * 0.3
+          + (lit(1.0) - punct / n) * 0.4
+          + (nStop / nTok) * 0.3, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityScoreSql =
+    s"""WITH x AS (
+      |  SELECT doc_id,
+      |    CAST(LENGTH(text) AS DOUBLE) AS n,
+      |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE) AS punct,
+      |    CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS ntok,
+      |    CAST(LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+      |      w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) AS nstop
+      |  FROM documents)
+      |SELECT doc_id,
+      |  n AS n_chars_measured,
+      |  ROUND(punct / n, 6) AS punct_ratio,
+      |  ROUND(nstop / ntok, 6) AS stopword_ratio,
+      |  ROUND(LEAST(n / 500.0, 1.0) * 0.3 + (1.0 - punct / n) * 0.4 + (nstop / ntok) * 0.3, 6) AS quality
+      |FROM x ORDER BY doc_id""".stripMargin
+
+  /** §31 — language ID: marker-token scoring with a deterministic argmax
+    * chain (en ≥ de ≥ es ≥ fr, then fr). Heuristic, n-gram-style. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "de" -> Seq("der", "die", "das"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "les", "des"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val w = words(col("text"))
+    val scores = markers.map { case (lang, ms) =>
+      stopwordCount(w, ms).cast("long").as(s"s_$lang")
+    }
+    val sEn = col("s_en"); val sDe = col("s_de"); val sEs = col("s_es"); val sFr = col("s_fr")
+    t.documents
+      .select((col("doc_id") +: col("lang").as("actual_lang") +: scores): _*)
+      .withColumn("pred_lang",
+        when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+          .when(sDe >= sEs && sDe >= sFr, "de")
+          .when(sEs >= sFr, "es")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langIdSql = {
+    val scoreExprs = markers.map { case (lang, ms) =>
+      s"""CAST(LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+         |      w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS BIGINT) AS s_$lang""".stripMargin
+    }.mkString(",\n    ")
+    s"""WITH x AS (
+      |  SELECT doc_id, lang AS actual_lang,
+      |    $scoreExprs
+      |  FROM documents)
+      |SELECT doc_id, actual_lang, s_en, s_de, s_es, s_fr,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_es >= s_fr THEN 'es'
+      |       ELSE 'fr' END AS pred_lang
+      |FROM x ORDER BY doc_id""".stripMargin
+  }
+
+  /** §34 — document fingerprint: min-of-shingle-md5s (winnowing-style). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .withColumn("w", words(col("text")))
+      .select(col("doc_id"), fingerprint(shingles("w")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docFingerprintSql =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN LEN(w) >= 3
+      |  THEN list_aggregate(list_transform(generate_series(1, LEN(w) - 2),
+      |       i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])), 'min')
+      |  ELSE md5(array_to_string(w, ' ')) END AS fingerprint
+      |FROM ws ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text_token_stats" -> Q(tokenStats _, tokenStatsSql),
+    "text_quality_score" -> Q(qualityScore _, qualityScoreSql),
+    "text_lang_id" -> Q(langId _, langIdSql),
+    "text_fingerprint" -> Q(docFingerprint _, docFingerprintSql),
+  )
+}
