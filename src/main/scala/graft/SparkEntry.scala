@@ -12,9 +12,15 @@ object SparkEntry {
   private def modules: Seq[Map[String, Q]] = Seq(
     operators.Relational.queries,
     operators.CsrQueries.queries,
+    operators.TextQueries.queries,
+    operators.DedupQueries.queries,
+    operators.AnnQueries.queries,
+    operators.MultimodalQueries.queries,
+    operators.OntologyQueries.queries,
   )
 
-  private lazy val all: Map[String, Q] = modules.reduce(_ ++ _)
+  /** Full registry (Spark fn + oracle + canonical Verify sort). */
+  lazy val registry: Map[String, Q] = modules.reduce(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -22,10 +28,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map { case (name, q) => name -> q.fn }
+    registry.map { case (name, q) => name -> q.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries → rows-only check. */
   def oracleSql: Map[String, String] =
-    all.collect { case (name, Q(_, Some(sql))) => name -> sql }
+    registry.collect { case (name, q) if q.oracle.isDefined => name -> q.oracle.get }
 }

@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.Q
+import graft.plans.VectorExpressions
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY §2.3 rows 28-30).
+  *
+  * Cosine is the native codegen'd [[graft.plans.CosineSim]] expression —
+  * never a UDF. The probe set is bounded (`vec_id % 50 = 0`) and broadcast;
+  * the corpus side is only ever scanned, never shuffled in full:
+  *  - brute force: broadcast-nested-loop probes × corpus, then the
+  *    [[TopK]] two-phase per-key top-k (no per-probe full sort);
+  *  - IVF: corpus is assigned to its nearest centroid map-side (centroids
+  *    are a bounded driver-side array, the only collect in the engine —
+  *    SURVEY §5), probes search their nprobe nearest buckets via a
+  *    broadcast join on the centroid id, pruning the scanned corpus to
+  *    ~nprobe/ncentroids.
+  *
+  * The DuckDB oracle replays the exact same algorithm (same centroids,
+  * same tie-breaks, bit-identical double arithmetic), so even the
+  * *approximate* IVF result is hash-verified.
+  */
+object AnnQueries {
+
+  private val ProbeMod = 50 // probe set: vec_id % 50 == 0
+  private val TopKK = 5
+  private val NCentroids = 8 // centroid set: vec_id < 8 (deterministic)
+  private val NProbeBuckets = 2
+  private val CosineThreshold = 0.35 // embedding near-dup threshold
+  private val Dim = 64
+
+  // ---------------------------------------------------------------- SQL
+
+  /** Left-associative explicit cosine chain — evaluation-order-identical to
+    * [[graft.plans.CosineSim]]'s sequential loop, so both engines produce
+    * bit-identical doubles. */
+  private def cosChainDuck(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      (1 to Dim).map(i => s"CAST($x[$i] AS DOUBLE) * CAST($y[$i] AS DOUBLE)").mkString("(", " + ", ")")
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  // ---------------------------------------------------- embedding dedup
+
+  /** §28 — embedding cosine near-dup: probe set vs corpus, thresholded. */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    scoredProbes(Tables(dir))
+      .where(col("cos") >= CosineThreshold)
+      .select("probe_id", "vec_id", "cos")
+  }
+
+  /** (probe_id, vec_id, cos): broadcast probes against the corpus scan. */
+  private def scoredProbes(t: Tables): DataFrame = {
+    val emb = t.embeddings
+    val probes = emb.where(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    emb.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.cosine(col("embedding"), col("p_emb")), 6).as("cos"))
+  }
+
+  private val embeddingCosineSql =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id % $ProbeMod = 0),
+       |scored AS (
+       |  SELECT probe_id, e.vec_id, ROUND(${cosChainDuck("e.embedding", "p")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN probes WHERE e.vec_id <> probe_id)
+       |SELECT probe_id, vec_id, cos FROM scored WHERE cos >= $CosineThreshold
+       |ORDER BY probe_id, vec_id""".stripMargin
+
+  // ---------------------------------------------------------- brute force
+
+  /** §29 — exact cosine top-k per probe. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    TopK.perKey(scoredProbes(Tables(dir)), "probe_id", "cos", "vec_id", TopKK)
+  }
+
+  private val bruteForceSql =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id % $ProbeMod = 0),
+       |scored AS (
+       |  SELECT probe_id, e.vec_id, ROUND(${cosChainDuck("e.embedding", "p")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN probes WHERE e.vec_id <> probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Literal centroid vectors — the bounded driver-side structure (id asc). */
+  private def centroids(spark: SparkSession, t: Tables): Array[(Long, Array[Float])] = {
+    import spark.implicits._
+    t.embeddings.where(col("vec_id") < NCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+  }
+
+  /** §30 — IVF: deterministic centroids, map-side nearest-centroid assign,
+    * nprobe-bucket search, two-phase top-k. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = centroids(spark, t)
+    def centCos(embCol: Column): Seq[Column] =
+      cents.toSeq.map { case (_, v) => VectorExpressions.cosine(embCol, typedlit(v)) }
+
+    // corpus: nearest centroid (first index on ties = smallest centroid id)
+    val corpusArr = array(centCos(col("embedding")): _*)
+    val corpus = t.embeddings
+      .withColumn("cluster", (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int"))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+
+    // probes: nprobe nearest centroids (cos desc, centroid id asc)
+    val probeItems = centCos(col("embedding")).zipWithIndex.map { case (c, i) =>
+      struct(c.as("cos"), lit(-i).as("nidx"), lit(i).as("idx"))
+    }
+    val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
+
+    val scored = corpus.join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.cosine(col("embedding"), col("p_emb")), 6).as("cos"))
+    TopK.perKey(scored, "probe_id", "cos", "vec_id", TopKK)
+  }
+
+  private val ivfSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |cluster AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign) x WHERE rn = 1),
+       |probe_assign AS (
+       |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign WHERE vec_id % $ProbeMod = 0) x WHERE rn <= $NProbeBuckets),
+       |scored AS (
+       |  SELECT probe_id, e.vec_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM probe_assign pa
+       |  JOIN cluster cl ON cl.cluster = pa.cluster
+       |  JOIN embeddings e ON e.vec_id = cl.vec_id
+       |  JOIN embeddings p ON p.vec_id = pa.probe_id
+       |  WHERE e.vec_id <> pa.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "dedup_embedding_cosine" -> Q(embeddingCosine _, embeddingCosineSql, Seq(col("probe_id"), col("vec_id"))),
+    "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),
+    "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
+  )
+}

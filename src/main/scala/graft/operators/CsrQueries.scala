@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.functions.Num.{dsum, fin}
-import graft.sources.Tables
+import graft.sources.{ColSpec, DelimitedConfig, DelimitedSource, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,7 +29,6 @@ object CsrQueries {
         col("c_mktsegment").as("segment"))
     EntityMerge.merge(Seq(src0, src1), "individual_id",
         Seq("name", "balance", "segment"), provenance = true)
-      .orderBy(col("individual_id"))
   }
 
   private val entityMergeSql =
@@ -65,7 +64,6 @@ object CsrQueries {
     CodebookDecode.decodeAll(t.lineitem, Seq("l_returnflag", "l_linestatus"), codebook)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   private val codebookDecodeSql =
@@ -98,7 +96,6 @@ object CsrQueries {
           .when(fmtTag === 1, to_date(col("raw_date"), "yyyyMMdd"))
           .otherwise(to_date(col("raw_date"), "MM-dd-yyyy")))
       .select(col("o_orderkey"), col("raw_date"), col("normalized"))
-      .orderBy(col("o_orderkey"))
   }
 
   private val dateNormalizeSql =
@@ -126,7 +123,6 @@ object CsrQueries {
         ("o_totalprice", "Order.totalprice", NumValue),
         ("o_orderstatus", "Order.status", TextValue),
         ("o_orderdate", "Order.date", DateValue)))
-      .orderBy(col("entity_id"), col("concept_cd"))
   }
 
   private val eavMeltSql =
@@ -154,7 +150,6 @@ object CsrQueries {
     vals.zip(names).foldLeft(pivoted) { case (df, (v, n)) =>
         df.withColumn(n, coalesce(col(s"`$v`"), lit(0L))).drop(v)
       }
-      .orderBy(col("o_custkey"))
   }
 
   private val pivotWideSql =
@@ -181,7 +176,6 @@ object CsrQueries {
           .otherwise(col("o_totalprice")))
     SnapshotDiff.diff(oldSnap, newSnap, "o_orderkey",
         Seq("o_orderstatus", "o_orderpriority", "o_totalprice"))
-      .orderBy(col("o_orderkey"))
   }
 
   private val snapshotDiffSql =
@@ -215,7 +209,6 @@ object CsrQueries {
     t.events
       .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), fin(dsum(col("value"))).as("total_value"))
-      .orderBy(col("bucket"), col("event_type"))
   }
 
   private val eventsHourlySql =
@@ -241,7 +234,6 @@ object CsrQueries {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
-      .orderBy(col("user_id"), col("session_seq"))
   }
 
   private val eventsSessionizeSql =
@@ -264,14 +256,49 @@ object CsrQueries {
       |FROM numbered GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** §2.2 (config-driven ingestion) — the reference's front door: delimited
+    * files with per-file delimiter and per-column date_format
+    * (sources_config.json). Round-trips orders through a ';'-delimited file
+    * with a dd.MM.yyyy date column, then ingests it back through
+    * [[graft.sources.DelimitedSource]] with an explicit column spec. */
+  def delimitedIngest(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    // deterministic per-sf staging dir (simulates the drop zone)
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_delim_${Integer.toHexString(dir.hashCode)}"
+    t.orders
+      .select(
+        col("o_orderkey").as("order_id"),
+        date_format(col("o_orderdate"), "dd.MM.yyyy").as("order_date"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("total"))
+      .write.mode("overwrite")
+      .option("delimiter", ";").option("header", "true")
+      .csv(stage)
+    DelimitedSource.read(spark, stage, DelimitedConfig(
+      delimiter = ";",
+      header = true,
+      columns = Seq(
+        ColSpec("order_id", "long"),
+        ColSpec("order_date", "date", Some("dd.MM.yyyy")),
+        ColSpec("status", "string"),
+        ColSpec("total", "double"))))
+  }
+
+  private val delimitedIngestSql =
+    """SELECT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date,
+      |  o_orderstatus AS status, o_totalprice AS total
+      |FROM orders ORDER BY order_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "csr_entity_merge" -> Q(entityMerge _, entityMergeSql),
-    "csr_codebook_decode" -> Q(codebookDecode _, codebookDecodeSql),
-    "csr_date_normalize" -> Q(dateNormalize _, dateNormalizeSql),
-    "csr_eav_melt" -> Q(eavMelt _, eavMeltSql),
-    "csr_pivot_wide" -> Q(pivotWide _, pivotWideSql),
-    "sync_snapshot_diff" -> Q(snapshotDiff _, snapshotDiffSql),
-    "events_hourly_agg" -> Q(eventsHourlyAgg _, eventsHourlySql),
-    "events_sessionize" -> Q(eventsSessionize _, eventsSessionizeSql),
+    "csr_entity_merge" -> Q(entityMerge _, entityMergeSql, Seq(col("individual_id"))),
+    "csr_codebook_decode" -> Q(codebookDecode _, codebookDecodeSql, Seq(col("l_returnflag"), col("l_linestatus"))),
+    "csr_date_normalize" -> Q(dateNormalize _, dateNormalizeSql, Seq(col("o_orderkey"))),
+    "csr_eav_melt" -> Q(eavMelt _, eavMeltSql, Seq(col("entity_id"), col("concept_cd"))),
+    "csr_pivot_wide" -> Q(pivotWide _, pivotWideSql, Seq(col("o_custkey"))),
+    "csr_delimited_ingest" -> Q(delimitedIngest _, delimitedIngestSql, Seq(col("order_id"))),
+    "sync_snapshot_diff" -> Q(snapshotDiff _, snapshotDiffSql, Seq(col("o_orderkey"))),
+    "events_hourly_agg" -> Q(eventsHourlyAgg _, eventsHourlySql, Seq(col("bucket"), col("event_type"))),
+    "events_sessionize" -> Q(eventsSessionize _, eventsSessionizeSql, Seq(col("user_id"), col("session_seq"))),
   )
 }

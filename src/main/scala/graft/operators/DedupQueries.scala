@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family (SURVEY §2.3 rows 24-27 + §2.2 row 18).
+  *
+  * Mirrors the reference's entity-key dedup idea (sources2csr dedups entity
+  * keys before merging) scaled to LLM-corpus semantics. All hashing is
+  * md5-hex (bit-identical across engines → DuckDB-oracle-verifiable, and
+  * portable across the heterogeneous engines a 100 TB corpus pipeline
+  * spans).
+  *
+  * Scale shape (SURVEY §5): shingling/minhashing/simhashing are per-row
+  * map-side (whole-stage codegen, no UDFs); the only shuffles are the
+  * band-bucket groupBy/join — keyed on (band_id, band_hash), uniformly
+  * distributed by construction — and the final distinct. No all-pairs
+  * comparison ever happens: candidate pairs come from co-partitioned
+  * band-bucket self-joins.
+  */
+object DedupQueries {
+
+  /** Minhash signature length K = B bands × R rows (LSH banding). */
+  private val B = 4
+  private val R = 3
+  private val K = B * R
+
+  /** Near-dup verification threshold on shingle-set Jaccard. */
+  private val JaccardThreshold = 0.5
+
+  /** Simhash bit width and hamming acceptance radius. */
+  private val SimBits = 32
+  private val SimBands = 4 // 8 bits each; catches every pair with hamming <= 3
+  private val MaxHamming = 3
+
+  // ---------------------------------------------------------------- exact
+
+  /** §24/§18 — exact dedup: hash-groupBy on content, min doc_id survives.
+    * One shuffle keyed by content hash; at 100 TB the map-side partial agg
+    * collapses duplicates before the exchange. */
+  def exactDocs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  private val exactDocsSql =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
+
+  // ------------------------------------------------------------- minhash
+
+  /** doc_id + word array + shingle array. */
+  private def shingled(t: Tables): DataFrame =
+    t.documents
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select("doc_id", "s")
+
+  /** (doc_id, band_id, band_hash): K minhashes → B banded md5 bucket keys.
+    * Everything up to here is narrow (map-side). */
+  private def bandBuckets(t: Tables): DataFrame = {
+    val mh = shingled(t)
+      .withColumn("m", array((0 until K).map(i => minhash(col("s"), lit(i))): _*))
+    val bandCols = (0 until B).map { b =>
+      struct(
+        lit(b).as("band_id"),
+        md5(concat_ws("|", (0 until R).map(r => col("m").getItem(b * R + r)): _*)).as("band_hash"))
+    }
+    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs from the banded self-join (co-partitioned on the
+    * bucket key — never all-pairs). */
+  private def lshCandidates(t: Tables): DataFrame = {
+    val buckets = bandBuckets(t)
+    val a = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** §25 — MinHash + LSH near-dup candidate pairs. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    lshCandidates(Tables(dir))
+  }
+
+  /** DuckDB mirror of words→shingles→minhash→bands (1-based list indexing). */
+  private def minhashCtes: String = {
+    val mh = (0 until K)
+      .map(i => s"list_aggregate(list_transform(s, x -> md5('$i:' || x)), 'min')")
+      .mkString(",\n    ")
+    val bands = (0 until B).map { b =>
+      s"SELECT doc_id, $b AS band_id, md5(m[${b * R + 1}] || '|' || m[${b * R + 2}] || '|' || m[${b * R + 3}]) AS band_hash FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""ws AS (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN LEN(w) >= 3
+       |    THEN list_transform(generate_series(1, LEN(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [array_to_string(w, ' ')] END AS s FROM ws),
+       |mh AS (SELECT doc_id, [$mh] AS m FROM sh),
+       |bands AS ($bands)""".stripMargin
+  }
+
+  private val minhashLshSql =
+    s"""WITH $minhashCtes
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- jaccard
+
+  /** §27 — n-gram Jaccard verification of the LSH candidates only (the
+    * exact similarity is computed on the candidate set, never all-pairs). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val sets = shingled(t).select(col("doc_id"), array_distinct(col("s")).as("ss"))
+    lshCandidates(t)
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("ss_a"), col("ss_b")))
+          / size(array_union(col("ss_a"), col("ss_b"))), 6).as("jaccard"))
+      .withColumn("is_near_dup", col("jaccard") >= JaccardThreshold)
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH $minhashCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh)
+       |SELECT doc_a, doc_b,
+       |  ROUND(LEN(list_intersect(sa.ss, sb.ss)) / LEN(list_distinct(list_concat(sa.ss, sb.ss))), 6) AS jaccard,
+       |  ROUND(LEN(list_intersect(sa.ss, sb.ss)) / LEN(list_distinct(list_concat(sa.ss, sb.ss))), 6) >= $JaccardThreshold AS is_near_dup
+       |FROM cand
+       |JOIN sets sa ON sa.doc_id = doc_a
+       |JOIN sets sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- simhash
+
+  /** Spark SQL chain turning one md5 hex string `h` into its leading-32-bit
+    * integer (8 nibbles, big-endian). Pure string/arith built-ins so the
+    * whole thing codegens. */
+  private def hexToLongSpark(h: String): String =
+    (0 until 8).map { p =>
+      s"(instr('0123456789abcdef', substring($h, ${p + 1}, 1)) - 1) * ${1L << (4 * (7 - p))}L"
+    }.mkString("(", " + ", ")")
+
+  private def hexToLongDuck(h: String): String =
+    (0 until 8).map { p =>
+      s"(strpos('0123456789abcdef', substring($h, ${p + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - p))} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** 32-bit simhash column over token-hash array `hs` (Spark SQL text):
+    * bit j set iff the sum over tokens of ±1 (by token bit j) is positive. */
+  private def simhashSpark: String =
+    (0 until SimBits).map { j =>
+      s"""(CASE WHEN aggregate(hs, 0L, (acc, x) ->
+         |  acc + (CASE WHEN (shiftright(x, $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN ${1L << j}L ELSE 0L END)""".stripMargin
+    }.mkString(" + ")
+
+  private def simhashDuck: String =
+    (0 until SimBits).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(hs, x ->
+         |  CASE WHEN ((x >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" + ")
+
+  /** §26 — SimHash near-dup pairs: 32-bit simhash from token md5 bits,
+    * LSH-banded on 4×8-bit bands (pigeonhole: every pair with hamming ≤ 3
+    * shares a band), exact hamming verify on the candidates. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val sims = Tables(dir).documents
+      .withColumn("w", words(col("text")))
+      .withColumn("hx", expr("transform(w, t -> md5(t))"))
+      .withColumn("hs", expr(s"transform(hx, h -> ${hexToLongSpark("h")})"))
+      .select(col("doc_id"), expr(simhashSpark).as("sim"))
+    val bandCols = (0 until SimBands).map { b =>
+      struct(lit(b).as("band_id"),
+        expr(s"shiftright(sim, ${8 * b}) & 255").as("band_val"))
+    }
+    val bands = sims
+      .select(col("doc_id"), col("sim"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sim"), col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+    val a = bands.select(col("band_id"), col("band_val"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = bands.select(col("band_id"), col("band_val"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
+      .where(col("hamming") <= MaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  private val simhashSql =
+    s"""WITH ws AS (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS w FROM documents),
+       |hx AS (SELECT doc_id, list_transform(w, t -> md5(t)) AS hxs FROM ws),
+       |hsv AS (SELECT doc_id, list_transform(hxs, h -> ${hexToLongDuck("h")}) AS hs FROM hx),
+       |sims AS (SELECT doc_id, $simhashDuck AS sim FROM hsv),
+       |bands AS (
+       |  SELECT doc_id, sim, band_id, (sim >> (8 * band_id)) & 255 AS band_val
+       |  FROM sims CROSS JOIN range(${SimBands}) t(band_id)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sim_a, b.sim AS sim_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact_docs" -> Q(exactDocs _, exactDocsSql, Seq(col("keep_doc_id"))),
+    "dedup_minhash_lsh" -> Q(minhashLsh _, minhashLshSql, Seq(col("doc_a"), col("doc_b"))),
+    "dedup_ngram_jaccard" -> Q(ngramJaccard _, ngramJaccardSql, Seq(col("doc_a"), col("doc_b"))),
+    "dedup_simhash" -> Q(simhash _, simhashSql, Seq(col("doc_a"), col("doc_b"))),
+  )
+}

@@ -29,7 +29,10 @@ object EavMelt {
       val numE = if (kind == NumValue) s"CAST(`$c` AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
       val strE = if (kind == TextValue) s"CAST(`$c` AS STRING)" else "CAST(NULL AS STRING)"
       val datE = if (kind == DateValue) s"CAST(`$c` AS DATE)" else "CAST(NULL AS DATE)"
-      s"'$concept', $numE, $strE, $datE"
+      // concept codes are config-provided free text ("Crohn's disease") —
+      // escape them for the SQL literal
+      val conceptLit = concept.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$conceptLit', $numE, $strE, $datE"
     }.mkString(", ")
     df.select(col(entityCol).as("entity_id"),
         expr(s"stack(${attrs.size}, $stackArgs) AS (concept_cd, num_value, str_value, date_value)"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-source priority entity merge.
@@ -25,15 +26,30 @@ object EntityMerge {
     * @param key      entity key column name
     * @param attrs    attribute columns to resolve
     * @param provenance also emit `<attr>_src` winning-source columns
+    * @param dedupKeys dedup each source on the entity key first (the
+    *                 reference dedups entity keys in sources2csr before
+    *                 merging; duplicate keys would otherwise multiply rows
+    *                 through the outer joins). Deterministic keep-first by
+    *                 attribute value order. The window shuffle is keyed the
+    *                 same as the join, so the partitioning is reused.
     */
   def merge(sources: Seq[DataFrame], key: String, attrs: Seq[String],
-            provenance: Boolean = false): DataFrame = {
+            provenance: Boolean = false, dedupKeys: Boolean = true): DataFrame = {
     require(sources.nonEmpty, "at least one source")
     val prepared = sources.zipWithIndex.map { case (df, i) =>
       val cols = col(key) +: attrs.map { a =>
         (if (df.columns.contains(a)) col(a) else lit(null)).as(s"${a}__$i")
       }
-      df.select(cols: _*)
+      val projected = df.select(cols: _*)
+      if (!dedupKeys) projected
+      else {
+        val ord =
+          if (attrs.isEmpty) Seq(col(key).asc)
+          else attrs.map(a => col(s"${a}__$i").asc)
+        projected
+          .withColumn("__rn", row_number().over(Window.partitionBy(col(key)).orderBy(ord: _*)))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
     }
     val joined = prepared.reduce((l, r) => l.join(r, Seq(key), "full_outer"))
     val resolved = attrs.map { a =>

@@ -33,7 +33,6 @@ object Relational {
         round(dsum(col("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"),
         round(dsum(col("l_discount")).cast("double") / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   private val q1Sql =
@@ -90,13 +89,12 @@ object Relational {
       .select("n_nationkey", "n_name")
     t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(t.orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+      .join(t.customer.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(fin(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
   }
 
   private val q5Sql =
@@ -121,7 +119,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("n_name"), col("c_custkey"), col("c_name"), col("c_acctbal"))
-      .orderBy(col("n_name"))
   }
 
   private val topCustomerSql =
@@ -141,7 +138,6 @@ object Relational {
     t.lineitem
       .withColumn("running_revenue", fin(sum(col("l_extendedprice").cast(DecimalType(28, 6))).over(w)))
       .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("running_revenue"))
-      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
   }
 
   private val runningRevenueSql =
@@ -163,7 +159,7 @@ object Relational {
     val itemsNoOrder = t.lineitem.select("l_orderkey").distinct()
       .join(t.orders.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")
       .select(lit("lineitem_without_order").as("kind"), col("l_orderkey").as("key"))
-    ordersNoItems.unionAll(itemsNoOrder).orderBy(col("kind"), col("key"))
+    ordersNoItems.unionAll(itemsNoOrder)
   }
 
   private val orphanSql =
@@ -190,7 +186,7 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"), fin(dsum(col("c_acctbal"))).as("total_acctbal"))
       .select(concat(lit("\\"), col("r_name"), lit("\\"), col("n_name"), lit("\\")).as("path"),
         col("n_customers"), col("total_acctbal"))
-    regionLevel.unionAll(nationLevel).orderBy(col("path"))
+    regionLevel.unionAll(nationLevel)
   }
 
   private val treeRollupSql =
@@ -224,13 +220,14 @@ object Relational {
       |FROM orders""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "q1_pricing_summary" -> Q(q1PricingSummary _, q1Sql),
-    "q3_shipping_priority" -> Q(q3ShippingPriority _, q3Sql),
-    "q5_local_supplier" -> Q(q5LocalSupplier _, q5Sql),
-    "q_top_customer_per_nation" -> Q(topCustomerPerNation _, topCustomerSql),
-    "q_running_revenue" -> Q(runningRevenue _, runningRevenueSql),
-    "q_orphan_check" -> Q(orphanCheck _, orphanSql),
-    "q_tree_rollup" -> Q(treeRollup _, treeRollupSql),
+    "q1_pricing_summary" -> Q(q1PricingSummary _, q1Sql, Seq(col("l_returnflag"), col("l_linestatus"))),
+    "q3_shipping_priority" -> Q(q3ShippingPriority _, q3Sql, Seq(col("revenue").desc, col("l_orderkey"))),
+    "q5_local_supplier" -> Q(q5LocalSupplier _, q5Sql, Seq(col("revenue").desc, col("n_name"))),
+    "q_top_customer_per_nation" -> Q(topCustomerPerNation _, topCustomerSql, Seq(col("n_name"))),
+    "q_running_revenue" -> Q(runningRevenue _, runningRevenueSql,
+      Seq(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))),
+    "q_orphan_check" -> Q(orphanCheck _, orphanSql, Seq(col("kind"), col("key"))),
+    "q_tree_rollup" -> Q(treeRollup _, treeRollupSql, Seq(col("path"))),
     "q_distinct_customers" -> Q(distinctCustomers _, distinctSql),
   )
 }

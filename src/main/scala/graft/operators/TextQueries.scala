@@ -21,7 +21,6 @@ object TextQueries {
         length(col("text")).as("n_chars_measured"),
         size(words(col("text"))).as("ws_tokens"),
         size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)")).as("subword_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   private val tokenStatsSql =
@@ -49,7 +48,6 @@ object TextQueries {
         round(least(n / lit(500.0), lit(1.0)) * 0.3
           + (lit(1.0) - punct / n) * 0.4
           + (nStop / nTok) * 0.3, 6).as("quality"))
-      .orderBy(col("doc_id"))
   }
 
   private val qualityScoreSql =
@@ -91,7 +89,6 @@ object TextQueries {
           .when(sDe >= sEs && sDe >= sFr, "de")
           .when(sEs >= sFr, "es")
           .otherwise("fr"))
-      .orderBy(col("doc_id"))
   }
 
   private val langIdSql = {
@@ -117,7 +114,6 @@ object TextQueries {
     Tables(dir).documents
       .withColumn("w", words(col("text")))
       .select(col("doc_id"), fingerprint(shingles("w")).as("fingerprint"))
-      .orderBy(col("doc_id"))
   }
 
   private val docFingerprintSql =
@@ -131,9 +127,9 @@ object TextQueries {
       |FROM ws ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "text_token_stats" -> Q(tokenStats _, tokenStatsSql),
-    "text_quality_score" -> Q(qualityScore _, qualityScoreSql),
-    "text_lang_id" -> Q(langId _, langIdSql),
-    "text_fingerprint" -> Q(docFingerprint _, docFingerprintSql),
+    "text_token_stats" -> Q(tokenStats _, tokenStatsSql, Seq(col("doc_id"))),
+    "text_quality_score" -> Q(qualityScore _, qualityScoreSql, Seq(col("doc_id"))),
+    "text_lang_id" -> Q(langId _, langIdSql, Seq(col("doc_id"))),
+    "text_fingerprint" -> Q(docFingerprint _, docFingerprintSql, Seq(col("doc_id"))),
   )
 }

@@ -22,9 +22,15 @@ final case class Tables(dir: String)(implicit spark: SparkSession) {
     * rejects outright; read the nanos as long and rebuild a microsecond
     * timestamp with integer division (epoch nanos exceed the double
     * mantissa, so no floating-point path is acceptable here). Matches
-    * DuckDB's TIMESTAMP_NS → TIMESTAMP truncation. */
+    * DuckDB's TIMESTAMP_NS → TIMESTAMP truncation.
+    *
+    * The nanosAsLong conf is set at session build time by GraftSession /
+    * Verify / Bench; the guard below only covers externally-built sessions
+    * and is idempotent (same value always), so no mid-session flip can
+    * change any other read's schema. */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
