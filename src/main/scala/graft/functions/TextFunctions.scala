@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of trimmed text. */
-  def words(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens; empty tokens dropped (Spark `trim` strips only
+    * spaces, so a trailing tab/newline would otherwise leave a phantom ""
+    * token that pollutes shingles and counts). */
+  def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
 
   /** Word n-gram shingles (default 3); whole text if shorter than n. */
   def shingles(wordsCol: String, n: Int = 3): Column = expr(

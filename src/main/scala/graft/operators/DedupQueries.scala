@@ -101,7 +101,7 @@ object DedupQueries {
     val bands = (0 until B).map { b =>
       s"SELECT doc_id, $b AS band_id, md5(m[${b * R + 1}] || '|' || m[${b * R + 2}] || '|' || m[${b * R + 3}]) AS band_hash FROM mh"
     }.mkString(" UNION ALL ")
-    s"""ws AS (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS w FROM documents),
+    s"""ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0) AS w FROM documents),
        |sh AS (SELECT doc_id, CASE WHEN LEN(w) >= 3
        |    THEN list_transform(generate_series(1, LEN(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
        |    ELSE [array_to_string(w, ' ')] END AS s FROM ws),
@@ -209,7 +209,7 @@ object DedupQueries {
   }
 
   private val simhashSql =
-    s"""WITH ws AS (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS w FROM documents),
+    s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0) AS w FROM documents),
        |hx AS (SELECT doc_id, list_transform(w, t -> md5(t)) AS hxs FROM ws),
        |hsv AS (SELECT doc_id, list_transform(hxs, h -> ${hexToLongDuck("h")}) AS hs FROM hx),
        |sims AS (SELECT doc_id, $simhashDuck AS sim FROM hsv),

@@ -26,7 +26,7 @@ object TextQueries {
   private val tokenStatsSql =
     """SELECT doc_id,
       |  LENGTH(text) AS n_chars_measured,
-      |  LEN(string_split_regex(TRIM(text), '\s+')) AS ws_tokens,
+      |  LEN(list_filter(string_split_regex(text, '\s+'), x -> LEN(x) > 0)) AS ws_tokens,
       |  LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS subword_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -55,8 +55,8 @@ object TextQueries {
       |  SELECT doc_id,
       |    CAST(LENGTH(text) AS DOUBLE) AS n,
       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE) AS punct,
-      |    CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS ntok,
-      |    CAST(LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+      |    CAST(LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) AS DOUBLE) AS ntok,
+      |    CAST(LEN(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0),
       |      w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) AS nstop
       |  FROM documents)
       |SELECT doc_id,
@@ -93,7 +93,7 @@ object TextQueries {
 
   private val langIdSql = {
     val scoreExprs = markers.map { case (lang, ms) =>
-      s"""CAST(LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+      s"""CAST(LEN(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0),
          |      w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS BIGINT) AS s_$lang""".stripMargin
     }.mkString(",\n    ")
     s"""WITH x AS (
@@ -118,7 +118,7 @@ object TextQueries {
 
   private val docFingerprintSql =
     """WITH ws AS (
-      |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w FROM documents)
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> LEN(x) > 0) AS w FROM documents)
       |SELECT doc_id,
       |  CASE WHEN LEN(w) >= 3
       |  THEN list_aggregate(list_transform(generate_series(1, LEN(w) - 2),

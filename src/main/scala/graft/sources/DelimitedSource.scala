@@ -32,6 +32,8 @@ final case class DelimitedConfig(
 object DelimitedSource {
 
   def read(spark: SparkSession, path: String, cfg: DelimitedConfig): DataFrame = {
+    cfg.columns.foreach(c => require(c.dtype != "date" || c.dateFormat.isDefined,
+      s"column ${c.name}: date requires dateFormat"))
     val raw = spark.read
       .option("delimiter", cfg.delimiter)
       .option("header", cfg.header.toString)

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event as the stateful sessionizer sees it. */
+final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** One closed session. */
+final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+/** Open-session state carried between micro-batches. */
+final case class SessionState(start: Long, last: Long, n: Long)
+
+/** Streaming twins of the batch event operators (SURVEY §2.3 rows 36-37).
+  *
+  * Same transformations as `events_hourly_agg` / `events_sessionize`, but
+  * expressed over an unbounded stream: event-time watermarks bound the
+  * state, windows/session-windows aggregate, and the stateful variant
+  * keeps explicit per-user session state via flatMapGroupsWithState.
+  * At scale, state is hash-partitioned by the grouping key across
+  * executors and checkpointed incrementally — the streaming equivalents
+  * of the batch shuffles.
+  *
+  * All three transforms also run in BATCH mode on the same code path
+  * (Spark executes the same plan with empty initial state), which is how
+  * the specs pin them to the batch twins' results.
+  */
+object EventStreams {
+
+  /** Row 36 — windowed aggregation with a watermark: hourly event counts
+    * and value totals per event type. */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n_events"), col("total_value"))
+
+  /** Row 37 (built-in path) — gap-based sessionization via session_window
+    * (30-minute inactivity gap, matching the batch twin). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  private val GapUs = 30L * 60 * 1000 * 1000
+
+  /** java.sql.Timestamp ↔ epoch micros (getTime alone drops the
+    * sub-millisecond part the event timestamps carry). */
+  private def toUs(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+  private def fromUs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Row 37 (custom-state path) — explicit per-user session state with
+    * flatMapGroupsWithState: events are folded into the open session;
+    * a gap > 30 min (or state timeout at watermark) closes and emits it.
+    * `session_end` is the last event's timestamp (exactly the batch
+    * twin's max(ts), unlike session_window's end = last + gap). */
+  def sessionizeStateful(events: Dataset[Event], watermark: String = "2 hours"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap: close the open session
+            val closed = state.getOption.map(s =>
+              Session(userId, fromUs(s.start), fromUs(s.last), s.n)).toSeq
+            state.remove()
+            closed.iterator
+          } else {
+            // fold this micro-batch's events (sorted by event time) into
+            // the open session, emitting every session a gap closes
+            val sorted = batch.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+            val out = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = toUs(e.ts)
+              cur match {
+                case Some(s) if t - s.last <= GapUs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  out += Session(userId, fromUs(s.start), fromUs(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (state.getOption.isDefined && eventTimeWatermarkSet(state))
+                state.setTimeoutTimestamp(Math.floorDiv(s.last, 1000L) + GapUs / 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** setTimeoutTimestamp throws in batch execution (no watermark); the
+    * stateful sessionizer supports both modes, so guard on it. */
+  private def eventTimeWatermarkSet(state: GroupState[SessionState]): Boolean =
+    try { state.getCurrentWatermarkMs(); true } catch { case _: Throwable => false }
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .withColumn("w", words(col("text")))
+
+  test("words: splits on whitespace runs, drops empty edge tokens") {
+    val out = df("  a  b\tc \n").select(col("w")).head().getSeq[String](0)
+    assert(out == Seq("a", "b", "c"))
+  }
+
+  test("shingles: 3-grams, short texts fall back to the whole text") {
+    val out = df("one two three four").withColumn("s", shingles("w"))
+      .select("s").head().getSeq[String](0)
+    assert(out == Seq("one two three", "two three four"))
+    val short = df("just two").withColumn("s", shingles("w"))
+      .select("s").head().getSeq[String](0)
+    assert(short == Seq("just two"))
+  }
+
+  test("fingerprint: stable min-of-shingle-md5s; permutation-sensitive") {
+    val d = df("alpha beta gamma delta", "alpha beta gamma delta", "delta gamma beta alpha")
+      .withColumn("f", fingerprint(shingles("w")))
+    val fs = d.orderBy("id").select("f").as[String].collect()
+    assert(fs(0) == fs(1)) // identical text → identical fingerprint
+    assert(fs(0) != fs(2)) // different shingles → different fingerprint
+    assert(fs(0).matches("[0-9a-f]{32}"))
+  }
+
+  test("minhash: seed changes the hash; identical sets collide") {
+    val d = df("w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5")
+      .withColumn("s", shingles("w"))
+      .withColumn("m0", minhash(col("s"), lit(0)))
+      .withColumn("m1", minhash(col("s"), lit(1)))
+    val rows = d.select("m0", "m1").as[(String, String)].collect()
+    assert(rows(0) == rows(1))       // same shingle set, same seeds
+    assert(rows(0)._1 != rows(0)._2) // different seeds diverge
+  }
+
+  test("stopwordCount counts only listed tokens") {
+    val n = df("the cat and the hat")
+      .select(stopwordCount(col("w"), Seq("the", "and")).as("n"))
+      .head().getInt(0)
+    assert(n == 3)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import graft.operators.CsrQueries
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming twins pinned to the batch operators' results on the same
+  * sf0.001 events (SURVEY §2.3 rows 36-37): feed the whole table through a
+  * MemoryStream, push the watermark past the horizon with a sentinel
+  * event, and compare the emitted (append-mode) results row-for-row. */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** sf0.001 events as case-class rows + a far-future sentinel that drives
+    * the watermark past every real event. */
+  private lazy val batchEvents: Seq[Event] = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Tables(TestSpark.Sf0001).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+  }
+  private lazy val sentinel: Event = {
+    val maxTs = batchEvents.map(_.ts.getTime).max
+    Event(-1L, new Timestamp(maxTs + 6L * 3600 * 1000), -1L, "sentinel", 0.0)
+  }
+
+  /** Run a streaming transform over (events + sentinel), collect the
+    * append-mode output from a memory sink. */
+  private def runStream(name: String)(transform: Dataset[Event] => DataFrame): DataFrame = {
+    val mem = MemoryStream[Event](spark)
+    val q = transform(mem.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(batchEvents)
+      q.processAllAvailable()
+      mem.addData(sentinel)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming hourlyAgg matches the batch events_hourly_agg") {
+    val got = runStream("s_hourly")(ds => EventStreams.hourlyAgg(ds.toDF()))
+      .where(col("event_type") =!= "sentinel")
+      .select(col("bucket"), col("event_type"), col("n_events"),
+        round(col("total_value").cast("decimal(28,6)"), 2).cast("double").as("total_value"))
+      .orderBy("bucket", "event_type").collect().toSeq
+    val want = CsrQueries.eventsHourlyAgg(spark, TestSpark.Sf0001)
+      .orderBy("bucket", "event_type").collect().toSeq
+    assert(got.size == want.size)
+    // double summation order differs between streaming/batch: compare
+    // counts exactly, sums to 1e-6
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getTimestamp(0) == w.getTimestamp(0) && g.getString(1) == w.getString(1))
+      assert(g.getLong(2) == w.getLong(2))
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("streaming session_window sessionize matches the batch twin") {
+    val got = runStream("s_sess")(ds => EventStreams.sessionWindows(ds.toDF()))
+      .where(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "n_events").collect().toSeq
+    val want = CsrQueries.eventsSessionize(spark, TestSpark.Sf0001)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "n_events").collect().toSeq
+    assert(got == want)
+  }
+
+  test("stateful flatMapGroupsWithState sessionize matches the batch twin") {
+    val got = runStream("s_state")(EventStreams.sessionizeStateful(_).toDF())
+      .where(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "session_end", "n_events").collect().toSeq
+    val want = CsrQueries.eventsSessionize(spark, TestSpark.Sf0001)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "session_start", "session_end", "n_events").collect().toSeq
+    assert(got == want)
+  }
+}
