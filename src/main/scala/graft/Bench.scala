@@ -19,6 +19,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup so the first measured query doesn't absorb JVM/codegen
+    // class-loading and the parquet footer reads (alphabetical order made
+    // ann_bruteforce_topk pay ~6s of one-time cost in round 1)
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
+        .write.mode("overwrite").format("noop").save()
+      graft.plans.VectorExpressions.register(spark)
+      spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))").collect()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec =

@@ -61,11 +61,23 @@ object DedupQueries {
       .withColumn("s", shingles("w"))
       .select("doc_id", "s")
 
+  /** Per-seed linear-mix constants for the K minwise hashes: one md5 per
+    * shingle (the expensive part), then K cheap (a*h + b) % p mixes of its
+    * leading 32 bits — vs K full md5 passes, this cuts the map-side hash
+    * work by ~K× at identical LSH quality. All values stay < 2^62, so the
+    * arithmetic is overflow-safe in both engines. */
+  private val P = 2147483647L // 2^31 - 1
+  private def mixA(i: Int): Long = Math.floorMod(2654435761L * (i + 1), 1L << 30) | 1L
+  private def mixB(i: Int): Long = Math.floorMod(1103515245L * (i + 7), 1L << 30)
+
   /** (doc_id, band_id, band_hash): K minhashes → B banded md5 bucket keys.
     * Everything up to here is narrow (map-side). */
   private def bandBuckets(t: Tables): DataFrame = {
     val mh = shingled(t)
-      .withColumn("m", array((0 until K).map(i => minhash(col("s"), lit(i))): _*))
+      .withColumn("hx", expr("transform(s, x -> md5(x))"))
+      .withColumn("hs", expr(s"transform(hx, h -> ${hexToLongSpark("h")})"))
+      .withColumn("m", array((0 until K).map(i =>
+        expr(s"array_min(transform(hs, h -> (${mixA(i)}L * h + ${mixB(i)}L) % ${P}L))")): _*))
     val bandCols = (0 until B).map { b =>
       struct(
         lit(b).as("band_id"),
@@ -96,7 +108,7 @@ object DedupQueries {
   /** DuckDB mirror of words→shingles→minhash→bands (1-based list indexing). */
   private def minhashCtes: String = {
     val mh = (0 until K)
-      .map(i => s"list_aggregate(list_transform(s, x -> md5('$i:' || x)), 'min')")
+      .map(i => s"list_aggregate(list_transform(hs, h -> (${mixA(i)} * h + ${mixB(i)}) % $P), 'min')")
       .mkString(",\n    ")
     val bands = (0 until B).map { b =>
       s"SELECT doc_id, $b AS band_id, md5(m[${b * R + 1}] || '|' || m[${b * R + 2}] || '|' || m[${b * R + 3}]) AS band_hash FROM mh"
@@ -105,7 +117,8 @@ object DedupQueries {
        |sh AS (SELECT doc_id, CASE WHEN LEN(w) >= 3
        |    THEN list_transform(generate_series(1, LEN(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
        |    ELSE [array_to_string(w, ' ')] END AS s FROM ws),
-       |mh AS (SELECT doc_id, [$mh] AS m FROM sh),
+       |hsv AS (SELECT doc_id, s, list_transform(list_transform(s, x -> md5(x)), h -> ${hexToLongDuck("h")}) AS hs FROM sh),
+       |mh AS (SELECT doc_id, [$mh] AS m FROM hsv),
        |bands AS ($bands)""".stripMargin
   }
 

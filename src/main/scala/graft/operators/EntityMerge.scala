@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-source priority entity merge.
@@ -41,14 +40,18 @@ object EntityMerge {
         (if (df.columns.contains(a)) col(a) else lit(null)).as(s"${a}__$i")
       }
       val projected = df.select(cols: _*)
-      if (!dedupKeys) projected
+      if (!dedupKeys || attrs.isEmpty) projected
       else {
-        val ord =
-          if (attrs.isEmpty) Seq(col(key).asc)
-          else attrs.map(a => col(s"${a}__$i").asc)
+        // keep-first = lexicographic min over the attribute struct: same
+        // result as a row_number window ordered by the attrs, but with
+        // map-side partial aggregation instead of a full shuffle+sort —
+        // the 100 TB-friendly shape (and the agg's hash partitioning on
+        // the key is reused by the merge join right after)
+        val names = attrs.map(a => s"${a}__$i")
         projected
-          .withColumn("__rn", row_number().over(Window.partitionBy(col(key)).orderBy(ord: _*)))
-          .filter(col("__rn") === 1).drop("__rn")
+          .groupBy(col(key))
+          .agg(min(struct(names.map(col): _*)).as("__m"))
+          .select(col(key) +: names.map(n => col(s"__m.$n").as(n)): _*)
       }
     }
     val joined = prepared.reduce((l, r) => l.join(r, Seq(key), "full_outer"))
