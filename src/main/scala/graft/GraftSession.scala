@@ -13,6 +13,7 @@ object GraftSession {
   def apply(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
             shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt * 2): SparkSession = {
     val spark = SparkSession.builder()
+      .withExtensions(new plans.GraftExtensions)
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -17,6 +17,7 @@ object SparkEntry {
     operators.AnnQueries.queries,
     operators.MultimodalQueries.queries,
     operators.OntologyQueries.queries,
+    operators.ObservationQueries.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort). */

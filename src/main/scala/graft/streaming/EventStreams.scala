@@ -51,6 +51,13 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact-dedup (the ingest-side twin of `dedup_exact_docs`):
+    * re-delivered events are dropped by key; state is bounded by the
+    * watermark horizon, so at 100 TB/day the dedup table never grows past
+    * the horizon's key cardinality per partition. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
   private val GapUs = 30L * 60 * 1000 * 1000
 
   /** java.sql.Timestamp ↔ epoch micros (getTime alone drops the

@@ -75,6 +75,20 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming dedupEvents drops re-delivered events within the watermark") {
+    val mem = MemoryStream[Event](spark)
+    val q = EventStreams.dedupEvents(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("s_dedup").outputMode("append").start()
+    try {
+      val sample = batchEvents.take(200)
+      mem.addData(sample ++ sample) // every event delivered twice
+      q.processAllAvailable()
+      mem.addData(sample.take(5)) // and a third time in a later batch
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("s_dedup").count() == 200)
+  }
+
   test("stateful flatMapGroupsWithState sessionize matches the batch twin") {
     val got = runStream("s_state")(EventStreams.sessionizeStateful(_).toDF())
       .where(col("user_id") =!= -1L)
