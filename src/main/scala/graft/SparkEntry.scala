@@ -18,6 +18,7 @@ object SparkEntry {
     operators.MultimodalQueries.queries,
     operators.OntologyQueries.queries,
     operators.ObservationQueries.queries,
+    operators.AnalyticsQueries.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort). */

@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-ring analytics operators: as-of join, corpus term statistics,
+  * quality filtering, sketched distincts, NGS-style matrix transpose.
+  *
+  * Per the brief's preference order these are COMPOSED from built-ins —
+  * each semantics here is expressible with windows/aggregations, so no
+  * custom plan nodes are justified (the one operator that did need native
+  * code, cosine, lives in graft.plans).
+  */
+object AnalyticsQueries {
+
+  // ------------------------------------------------------------ as-of join
+
+  /** As-of join composed from a window (no custom operator needed): each
+    * purchase event picks up the value of the user's most recent prior (or
+    * simultaneous) view event. One shuffle, keyed by user — the same
+    * partitioning every per-user operator shares. */
+  def asofView(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(dir).events
+      .withColumn("view_val", when(col("event_type") === "view", col("value")))
+      .withColumn("last_view_value", last(col("view_val"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value"), 6).as("purchase_value"),
+        round(col("last_view_value"), 6).as("last_view_value"))
+  }
+
+  private val asofViewSql =
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  ROUND(value, 6) AS purchase_value,
+      |  ROUND(last_view_value, 6) AS last_view_value
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+      |  FROM events) x
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------------- term statistics
+
+  /** Top-5 terms per language (ascii lowercase terms only — keeps the
+    * ranking collation-independent across engines). Explode is map-side;
+    * the (lang, term) agg collapses the corpus before the tiny per-lang
+    * top-k window. */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val counts = Tables(dir).documents
+      .select(col("lang"), explode(words(col("text"))).as("term"))
+      .where(col("term").rlike("^[a-z]+$") && length(col("term")) > 2)
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select("lang", "rank", "term", "n")
+  }
+
+  private val topTermsSql =
+    """WITH terms AS (
+      |  SELECT lang, t.term FROM documents,
+      |    UNNEST(list_filter(string_split_regex(text, '\s+'), x -> LEN(x) > 0)) AS t(term)
+      |  WHERE regexp_full_match(t.term, '[a-z]+') AND LEN(t.term) > 2),
+      |counts AS (SELECT lang, term, COUNT(*) AS n FROM terms GROUP BY lang, term),
+      |ranked AS (
+      |  SELECT lang, term, n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+      |  FROM counts)
+      |SELECT lang, rank, term, n FROM ranked WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
+  // ------------------------------------------------------- quality filter
+
+  /** The LLM-ingest keep/drop decision composed from the text signals —
+    * what a training-data pipeline actually runs after scoring. Pure
+    * map-side: scores and verdicts are per-row expressions. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val n = length(col("text")).cast("double")
+    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?()]", ""))).cast("double")
+    val wcol = words(col("text"))
+    val nTok = size(wcol).cast("double")
+    val quality = round(least(n / lit(500.0), lit(1.0)) * 0.3
+      + (lit(1.0) - punct / n) * 0.4
+      + (size(filter(wcol, w => w.isin("the", "a", "of", "to", "and", "in", "is", "for"))) / nTok) * 0.3, 6)
+    Tables(dir).documents
+      .select(col("doc_id"), col("lang"), quality.as("quality"),
+        nTok.cast("long").as("n_tokens"))
+      .withColumn("keep",
+        col("quality") >= 0.5 && col("n_tokens") >= 10 && col("lang") =!= "zh")
+  }
+
+  private val qualityFilterSql =
+    """WITH x AS (
+      |  SELECT doc_id, lang,
+      |    CAST(LENGTH(text) AS DOUBLE) AS n,
+      |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE) AS punct,
+      |    list_filter(string_split_regex(text, '\s+'), w -> LEN(w) > 0) AS w
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang,
+      |    ROUND(LEAST(n / 500.0, 1.0) * 0.3 + (1.0 - punct / n) * 0.4
+      |      + (CAST(LEN(list_filter(w, t -> t IN ('the','a','of','to','and','in','is','for'))) AS DOUBLE)
+      |         / CAST(LEN(w) AS DOUBLE)) * 0.3, 6) AS quality,
+      |    CAST(LEN(w) AS BIGINT) AS n_tokens
+      |  FROM x)
+      |SELECT doc_id, lang, quality, n_tokens,
+      |  (quality >= 0.5 AND n_tokens >= 10 AND lang <> 'zh') AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ sketched distincts
+
+  /** Exact count-distinct is a full shuffle of the key set; at 100 TB the
+    * scale path is the HLL sketch (map-side mergeable, constant memory).
+    * Sketch estimates are engine-specific, so the driver records the
+    * rows-only check (no oracle SQL) — the spec pins the estimate against
+    * the exact count instead. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).orders.agg(
+      approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+      count(lit(1)).as("n_orders"))
+  }
+
+  // ------------------------------------------------ NGS matrix transpose
+
+  private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val nations = (0 until 25).map(i => s"NATION_$i")
+
+  /** NGS gene×sample matrix transpose (reference: archived NGS pipeline
+    * transposes gene matrices to cBioPortal staging). A wide nation×priority
+    * count matrix is melted (narrow stack) and re-pivoted on the other
+    * axis — both column sets are bounded dims, so the pivot column lists
+    * are deterministic config, not data-dependent collects. */
+  def matrixTranspose(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val long = t.orders
+      .join(t.customer.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    // wide: nation rows × priority columns (the "gene matrix" as it arrives)
+    val wide = long.groupBy(col("n_name")).pivot("o_orderpriority", priorities).sum("cnt")
+    // transpose: melt the wide matrix back to long, re-pivot on nation
+    val stackArgs = priorities.map(p => s"'$p', `$p`").mkString(", ")
+    val melted = wide.select(col("n_name"),
+      expr(s"stack(${priorities.size}, $stackArgs) AS (priority, cnt)"))
+    val out = melted.groupBy(col("priority")).pivot("n_name", nations).sum("cnt")
+    nations.foldLeft(out)((df, nc) => df.withColumn(nc, coalesce(col(s"`$nc`"), lit(0L))))
+  }
+
+  private val matrixTransposeSql = {
+    val cols = nations
+      .map(nc => s"CAST(COALESCE(SUM(CASE WHEN n_name = '$nc' THEN cnt END), 0) AS BIGINT) AS $nc")
+      .mkString(",\n  ")
+    s"""WITH long AS (
+       |  SELECT n_name, o_orderpriority AS priority, COUNT(*) AS cnt
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT priority,
+       |  $cols
+       |FROM long GROUP BY priority ORDER BY priority""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "events_asof_view" -> Q(asofView _, asofViewSql, Seq(col("user_id"), col("event_id"))),
+    "text_top_terms" -> Q(topTerms _, topTermsSql, Seq(col("lang"), col("rank"))),
+    "docs_quality_filter" -> Q(qualityFilter _, qualityFilterSql, Seq(col("doc_id"))),
+    "q_approx_distinct" -> Q(approxDistinct _, None), // rows-only: sketch estimates are engine-specific
+    "ngs_matrix_transpose" -> Q(matrixTranspose _, matrixTransposeSql, Seq(col("priority"))),
+  )
+}

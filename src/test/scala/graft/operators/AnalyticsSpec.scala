@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("approx_count_distinct estimate lands within the configured rsd") {
+    val row = AnalyticsQueries.approxDistinct(spark, TestSpark.Sf0001).head()
+    val approx = row.getLong(0).toDouble
+    val exact = Relational.distinctCustomers(spark, TestSpark.Sf0001)
+      .head().getLong(0).toDouble
+    // rsd 0.02 → allow 5 sigma
+    assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+  }
+
+  test("as-of join: purchases carry the latest prior view value") {
+    import spark.implicits._
+    val out = AnalyticsQueries.asofView(spark, TestSpark.Sf0001)
+    // every purchase row's last_view_value equals the max-ts view <= purchase ts
+    val events = graft.sources.Tables(TestSpark.Sf0001)(spark).events
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+    val byUser = events.groupBy(_._1)
+    val sample = out.limit(50).collect()
+    sample.foreach { r =>
+      val (u, eid, ts) = (r.getLong(0), r.getLong(1), r.getTimestamp(2))
+      val views = byUser(u).filter(e => e._4 == "view" &&
+        (e._3.before(ts) || (e._3 == ts && e._2 <= eid)))
+      val expect =
+        if (views.isEmpty) null
+        else {
+          val best = views.maxBy(e => (e._3.getTime, e._3.getNanos, e._2))
+          java.lang.Double.valueOf(math.rint(best._5 * 1e6) / 1e6)
+        }
+      val got = if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4))
+      assert(got == expect, s"user=$u event=$eid")
+    }
+  }
+}
