@@ -177,14 +177,6 @@ object DedupQueries {
       s"(strpos('0123456789abcdef', substring($h, ${p + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - p))} AS BIGINT)"
     }.mkString("(", " + ", ")")
 
-  /** 32-bit simhash column over token-hash array `hs` (Spark SQL text):
-    * bit j set iff the sum over tokens of ±1 (by token bit j) is positive. */
-  private def simhashSpark: String =
-    (0 until SimBits).map { j =>
-      s"""(CASE WHEN aggregate(hs, 0L, (acc, x) ->
-         |  acc + (CASE WHEN (shiftright(x, $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-         |  THEN ${1L << j}L ELSE 0L END)""".stripMargin
-    }.mkString(" + ")
 
   private def simhashDuck: String =
     (0 until SimBits).map { j =>
@@ -195,14 +187,31 @@ object DedupQueries {
 
   /** §26 — SimHash near-dup pairs: 32-bit simhash from token md5 bits,
     * LSH-banded on 4×8-bit bands (pigeonhole: every pair with hamming ≤ 3
-    * shares a band), exact hamming verify on the candidates. */
+    * shares a band), exact hamming verify on the candidates.
+    *
+    * The per-bit ±1 sums run as explode + hash aggregate (32 codegen'd
+    * conditional sums with map-side partial aggregation) rather than 32
+    * higher-order `aggregate()` passes over the token array — one pass
+    * over the tokens instead of 32, and the partial agg collapses each
+    * doc's contribution before any shuffle. Empty documents are excluded
+    * (both engines, identically). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    val bitSums = (0 until SimBits).map { j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1L).otherwise(-1L)).as(s"s_$j")
+    }
+    val simExpr = (0 until SimBits)
+      .map(j => s"(CASE WHEN s_$j > 0 THEN ${1L << j}L ELSE 0L END)")
+      .mkString(" + ")
     val sims = Tables(dir).documents
       .withColumn("w", words(col("text")))
+      .where(size(col("w")) > 0)
       .withColumn("hx", expr("transform(w, t -> md5(t))"))
       .withColumn("hs", expr(s"transform(hx, h -> ${hexToLongSpark("h")})"))
-      .select(col("doc_id"), expr(simhashSpark).as("sim"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(simExpr).as("sim"))
     val bandCols = (0 until SimBands).map { b =>
       struct(lit(b).as("band_id"),
         expr(s"shiftright(sim, ${8 * b}) & 255").as("band_val"))
@@ -222,7 +231,7 @@ object DedupQueries {
   }
 
   private val simhashSql =
-    s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0) AS w FROM documents),
+    s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0) AS w FROM documents WHERE LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) > 0),
        |hx AS (SELECT doc_id, list_transform(w, t -> md5(t)) AS hxs FROM ws),
        |hsv AS (SELECT doc_id, list_transform(hxs, h -> ${hexToLongDuck("h")}) AS hs FROM hx),
        |sims AS (SELECT doc_id, $simhashDuck AS sim FROM hsv),

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the SURVEY §5 scale claims that only show up in physical plans:
+  * bucketed joins avoid the exchange, salted aggregation stays correct. */
+class ScaleShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val t = graft.sources.Tables(TestSpark.Sf0001)
+    t.orders.select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    t.lineitem.select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+    val physical = joined.queryExecution.executedPlan.toString
+    // both sides are bucketed on the join key: the join must be
+    // exchange-free (this is what "pre-partitioned co-located join"
+    // means at 100 TB — zero shuffle of either fact table)
+    assert(!physical.contains("Exchange hashpartitioning"), physical)
+    assert(joined.count() == t.lineitem.count())
+    spark.sql("DROP TABLE b_orders")
+    spark.sql("DROP TABLE b_lineitem")
+  }
+
+  test("saltedAgg matches the direct aggregation on a skewed dataset") {
+    // whale key: 90% of rows on key 7
+    val rows = (1 to 20000).map(i => (if (i % 10 != 0) 7L else i.toLong % 100, i.toDouble))
+    val df = rows.toDF("k", "v").repartition(8)
+    val got = Skew.saltedCountSum(df, Seq("k"), "v", buckets = 16)
+      .orderBy("k").as[(Long, Long, Double)].collect().toSeq
+    val want = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .orderBy("k").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == want.map(r => (r._1, r._2)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-6) // double sum assoc tolerance
+    }
+  }
+}
