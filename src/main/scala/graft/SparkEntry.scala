@@ -24,9 +24,11 @@ object SparkEntry {
   /** Full registry (Spark fn + oracle + canonical Verify sort). */
   lazy val registry: Map[String, Q] = modules.reduce(_ ++ _)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The observation pipeline is the reference's defining artifact
+    * (sources → wide entities → EAV melt → concept dimensions). */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    operators.ObservationQueries.observations(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

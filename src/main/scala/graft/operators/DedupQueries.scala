@@ -132,12 +132,27 @@ object DedupQueries {
   // ------------------------------------------------------------- jaccard
 
   /** §27 — n-gram Jaccard verification of the LSH candidates only (the
-    * exact similarity is computed on the candidate set, never all-pairs). */
+    * exact similarity is computed on the candidate set, never all-pairs).
+    *
+    * Shingle sets are materialized ONLY for documents that appear in a
+    * candidate pair: the candidate doc-id set rides a broadcast semi-join
+    * into the documents scan before any shingling happens, so the exact
+    * verify stage reshingles |candidates| documents, not the corpus —
+    * at 100 TB that's the difference between re-tokenizing everything
+    * twice and touching a few thousand near-dup docs. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val sets = shingled(t).select(col("doc_id"), array_distinct(col("s")).as("ss"))
-    lshCandidates(t)
+    val cands = lshCandidates(t)
+    val candDocs = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sets = t.documents
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
+    cands
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), Seq("doc_b"))
       .select(

@@ -132,8 +132,11 @@ object Relational {
   def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
+    // the synthetic data repeats (l_orderkey, l_linenumber) across chunks,
+    // so the ordering must include the measure itself to stay deterministic
+    // when a full (shipdate, orderkey, linenumber) tie occurs
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.lineitem
       .withColumn("running_revenue", fin(sum(col("l_extendedprice").cast(DecimalType(28, 6))).over(w)))
@@ -143,10 +146,10 @@ object Relational {
   private val runningRevenueSql =
     """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
       |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) OVER (
-      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_revenue
       |FROM lineitem
-      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, running_revenue""".stripMargin
 
   /** Referential integrity: orphans on both sides of orders↔lineitem
     * (the reference validates diagnosis→individual etc. the same way). */
@@ -225,7 +228,7 @@ object Relational {
     "q5_local_supplier" -> Q(q5LocalSupplier _, q5Sql, Seq(col("revenue").desc, col("n_name"))),
     "q_top_customer_per_nation" -> Q(topCustomerPerNation _, topCustomerSql, Seq(col("n_name"))),
     "q_running_revenue" -> Q(runningRevenue _, runningRevenueSql,
-      Seq(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))),
+      Seq(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("running_revenue"))),
     "q_orphan_check" -> Q(orphanCheck _, orphanSql, Seq(col("kind"), col("key"))),
     "q_tree_rollup" -> Q(treeRollup _, treeRollupSql, Seq(col("path"))),
     "q_distinct_customers" -> Q(distinctCustomers _, distinctSql),
