@@ -121,6 +121,33 @@ object AnalyticsQueries {
       |  (quality >= 0.5 AND n_tokens >= 10 AND lang <> 'zh') AS keep
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ semi-structured props
+
+  /** Semi-structured payload extraction: the events table carries a JSON
+    * `props` column; pull the typed field out and aggregate. Path
+    * extraction is a per-row codegen'd expression — the JSON never leaves
+    * the scan stage, only the extracted integer shuffles. */
+  def propsJson(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+  }
+
+  private val propsJsonSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events) x
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------ sketched distincts
 
   /** Exact count-distinct is a full shuffle of the key set; at 100 TB the
@@ -182,6 +209,7 @@ object AnalyticsQueries {
     "events_asof_view" -> Q(asofView _, asofViewSql, Seq(col("user_id"), col("event_id"))),
     "text_top_terms" -> Q(topTerms _, topTermsSql, Seq(col("lang"), col("rank"))),
     "docs_quality_filter" -> Q(qualityFilter _, qualityFilterSql, Seq(col("doc_id"))),
+    "events_props_json" -> Q(propsJson _, propsJsonSql, Seq(col("event_type"))),
     "q_approx_distinct" -> Q(approxDistinct _, None), // rows-only: sketch estimates are engine-specific
     "ngs_matrix_transpose" -> Q(matrixTranspose _, matrixTransposeSql, Seq(col("priority"))),
   )

@@ -75,7 +75,7 @@ object DedupQueries {
   private def bandBuckets(t: Tables): DataFrame = {
     val mh = shingled(t)
       .withColumn("hx", expr("transform(s, x -> md5(x))"))
-      .withColumn("hs", expr(s"transform(hx, h -> ${hexToLongSpark("h")})"))
+      .withColumn("hs", transform(col("hx"), h => graft.plans.VectorExpressions.hex32(h)))
       .withColumn("m", array((0 until K).map(i =>
         expr(s"array_min(transform(hs, h -> (${mixA(i)}L * h + ${mixB(i)}L) % ${P}L))")): _*))
     val bandCols = (0 until B).map { b =>
@@ -101,6 +101,7 @@ object DedupQueries {
 
   /** §25 — MinHash + LSH near-dup candidate pairs. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     lshCandidates(Tables(dir))
   }
@@ -141,6 +142,7 @@ object DedupQueries {
     * at 100 TB that's the difference between re-tokenizing everything
     * twice and touching a few thousand near-dup docs. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
     val cands = lshCandidates(t)
@@ -179,14 +181,6 @@ object DedupQueries {
 
   // ------------------------------------------------------------- simhash
 
-  /** Spark SQL chain turning one md5 hex string `h` into its leading-32-bit
-    * integer (8 nibbles, big-endian). Pure string/arith built-ins so the
-    * whole thing codegens. */
-  private def hexToLongSpark(h: String): String =
-    (0 until 8).map { p =>
-      s"(instr('0123456789abcdef', substring($h, ${p + 1}, 1)) - 1) * ${1L << (4 * (7 - p))}L"
-    }.mkString("(", " + ", ")")
-
   private def hexToLongDuck(h: String): String =
     (0 until 8).map { p =>
       s"(strpos('0123456789abcdef', substring($h, ${p + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - p))} AS BIGINT)"
@@ -211,6 +205,7 @@ object DedupQueries {
     * doc's contribution before any shuffle. Empty documents are excluded
     * (both engines, identically). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val bitSums = (0 until SimBits).map { j =>
       sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1L).otherwise(-1L)).as(s"s_$j")
@@ -222,7 +217,7 @@ object DedupQueries {
       .withColumn("w", words(col("text")))
       .where(size(col("w")) > 0)
       .withColumn("hx", expr("transform(w, t -> md5(t))"))
-      .withColumn("hs", expr(s"transform(hx, h -> ${hexToLongSpark("h")})"))
+      .withColumn("hs", transform(col("hx"), h => graft.plans.VectorExpressions.hex32(h)))
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)

@@ -24,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_hex32"),
+      new ExpressionInfo(classOf[HexPrefix32].getName, "graft_hex32"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HexPrefix32(exprs.head)))
   }
 }

@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Cosine similarity over two `array<float>` columns as a native Catalyst
   * expression with whole-stage codegen (SURVEY §4: vector ops must not fall
@@ -64,15 +64,67 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-object VectorExpressions {
-  /** Idempotent per-session registration; queries call this so the function
-    * exists no matter which session (driver-created included) runs them. */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_cosine",
-        exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+/** Leading-32-bit value of a lowercase-hex string (md5 prefix → long).
+  *
+  * The dedup family hashes every token/shingle through md5 and needs the
+  * integer form for minwise/simhash arithmetic — per-token hot path at
+  * corpus scale. A codegen'd byte loop replaces the 8× instr+substring
+  * chain the same math costs as built-ins (and the DuckDB oracle keeps
+  * the portable nibble-chain formulation; both compute
+  * Σ nibble(p)·16^(7-p) over the first 8 chars).
+  */
+case class HexPrefix32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hex32"
 
-  /** Column-level handle (resolves through the function registry). */
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var v = 0L
+    var i = 0
+    val n = math.min(bytes.length, 8)
+    while (i < n) {
+      val c = bytes(i)
+      val nib = if (c >= 'a') c - 'a' + 10 else c - '0'
+      v = v * 16 + nib
+      i += 1
+    }
+    v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes"); val v = ctx.freshName("v")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val ch = ctx.freshName("ch")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $v = 0L;
+         |int $n = java.lang.Math.min($bytes.length, 8);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  byte $ch = $bytes[$i];
+         |  $v = $v * 16 + ($ch >= 'a' ? $ch - 'a' + 10 : $ch - '0');
+         |}
+         |${ev.value} = $v;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  /** Idempotent per-session registration; queries call this so the
+    * functions exist no matter which session (driver-created included)
+    * runs them. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_hex32",
+      exprs => HexPrefix32(exprs.head), "built-in")
+  }
+
+  /** Column-level handles (resolve through the function registry). */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def hex32(c: Column): Column = call_function("graft_hex32", c)
 }
