@@ -31,9 +31,15 @@ object DedupQueries {
   /** Near-dup verification threshold on shingle-set Jaccard. */
   private val JaccardThreshold = 0.5
 
-  /** Simhash bit width and hamming acceptance radius. */
-  private val SimBits = 32
-  private val SimBands = 4 // 8 bits each; catches every pair with hamming <= 3
+  /** Simhash bit width and hamming acceptance radius. 60 bits = 15 md5
+    * nibbles (fits signed BIGINT in every engine); 4 bands × 15 bits give
+    * 32768 bucket values per band — enough spread that the banded
+    * self-join stays near-linear at corpus scale (8-bit bands would cap
+    * at 256 buckets and go quadratic inside each). Pigeonhole: every pair
+    * with hamming ≤ 3 still shares a band. */
+  private val SimBits = 60
+  private val SimBands = 4 // 15 bits each
+  private val SimBandBits = SimBits / SimBands
   private val MaxHamming = 3
 
   // ---------------------------------------------------------------- exact
@@ -75,7 +81,7 @@ object DedupQueries {
   private def bandBuckets(t: Tables): DataFrame = {
     val mh = shingled(t)
       .withColumn("hx", expr("transform(s, x -> md5(x))"))
-      .withColumn("hs", transform(col("hx"), h => graft.plans.VectorExpressions.hex32(h)))
+      .withColumn("hs", transform(col("hx"), h => graft.plans.VectorExpressions.hexPrefix(h, 8)))
       .withColumn("m", array((0 until K).map(i =>
         expr(s"array_min(transform(hs, h -> (${mixA(i)}L * h + ${mixB(i)}L) % ${P}L))")): _*))
     val bandCols = (0 until B).map { b =>
@@ -181,9 +187,9 @@ object DedupQueries {
 
   // ------------------------------------------------------------- simhash
 
-  private def hexToLongDuck(h: String): String =
-    (0 until 8).map { p =>
-      s"(strpos('0123456789abcdef', substring($h, ${p + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - p))} AS BIGINT)"
+  private def hexToLongDuck(h: String, nChars: Int = 8): String =
+    (0 until nChars).map { p =>
+      s"(strpos('0123456789abcdef', substring($h, ${p + 1}, 1)) - 1) * CAST(${1L << (4 * (nChars - 1 - p))} AS BIGINT)"
     }.mkString("(", " + ", ")")
 
 
@@ -217,14 +223,14 @@ object DedupQueries {
       .withColumn("w", words(col("text")))
       .where(size(col("w")) > 0)
       .withColumn("hx", expr("transform(w, t -> md5(t))"))
-      .withColumn("hs", transform(col("hx"), h => graft.plans.VectorExpressions.hex32(h)))
+      .withColumn("hs", transform(col("hx"), h => graft.plans.VectorExpressions.hexPrefix(h, 15)))
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), expr(simExpr).as("sim"))
     val bandCols = (0 until SimBands).map { b =>
       struct(lit(b).as("band_id"),
-        expr(s"shiftright(sim, ${8 * b}) & 255").as("band_val"))
+        expr(s"shiftright(sim, ${SimBandBits * b}) & ${(1 << SimBandBits) - 1}").as("band_val"))
     }
     val bands = sims
       .select(col("doc_id"), col("sim"), explode(array(bandCols: _*)).as("bb"))
@@ -243,10 +249,10 @@ object DedupQueries {
   private val simhashSql =
     s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0) AS w FROM documents WHERE LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) > 0),
        |hx AS (SELECT doc_id, list_transform(w, t -> md5(t)) AS hxs FROM ws),
-       |hsv AS (SELECT doc_id, list_transform(hxs, h -> ${hexToLongDuck("h")}) AS hs FROM hx),
+       |hsv AS (SELECT doc_id, list_transform(hxs, h -> ${hexToLongDuck("h", 15)}) AS hs FROM hx),
        |sims AS (SELECT doc_id, $simhashDuck AS sim FROM hsv),
        |bands AS (
-       |  SELECT doc_id, sim, band_id, (sim >> (8 * band_id)) & 255 AS band_val
+       |  SELECT doc_id, sim, band_id, (sim >> (${SimBandBits} * band_id)) & ${(1 << SimBandBits) - 1} AS band_val
        |  FROM sims CROSS JOIN range(${SimBands}) t(band_id)),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sim_a, b.sim AS sim_b

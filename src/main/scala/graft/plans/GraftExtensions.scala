@@ -25,9 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs.head, exprs(1))))
     e.injectFunction((
-      new FunctionIdentifier("graft_hex32"),
-      new ExpressionInfo(classOf[HexPrefix32].getName, "graft_hex32"),
+      new FunctionIdentifier("graft_hex_prefix"),
+      new ExpressionInfo(classOf[HexPrefix].getName, "graft_hex_prefix"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        HexPrefix32(exprs.head)))
+        HexPrefix(exprs.head, exprs(1).eval().asInstanceOf[Int])))
   }
 }

@@ -64,24 +64,26 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Leading-32-bit value of a lowercase-hex string (md5 prefix → long).
+/** Leading-`nChars`-nibble value of a lowercase-hex string (md5 prefix →
+  * long; nChars ≤ 15 keeps the value positive inside 63 bits so the same
+  * arithmetic is expressible in every engine's signed BIGINT).
   *
   * The dedup family hashes every token/shingle through md5 and needs the
   * integer form for minwise/simhash arithmetic — per-token hot path at
-  * corpus scale. A codegen'd byte loop replaces the 8× instr+substring
-  * chain the same math costs as built-ins (and the DuckDB oracle keeps
-  * the portable nibble-chain formulation; both compute
-  * Σ nibble(p)·16^(7-p) over the first 8 chars).
+  * corpus scale. A codegen'd byte loop replaces an 8-15× instr+substring
+  * chain of built-ins (the DuckDB oracle keeps the portable nibble-chain
+  * formulation; both compute Σ nibble(p)·16^(n-1-p) over the prefix).
   */
-case class HexPrefix32(child: Expression) extends UnaryExpression {
+case class HexPrefix(child: Expression, nChars: Int) extends UnaryExpression {
+  require(nChars > 0 && nChars <= 15, "hex prefix must fit a positive signed long")
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_hex32"
+  override def prettyName: String = "graft_hex_prefix"
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
     var v = 0L
     var i = 0
-    val n = math.min(bytes.length, 8)
+    val n = math.min(bytes.length, nChars)
     while (i < n) {
       val c = bytes(i)
       val nib = if (c >= 'a') c - 'a' + 10 else c - '0'
@@ -98,7 +100,7 @@ case class HexPrefix32(child: Expression) extends UnaryExpression {
       s"""
          |byte[] $bytes = $c.getBytes();
          |long $v = 0L;
-         |int $n = java.lang.Math.min($bytes.length, 8);
+         |int $n = java.lang.Math.min($bytes.length, $nChars);
          |for (int $i = 0; $i < $n; $i++) {
          |  byte $ch = $bytes[$i];
          |  $v = $v * 16 + ($ch >= 'a' ? $ch - 'a' + 10 : $ch - '0');
@@ -120,11 +122,13 @@ object VectorExpressions {
       .sessionState.functionRegistry
     registry.createOrReplaceTempFunction("graft_cosine",
       exprs => CosineSim(exprs.head, exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction("graft_hex32",
-      exprs => HexPrefix32(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_hex_prefix",
+      exprs => HexPrefix(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 
   /** Column-level handles (resolve through the function registry). */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
-  def hex32(c: Column): Column = call_function("graft_hex32", c)
+  def hexPrefix(c: Column, nChars: Int): Column =
+    call_function("graft_hex_prefix", c, org.apache.spark.sql.functions.lit(nChars))
 }
