@@ -290,7 +290,33 @@ object CsrQueries {
       |  o_orderstatus AS status, o_totalprice AS total
       |FROM orders ORDER BY order_id""".stripMargin
 
+  /** §2.2 (validation) — config-driven record validation with a violation
+    * report, mirroring sources2csr's entity validations. Rules chosen so
+    * the synthetic data actually violates some of them. */
+  def validate(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Validate.violations(Tables(dir).orders, "o_orderkey", Seq(
+        Validate.Required("o_orderdate"),
+        Validate.InSet("o_orderstatus", Seq("O", "F")), // 'P' → violation
+        Validate.InRange("o_totalprice", 0.0, 300000.0)))
+      .withColumnRenamed("column", "col_name")
+  }
+
+  private val validateSql =
+    """SELECT * FROM (
+      |  SELECT o_orderkey AS record_key, 'o_orderdate' AS col_name, 'required' AS rule,
+      |    CAST(o_orderdate AS VARCHAR) AS value
+      |  FROM orders WHERE o_orderdate IS NULL
+      |  UNION ALL
+      |  SELECT o_orderkey, 'o_orderstatus', 'in_set', o_orderstatus
+      |  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+      |  UNION ALL
+      |  SELECT o_orderkey, 'o_totalprice', 'in_range', CAST(o_totalprice AS VARCHAR)
+      |  FROM orders WHERE o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice > 300000.0)) v
+      |ORDER BY record_key, col_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "csr_validate" -> Q(validate _, validateSql, Seq(col("record_key"), col("col_name"))),
     "csr_entity_merge" -> Q(entityMerge _, entityMergeSql, Seq(col("individual_id"))),
     "csr_codebook_decode" -> Q(codebookDecode _, codebookDecodeSql, Seq(col("l_returnflag"), col("l_linestatus"))),
     "csr_date_normalize" -> Q(dateNormalize _, dateNormalizeSql, Seq(col("o_orderkey"))),
