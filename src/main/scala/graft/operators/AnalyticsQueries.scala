@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   *
   * Per the brief's preference order these are COMPOSED from built-ins —
   * each semantics here is expressible with windows/aggregations, so no
-  * custom plan nodes are justified (the one operator that did need native
-  * code, cosine, lives in graft.plans).
+  * custom plan nodes are justified (the operators that did need native
+  * code — cosine, hex-prefix parsing — live in graft.plans).
   */
 object AnalyticsQueries {
 
