@@ -136,6 +136,66 @@ object DedupQueries {
        |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------ clusters
+
+  /** §25b — near-dup CLUSTERS: connected components over the LSH candidate
+    * pairs (a dedup pipeline collapses whole duplicate groups, not pairs).
+    *
+    * Label propagation to fixpoint: every doc starts labeled with its own
+    * id; each round a doc takes the min of its own and its neighbors'
+    * labels. Rounds are driver-controlled (bounded by the component
+    * diameter — a handful for near-dup clusters), each one co-partitioned
+    * join + partial-agg min; `localCheckpoint` truncates the growing
+    * lineage so round N's plan doesn't replay rounds 1..N-1. The DuckDB
+    * oracle computes the same min-reachable-id with a recursive CTE. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val pairs = lshCandidates(t).localCheckpoint()
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = t.documents.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("label").as("src_label")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.where(col("label") =!= col("old_label")).count()
+      labels = updated.select("doc_id", "label").localCheckpoint()
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
+  }
+
+  private val nearDupClustersSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+       |labels AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_rep,
+       |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+       |FROM labels ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- jaccard
 
   /** §27 — n-gram Jaccard verification of the LSH candidates only (the
@@ -265,6 +325,7 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     "dedup_exact_docs" -> Q(exactDocs _, exactDocsSql, Seq(col("keep_doc_id"))),
     "dedup_minhash_lsh" -> Q(minhashLsh _, minhashLshSql, Seq(col("doc_a"), col("doc_b"))),
+    "dedup_clusters" -> Q(nearDupClusters _, nearDupClustersSql, Seq(col("doc_id"))),
     "dedup_ngram_jaccard" -> Q(ngramJaccard _, ngramJaccardSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> Q(simhash _, simhashSql, Seq(col("doc_a"), col("doc_b"))),
   )
