@@ -75,6 +75,31 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("file-source streaming: hourlyAgg over a parquet drop zone (AvailableNow)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // stage the events as a parquet drop zone (micros timestamps)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    locally {
+      implicit val s: org.apache.spark.sql.SparkSession = spark
+      Tables(TestSpark.Sf0001).events
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.hourlyAgg(stream)
+      .writeStream.format("memory").queryName("f_hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.table("f_hourly")
+      .select(col("bucket"), col("event_type"), col("n_events"))
+      .orderBy("bucket", "event_type").collect().toSeq
+    val want = CsrQueries.eventsHourlyAgg(spark, TestSpark.Sf0001)
+      .select(col("bucket"), col("event_type"), col("n_events"))
+      .orderBy("bucket", "event_type").collect().toSeq
+    assert(got == want)
+  }
+
   test("streaming dedupEvents drops re-delivered events within the watermark") {
     val mem = MemoryStream[Event](spark)
     val q = EventStreams.dedupEvents(mem.toDS().toDF())
