@@ -56,7 +56,44 @@ object MultimodalQueries {
       |  substring(hex(encode(text)), 1, 32) AS thumb_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling over the opaque payload: every "video" (doc_id % 3 = 2
+    * → webp stand-in) is cut into fixed-size chunks and every chunk gets a
+    * stable content hash — the Spark-side shape of a frame-sampling stage
+    * (per-row sequence + transform, map-side; the decode itself stays
+    * stubbed since no codecs ship in this container). Chunking happens on
+    * the hex rendering so the same bytes hash identically on any engine. */
+  private val FrameHexChars = 64 // 32 payload bytes per sampled frame
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .where(col("doc_id") % 3 === 2)
+      .withColumn("hx", hex(encode(col("text"), "UTF-8")))
+      .withColumn("n_frames",
+        least(expr(s"(length(hx) + ${FrameHexChars - 1}) div $FrameHexChars").cast("int"), lit(8)))
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(expr(
+          s"transform(sequence(0, n_frames - 1), i -> md5(substring(hx, i * $FrameHexChars + 1, $FrameHexChars)))"))
+          .as(Seq("frame_idx", "frame_hash")))
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"), col("frame_hash"))
+  }
+
+  private val frameSampleSql =
+    s"""WITH v AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE doc_id % 3 = 2),
+       |f AS (
+       |  SELECT doc_id,
+       |    LEAST(CAST(((LENGTH(hx) + ${FrameHexChars - 1}) // $FrameHexChars) AS INT), 8) AS n_frames, hx
+       |  FROM v)
+       |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+       |  CAST(i AS BIGINT) AS frame_idx,
+       |  md5(substring(hx, CAST(i * $FrameHexChars + 1 AS INT), $FrameHexChars)) AS frame_hash
+       |FROM f, UNNEST(generate_series(0, n_frames - 1)) AS t(i)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> Q(binaryMeta _, binaryMetaSql, Seq(col("doc_id"))),
+    "mm_frame_sample" -> Q(frameSample _, frameSampleSql, Seq(col("doc_id"), col("frame_idx"))),
   )
 }
