@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
 object FileSync {
 
   /** (rel_path, sha1) recomputed from file contents (excludes `.sha1`
-    * companions). */
+    * companions and hidden dotfiles, like the reference's
+    * `sync.is_hidden_file` skip). */
   def actualChecksums(spark: SparkSession, root: String): DataFrame =
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(root)
-      .where(!col("path").endsWith(".sha1"))
+      .where(!col("path").endsWith(".sha1") &&
+        !element_at(split(col("path"), "/"), -1).startsWith("."))
       .select(relPath(root), sha1(col("content")).as("sha1"))
 
   /** (rel_path, sha1) as declared by the `.sha1` companion files
@@ -66,5 +68,31 @@ object FileSync {
     // SnapshotDiff semantics: dst is "old", src is "new" — "added" means
     // present in src but not yet in dst
     SnapshotDiff.diff(dst, src, "rel_path", Seq("sha1"))
+  }
+
+  /** Apply the diff (reference: `sync.sync_dirs` copies added/changed and
+    * removes deleted files). Hashing/diffing is distributed; the apply
+    * loop is driver-side over the DELTA only — bounded by what actually
+    * changed, exactly like the reference's copy loop — and goes through
+    * the Hadoop FileSystem API so any cluster store works.
+    * @return the applied delta (rel_path, status). */
+  def syncDirs(spark: SparkSession, srcRoot: String, dstRoot: String): Seq[(String, String)] = {
+    import org.apache.hadoop.fs.Path
+    val delta = diffDirs(spark, srcRoot, dstRoot)
+      .select("rel_path", "status").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dstRoot).getFileSystem(conf)
+    delta.foreach {
+      case (rel, "removed") =>
+        fs.delete(new Path(s"$dstRoot/$rel"), false)
+      case (rel, _) => // added | changed
+        val to = new Path(s"$dstRoot/$rel")
+        fs.mkdirs(to.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(
+          new Path(s"$srcRoot/$rel").getFileSystem(conf), new Path(s"$srcRoot/$rel"),
+          fs, to, false, true, conf)
+    }
+    delta.toSeq
   }
 }

@@ -62,6 +62,30 @@ class FileSyncSpec extends AnyFunSuite {
       "sub/nested.csv" -> "added"))
   }
 
+  test("hidden dotfiles are skipped like the reference's sync") {
+    val dir = Files.createTempDirectory("graft-hidden")
+    put(dir, "visible.csv", "data", companion = None)
+    put(dir, ".hidden", "secret", companion = None)
+    val got = FileSync.actualChecksums(spark, dir.toString)
+      .select("rel_path").as[String].collect().toSet
+    assert(got == Set("visible.csv"))
+  }
+
+  test("syncDirs applies the delta: dst converges to src") {
+    val src = Files.createTempDirectory("graft-sync-src")
+    val dst = Files.createTempDirectory("graft-sync-dst")
+    put(src, "a.csv", "v2", companion = None)
+    put(dst, "a.csv", "v1", companion = None)
+    put(src, "b.csv", "new", companion = None)
+    put(dst, "c.csv", "stale", companion = None)
+    val applied = FileSync.syncDirs(spark, src.toString, dst.toString).toMap
+    assert(applied == Map("a.csv" -> "changed", "b.csv" -> "added", "c.csv" -> "removed"))
+    // after the sync the diff is empty
+    assert(FileSync.diffDirs(spark, src.toString, dst.toString).count() == 0)
+    assert(new String(Files.readAllBytes(dst.resolve("a.csv"))) == "v2")
+    assert(!Files.exists(dst.resolve("c.csv")))
+  }
+
   test("actualChecksums computes real sha1 over content") {
     val dir = Files.createTempDirectory("graft-sha")
     put(dir, "f.txt", "hello world", companion = None)
