@@ -74,18 +74,32 @@ object TextQueries {
     "es" -> Seq("el", "la", "los"),
     "fr" -> Seq("le", "les", "des"))
 
+  /** CJK codepoint count (literal character range — identical regex
+    * semantics on any RE dialect, unlike \u escapes). */
+  private val CjkClass = "[一-鿿]"
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val t = Tables(dir)
+    langIdFor(Tables(dir).documents)
+  }
+
+  /** Scoring over any frame with (doc_id, text, lang) — the query above
+    * binds it to the documents table; specs feed real multilingual text
+    * (the synthetic corpus is English word-salad under random labels, so
+    * accuracy is only observable on real samples). */
+  def langIdFor(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val scores = markers.map { case (lang, ms) =>
       stopwordCount(w, ms).cast("long").as(s"s_$lang")
     }
     val sEn = col("s_en"); val sDe = col("s_de"); val sEs = col("s_es"); val sFr = col("s_fr")
-    t.documents
-      .select((col("doc_id") +: col("lang").as("actual_lang") +: scores): _*)
+    docs
+      .select((col("doc_id") +: col("lang").as("actual_lang") +:
+        (length(col("text")) - length(regexp_replace(col("text"), CjkClass, ""))).cast("long").as("s_cjk") +:
+        scores): _*)
       .withColumn("pred_lang",
-        when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+        when(col("s_cjk") * 5 >= col("s_en") + col("s_de") + col("s_es") + col("s_fr") + 1, "zh")
+          .when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
           .when(sDe >= sEs && sDe >= sFr, "de")
           .when(sEs >= sFr, "es")
           .otherwise("fr"))
@@ -98,10 +112,12 @@ object TextQueries {
     }.mkString(",\n    ")
     s"""WITH x AS (
       |  SELECT doc_id, lang AS actual_lang,
+      |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '$CjkClass', '', 'g')) AS BIGINT) AS s_cjk,
       |    $scoreExprs
       |  FROM documents)
-      |SELECT doc_id, actual_lang, s_en, s_de, s_es, s_fr,
-      |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |SELECT doc_id, actual_lang, s_cjk, s_en, s_de, s_es, s_fr,
+      |  CASE WHEN s_cjk * 5 >= s_en + s_de + s_es + s_fr + 1 THEN 'zh'
+      |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
       |       WHEN s_es >= s_fr THEN 'es'
       |       ELSE 'fr' END AS pred_lang

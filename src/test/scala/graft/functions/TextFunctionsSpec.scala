@@ -46,6 +46,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rows(0)._1 != rows(0)._2) // different seeds diverge
   }
 
+  test("langId identifies real multilingual text (incl. CJK)") {
+    import graft.operators.TextQueries
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog barked", "en"),
+      (2L, "der Hund und die Katze spielen in das Haus der Familie", "de"),
+      (3L, "el perro y la casa de los abuelos en el pueblo", "es"),
+      (4L, "le chien et les chats dans des maisons le soir", "fr"),
+      (5L, "我们在北京学习中文课程", "zh"),
+    ).toDF("doc_id", "text", "lang")
+    val pred = TextQueries.langIdFor(docs)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(pred == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "zh"))
+  }
+
   test("stopwordCount counts only listed tokens") {
     val n = df("the cat and the hat")
       .select(stopwordCount(col("w"), Seq("the", "and")).as("n"))
