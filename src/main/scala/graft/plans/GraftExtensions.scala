@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs.head, exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("graft_hex_prefix"),
       new ExpressionInfo(classOf[HexPrefix].getName, "graft_hex_prefix"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
