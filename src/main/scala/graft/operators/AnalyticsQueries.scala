@@ -205,7 +205,111 @@ object AnalyticsQueries {
        |FROM long GROUP BY priority ORDER BY priority""".stripMargin
   }
 
+  // ------------------------------------------------------------ quantiles
+
+  /** Exact interpolated quantiles of the quality score per language — the
+    * distribution a pipeline reads before picking filter thresholds. Both
+    * engines define the continuous quantile as linear interpolation at
+    * rank (n-1)·q over the sorted values, so the doubles agree exactly. */
+  def qualityQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val n = length(col("text")).cast("double")
+    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?()]", ""))).cast("double")
+    val wcol = words(col("text"))
+    val quality = round(least(n / lit(500.0), lit(1.0)) * 0.3
+      + (lit(1.0) - punct / n) * 0.4
+      + (size(filter(wcol, w => w.isin("the", "a", "of", "to", "and", "in", "is", "for")))
+        / size(wcol).cast("double")) * 0.3, 6)
+    Tables(dir).documents
+      .select(col("lang"), quality.as("q"))
+      .groupBy(col("lang"))
+      .agg(
+        round(expr("percentile(q, 0.25)"), 6).as("p25"),
+        round(expr("percentile(q, 0.5)"), 6).as("p50"),
+        round(expr("percentile(q, 0.9)"), 6).as("p90"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  private val qualityQuantilesSql =
+    """WITH x AS (
+      |  SELECT lang,
+      |    ROUND(LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+      |      + (1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE)
+      |          / CAST(LENGTH(text) AS DOUBLE)) * 0.4
+      |      + (CAST(LEN(list_filter(list_filter(string_split_regex(text, '\s+'), w -> LEN(w) > 0),
+      |            t -> t IN ('the','a','of','to','and','in','is','for'))) AS DOUBLE)
+      |         / CAST(LEN(list_filter(string_split_regex(text, '\s+'), w -> LEN(w) > 0)) AS DOUBLE)) * 0.3,
+      |      6) AS q
+      |  FROM documents)
+      |SELECT lang,
+      |  ROUND(quantile_cont(q, 0.25), 6) AS p25,
+      |  ROUND(quantile_cont(q, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(q, 0.9), 6) AS p90,
+      |  COUNT(*) AS n_docs
+      |FROM x GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------- moving window
+
+  /** Rolling 4-event value sum per user (decimal accumulation for oracle
+    * stability) — the sliding-window shape of rate/With-trend features. */
+  def movingSum(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables(dir).events
+      .withColumn("moving_sum",
+        round(sum(col("value").cast("decimal(28,6)")).over(w), 2).cast("double"))
+      .select("user_id", "event_id", "ts", "moving_sum")
+  }
+
+  private val movingSumSql =
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS moving_sum
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // -------------------------------------------------- deterministic split
+
+  /** Deterministic hash-based train/val/test split — reproducible on any
+    * engine and any run, unlike `rand()`: bucket = md5(doc_id) mod 100.
+    * Pure map-side; at 100 TB the split costs one hash per row. */
+  def splitSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val bucket = expr(s"${hexBucketSpark("md5(cast(doc_id as string))")} % 100")
+    Tables(dir).documents
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+  }
+
+  /** 32-bit value of the md5 prefix (same chain the dedup family uses). */
+  private def hexBucketSpark(h: String): String =
+    (0 until 8).map { p =>
+      s"(instr('0123456789abcdef', substring($h, ${p + 1}, 1)) - 1) * ${1L << (4 * (7 - p))}L"
+    }.mkString("(", " + ", ")")
+
+  private def hexBucketDuck(h: String): String =
+    (0 until 8).map { p =>
+      s"(strpos('0123456789abcdef', substring($h, ${p + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - p))} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  private val splitSampleSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, ${hexBucketDuck("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 80 THEN 'train'
+       |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_quality_quantiles" -> Q(qualityQuantiles _, qualityQuantilesSql, Seq(col("lang"))),
+    "events_moving_sum" -> Q(movingSum _, movingSumSql, Seq(col("user_id"), col("event_id"))),
+    "docs_split_sample" -> Q(splitSample _, splitSampleSql, Seq(col("split"))),
     "events_asof_view" -> Q(asofView _, asofViewSql, Seq(col("user_id"), col("event_id"))),
     "text_top_terms" -> Q(topTerms _, topTermsSql, Seq(col("lang"), col("rank"))),
     "docs_quality_filter" -> Q(qualityFilter _, qualityFilterSql, Seq(col("doc_id"))),
