@@ -84,8 +84,48 @@ object ObservationQueries {
        |ORDER BY patient_num, melted.concept_cd""".stripMargin
   }
 
+  /** Modifier-dimension observations (csr2transmart attaches diagnosis /
+    * biosource / biomaterial ids as modifiers so a fact row is scoped to
+    * the sub-entity it came from, not just the patient). Orders play the
+    * diagnosis level: the melt is keyed by the sub-entity id and each
+    * observation carries (modifier_cd, instance_num) plus the patient. */
+  def observationsMod(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val wide = t.orders.select(
+      col("o_orderkey").as("instance_num"),
+      col("o_custkey").as("patient_num"),
+      col("o_totalprice").as("price"),
+      col("o_orderpriority").as("priority"))
+    val melted = EavMelt.melt(wide, "instance_num", Seq(
+      ("price", "Diagnosis.price", EavMelt.NumValue),
+      ("priority", "Diagnosis.priority", EavMelt.TextValue)))
+    melted
+      .withColumnRenamed("entity_id", "instance_num")
+      .join(wide.select("instance_num", "patient_num"), Seq("instance_num"))
+      .select(
+        col("patient_num"),
+        lit("DIAGNOSIS_ID").as("modifier_cd"),
+        col("instance_num"),
+        col("concept_cd"), col("num_value"), col("str_value"))
+  }
+
+  private val observationsModSql =
+    """SELECT o_custkey AS patient_num, 'DIAGNOSIS_ID' AS modifier_cd,
+      |  o_orderkey AS instance_num, concept_cd, num_value, str_value
+      |FROM (
+      |  SELECT o_orderkey, o_custkey, 'Diagnosis.price' AS concept_cd,
+      |    o_totalprice AS num_value, CAST(NULL AS VARCHAR) AS str_value
+      |  FROM orders WHERE o_totalprice IS NOT NULL
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'Diagnosis.priority', NULL, o_orderpriority
+      |  FROM orders WHERE o_orderpriority IS NOT NULL) x
+      |ORDER BY instance_num, concept_cd""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "csr_observations" -> Q(observations _, observationsSql,
       Seq(col("patient_num"), col("concept_cd"))),
+    "csr_observations_mod" -> Q(observationsMod _, observationsModSql,
+      Seq(col("instance_num"), col("concept_cd"))),
   )
 }
