@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (SURVEY §2.3 rows 28-30).
   *
-  * Cosine is the native codegen'd [[graft.plans.CosineSim]] expression —
-  * never a UDF. The probe set is bounded (`vec_id % 50 = 0`) and broadcast;
+  * All vector math is native codegen'd Catalyst expressions — never UDFs:
+  * [[graft.plans.CosineSim]] for centroid assignment and
+  * [[graft.plans.DotProduct]] for pair scoring over per-row precomputed
+  * norms (identical IEEE results, a third of the flops).
+  * The probe set is bounded (`vec_id % 50 = 0`) and broadcast;
   * the corpus side is only ever scanned, never shuffled in full:
   *  - brute force: broadcast-nested-loop probes × corpus, then the
   *    [[TopK]] two-phase per-key top-k (no per-probe full sort);

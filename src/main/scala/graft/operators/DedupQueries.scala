@@ -196,6 +196,34 @@ object DedupQueries {
        |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
        |FROM labels ORDER BY doc_id""".stripMargin
 
+  /** §25c — the dedup endgame: the surviving corpus. Each near-dup cluster
+    * keeps its canonical member (smallest doc_id = the cluster rep), and
+    * the output is the per-cluster survivor with how many docs it absorbed
+    * — what actually ships to training after dedup. */
+  def dedupedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    nearDupClusters(spark, dir)
+      .where(col("doc_id") === col("cluster_rep"))
+      .select(col("doc_id").as("kept_doc_id"), col("cluster_size").as("n_absorbed"))
+  }
+
+  private val dedupedCorpusSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+       |labels AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id)
+       |SELECT cluster_rep AS kept_doc_id, COUNT(*) AS n_absorbed
+       |FROM labels GROUP BY cluster_rep ORDER BY kept_doc_id""".stripMargin
+
   // ------------------------------------------------------------- jaccard
 
   /** §27 — n-gram Jaccard verification of the LSH candidates only (the
@@ -326,6 +354,7 @@ object DedupQueries {
     "dedup_exact_docs" -> Q(exactDocs _, exactDocsSql, Seq(col("keep_doc_id"))),
     "dedup_minhash_lsh" -> Q(minhashLsh _, minhashLshSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_clusters" -> Q(nearDupClusters _, nearDupClustersSql, Seq(col("doc_id"))),
+    "dedup_survivors" -> Q(dedupedCorpus _, dedupedCorpusSql, Seq(col("kept_doc_id"))),
     "dedup_ngram_jaccard" -> Q(ngramJaccard _, ngramJaccardSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> Q(simhash _, simhashSql, Seq(col("doc_a"), col("doc_b"))),
   )
