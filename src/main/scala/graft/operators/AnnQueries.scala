@@ -91,7 +91,7 @@ object AnnQueries {
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    TopK.perKey(scoredProbes(Tables(dir)), "probe_id", "cos", "vec_id", TopKK)
+    TopK.perKeyExec(scoredProbes(Tables(dir)), "probe_id", "cos", "vec_id", TopKK)
   }
 
   private val bruteForceSql =
@@ -150,7 +150,7 @@ object AnnQueries {
       .select(col("probe_id"), col("vec_id"),
         round(VectorExpressions.dot(col("embedding"), col("p_emb"))
           / (col("c_norm") * col("p_norm")), 6).as("cos"))
-    TopK.perKey(scored, "probe_id", "cos", "vec_id", TopKK)
+    TopK.perKeyExec(scored, "probe_id", "cos", "vec_id", TopKK)
   }
 
   private val ivfSql =

@@ -18,6 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
+  /** Same contract as [[perKey]], executed by the custom
+    * [[graft.plans.TopKPerKey]] operator (LogicalPlan + Strategy +
+    * bounded-heap SparkPlan) instead of the two-phase aggregate: partial
+    * exec filters each partition to ≤k rows per key map-side, the final
+    * exec merges after a key-clustered exchange. Installs the planner
+    * strategy on the session on first use (public ExperimentalMethods
+    * hook, so driver-built sessions work too). */
+  def perKeyExec(df: DataFrame, keyCol: String, scoreCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    val spark = df.sparkSession
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    val plan = GraftSqlBridge.logicalPlan(df)
+    def attr(name: String) = plan.output.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"column $name not in ${plan.output.map(_.name)}"))
+    GraftSqlBridge.ofRows(spark,
+      graft.plans.TopKPerKey(Seq(attr(keyCol)), attr(scoreCol), attr(idCol), k, plan))
+  }
+
   /** df must expose `keyCol` (grouping key), `scoreCol` (double), `idCol`
     * (long, unique tie-break). Returns (key, rank, id, score). */
   def perKey(df: DataFrame, keyCol: String, scoreCol: String, idCol: String, k: Int): DataFrame = {
