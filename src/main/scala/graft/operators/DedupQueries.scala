@@ -141,14 +141,21 @@ object DedupQueries {
   /** §25b — near-dup CLUSTERS: connected components over the LSH candidate
     * pairs (a dedup pipeline collapses whole duplicate groups, not pairs).
     *
-    * Label propagation to fixpoint: every doc starts labeled with its own
-    * id; each round a doc takes the min of its own and its neighbors'
-    * labels. Rounds are driver-controlled (bounded by the component
-    * diameter — a handful for near-dup clusters), each one co-partitioned
-    * join + partial-agg min; `localCheckpoint` truncates the growing
-    * lineage so round N's plan doesn't replay rounds 1..N-1. The DuckDB
-    * oracle computes the same min-reachable-id with a recursive CTE. */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    * Label propagation to fixpoint with pointer jumping: every doc starts
+    * labeled with its own id; each round a doc takes the min of its own,
+    * its neighbors', and its label's label (path halving — so convergence
+    * is O(log diameter) rounds, not O(diameter), and a long duplicate
+    * chain of length 1000 converges in ~10 rounds instead of 1000). Each
+    * round is a co-partitioned join + partial-agg min; `localCheckpoint`
+    * truncates the growing lineage so round N's plan doesn't replay rounds
+    * 1..N-1. Throws IllegalStateException if `maxRounds` is hit before the
+    * fixpoint — an unconverged result would silently diverge from the
+    * oracle's exact min-reachable-id (recursive CTE), so failing loudly is
+    * the only safe behavior. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    nearDupClusters(spark, dir, maxRounds = 25)
+
+  def nearDupClusters(spark: SparkSession, dir: String, maxRounds: Int): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
@@ -160,19 +167,28 @@ object DedupQueries {
     var labels = t.documents.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("label").as("src_label")), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("src_label")).as("nbr_label"))
+      // pointer jumping: label(label(x)) — compresses chains logarithmically
+      val jump = labels.select(col("doc_id").as("label"), col("label").as("jump_label"))
       val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .join(jump, Seq("label"), "left")
         .select(col("doc_id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"),
+            coalesce(col("nbr_label"), col("label")),
+            coalesce(col("jump_label"), col("label"))).as("label"))
         .localCheckpoint()
       changed = updated.where(col("label") =!= col("old_label")).count()
-      labels = updated.select("doc_id", "label").localCheckpoint()
+      labels = updated.select("doc_id", "label")
       rounds += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge after $maxRounds rounds ($changed labels still moving); " +
+          "raise maxRounds — returning unconverged labels would corrupt downstream dedup")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
@@ -288,14 +304,14 @@ object DedupQueries {
          |  THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
     }.mkString(" + ")
 
-  /** §26 — SimHash near-dup pairs: 32-bit simhash from token md5 bits,
-    * LSH-banded on 4×8-bit bands (pigeonhole: every pair with hamming ≤ 3
+  /** §26 — SimHash near-dup pairs: 60-bit simhash from token md5 bits,
+    * LSH-banded on 4×15-bit bands (pigeonhole: every pair with hamming ≤ 3
     * shares a band), exact hamming verify on the candidates.
     *
-    * The per-bit ±1 sums run as explode + hash aggregate (32 codegen'd
-    * conditional sums with map-side partial aggregation) rather than 32
+    * The per-bit ±1 sums run as explode + hash aggregate (60 codegen'd
+    * conditional sums with map-side partial aggregation) rather than 60
     * higher-order `aggregate()` passes over the token array — one pass
-    * over the tokens instead of 32, and the partial agg collapses each
+    * over the tokens instead of 60, and the partial agg collapses each
     * doc's contribution before any shuffle. Empty documents are excluded
     * (both engines, identically). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {

@@ -40,8 +40,12 @@ object FileSync {
         regexp_replace(relPath(root), "\\.sha1$", "").as("rel_path"),
         split(trim(col("content").cast("string")), "\\s+").getItem(0).as("sha1"))
 
+  /** Strips everything up to the FIRST occurrence of the root prefix
+    * (reluctant `^.*?` — a greedy `.*` would match up to the LAST
+    * occurrence and mis-key the diff if the root string repeats inside a
+    * file's absolute path, e.g. root `/data/x`, file `/data/x/data/x/y`). */
   private def relPath(root: String) =
-    regexp_replace(col("path"), s".*${java.util.regex.Pattern.quote(root.stripSuffix("/"))}/", "")
+    regexp_replace(col("path"), s"^.*?${java.util.regex.Pattern.quote(root.stripSuffix("/"))}/", "")
       .as("rel_path")
 
   /** Files whose recomputed checksum disagrees with the declared one, or

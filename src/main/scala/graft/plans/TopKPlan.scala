@@ -24,6 +24,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Ranking is (score DESC, id ASC) with rank 1..k — semantics identical
   * to TopK.perKey, which the parity spec pins.
+  *
+  * NULL semantics: rows whose score or id is NULL are skipped (they can
+  * never rank — reading a NULL slot as a primitive would silently yield
+  * 0.0/0L and corrupt the ranking, so the execs test isNullAt first).
   */
 final case class TopKPerKey(
     keys: Seq[Attribute],
@@ -85,11 +89,13 @@ final case class PartialTopKExec(
       val keyProj = UnsafeProjection.create(keyTypes.toArray)
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[TopKHeap.Entry]]
       iter.foreach { row =>
-        val keyVals = new GenericInternalRow(keyIdx.map(i => row.get(i, child.output(i).dataType)).toArray)
-        val key = keyProj(keyVals).copy()
-        val heap = heaps.getOrElseUpdate(key,
-          mutable.PriorityQueue.empty(TopKHeap.worstFirst))
-        TopKHeap.push(heap, k, (row.getDouble(scoreIdx), row.getLong(idIdx), row.copy()))
+        if (!row.isNullAt(scoreIdx) && !row.isNullAt(idIdx)) { // NULL score/id never ranks
+          val keyVals = new GenericInternalRow(keyIdx.map(i => row.get(i, child.output(i).dataType)).toArray)
+          val key = keyProj(keyVals).copy()
+          val heap = heaps.getOrElseUpdate(key,
+            mutable.PriorityQueue.empty(TopKHeap.worstFirst))
+          TopKHeap.push(heap, k, (row.getDouble(scoreIdx), row.getLong(idIdx), row.copy()))
+        }
       }
       heaps.valuesIterator.flatMap(h => TopKHeap.drain(h).iterator.map(_._3))
     }
@@ -121,11 +127,13 @@ final case class FinalTopKExec(
       val outProj = UnsafeProjection.create(outTypes.toArray)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[TopKHeap.Entry]]
       iter.foreach { row =>
-        val keyVals = new GenericInternalRow(keyIdx.map(i => row.get(i, child.output(i).dataType)).toArray)
-        val key = keyProj(keyVals).copy()
-        val heap = heaps.getOrElseUpdate(key,
-          mutable.PriorityQueue.empty(TopKHeap.worstFirst))
-        TopKHeap.push(heap, k, (row.getDouble(scoreIdx), row.getLong(idIdx), row.copy()))
+        if (!row.isNullAt(scoreIdx) && !row.isNullAt(idIdx)) { // NULL score/id never ranks
+          val keyVals = new GenericInternalRow(keyIdx.map(i => row.get(i, child.output(i).dataType)).toArray)
+          val key = keyProj(keyVals).copy()
+          val heap = heaps.getOrElseUpdate(key,
+            mutable.PriorityQueue.empty(TopKHeap.worstFirst))
+          TopKHeap.push(heap, k, (row.getDouble(scoreIdx), row.getLong(idIdx), row.copy()))
+        }
       }
       heaps.iterator.flatMap { case (key, heap) =>
         TopKHeap.drain(heap).iterator.zipWithIndex.map { case ((s, i, _), pos) =>

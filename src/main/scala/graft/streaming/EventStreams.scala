@@ -100,7 +100,10 @@ object EventStreams {
               val t = toUs(e.ts)
               cur match {
                 case Some(s) if t - s.last <= GapUs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                  // min() on start too: an out-of-order event admitted by
+                  // the watermark may precede the open session's first
+                  // event — the batch twin's session_start is min(ts)
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   out += Session(userId, fromUs(s.start), fromUs(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))

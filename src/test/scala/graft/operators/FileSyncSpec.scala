@@ -86,6 +86,17 @@ class FileSyncSpec extends AnyFunSuite {
     assert(!Files.exists(dst.resolve("c.csv")))
   }
 
+  test("rel_path strips the FIRST root occurrence when the root string repeats in the path") {
+    // root .../data/x containing data/x/y.csv: a greedy prefix strip would
+    // match up to the SECOND "data/x/" and mis-key the file as "y.csv"
+    val base = Files.createTempDirectory("graft-rep")
+    val root = base.resolve("data/x")
+    put(root, "data/x/y.csv", "payload", companion = None)
+    val got = FileSync.actualChecksums(spark, root.toString)
+      .select("rel_path").as[String].collect().toSet
+    assert(got == Set("data/x/y.csv"))
+  }
+
   test("actualChecksums computes real sha1 over content") {
     val dir = Files.createTempDirectory("graft-sha")
     put(dir, "f.txt", "hello world", companion = None)

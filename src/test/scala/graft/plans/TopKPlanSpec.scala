@@ -33,6 +33,20 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, 10L, 0.9), (1L, 2L, 11L, 0.8), (2L, 1L, 20L, 0.5)))
   }
 
+  test("rows with NULL score or id are skipped, never ranked as 0") {
+    val df = Seq(
+      (1L, Option(0.2), Option(10L)),
+      (1L, None, Option(11L)),          // null score: would win if read as 0.0? no — skipped
+      (1L, Option(-0.5), Option(12L)),  // negative score must outrank a null, proving null != 0.0
+      (1L, Option(0.9), None),          // null id: skipped
+      (2L, None, None)                  // whole key is null-only: key absent from output
+    ).toDF("probe_id", "cos", "vec_id")
+    val got = TopK.perKeyExec(df, "probe_id", "cos", "vec_id", 5)
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 10L, 0.2), (1L, 2L, 12L, -0.5)))
+  }
+
   test("physical plan is partial -> exchange -> final (map-side bounded)") {
     val df = scored(500)
     val plan = TopK.perKeyExec(df, "probe_id", "cos", "vec_id", 3)

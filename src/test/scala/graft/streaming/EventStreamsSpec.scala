@@ -114,6 +114,30 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(spark.table("s_dedup").count() == 200)
   }
 
+  test("stateful sessionize lowers session_start for an out-of-order event") {
+    // batch 1 opens a session at t0; batch 2 delivers an EARLIER event
+    // (admitted by the 2h watermark, within the 30min gap of the open
+    // session) — the emitted session_start must be the min event time
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val tEarlier = Timestamp.valueOf("2026-01-01 09:50:00")
+    val tClose = Timestamp.valueOf("2026-01-01 20:00:00")
+    val mem = MemoryStream[Event](spark)
+    val q = EventStreams.sessionizeStateful(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("s_ooo").outputMode("append").start()
+    try {
+      mem.addData(Event(1L, t0, 7L, "a", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(2L, tEarlier, 7L, "a", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(3L, tClose, -1L, "sentinel", 0.0)) // push watermark past the gap
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_ooo").where(col("user_id") === 7L)
+      .select("session_start", "session_end", "n_events")
+      .as[(Timestamp, Timestamp, Long)].collect().toSeq
+    assert(got == Seq((tEarlier, t0, 2L)))
+  }
+
   test("stateful flatMapGroupsWithState sessionize matches the batch twin") {
     val got = runStream("s_state")(EventStreams.sessionizeStateful(_).toDF())
       .where(col("user_id") =!= -1L)
