@@ -19,6 +19,7 @@ object SparkEntry {
     operators.OntologyQueries.queries,
     operators.ObservationQueries.queries,
     operators.AnalyticsQueries.queries,
+    operators.JoinQueries.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort). */

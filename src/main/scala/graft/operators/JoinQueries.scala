@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Num.{dsum, fin}
+import graft.plans.BloomPrune
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-optimization operators: Bloom-pruned semi-join (SURVEY §8d) and a
+  * banded temporal self-join (range join without a range-join operator).
+  */
+object JoinQueries {
+
+  // ------------------------------------------------------ bloom semi-join
+
+  /** Revenue of lineitems belonging to URGENT orders, with the probe side
+    * Bloom-pruned map-side before the exact semi-join ([[BloomPrune]]).
+    * Result is EXACT (the sketch has no false negatives and the semi-join
+    * removes false positives), so the oracle is the plain EXISTS query —
+    * what changes at 100 TB is the bytes entering the fact-side exchange:
+    * ~80% of lineitem rows are dropped at the scan by a ~1 MB sketch. */
+  def bloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val urgent = t.orders
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    BloomPrune.prunedSemiJoin(spark, t.lineitem, col("l_orderkey"),
+        urgent, col("o_orderkey"), expectedItems = 1L << 20)
+      .groupBy(col("l_returnflag"))
+      .agg(fin(dsum(col("l_extendedprice"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val bloomSemiSql =
+    """SELECT l_returnflag,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------- banded temporal join
+
+  /** Burst window: pairs of same-user events ≤ 10 minutes apart. */
+  private val WindowUs = 600L * 1000 * 1000
+
+  /** Temporal self-join done the scale way: a naive `|t_a - t_b| ≤ w` join
+    * on user_id alone degenerates into a per-user cross product (quadratic
+    * in a hot user's event count). Banding fixes it: bucket each event
+    * into floor(t/w), explode the LEFT side into its own and the next
+    * bucket, and join on (user_id, bucket) — every qualifying pair lands
+    * in exactly one (bucket, bucket) or (bucket, bucket+1) combination, so
+    * no distinct is needed, and the shuffle key (user, time-band) keeps a
+    * whale user spread across bands instead of one task. The exact window
+    * predicate then filters inside the bucket pairs. */
+  def burstPairs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val e = Tables(dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val a = e
+      .withColumn("bucket", explode(array(expr(s"us div $WindowUs"), expr(s"us div $WindowUs + 1"))))
+      .select(col("user_id"), col("bucket"), col("event_id").as("event_a"), col("us").as("us_a"))
+    val b = e
+      .select(col("user_id"), expr(s"us div $WindowUs").as("bucket"),
+        col("event_id").as("event_b"), col("us").as("us_b"))
+    a.join(b, Seq("user_id", "bucket"))
+      .where(col("us_b") - col("us_a") >= 0 && col("us_b") - col("us_a") <= WindowUs &&
+        (col("us_a") < col("us_b") ||
+          (col("us_a") === col("us_b") && col("event_a") < col("event_b"))))
+      .select(col("user_id"), col("event_a"), col("event_b"),
+        (col("us_b") - col("us_a")).as("gap_us"))
+  }
+
+  private val burstPairsSql =
+    s"""SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       |  epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
+       |FROM events a JOIN events b ON a.user_id = b.user_id
+       |WHERE epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))
+       |        BETWEEN 0 AND $WindowUs
+       |  AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+       |ORDER BY a.user_id, event_a, event_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_bloom_semi" -> Q(bloomSemi _, bloomSemiSql, Seq(col("l_returnflag"))),
+    "events_burst_pairs" -> Q(burstPairs _, burstPairsSql,
+      Seq(col("user_id"), col("event_a"), col("event_b"))),
+  )
+}

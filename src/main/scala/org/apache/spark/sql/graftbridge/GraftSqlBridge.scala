@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.classic.{Dataset, ExpressionColumnNode, SparkSession => ClassicSparkSession}
 
 /** Bridge into `private[sql]` surface needed to hang a custom LogicalPlan
   * off the public DataFrame API (the standard extension-library idiom: a
@@ -18,4 +19,11 @@ object GraftSqlBridge {
   /** The analyzed logical plan behind a DataFrame. */
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Wrap a raw Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = new Column(ExpressionColumnNode(e))
+
+  /** The Catalyst expression behind a Column (classic converter). */
+  def expression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[ClassicSparkSession].expression(c)
 }
