@@ -117,15 +117,14 @@ object AnnQueries {
       .as[(Long, Array[Float])].collect().sortBy(_._1)
   }
 
-  /** §30 — IVF: deterministic centroids, map-side nearest-centroid assign,
-    * nprobe-bucket search, two-phase top-k. */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    VectorExpressions.register(spark)
-    implicit val s: SparkSession = spark
-    val t = Tables(dir)
-    val cents = centroids(spark, t)
+  /** IVF search against a given centroid set: map-side nearest-centroid
+    * assignment (argmax cosine, first index on ties — equivalent to the
+    * oracle's ORDER BY cos DESC, cid when centroids are id-sorted),
+    * nprobe-bucket probe search, two-phase top-k. Bucket id = position in
+    * `cents` — any consistent id works, membership is what must match. */
+  private def ivfSearch(t: Tables, cents: Seq[Array[Float]]): DataFrame = {
     def centCos(embCol: Column): Seq[Column] =
-      cents.toSeq.map { case (_, v) => VectorExpressions.cosine(embCol, typedlit(v)) }
+      cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
 
     // corpus: nearest centroid (first index on ties = smallest centroid id)
     val corpusArr = array(centCos(col("embedding")): _*)
@@ -151,6 +150,61 @@ object AnnQueries {
         round(VectorExpressions.dot(col("embedding"), col("p_emb"))
           / (col("c_norm") * col("p_norm")), 6).as("cos"))
     TopK.perKeyExec(scored, "probe_id", "cos", "vec_id", TopKK)
+  }
+
+  /** §30 — IVF: deterministic centroids, map-side nearest-centroid assign,
+    * nprobe-bucket search, two-phase top-k. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    ivfSearch(t, centroids(spark, t).toSeq.map(_._2))
+  }
+
+  /** Means quantization grid: one Lloyd step must stay bit-reproducible in
+    * the oracle, and double sums are order-dependent — so components are
+    * rounded onto an integer grid (v → round(v·10⁴), exact: a float×10⁴
+    * product fits a double's 53-bit mantissa), summed as EXACT integers
+    * (order-independent), and the mean sum/(n·10⁴) is one deterministic
+    * IEEE division, narrowed to float the same way in both engines. */
+  private val QuantScale = 10000L
+
+  /** §30b (SURVEY §8b) — IVF with one Lloyd refinement: assign to the seed
+    * centroids, recompute each cluster's mean on the quantized-integer
+    * grid (distributed: posexplode → (cluster, dim) partial-agg sums; only
+    * the ncentroids×dim sums reach the driver), then search against the
+    * refined centroids. Strictly better bucketing than the raw seeds at
+    * the cost of one extra corpus pass — the standard IVF training
+    * trade-off, here with a hash-verifiable result. */
+  def ivfRefinedTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val seeds = centroids(spark, t).toSeq.map(_._2)
+
+    def centCos(embCol: Column): Seq[Column] =
+      seeds.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
+    val corpusArr = array(centCos(col("embedding")): _*)
+    val assigned = t.embeddings
+      .withColumn("cluster", (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int"))
+
+    // (cluster, dim) → exact integer sum of quantized components
+    val sums = assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cluster"), col("pos"),
+        round(col("v").cast("double") * QuantScale, 0).cast("long").as("q"))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .collect() // bounded: ncentroids × dim rows
+
+    val refined = sums.map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        val vec = new Array[Float](rows.map(_._2).max + 1)
+        rows.foreach { case (_, pos, s, n) => vec(pos) = (s.toDouble / (n * QuantScale).toDouble).toFloat }
+        vec
+      }
+    ivfSearch(t, refined)
   }
 
   private val ivfSql =
@@ -181,9 +235,54 @@ object AnnQueries {
        |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
        |ORDER BY probe_id, rank""".stripMargin
 
+  private val ivfRefinedSql =
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |assign0 AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents0),
+       |cluster0 AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign0) x WHERE rn = 1),
+       |qsum AS (
+       |  SELECT c0.cluster, t.i,
+       |    CAST(SUM(CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE) * $QuantScale, 0) AS BIGINT)) AS DOUBLE) AS s,
+       |    COUNT(*) AS n
+       |  FROM embeddings e JOIN cluster0 c0 USING (vec_id) CROSS JOIN range(1, $Dim + 1) t(i)
+       |  GROUP BY c0.cluster, t.i),
+       |cents1 AS (
+       |  SELECT cluster AS cid, list(CAST(s / (n * $QuantScale.0) AS REAL) ORDER BY i) AS c
+       |  FROM qsum GROUP BY cluster),
+       |assign1 AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents1),
+       |cluster1 AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign1) x WHERE rn = 1),
+       |probe1 AS (
+       |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign1 WHERE vec_id % $ProbeMod = 0) x WHERE rn <= $NProbeBuckets),
+       |scored AS (
+       |  SELECT probe_id, e.vec_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM probe1 pa
+       |  JOIN cluster1 cl ON cl.cluster = pa.cluster
+       |  JOIN embeddings e ON e.vec_id = cl.vec_id
+       |  JOIN embeddings p ON p.vec_id = pa.probe_id
+       |  WHERE e.vec_id <> pa.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_embedding_cosine" -> Q(embeddingCosine _, embeddingCosineSql, Seq(col("probe_id"), col("vec_id"))),
     "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
+    "ann_ivf_refined" -> Q(ivfRefinedTopK _, ivfRefinedSql, Seq(col("probe_id"), col("rank"))),
   )
 }

@@ -30,6 +30,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bf.size == ivf.size)
   }
 
+  test("refined IVF recall is at least as good as the seed-centroid IVF") {
+    import spark.implicits._
+    val bf = AnnQueries.bruteForceTopK(spark, TestSpark.Sf0001)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      (bf & df.select("probe_id", "vec_id").as[(Long, Long)].collect().toSet).size.toDouble / bf.size
+    val seed = recall(AnnQueries.ivfTopK(spark, TestSpark.Sf0001))
+    val refined = recall(AnnQueries.ivfRefinedTopK(spark, TestSpark.Sf0001))
+    // one Lloyd step tightens the partition; allow a small tolerance since
+    // recall@5 on a tiny corpus is a coarse metric
+    assert(refined >= seed - 0.05, s"refined=$refined seed=$seed")
+    assert(refined >= 0.35, s"recall@5 = $refined")
+  }
+
   test("as-of join: purchases carry the latest prior view value") {
     import spark.implicits._
     val out = AnalyticsQueries.asofView(spark, TestSpark.Sf0001)
