@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.Num.{dsum, fin}
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -306,7 +307,116 @@ object AnalyticsQueries {
        |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------- cube rollup
+
+  /** Full CUBE over (returnflag, linestatus): every subtotal combination
+    * in one pass (Spark expands grouping sets inside a single hash
+    * aggregate with partial map-side combine — not one job per cell).
+    * Rolled-up dimensions are surfaced as 'ALL' + grouping flags so the
+    * output carries no NULL group keys (NULL sort order differs between
+    * engines; 'ALL' keeps the canonical ordering portable). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        fin(dsum(col("l_quantity"))).as("sum_qty"),
+        fin(dsum(col("l_extendedprice"))).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("sum_qty"), col("sum_price"), col("n_rows"))
+  }
+
+  private val cubeAggSql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ------------------------------------------------- order-value spread
+
+  /** Exact interpolated percentiles of order value per priority class
+    * (same percentile/quantile_cont parity as text_quality_quantiles). */
+  def orderPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"),
+        fin(dsum(col("o_totalprice"))).as("total_value"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  private val orderPercentilesSql =
+    """SELECT o_orderpriority,
+      |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------ moments from exact sums
+
+  /** Sample stddev and correlation built from EXACT decimal power sums
+    * (n, Σx, Σy, Σx², Σy², Σxy) instead of the engines' native streaming
+    * moment aggregates: decimal sums are order-independent, so the final
+    * double formula evaluates on identical inputs in any engine and at any
+    * parallelism — the only way stddev/corr hash-verify cross-engine. One
+    * aggregation pass, map-side partials, same scale shape as any sum. */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.types.DecimalType
+    def dsq(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(28, 6)))
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    Tables(dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsq(x).cast("double").as("sx"), dsq(y).cast("double").as("sy"),
+        dsq(x * x).cast("double").as("sxx"), dsq(y * y).cast("double").as("syy"),
+        dsq(x * y).cast("double").as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          / (col("n") * (col("n") - 1))), 6).as("stddev_qty"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
+  }
+
+  private val statsMomentsSql =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  CAST(n AS BIGINT) AS n_rows,
+      |  ROUND(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty,
+      |  ROUND((n * sxy - sx * sy)
+      |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_cube_agg" -> Q(cubeAgg _, cubeAggSql, Seq(col("returnflag"), col("linestatus"))),
+    "q_order_percentiles" -> Q(orderPercentiles _, orderPercentilesSql, Seq(col("o_orderpriority"))),
+    "q_stats_moments" -> Q(statsMoments _, statsMomentsSql, Seq(col("l_returnflag"))),
     "text_quality_quantiles" -> Q(qualityQuantiles _, qualityQuantilesSql, Seq(col("lang"))),
     "events_moving_sum" -> Q(movingSum _, movingSumSql, Seq(col("user_id"), col("event_id"))),
     "docs_split_sample" -> Q(splitSample _, splitSampleSql, Seq(col("split"))),
