@@ -38,7 +38,9 @@ object TransmartLoad {
       .load(dir)
       .where(!col("path").endsWith("_SUCCESS"))
       .select(
-        regexp_replace(col("path"), s".*${java.util.regex.Pattern.quote(dir.stripSuffix("/"))}/", "").as("rel_path"),
+        // reluctant anchored strip: first occurrence of the root prefix
+        // (greedy would mis-key when the root string repeats in a path)
+        regexp_replace(col("path"), s"^.*?${java.util.regex.Pattern.quote(dir.stripSuffix("/"))}/", "").as("rel_path"),
         sha1(col("content")).as("sha1"),
         length(col("content")).cast("long").as("n_bytes"))
 
