@@ -20,6 +20,7 @@ object SparkEntry {
     operators.ObservationQueries.queries,
     operators.AnalyticsQueries.queries,
     operators.JoinQueries.queries,
+    operators.StorageQueries.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort). */
