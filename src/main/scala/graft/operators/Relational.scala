@@ -222,6 +222,133 @@ object Relational {
       |  COUNT(DISTINCT o_orderpriority) AS n_priorities
       |FROM orders""".stripMargin
 
+  /** TPC-H Q17-shaped correlated aggregate: revenue from lineitems whose
+    * quantity is below half their part's average quantity.
+    *
+    * One pass, no self-join: the per-part average is a whole-partition
+    * window (`sum`/`count` over PARTITION BY l_partkey), so lineitem is
+    * shuffled ONCE on l_partkey instead of twice (agg + fact join). The
+    * threshold compare is done multiplied through (`qty * 2 * cnt <
+    * sum_qty`) in decimal — no division, so no engine-specific decimal
+    * quotient scale and no double rounding at the boundary. Brand lookup
+    * is a broadcast of `part`. At 100 TB: one exchange on a high-card key
+    * (no skew — parts are uniform), window needs no ORDER BY sort beyond
+    * the exchange's local clustering. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val w = Window.partitionBy(col("l_partkey"))
+    val dec = DecimalType(28, 6)
+    t.lineitem
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("sum_qty_part", sum(col("l_quantity").cast(dec)).over(w))
+      .withColumn("cnt_part", count(lit(1)).over(w))
+      .where(col("l_quantity").cast(dec) * lit(2) * col("cnt_part") < col("sum_qty_part"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(fin(dsum(col("l_extendedprice"))).as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val smallQtySql =
+    """WITH lw AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice,
+      |    SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (PARTITION BY l_partkey) AS sum_qty_part,
+      |    COUNT(*) OVER (PARTITION BY l_partkey) AS cnt_part
+      |  FROM lineitem)
+      |SELECT p_brand,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS small_qty_revenue,
+      |  COUNT(*) AS n_items
+      |FROM lw JOIN part ON l_partkey = p_partkey
+      |WHERE CAST(l_quantity AS DECIMAL(28,6)) * 2 * cnt_part < sum_qty_part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q18-shaped: orders whose total quantity exceeds a threshold,
+    * with the buying customer. The HAVING filter runs on the aggregate
+    * BEFORE any join, so the join input collapses from |orders| to the
+    * handful of whale orders — AQE then picks a broadcast join at runtime
+    * for both the orders and customer sides. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val big = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(fin(dsum(col("l_quantity"))).as("sum_qty"))
+      .where(col("sum_qty") > 250)
+    big
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+  }
+
+  private val largeOrdersSql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM (SELECT l_orderkey,
+      |        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey) b
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE sum_qty > 250
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** TPC-H Q8-shaped market share: per order year, the fraction of EUROPE
+    * customers' revenue supplied by NATION_3. Dims (supplier, customer,
+    * nation, region) all broadcast; lineitem⋈orders is the one big
+    * shuffle. The share is a conditional aggregate over exact decimal
+    * sums, divided once per year at the end. */
+  def mktShare(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val euroNations = t.nation
+      .join(broadcast(t.region.where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val euroCust = t.customer
+      .join(broadcast(euroNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = t.supplier
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val dec = DecimalType(28, 6)
+    t.lineitem
+      .join(t.orders.join(broadcast(euroCust), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).cast("long").as("order_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec).as("rev"),
+        col("supp_nation"))
+      .groupBy(col("order_year"))
+      .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("rev")).otherwise(lit(0).cast(dec)))
+            .cast("double")
+          / sum(col("rev")).cast("double"), 6).as("mkt_share"),
+        fin(dsum(col("rev"))).as("total_revenue"))
+  }
+
+  private val mktShareSql =
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+      |  ROUND(
+      |    CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+      |             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+      |             ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+      |    6) AS mkt_share,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |GROUP BY YEAR(o_orderdate)
+      |ORDER BY order_year""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> Q(q1PricingSummary _, q1Sql, Seq(col("l_returnflag"), col("l_linestatus"))),
     "q3_shipping_priority" -> Q(q3ShippingPriority _, q3Sql, Seq(col("revenue").desc, col("l_orderkey"))),
@@ -232,5 +359,8 @@ object Relational {
     "q_orphan_check" -> Q(orphanCheck _, orphanSql, Seq(col("kind"), col("key"))),
     "q_tree_rollup" -> Q(treeRollup _, treeRollupSql, Seq(col("path"))),
     "q_distinct_customers" -> Q(distinctCustomers _, distinctSql),
+    "q_small_qty_revenue" -> Q(smallQtyRevenue _, smallQtySql, Seq(col("p_brand"))),
+    "q_large_orders" -> Q(largeOrders _, largeOrdersSql, Seq(col("o_orderkey"))),
+    "q_mkt_share" -> Q(mktShare _, mktShareSql, Seq(col("order_year"))),
   )
 }
