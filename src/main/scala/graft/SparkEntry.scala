@@ -21,6 +21,7 @@ object SparkEntry {
     operators.AnalyticsQueries.queries,
     operators.JoinQueries.queries,
     operators.StorageQueries.queries,
+    operators.EventAnalytics.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort). */

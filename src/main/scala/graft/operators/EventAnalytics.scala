@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics: retention cohorts, conversion funnels, and
+  * per-hour leaderboards (reusing the custom [[graft.plans.TopKPerKey]]
+  * operator outside its original ANN context).
+  *
+  * Mirrors the reference's event-derived views (sessionize / hourly agg,
+  * `luigi-pipeline` event staging) extended to the cohort/funnel shapes a
+  * product-analytics user of the engine expects.
+  */
+object EventAnalytics {
+
+  // ------------------------------------------------------------ retention
+
+  /** Weekly retention matrix: users grouped by first-seen week (cohort),
+    * counted in every week they return. Shape for scale: events collapse
+    * to distinct (user, week) FIRST (the only pass over the full corpus —
+    * map-side partial distinct), so the cohort window and final rollup run
+    * on ≤ |users| × |weeks| rows. The per-user window needs no ORDER BY
+    * sort — whole-partition MIN. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id"))
+    Tables(dir).events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+      .distinct()
+      .withColumn("cohort_week", min(col("active_week")).over(w))
+      .groupBy(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val retentionSql =
+    """WITH uw AS (
+      |  -- DuckDB's date_trunc('week') yields DATE; Spark's yields TIMESTAMP
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS active_week
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, active_week,
+      |    MIN(active_week) OVER (PARTITION BY user_id) AS cohort_week
+      |  FROM uw)
+      |SELECT cohort_week,
+      |  CAST(datediff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM c
+      |GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  // --------------------------------------------------------------- funnel
+
+  /** Strict-order conversion funnel view → click → purchase: a user counts
+    * at stage N only with an event AFTER their stage-N-1 time. Each stage
+    * is a filtered per-user MIN; stages join on user_id, so all three
+    * aggregates and both joins share one hash-partitioning on user_id
+    * (exchange reuse), and the final counts are single-row rollups. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = Tables(dir).events.select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+  }
+
+  private val funnelSql =
+    """WITH v AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+      |       (SELECT COUNT(*) FROM c) AS n_clicked,
+      |       (SELECT COUNT(*) FROM p) AS n_purchased""".stripMargin
+
+  // --------------------------------------------------- hourly leaderboard
+
+  /** Top-3 most active users per hour through [[TopK.perKeyExec]] — the
+    * bounded-heap SparkPlan filters each partition to ≤k candidates per
+    * hour map-side, so the exchange carries k × partitions rows per hour
+    * rather than every (hour, user) pair. Tie-break (count DESC, user ASC)
+    * is the operator's contract, mirrored in the oracle's ROW_NUMBER. */
+  def topUsersHourly(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val perHourUser = Tables(dir).events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .agg(count(lit(1)).cast("double").as("score"))
+    TopK.perKeyExec(perHourUser, "hour", "score", "user_id", k = 3)
+      .select(col("hour"), col("rank"), col("user_id"),
+        col("score").cast("long").as("n_events"))
+  }
+
+  private val topUsersHourlySql =
+    """WITH hu AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, user_id,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT hour, user_id, n,
+      |    ROW_NUMBER() OVER (PARTITION BY hour ORDER BY n DESC, user_id ASC) AS rank
+      |  FROM hu)
+      |SELECT hour, rank, user_id, n AS n_events
+      |FROM r WHERE rank <= 3
+      |ORDER BY hour, rank""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
+    "events_funnel" -> Q(funnel _, funnelSql),
+    "events_top_users_hourly" -> Q(topUsersHourly _, topUsersHourlySql, Seq(col("hour"), col("rank"))),
+  )
+}
