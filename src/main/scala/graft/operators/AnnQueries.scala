@@ -279,8 +279,97 @@ object AnnQueries {
        |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
        |ORDER BY probe_id, rank""".stripMargin
 
+  // ------------------------------------------------- random-hyperplane LSH
+
+  private val LshBands = 12
+  private val LshRows = 5
+
+  /** Hyperplane index pairs for the 60 signature bits: bit p is the sign
+    * of the projection onto (e_i − e_j), i.e. `v[i] > v[j]` — a valid
+    * random-projection family that BOTH engines can evaluate exactly (a
+    * float comparison, no dot-product arithmetic to keep bit-stable). The
+    * pairs are generated HERE and splashed into the Spark plan and the
+    * oracle SQL, so bucketing is identical by construction.
+    *
+    * Band geometry is a per-corpus dial. Sign-bit agreement for a pair at
+    * cosine c is 1 − arccos(c)/π — at this corpus's near-threshold (0.35)
+    * that is only ~0.61, so (bands=12, rows=5) lands at ~0.69 recall with
+    * a ~0.32 candidate fraction (measured at sf0.001 in AnnLshSpec). The
+    * random-collision floor is bands·2^-rows of all pairs — raising rows
+    * prunes harder but kills recall at low τ; on a high-similarity corpus
+    * (near-dup mining at τ ≥ 0.8, agreement ≥ 0.9) the same operator with
+    * rows=8+ gets >90% recall at a ≤3% candidate fraction. τ=0.35 is kept
+    * here to exercise the hard regime against the exact oracle. */
+  private val lshPairs: Seq[(Int, Int)] =
+    (0 until LshBands * LshRows).map { p =>
+      val i = (7 * p + 1) % Dim
+      val j0 = (13 * p + 5) % Dim
+      (i, if (j0 == i) (j0 + 1) % Dim else j0)
+    }
+
+  /** §29b — near-neighbor pairs via random-hyperplane LSH: 64 sign bits →
+    * 8 bands × 8 bits, candidates = pairs sharing any band's 8-bit bucket,
+    * then exact-cosine rerank. The whole-corpus all-pairs product never
+    * materializes: the self-join is keyed on (band_id, band_hash) — at
+    * 100 TB each bucket holds ~|corpus|/256 per band and the exchange
+    * spreads buckets across the cluster; the verify join pulls only
+    * candidate vectors by id. Same recall/cost trade as minhash-LSH for
+    * text ([[DedupQueries]]), here over the embedding space. */
+  def lshCosine(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val emb = Tables(dir).embeddings
+    def bandHash(b: Int): Column =
+      (0 until LshRows).map { r =>
+        val (i, j) = lshPairs(b * LshRows + r)
+        when(col("embedding")(i) > col("embedding")(j), lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val bands = emb.select(col("vec_id"),
+        explode(array((0 until LshBands).map(b =>
+          struct(lit(b).as("band_id"), bandHash(b).as("band_hash"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.band_id").as("band_id"), col("b.band_hash").as("band_hash"))
+    val cand = bands.as("a")
+      .join(bands.as("c"),
+        col("a.band_id") === col("c.band_id") && col("a.band_hash") === col("c.band_hash")
+          && col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("c.vec_id").as("id_b"))
+      .distinct()
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("norm"))
+    cand
+      .join(withNorm.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("norm").as("n_a")), "id_a")
+      .join(withNorm.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("norm").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(VectorExpressions.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
+      .where(col("cos") >= CosineThreshold)
+  }
+
+  private def lshBandHashDuck(b: Int): String =
+    (0 until LshRows).map { r =>
+      val (i, j) = lshPairs(b * LshRows + r)
+      s"CASE WHEN embedding[${i + 1}] > embedding[${j + 1}] THEN ${1 << r} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val lshCosineSql =
+    s"""WITH bands AS (
+       |  ${(0 until LshBands).map(b =>
+            s"SELECT vec_id, $b AS band_id, ${lshBandHashDuck(b)} AS band_hash FROM embeddings")
+            .mkString("\n  UNION ALL\n  ")}),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM bands a JOIN bands c
+       |    ON a.band_id = c.band_id AND a.band_hash = c.band_hash AND a.vec_id < c.vec_id),
+       |scored AS (
+       |  SELECT id_a, id_b, ROUND(${cosChainDuck("ea.embedding", "eb.embedding")}, 6) AS cos
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = id_a
+       |  JOIN embeddings eb ON eb.vec_id = id_b)
+       |SELECT id_a, id_b, cos FROM scored WHERE cos >= $CosineThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_embedding_cosine" -> Q(embeddingCosine _, embeddingCosineSql, Seq(col("probe_id"), col("vec_id"))),
+    "ann_lsh_cosine" -> Q(lshCosine _, lshCosineSql, Seq(col("id_a"), col("id_b"))),
     "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined" -> Q(ivfRefinedTopK _, ivfRefinedSql, Seq(col("probe_id"), col("rank"))),

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnLshSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val Threshold = 0.35
+
+  private lazy val lshPairs: Set[(Long, Long)] =
+    AnnQueries.queries("ann_lsh_cosine").fn(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Exact thresholded pair set (all-pairs, feasible at 500 vectors). */
+  private lazy val exactPairs: Set[(Long, Long)] = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .where(round(VectorExpressions.dot(col("e_a"), col("e_b"))
+        / (sqrt(VectorExpressions.dot(col("e_a"), col("e_a")))
+          * sqrt(VectorExpressions.dot(col("e_b"), col("e_b")))), 6) >= Threshold)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("no false positives: every emitted pair is exactly above threshold") {
+    assert(lshPairs.subsetOf(exactPairs))
+  }
+
+  test("recall floor at the documented operating point (B=12, R=5, τ=0.35)") {
+    val recall = lshPairs.size.toDouble / exactPairs.size
+    assert(exactPairs.nonEmpty)
+    assert(recall >= 0.6, s"recall $recall (${lshPairs.size}/${exactPairs.size})")
+  }
+
+  test("banded self-join plans as an equi-join, never a cartesian product") {
+    val plan = AnnQueries.queries("ann_lsh_cosine").fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
