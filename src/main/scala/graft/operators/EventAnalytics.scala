@@ -123,8 +123,54 @@ object EventAnalytics {
       |FROM r WHERE rank <= 3
       |ORDER BY hour, rank""".stripMargin
 
+  // -------------------------------------------------------- session stats
+
+  /** Per-user session profile composed ON TOP of the sessionizer (operator
+    * composition is the point: the session table is a first-class
+    * intermediate, not a query-private CTE). Durations are exact integer
+    * microsecond sums; the only division is the final per-user average,
+    * rounded once. Grouping on user_id reuses the sessionizer's own
+    * partitioning — no extra exchange. */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = CsrQueries.eventsSessionize(spark, dir)
+    sessions
+      .withColumn("dur_us", unix_micros(col("session_end")) - unix_micros(col("session_start")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"),
+        round(sum(col("dur_us")).cast("double") / (count(lit(1)) * lit(1e6)), 3).as("avg_session_sec"))
+  }
+
+  private val sessionStatsSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      |  FROM numbered GROUP BY user_id, session_seq)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+      |  ROUND(CAST(SUM(dur_us) AS DOUBLE) / (COUNT(*) * 1000000.0), 3) AS avg_session_sec
+      |FROM sessions GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
+    "events_session_stats" -> Q(sessionStats _, sessionStatsSql, Seq(col("user_id"))),
     "events_funnel" -> Q(funnel _, funnelSql),
     "events_top_users_hourly" -> Q(topUsersHourly _, topUsersHourlySql, Seq(col("hour"), col("rank"))),
   )

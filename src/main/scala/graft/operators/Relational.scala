@@ -349,6 +349,46 @@ object Relational {
       |GROUP BY YEAR(o_orderdate)
       |ORDER BY order_year""".stripMargin
 
+  /** TPC-H Q22-shaped: per nation, customers richer than the global
+    * positive-balance average who never ordered. The global average is a
+    * single-row aggregate broadcast to every partition; the "above
+    * average" test is multiplied through (`bal · n > sum`) in decimal so
+    * no quotient rounding can flip a boundary row in either engine. The
+    * never-ordered-urgent test is a LEFT ANTI join — at 100 TB this is the
+    * shuffle pair (customer ⋈ orders) with the anti side pre-filtered at
+    * the scan (pushed predicate) and reduced to o_custkey only. */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val dec = DecimalType(28, 6)
+    val stats = t.customer.where(col("c_acctbal") > 0)
+      .agg(dsum(col("c_acctbal")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    t.customer
+      .crossJoin(broadcast(stats))
+      .where(col("c_acctbal").cast(dec) * col("n_pos") > col("sum_pos"))
+      .join(t.orders.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        fin(dsum(col("c_acctbal"))).as("total_acctbal"))
+  }
+
+  private val idleRichSql =
+    """WITH s AS (
+      |  SELECT SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS sum_pos, COUNT(*) AS n_pos
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT n_name, COUNT(*) AS n_customers,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |CROSS JOIN s
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(c_acctbal AS DECIMAL(28,6)) * n_pos > sum_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> Q(q1PricingSummary _, q1Sql, Seq(col("l_returnflag"), col("l_linestatus"))),
     "q3_shipping_priority" -> Q(q3ShippingPriority _, q3Sql, Seq(col("revenue").desc, col("l_orderkey"))),
@@ -362,5 +402,6 @@ object Relational {
     "q_small_qty_revenue" -> Q(smallQtyRevenue _, smallQtySql, Seq(col("p_brand"))),
     "q_large_orders" -> Q(largeOrders _, largeOrdersSql, Seq(col("o_orderkey"))),
     "q_mkt_share" -> Q(mktShare _, mktShareSql, Seq(col("order_year"))),
+    "q_idle_rich_customers" -> Q(idleRichCustomers _, idleRichSql, Seq(col("n_name"))),
   )
 }
