@@ -317,14 +317,24 @@ object AnalyticsQueries {
     * engines; 'ALL' keeps the canonical ordering portable). */
   def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    Tables(dir).lineitem
+    // Pre-aggregate to the base (flag, status) cells BEFORE the CUBE:
+    // Spark's CUBE expands every input row 2^dims times, so cubing the raw
+    // fact table quadruples the scan. Decimal sums are associative, so
+    // rolling the handful of cells up is exact — at 100 TB the expand runs
+    // over |cells| rows instead of the corpus.
+    val cells = Tables(dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("c_qty"),
+        dsum(col("l_extendedprice")).as("c_price"),
+        count(lit(1)).as("c_n"))
+    cells
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping(col("l_returnflag")).cast("long").as("g_flag"),
         grouping(col("l_linestatus")).cast("long").as("g_status"),
-        fin(dsum(col("l_quantity"))).as("sum_qty"),
-        fin(dsum(col("l_extendedprice"))).as("sum_price"),
-        count(lit(1)).as("n_rows"))
+        fin(sum(col("c_qty"))).as("sum_qty"),
+        fin(sum(col("c_price"))).as("sum_price"),
+        sum(col("c_n")).as("n_rows"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
