@@ -328,12 +328,9 @@ object AnnQueries {
         explode(array((0 until LshBands).map(b =>
           struct(lit(b).as("band_id"), bandHash(b).as("band_hash"))): _*)).as("b"))
       .select(col("vec_id"), col("b.band_id").as("band_id"), col("b.band_hash").as("band_hash"))
-    val cand = bands.as("a")
-      .join(bands.as("c"),
-        col("a.band_id") === col("c.band_id") && col("a.band_hash") === col("c.band_hash")
-          && col("a.vec_id") < col("c.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("c.vec_id").as("id_b"))
-      .distinct()
+    // custom BandedPairs operator: one bucket-clustered exchange, pairs
+    // streamed per bucket — subsumes the band self-join (parity-spec'd)
+    val cand = Banded.pairsExec(bands, Seq("band_id", "band_hash"), "vec_id").distinct()
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("norm"))
     cand

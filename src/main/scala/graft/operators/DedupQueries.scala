@@ -95,15 +95,10 @@ object DedupQueries {
 
   /** Candidate pairs from the banded self-join (co-partitioned on the
     * bucket key — never all-pairs). */
-  private def lshCandidates(t: Tables): DataFrame = {
-    val buckets = bandBuckets(t)
-    val a = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+  private def lshCandidates(t: Tables): DataFrame =
+    Banded.pairsExec(bandBuckets(t), Seq("band_id", "band_hash"), "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
-  }
 
   /** §25 — MinHash + LSH near-dup candidate pairs. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,109 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** LSH bucket → candidate pairs as a first-class operator (SURVEY §8
+  * candidate (a)).
+  *
+  * The declarative route to "all id pairs sharing a bucket" is a self-join
+  * on the bucket key: two reads of the banded table (one exchange, reused),
+  * a hash build + probe per partition, and a wide matched row carrying both
+  * band columns that is immediately projected away. This operator subsumes
+  * the join: after ONE exchange clustered on the bucket key it buffers each
+  * bucket's ids, sorts them, and streams out the C(n,2) ordered pairs
+  * directly — no build/probe, no wide intermediate, and pair emission is an
+  * iterator (never materialized per bucket).
+  *
+  * Cross-band duplicate pairs still require the downstream `.distinct()`
+  * (a pair colliding in two bands is emitted once per band; which bands
+  * collide is not partition-local knowledge).
+  *
+  * Scale guard: a degenerate bucket (e.g. the all-zeros band of near-empty
+  * documents) contributes C(n,2) pairs — quadratic in the bucket, the
+  * classic LSH whale. `maxBucket > 0` drops buckets larger than the cap,
+  * bounding any bucket's output at C(maxBucket,2); standard practice for
+  * corpus-scale LSH, surfaced as an explicit, documented knob (0 = exact).
+  *
+  * Semantics: pairs (id_a < id_b), ids NULL-skipped, duplicate ids within
+  * one bucket collapse (a pair is two DISTINCT ids sharing the bucket).
+  */
+final case class BandedPairs(
+    keys: Seq[Attribute],
+    id: Attribute,
+    maxBucket: Int,
+    child: LogicalPlan,
+    // constructor parameters so exprIds survive plan-transform copy()
+    idA: Attribute = AttributeReference("id_a", LongType, nullable = false)(),
+    idB: Attribute = AttributeReference("id_b", LongType, nullable = false)()) extends UnaryNode {
+  require(id.dataType == LongType, s"id must be long, got ${id.dataType}")
+  require(maxBucket == 0 || maxBucket >= 2, "maxBucket must be 0 (unbounded) or >= 2")
+
+  override def output: Seq[Attribute] = Seq(idA, idB)
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(idA, idB))
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+/** Physical: cluster on the bucket key, buffer ids per bucket, emit sorted
+  * pairs. Memory per partition is the ids of its buckets — the same order
+  * as the self-join's hash build side, without the hash table. */
+final case class BandedPairsExec(
+    keys: Seq[Attribute], idAttr: Attribute, maxBucket: Int,
+    idA: Attribute, idB: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = Seq(idA, idB)
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(idA, idB))
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyIdx = keys.map(a => child.output.indexWhere(_.exprId == a.exprId))
+    val idIdx = child.output.indexWhere(_.exprId == idAttr.exprId)
+    val keyTypes = keys.map(_.dataType)
+    val childTypes = child.output.map(_.dataType)
+    val cap = maxBucket
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyTypes.toArray)
+      val outProj = UnsafeProjection.create(Array[org.apache.spark.sql.types.DataType](LongType, LongType))
+      val buckets = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[Long]]
+      iter.foreach { row =>
+        if (!row.isNullAt(idIdx)) { // NULL id can never pair
+          val keyVals = new GenericInternalRow(keyIdx.map(i => row.get(i, childTypes(i))).toArray)
+          val key = keyProj(keyVals).copy()
+          buckets.getOrElseUpdate(key, mutable.ArrayBuffer.empty[Long]) += row.getLong(idIdx)
+        }
+      }
+      buckets.valuesIterator.flatMap { ids =>
+        val arr = ids.distinct.toArray
+        java.util.Arrays.sort(arr)
+        if (cap > 0 && arr.length > cap) Iterator.empty
+        else
+          for {
+            i <- arr.indices.iterator
+            j <- Iterator.range(i + 1, arr.length)
+          } yield outProj(new GenericInternalRow(Array[Any](arr(i), arr(j)))).copy(): InternalRow
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** Plans [[BandedPairs]]; EnsureRequirements inserts the bucket-key
+  * exchange demanded by requiredChildDistribution. */
+object BandedPairsStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case b: BandedPairs =>
+      BandedPairsExec(b.keys, b.id, b.maxBucket, b.idA, b.idB, planLater(b.child)) :: Nil
+    case _ => Nil
+  }
+}
