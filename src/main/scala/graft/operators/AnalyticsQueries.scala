@@ -423,8 +423,62 @@ object AnalyticsQueries {
       |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------ histogram
+
+  /** Equi-width histogram of l_extendedprice: global [min, max] from one
+    * single-row aggregate broadcast back over the scan, then a pure
+    * map-side bucket assignment + count. Two passes over the fact table,
+    * zero wide shuffles — the classic profile-then-bucket shape. The
+    * bucket expression keeps the exact same IEEE operation order in both
+    * engines (`((x - lo) * 10) / (hi - lo)`), so boundary assignment is
+    * bit-identical. */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val stats = t.lineitem.agg(
+      min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+    t.lineitem
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        least(floor(((col("l_extendedprice") - col("lo")) * 10) / (col("hi") - col("lo"))), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        fin(dsum(col("l_extendedprice"))).as("sum_price"))
+  }
+
+  private val priceHistogramSql =
+    """WITH s AS (
+      |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
+      |SELECT CAST(LEAST(FLOOR(((l_extendedprice - lo) * 10) / (hi - lo)), 9) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_items,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
+      |FROM lineitem CROSS JOIN s
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------- stratified sample
+
+  /** Deterministic stratified sample: within every language stratum, keep
+    * the docs whose md5-derived bucket lands in the 10% slot — same
+    * fraction per stratum in expectation, reproducible across engines and
+    * runs (no RNG), and embarrassingly map-side at any scale. The hash
+    * chain is the same md5-prefix integer the dedup family uses. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val bucket = expr(s"${hexBucketSpark("md5(cast(doc_id as string))")} % 10")
+    Tables(dir).documents
+      .where(bucket === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  private val stratifiedSampleSql =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE ${hexBucketDuck("md5(CAST(doc_id AS VARCHAR))")} % 10 = 0
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_cube_agg" -> Q(cubeAgg _, cubeAggSql, Seq(col("returnflag"), col("linestatus"))),
+    "q_price_histogram" -> Q(priceHistogram _, priceHistogramSql, Seq(col("bucket"))),
+    "docs_stratified_sample" -> Q(stratifiedSample _, stratifiedSampleSql, Seq(col("doc_id"))),
     "q_order_percentiles" -> Q(orderPercentiles _, orderPercentilesSql, Seq(col("o_orderpriority"))),
     "q_stats_moments" -> Q(statsMoments _, statsMomentsSql, Seq(col("l_returnflag"))),
     "text_quality_quantiles" -> Q(qualityQuantiles _, qualityQuantilesSql, Seq(col("lang"))),

@@ -54,7 +54,59 @@ object StorageQueries {
       |  FROM lineitem
       |) ORDER BY "column"""".stripMargin
 
+  // ------------------------------------------------------ column profile
+
+  private val ProfileCols = Seq("c_custkey", "c_nationkey", "c_mktsegment")
+
+  /** Staging-table column profile (null rate, cardinality, range) — the
+    * pre-load sanity check an ETL operator runs before mapping a source
+    * (the reference does this by eye over CSVs; here it is one query).
+    * SINGLE pass over the table: every per-column measure lives in one
+    * aggregate (Spark plans the multi-distinct via expand — still one
+    * scan), then the wide row is exploded into one row per column. Values
+    * travel as strings so one schema profiles every column type. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val entries = ProfileCols.map { c =>
+      struct(lit(c).as("column"), col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
+        col(s"min_$c").as("min_value"), col(s"max_$c").as("max_value"))
+    }
+    Tables(dir).customer
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("e"), col("n_rows"))
+      .select(col("e.column").as("column"), col("n_rows"), col("e.n_nulls").as("n_nulls"),
+        col("e.n_distinct").as("n_distinct"), col("e.min_value").as("min_value"),
+        col("e.max_value").as("max_value"))
+  }
+
+  private val columnProfileSql = {
+    val measures = ProfileCols.map { c =>
+      s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c,
+         |    COUNT(DISTINCT $c) AS nd_$c,
+         |    CAST(MIN($c) AS VARCHAR) AS min_$c, CAST(MAX($c) AS VARCHAR) AS max_$c""".stripMargin
+    }.mkString(",\n    ")
+    val rows = ProfileCols.map { c =>
+      s"""SELECT '$c' AS "column", n_rows, nn_$c AS n_nulls, nd_$c AS n_distinct,
+         |  min_$c AS min_value, max_$c AS max_value FROM a""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH a AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |    $measures
+       |  FROM customer)
+       |SELECT * FROM (
+       |  $rows
+       |) ORDER BY "column"""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "zone_map_stats" -> Q(zoneMapStats _, zoneMapStatsSql, Seq(col("column"))),
+    "csr_column_profile" -> Q(columnProfile _, columnProfileSql, Seq(col("column"))),
   )
 }
