@@ -423,6 +423,54 @@ object AnalyticsQueries {
       |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- tf-idf
+
+  /** Per-document top-3 terms by tf-idf. The score is the idf RATIO
+    * variant tf·(N/df) — deliberately no logarithm: ln() is a libm call
+    * whose last ulp differs across engines, while the ratio ranks
+    * identically per document (N fixed, df monotone) and stays exact. The
+    * ranking key is the integer `floor(tf·N·10⁴/df)` (fits a long at any
+    * plausible corpus scale within the 10⁴ grid), so rank order and the
+    * reported 4-decimal score are engine-exact. Shuffle shape: one
+    * exchange per aggregation level (doc-term, term, doc), with the df
+    * join co-partitioned on term against the df aggregate. */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = Tables(dir).documents
+    val terms = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .where(col("term").rlike("^[a-z]+$") && length(col("term")) > 2)
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfx, "term").crossJoin(broadcast(n))
+      .withColumn("ss", expr("(tf * n_docs * 10000) div df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ss").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        (col("ss") / 10000.0).as("tfidf"))
+  }
+
+  private val tfidfTopKSql =
+    """WITH terms AS (
+      |  SELECT doc_id, t.term FROM documents,
+      |    UNNEST(list_filter(string_split_regex(text, '\s+'), x -> LEN(x) > 0)) AS t(term)
+      |  WHERE regexp_full_match(t.term, '[a-z]+') AND LEN(t.term) > 2),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+      |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.term, tf, df, (tf * n_docs * 10000) // df AS ss
+      |  FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df, ss,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ss DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tf, df, ss / 10000.0 AS tfidf
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   // ------------------------------------------------------------ histogram
 
   /** Equi-width histogram of l_extendedprice: global [min, max] from one
@@ -478,6 +526,7 @@ object AnalyticsQueries {
   val queries: Map[String, Q] = Map(
     "q_cube_agg" -> Q(cubeAgg _, cubeAggSql, Seq(col("returnflag"), col("linestatus"))),
     "q_price_histogram" -> Q(priceHistogram _, priceHistogramSql, Seq(col("bucket"))),
+    "text_tfidf_topk" -> Q(tfidfTopK _, tfidfTopKSql, Seq(col("doc_id"), col("rank"))),
     "docs_stratified_sample" -> Q(stratifiedSample _, stratifiedSampleSql, Seq(col("doc_id"))),
     "q_order_percentiles" -> Q(orderPercentiles _, orderPercentilesSql, Seq(col("o_orderpriority"))),
     "q_stats_moments" -> Q(statsMoments _, statsMomentsSql, Seq(col("l_returnflag"))),
