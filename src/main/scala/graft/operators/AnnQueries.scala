@@ -40,7 +40,7 @@ object AnnQueries {
   /** Left-associative explicit cosine chain — evaluation-order-identical to
     * [[graft.plans.CosineSim]]'s sequential loop, so both engines produce
     * bit-identical doubles. */
-  private def cosChainDuck(a: String, b: String): String = {
+  private[operators] def cosChainDuck(a: String, b: String): String = {
     def dot(x: String, y: String) =
       (1 to Dim).map(i => s"CAST($x[$i] AS DOUBLE) * CAST($y[$i] AS DOUBLE)").mkString("(", " + ", ")")
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"

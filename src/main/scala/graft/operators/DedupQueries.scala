@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.functions.TextFunctions._
+import graft.plans.VectorExpressions
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -361,8 +362,45 @@ object DedupQueries {
        |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------- cross-modal audit
+
+  private val CosineThreshold = 0.35 // mirrors AnnQueries' near-dup bar
+
+  /** Training-data quality report (SURVEY §8b candidate (b)): every text
+    * LSH candidate pair scored on BOTH modalities — n-gram Jaccard over
+    * shingles and embedding cosine — with an agreement flag. Disagreement
+    * rows are exactly the pairs a pipeline owner audits by hand: texts
+    * that look duplicated but embed far apart (template spam), or vice
+    * versa (paraphrase dups the shingles miss). Shape: the candidate set
+    * is LSH-bounded (never all-pairs), both verifies join by id, and the
+    * embedding side only pulls candidate vectors. */
+  def crossModalAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val emb = Tables(dir).embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("norm"))
+    ngramJaccard(spark, dir)
+      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("e_a"), col("norm").as("n_a")), Seq("doc_a"))
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("e_b"), col("norm").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(VectorExpressions.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
+      .withColumn("modal_agree",
+        (col("jaccard") >= JaccardThreshold) === (col("cos") >= CosineThreshold))
+  }
+
+  private val crossModalAuditSql =
+    s"""WITH tx AS (${ngramJaccardSql.replace("\n", "\n     ")})
+       |SELECT doc_a, doc_b, jaccard,
+       |  ROUND(${AnnQueries.cosChainDuck("ea.embedding", "eb.embedding")}, 6) AS cos,
+       |  (jaccard >= $JaccardThreshold) = (ROUND(${AnnQueries.cosChainDuck("ea.embedding", "eb.embedding")}, 6) >= $CosineThreshold) AS modal_agree
+       |FROM tx
+       |JOIN embeddings ea ON ea.vec_id = tx.doc_a
+       |JOIN embeddings eb ON eb.vec_id = tx.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_exact_docs" -> Q(exactDocs _, exactDocsSql, Seq(col("keep_doc_id"))),
+    "dedup_crossmodal_audit" -> Q(crossModalAudit _, crossModalAuditSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_minhash_lsh" -> Q(minhashLsh _, minhashLshSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_clusters" -> Q(nearDupClusters _, nearDupClustersSql, Seq(col("doc_id"))),
     "dedup_survivors" -> Q(dedupedCorpus _, dedupedCorpusSql, Seq(col("kept_doc_id"))),
