@@ -52,9 +52,12 @@ final case class BandedPairs(
     copy(child = newChild)
 }
 
-/** Physical: cluster on the bucket key, buffer ids per bucket, emit sorted
-  * pairs. Memory per partition is the ids of its buckets — the same order
-  * as the self-join's hash build side, without the hash table. */
+/** Physical: cluster on the bucket key AND sort within the partition by
+  * it (requiredChildOrdering — the upstream sort is Spark's spillable
+  * UnsafeExternalSorter), then stream consecutive equal-key runs. Peak
+  * operator memory is ONE bucket's ids, not the partition's — a skewed
+  * band value cannot OOM the task; the quadratic-output whale case is the
+  * `maxBucket` cap's job. */
 final case class BandedPairsExec(
     keys: Seq[Attribute], idAttr: Attribute, maxBucket: Int,
     idA: Attribute, idB: Attribute,
@@ -63,6 +66,8 @@ final case class BandedPairsExec(
   override def producedAttributes: AttributeSet = AttributeSet(Seq(idA, idB))
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[org.apache.spark.sql.catalyst.expressions.SortOrder]] =
+    Seq(keys.map(org.apache.spark.sql.catalyst.expressions.SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyIdx = keys.map(a => child.output.indexWhere(_.exprId == a.exprId))
@@ -73,15 +78,13 @@ final case class BandedPairsExec(
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyTypes.toArray)
       val outProj = UnsafeProjection.create(Array[org.apache.spark.sql.types.DataType](LongType, LongType))
-      val buckets = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[Long]]
-      iter.foreach { row =>
-        if (!row.isNullAt(idIdx)) { // NULL id can never pair
-          val keyVals = new GenericInternalRow(keyIdx.map(i => row.get(i, childTypes(i))).toArray)
-          val key = keyProj(keyVals).copy()
-          buckets.getOrElseUpdate(key, mutable.ArrayBuffer.empty[Long]) += row.getLong(idIdx)
-        }
+
+      def keyOf(row: InternalRow): UnsafeRow = {
+        val keyVals = new GenericInternalRow(keyIdx.map(i => row.get(i, childTypes(i))).toArray)
+        keyProj(keyVals).copy()
       }
-      buckets.valuesIterator.flatMap { ids =>
+
+      def pairsOf(ids: mutable.ArrayBuffer[Long]): Iterator[InternalRow] = {
         val arr = ids.distinct.toArray
         java.util.Arrays.sort(arr)
         if (cap > 0 && arr.length > cap) Iterator.empty
@@ -90,6 +93,35 @@ final case class BandedPairsExec(
             i <- arr.indices.iterator
             j <- Iterator.range(i + 1, arr.length)
           } yield outProj(new GenericInternalRow(Array[Any](arr(i), arr(j)))).copy(): InternalRow
+      }
+
+      // stream equal-key runs off the sorted input; one bucket in memory
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private var lookahead: Option[(UnsafeRow, Long)] = None
+        private def refill(): Unit = {
+          while (!pending.hasNext && (lookahead.isDefined || iter.hasNext)) {
+            var run: Option[(UnsafeRow, mutable.ArrayBuffer[Long])] =
+              lookahead.map { case (k, id) => (k, mutable.ArrayBuffer(id)) }
+            lookahead = None
+            var runOpen = true
+            while (runOpen && iter.hasNext) {
+              val row = iter.next()
+              if (!row.isNullAt(idIdx)) { // NULL id can never pair
+                val k = keyOf(row)
+                val id = row.getLong(idIdx)
+                run match {
+                  case Some((rk, ids)) if rk == k => ids += id
+                  case Some(_) => lookahead = Some((k, id)); runOpen = false
+                  case None => run = Some((k, mutable.ArrayBuffer(id)))
+                }
+              }
+            }
+            pending = run.map(r => pairsOf(r._2)).getOrElse(Iterator.empty)
+          }
+        }
+        override def hasNext: Boolean = { refill(); pending.hasNext }
+        override def next(): InternalRow = { refill(); pending.next() }
       }
     }
   }
