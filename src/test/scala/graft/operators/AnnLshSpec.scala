@@ -38,6 +38,24 @@ class AnnLshSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall (${lshPairs.size}/${exactPairs.size})")
   }
 
+  private lazy val multiprobePairs: Set[(Long, Long)] =
+    AnnQueries.queries("ann_lsh_multiprobe").fn(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multiprobe at tight geometry: superset of plain, ~4x recall, still exact") {
+    val plainTight = AnnQueries.lshSearch(spark, dir, 8, 8, multiprobe = false)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plainTight.subsetOf(multiprobePairs)) // probe set includes the original bucket
+    assert(multiprobePairs.subsetOf(exactPairs)) // rerank keeps it exact
+    val plainRecall = plainTight.size.toDouble / exactPairs.size
+    val mpRecall = multiprobePairs.size.toDouble / exactPairs.size
+    assert(plainRecall < 0.2, s"plain(8,8) recall $plainRecall")
+    assert(mpRecall >= 0.4, s"multiprobe recall $mpRecall")
+    assert(mpRecall >= 3 * plainRecall, s"lift ${mpRecall / plainRecall}")
+  }
+
   test("banded self-join plans as an equi-join, never a cartesian product") {
     val plan = AnnQueries.queries("ann_lsh_cosine").fn(spark, dir)
       .queryExecution.executedPlan.toString
