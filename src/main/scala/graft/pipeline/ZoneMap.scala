@@ -51,6 +51,42 @@ object ZoneMap {
     * No false negatives: a file is only dropped when its whole range lies
     * outside the predicate. Files where the column is entirely null are
     * dropped (no value can match a range predicate). */
+  /** Incremental maintenance (SURVEY §8b candidate (c)): attach to a file
+    * stream over the staged directory and upsert each micro-batch's
+    * per-file stats into the manifest — the zone map stays current as
+    * files land, without ever rescanning the backlog. Each batch:
+    * stats of the batch's files (one distributed pass over just those
+    * files), anti-join the old manifest on file, union, write to a
+    * versioned temp dir and atomically swap via the Hadoop FileSystem API
+    * (readers only ever see a complete manifest). Use with
+    * `Trigger.AvailableNow` for catch-up or a continuous trigger for
+    * steady-state ingest; exactly-once comes from the stream checkpoint —
+    * re-processed files upsert idempotently (same file key, same stats).
+    *
+    * Returns the DataStreamWriter so the caller owns trigger/checkpoint. */
+  def maintain(stream: DataFrame, cols: Seq[String], manifestDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val stats = build(batch, cols)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val target = new org.apache.hadoop.fs.Path(manifestDir)
+      val fs = target.getFileSystem(conf)
+      val merged =
+        if (fs.exists(target)) {
+          val batchFiles = stats.select("file").distinct()
+          val old = spark.read.parquet(manifestDir)
+          old.join(batchFiles, Seq("file"), "left_anti").unionByName(stats)
+        } else stats
+      val tmp = new org.apache.hadoop.fs.Path(s"$manifestDir.tmp-$batchId")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(target, true)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"zone-map manifest swap failed: $tmp -> $target")
+      ()
+    }
+  }
+
   def candidateFiles(zoneMap: DataFrame, column: String, lo: Column, hi: Column): Seq[String] = {
     import zoneMap.sparkSession.implicits._
     val forCol = zoneMap.where(col("column") === column)

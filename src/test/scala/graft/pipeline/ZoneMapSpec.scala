@@ -65,6 +65,31 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(ZoneMap.candidateFiles(zm2, "missing", lit("a"), lit("z")).isEmpty)
   }
 
+  test("streaming maintenance converges the manifest to a full rebuild") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-zm-stream").toString
+    val src = s"$root/staged"; val manifest = s"$root/manifest"; val ckpt = s"$root/ckpt"
+    def land(lo: Long, hi: Long): Unit =
+      (lo to hi).map(k => (k, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema).parquet(src)
+      val q = ZoneMap.maintain(stream, Seq("k"), manifest)
+        .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    land(1, 10); runOnce()
+    land(100, 120); runOnce() // only the new file is scanned (checkpointed source)
+    val got = spark.read.parquet(manifest)
+      .select("file", "column", "min_value", "max_value", "n_rows", "n_nulls")
+      .orderBy("file", "column").collect().toSeq
+    val want = ZoneMap.build(spark.read.parquet(src), Seq("k"))
+      .select("file", "column", "min_value", "max_value", "n_rows", "n_nulls")
+      .orderBy("file", "column").collect().toSeq
+    assert(got == want && got.size == 2)
+  }
+
   test("conflicting dtypes for one column are rejected") {
     val bad = Seq(
       ("f1", "k", "BIGINT", "1", "5", 2L, 0L),
