@@ -389,6 +389,86 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q15-shaped: the top-revenue supplier(s) over a quarter — the
+    * max-of-an-aggregate shape, ties kept. The per-supplier revenue table
+    * is |suppliers| rows; its single-row max broadcasts back over it, so
+    * the only corpus-sized work is the first aggregation (filter pushed to
+    * the scan). Comparing the ROUNDED revenue keeps the tie test exact in
+    * both engines. */
+  def topRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val rev = t.lineitem
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(fin(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.crossJoin(broadcast(top))
+      .where(col("total_revenue") === col("max_rev"))
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  private val topRevenueSupplierSql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21-shaped: suppliers who were the SOLE late shipper on
+    * multi-supplier orders ("late" = shipped > 90 days after the order
+    * date). One lineitem⋈orders shuffle produces per-line lateness; the
+    * per-order supplier counts are a second aggregation over that same
+    * partitioning (exchange reuse on l_orderkey); the final rollup groups
+    * by the handful of qualifying suppliers. */
+  def soloLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val li = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select(col("l_orderkey").as("qo"))
+    li.where(col("late"))
+      .join(perOrder, col("l_orderkey") === col("qo"))
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+  }
+
+  private val soloLateSql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |qual AS (
+      |  SELECT l_orderkey FROM li
+      |  GROUP BY l_orderkey
+      |  HAVING COUNT(DISTINCT l_suppkey) >= 2
+      |     AND COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) = 1)
+      |SELECT s_name, COUNT(DISTINCT li.l_orderkey) AS numwait
+      |FROM li
+      |JOIN qual ON li.l_orderkey = qual.l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE late
+      |GROUP BY s_name
+      |ORDER BY s_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> Q(q1PricingSummary _, q1Sql, Seq(col("l_returnflag"), col("l_linestatus"))),
     "q3_shipping_priority" -> Q(q3ShippingPriority _, q3Sql, Seq(col("revenue").desc, col("l_orderkey"))),
@@ -403,5 +483,7 @@ object Relational {
     "q_large_orders" -> Q(largeOrders _, largeOrdersSql, Seq(col("o_orderkey"))),
     "q_mkt_share" -> Q(mktShare _, mktShareSql, Seq(col("order_year"))),
     "q_idle_rich_customers" -> Q(idleRichCustomers _, idleRichSql, Seq(col("n_name"))),
+    "q_top_revenue_supplier" -> Q(topRevenueSupplier _, topRevenueSupplierSql, Seq(col("s_suppkey"))),
+    "q_solo_late_supplier" -> Q(soloLateSupplier _, soloLateSql, Seq(col("s_name"))),
   )
 }

@@ -51,6 +51,22 @@ object ZoneMap {
     * No false negatives: a file is only dropped when its whole range lies
     * outside the predicate. Files where the column is entirely null are
     * dropped (no value can match a range predicate). */
+  /** Zone-map-driven scan (SURVEY §8b candidate (i)): build the read over
+    * ONLY the files whose [min, max] can satisfy `column ∈ [lo, hi]`, then
+    * re-apply the predicate as the residual filter (pruning is
+    * file-granular; rows inside a kept file still need the exact test —
+    * which Spark pushes down to the parquet row groups, so the same
+    * min/max idea prunes again one level down). A predicate matching
+    * nothing reads nothing: the plan collapses to an empty relation. */
+  def prunedParquet(spark: SparkSession, dir: String, zoneMap: DataFrame,
+                    column: String, lo: Column, hi: Column): DataFrame = {
+    val files = candidateFiles(zoneMap, column, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
+      else spark.read.parquet(files: _*)
+    base.where(col(column) >= lo && col(column) <= hi)
+  }
+
   /** Incremental maintenance (SURVEY §8b candidate (c)): attach to a file
     * stream over the staged directory and upsert each micro-batch's
     * per-file stats into the manifest — the zone map stays current as

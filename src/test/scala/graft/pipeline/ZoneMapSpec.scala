@@ -65,6 +65,15 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(ZoneMap.candidateFiles(zm2, "missing", lit("a"), lit("z")).isEmpty)
   }
 
+  test("prunedParquet reads only candidate files, same rows as a full scan") {
+    val pruned = ZoneMap.prunedParquet(spark, dir, zm, "k", lit(101L), lit(200L))
+    assert(pruned.inputFiles.length == 1) // low-range file never listed
+    val full = spark.read.parquet(dir).where($"k" >= 101L && $"k" <= 200L)
+    assert(pruned.select("k").orderBy("k").collect().toSeq ==
+      full.select("k").orderBy("k").collect().toSeq)
+    assert(ZoneMap.prunedParquet(spark, dir, zm, "k", lit(50L), lit(60L)).count() == 0)
+  }
+
   test("streaming maintenance converges the manifest to a full rebuild") {
     import org.apache.spark.sql.streaming.Trigger
     val root = Files.createTempDirectory("graft-zm-stream").toString
