@@ -179,6 +179,14 @@ object AnnQueries {
   def ivfRefinedTopK(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
+    ivfSearch(Tables(dir), trainRefinedCentroids(spark, dir))
+  }
+
+  /** The Lloyd-step training pass, factored out so centroids can be
+    * persisted ([[trainIvf]]) and searches run training-free. */
+  private def trainRefinedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
     val t = Tables(dir)
     val seeds = centroids(spark, t).toSeq.map(_._2)
 
@@ -197,14 +205,36 @@ object AnnQueries {
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
       .collect() // bounded: ncentroids × dim rows
 
-    val refined = sums.map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    sums.map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
         val vec = new Array[Float](rows.map(_._2).max + 1)
         rows.foreach { case (_, pos, s, n) => vec(pos) = (s.toDouble / (n * QuantScale).toDouble).toFloat }
         vec
       }
-    ivfSearch(t, refined)
+  }
+
+  /** §8b(g) — train once, persist the centroid table: at 100 TB the
+    * training pass (full corpus assign + mean) is the expensive step, and
+    * every subsequent search should read `(cluster, embedding)` instead of
+    * re-deriving it. Plain parquet so the centroid table is itself
+    * queryable/joinable like any dataset. */
+  def trainIvf(spark: SparkSession, dir: String, centroidPath: String): Unit = {
+    import spark.implicits._
+    trainRefinedCentroids(spark, dir).zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("cluster", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(centroidPath)
+  }
+
+  /** Search against a persisted centroid table — no training/seeding pass
+    * touches the corpus; only the bounded centroid table is collected. */
+  def ivfTopKFrom(spark: SparkSession, dir: String, centroidPath: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val cents = spark.read.parquet(centroidPath)
+      .orderBy("cluster").as[(Int, Array[Float])].collect().map(_._2).toSeq
+    ivfSearch(Tables(dir), cents)
   }
 
   private val ivfSql =

@@ -67,4 +67,13 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(got == expect, s"user=$u event=$eid")
     }
   }
+  test("persisted IVF centroids reproduce the refined search exactly") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-cent").toString + "/centroids"
+    AnnQueries.trainIvf(spark, TestSpark.Sf0001, path)
+    val fromDisk = AnnQueries.ivfTopKFrom(spark, TestSpark.Sf0001, path)
+      .collect().map(_.toSeq).toSet
+    val inline = AnnQueries.ivfRefinedTopK(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(fromDisk.nonEmpty && fromDisk == inline)
+  }
 }
