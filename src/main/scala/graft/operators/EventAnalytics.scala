@@ -168,8 +168,56 @@ object EventAnalytics {
       |FROM sessions GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------ outlier monitor
+
+  /** Per-user trailing z-score outliers: an event whose value sits more
+    * than 3σ from the user's own trailing-window statistics (20 prior
+    * events, current row excluded so it cannot mask itself). Mean/variance
+    * come from exact decimal window sums — the engine-portable moments
+    * pattern q_stats_moments established — with the double arithmetic in
+    * one fixed expression order. One shuffle: the same per-user window
+    * partitioning every behavioral operator here shares. */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    Tables(dir).events
+      .withColumn("n", count(col("value")).over(w).cast("double"))
+      .withColumn("sx", sum(col("value").cast(dec)).over(w).cast("double"))
+      .withColumn("sxx", sum((col("value") * col("value")).cast(dec)).over(w).cast("double"))
+      .withColumn("sd", sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+        / (col("n") * (col("n") - 1))))
+      .where(col("n") >= 10 && col("sd") > 0)
+      .withColumn("z", (col("value") - col("sx") / col("n")) / col("sd"))
+      .where(abs(col("z")) > 3)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        round(col("z"), 4).as("z"))
+  }
+
+  private val valueOutliersSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |stats AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST(COUNT(value) OVER w AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sxx
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    (value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS z
+      |  FROM stats
+      |  WHERE n >= 10 AND sqrt((n * sxx - sx * sx) / (n * (n - 1))) > 0)
+      |SELECT user_id, event_id, ts, value, ROUND(z, 4) AS z
+      |FROM scored WHERE abs(z) > 3
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
+    "events_value_outliers" -> Q(valueOutliers _, valueOutliersSql, Seq(col("user_id"), col("event_id"))),
     "events_session_stats" -> Q(sessionStats _, sessionStatsSql, Seq(col("user_id"))),
     "events_funnel" -> Q(funnel _, funnelSql),
     "events_top_users_hourly" -> Q(topUsersHourly _, topUsersHourlySql, Seq(col("hour"), col("rank"))),
