@@ -23,7 +23,10 @@ final case class PipelineConfig(
     entityKey: String,
     attrs: Seq[String],
     codebook: Seq[(String, String, String)], // (column, code, label)
-    concepts: Seq[(String, String, EavMelt.ValueKind)])
+    concepts: Seq[(String, String, EavMelt.ValueKind)],
+    // content-addressed lineage store (the reference's data git repo,
+    // main.py:206/219 GitCommit tasks); None = lineage off
+    lineageDir: Option[String] = None)
 
 /** The reference's whole pipeline, composed from graft operators under the
   * [[Dag]] (luigi-pipeline/main.py:195 builds the same graph with Luigi):
@@ -62,6 +65,10 @@ object GraftPipeline {
       val bad = FileSync.verifyChecksums(spark, cfg.dropDir).collect()
       require(bad.isEmpty, s"drop-zone checksum failures: ${bad.mkString(", ")}")
       FileSync.syncDirs(spark, cfg.dropDir, cfg.inputDataDir)
+      // the reference's commit_input_data GitCommit (main.py:206-207);
+      // Lineage skips the commit when content is unchanged, like the
+      // reference's "no changes" branch
+      cfg.lineageDir.foreach(Lineage.commit(spark, _, cfg.inputDataDir, "Add new input data."))
       doneSignal(spark, cfg.inputDataDir)
     }
 
@@ -85,6 +92,8 @@ object GraftPipeline {
       val obs = EavMelt.melt(csr, cfg.entityKey, cfg.concepts)
       TransmartLoad.writeStaging(obs.orderBy("entity_id", "concept_cd"),
         cfg.stagingDir, "observations", singleFile = true)
+      // commit_transmart_staging (main.py:219-220)
+      cfg.lineageDir.foreach(Lineage.commit(spark, _, cfg.stagingDir, "Add transmart data."))
       doneSignal(spark, cfg.stagingDir)
     }
 

@@ -51,7 +51,8 @@ class GraftPipelineSpec extends AnyFunSuite {
         ("name", "Individual.name", EavMelt.TextValue),
         ("sex", "Individual.sex", EavMelt.TextValue),
         ("birth_date", "Individual.birth_date", EavMelt.DateValue),
-        ("segment", "Individual.segment", EavMelt.TextValue)))
+        ("segment", "Individual.segment", EavMelt.TextValue)),
+      lineageDir = Some(root.resolve("lineage").toString))
     (root, cfg)
   }
 
@@ -96,9 +97,15 @@ class GraftPipelineSpec extends AnyFunSuite {
     // date typed + normalized from dd-MM-yyyy
     assert(bySubjectConcept(("1", "Individual.birth_date")).getString(4) == "1980-02-03")
 
+    // lineage: input + staging committed (reference GitCommit tasks)
+    def lineageMsgs() = Lineage.history(spark, cfg.lineageDir.get)
+      .select("message").collect().map(_.getString(0)).toSeq
+    assert(lineageMsgs() == Seq("Add new input data.", "Add transmart data."))
+
     // run 2: nothing changed → full skip
     val r2 = GraftPipeline.run(spark, cfg)
     assert(r2.ran.isEmpty && r2.skipped.size == 4)
+    assert(lineageMsgs().size == 2) // no new commits on a skipped run
 
     // drop-zone delta: a new individual arrives → whole cone re-runs
     drop(root.resolve("drop"), "registry.csv",
@@ -113,6 +120,10 @@ class GraftPipelineSpec extends AnyFunSuite {
     val obs2 = spark.read.option("delimiter", "\t").option("header", "true")
       .csv(s"${cfg.stagingDir}/observations")
     assert(obs2.where($"entity_id" === "5" && $"concept_cd" === "Individual.name").count() == 1)
+
+    // the delta run appended one input commit + one staging commit
+    assert(lineageMsgs() == Seq("Add new input data.", "Add transmart data.",
+      "Add new input data.", "Add transmart data."))
   }
 
   test("corrupted drop-zone checksum aborts the sync (reference semantics)") {
