@@ -362,6 +362,55 @@ object DedupQueries {
        |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Quality-aware survivor selection: instead of keeping each near-dup
+    * cluster's min-id member ([[dedupedCorpus]] — the reference's
+    * keep-first entity dedup), keep its HIGHEST-QUALITY member (the
+    * [[TextQueries.qualityScore]] measure, ties to the lower id). This is
+    * what an LLM corpus pipeline actually wants from dedup: drop the
+    * duplicates, keep the best exemplar. Composition: cluster labels join
+    * quality scores on doc_id, one rank-1 window per cluster — the window
+    * input is |docs| rows with two narrow columns. */
+  def qualitySurvivors(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val clusters = nearDupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+    val quality = TextQueries.qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_rep")).orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("cluster_rep").as("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("cluster_size").as("n_members"), col("quality"))
+  }
+
+  private val qualitySurvivorsSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+       |labels AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_rep, COUNT(*) AS n_members FROM labels GROUP BY cluster_rep),
+       |q AS (${TextQueries.qualityScoreSql.replace("\n", "\n     ")}),
+       |ranked AS (
+       |  SELECT l.cluster_rep AS cluster_id, l.doc_id, s.n_members, q.quality,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster_rep
+       |                       ORDER BY q.quality DESC, l.doc_id) AS rn
+       |  FROM labels l
+       |  JOIN sizes s ON s.cluster_rep = l.cluster_rep
+       |  JOIN q ON q.doc_id = l.doc_id)
+       |SELECT cluster_id, doc_id AS kept_doc_id, n_members, quality
+       |FROM ranked WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
   // ---------------------------------------------------- cross-modal audit
 
   private val CosineThreshold = 0.35 // mirrors AnnQueries' near-dup bar
@@ -404,6 +453,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> Q(minhashLsh _, minhashLshSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_clusters" -> Q(nearDupClusters _, nearDupClustersSql, Seq(col("doc_id"))),
     "dedup_survivors" -> Q(dedupedCorpus _, dedupedCorpusSql, Seq(col("kept_doc_id"))),
+    "dedup_quality_survivors" -> Q(qualitySurvivors _, qualitySurvivorsSql, Seq(col("cluster_id"))),
     "dedup_ngram_jaccard" -> Q(ngramJaccard _, ngramJaccardSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> Q(simhash _, simhashSql, Seq(col("doc_a"), col("doc_b"))),
   )

@@ -50,7 +50,7 @@ object TextQueries {
           + (nStop / nTok) * 0.3, 6).as("quality"))
   }
 
-  private val qualityScoreSql =
+  private[operators] val qualityScoreSql =
     s"""WITH x AS (
       |  SELECT doc_id,
       |    CAST(LENGTH(text) AS DOUBLE) AS n,
