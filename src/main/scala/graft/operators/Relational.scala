@@ -433,22 +433,27 @@ object Relational {
   def soloLateSupplier(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val li = t.lineitem
+    // cascade of narrowing aggregates instead of COUNT(DISTINCT …) pairs:
+    // per-(order, supplier) lateness first (no Expand in the plan), then
+    // per-order counts over that already-collapsed set — and the sole late
+    // supplier is read straight out of the per-supplier level, so the raw
+    // join output is never revisited
+    val perSupp = t.lineitem
       .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey"),
-        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
-    val perOrder = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("supp_late"))
+    val qual = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"))
       .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .select(col("l_orderkey").as("qo"))
-    li.where(col("late"))
-      .join(perOrder, col("l_orderkey") === col("qo"))
+    perSupp.where(col("supp_late"))
+      .join(qual, col("l_orderkey") === col("qo"))
       .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .agg(count(lit(1)).as("numwait"))
   }
 
   private val soloLateSql =
