@@ -168,6 +168,44 @@ object EventAnalytics {
       |FROM sessions GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------- time rollup
+
+  /** Day→hour activity ROLLUP, cells-first (the q_cube_agg lesson): the
+    * corpus collapses to (day, hour) cells in one aggregate, then ROLLUP's
+    * Expand runs over the bounded cell table. Rolled-up levels surface as
+    * 'ALL'/-1 sentinels plus explicit grouping flags so the output schema
+    * stays flat and null-free. */
+  def timeRollup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cells = Tables(dir).events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c_n"))
+    cells
+      .rollup(col("day"), col("hr"))
+      .agg(grouping(col("day")).cast("long").as("g_day"),
+        grouping(col("hr")).cast("long").as("g_hr"),
+        sum(col("c_n")).as("n_events"))
+      .select(coalesce(col("day"), lit("ALL")).as("day"),
+        coalesce(col("hr"), lit(-1L)).as("hr"),
+        col("g_day"), col("g_hr"), col("n_events"))
+  }
+
+  private val timeRollupSql =
+    """WITH cells AS (
+      |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+      |    COUNT(*) AS c_n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT COALESCE(day, 'ALL') AS day,
+      |  COALESCE(hr, -1) AS hr,
+      |  CAST(CASE WHEN GROUPING(day) THEN 1 ELSE 0 END AS BIGINT) AS g_day,
+      |  CAST(CASE WHEN GROUPING(hr) THEN 1 ELSE 0 END AS BIGINT) AS g_hr,
+      |  CAST(SUM(c_n) AS BIGINT) AS n_events
+      |FROM cells
+      |GROUP BY ROLLUP(day, hr)
+      |ORDER BY day, hr""".stripMargin
+
   // ------------------------------------------------------ outlier monitor
 
   /** Per-user trailing z-score outliers: an event whose value sits more
@@ -218,6 +256,7 @@ object EventAnalytics {
   val queries: Map[String, Q] = Map(
     "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
     "events_value_outliers" -> Q(valueOutliers _, valueOutliersSql, Seq(col("user_id"), col("event_id"))),
+    "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),
     "events_session_stats" -> Q(sessionStats _, sessionStatsSql, Seq(col("user_id"))),
     "events_funnel" -> Q(funnel _, funnelSql),
     "events_top_users_hourly" -> Q(topUsersHourly _, topUsersHourlySql, Seq(col("hour"), col("rank"))),

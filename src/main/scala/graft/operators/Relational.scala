@@ -474,6 +474,58 @@ object Relational {
       |GROUP BY s_name
       |ORDER BY s_name""".stripMargin
 
+  /** NTILE decile profile of order value WITHIN each priority class. The
+    * window partitions by priority — a global decile would demand a
+    * full-corpus total order (one reducer); per-group deciles keep the
+    * sort inside each partition's exchange, and the cross-engine contract
+    * is NTILE's positional definition (identical in Spark and DuckDB)
+    * over a made-unique ordering (totalprice, orderkey). */
+  def orderDeciles(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(dir).orders
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo_value"),
+        max(col("o_totalprice")).as("hi_value"),
+        fin(dsum(col("o_totalprice"))).as("total_value"))
+  }
+
+  private val orderDecilesSql =
+    """WITH d AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    NTILE(10) OVER (PARTITION BY o_orderpriority
+      |                    ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
+      |  COUNT(*) AS n_orders,
+      |  MIN(o_totalprice) AS lo_value, MAX(o_totalprice) AS hi_value,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value
+      |FROM d
+      |GROUP BY o_orderpriority, decile
+      |ORDER BY o_orderpriority, decile""".stripMargin
+
+  /** Relational set difference: customers who ever ordered URGENT but
+    * never LOW — the EXCEPT (distinct) operator, planned by Spark as a
+    * left-anti over pre-distincted sides (both sides collapse BEFORE the
+    * anti join; nothing corpus-sized crosses the exchange). */
+  def urgentOnlyCustomers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    def side(p: String) = t.orders.where(col("o_orderpriority") === p)
+      .select(col("o_custkey"))
+    side("1-URGENT").except(side("5-LOW")).select(col("o_custkey").as("custkey"))
+  }
+
+  private val urgentOnlySql =
+    """SELECT custkey FROM (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> Q(q1PricingSummary _, q1Sql, Seq(col("l_returnflag"), col("l_linestatus"))),
     "q3_shipping_priority" -> Q(q3ShippingPriority _, q3Sql, Seq(col("revenue").desc, col("l_orderkey"))),
@@ -490,5 +542,7 @@ object Relational {
     "q_idle_rich_customers" -> Q(idleRichCustomers _, idleRichSql, Seq(col("n_name"))),
     "q_top_revenue_supplier" -> Q(topRevenueSupplier _, topRevenueSupplierSql, Seq(col("s_suppkey"))),
     "q_solo_late_supplier" -> Q(soloLateSupplier _, soloLateSql, Seq(col("s_name"))),
+    "q_order_deciles" -> Q(orderDeciles _, orderDecilesSql, Seq(col("o_orderpriority"), col("decile"))),
+    "q_urgent_only_customers" -> Q(urgentOnlyCustomers _, urgentOnlySql, Seq(col("custkey"))),
   )
 }
