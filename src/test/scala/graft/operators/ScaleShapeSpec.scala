@@ -31,6 +31,36 @@ class ScaleShapeSpec extends AnyFunSuite {
     spark.sql("DROP TABLE b_lineitem")
   }
 
+  private def planOf(name: String): String =
+    graft.SparkEntry.registry(name).fn(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("round-3 plan-shape invariants hold") {
+    // CUBE/ROLLUP expand over pre-aggregated cells: Expand's input is an
+    // aggregate, so the raw corpus is never inflated 2^dims times
+    val cube = planOf("q_cube_agg")
+    assert(cube.indexOf("Expand") < cube.indexOf("FileScan"), cube)
+    assert(cube.substring(cube.indexOf("Expand")).contains("HashAggregate"), cube)
+    // one-pass Q17: exactly one exchange touches lineitem (the window),
+    // and the part lookup broadcasts
+    val q17 = planOf("q_small_qty_revenue")
+    assert(q17.contains("Window"), q17)
+    assert(q17.contains("BroadcastHashJoin"), q17)
+    // solo-late: the COUNT(DISTINCT) rewrite keeps Expand out of the plan
+    assert(!planOf("q_solo_late_supplier").contains("Expand"))
+    // retention: the distinct collapses BEFORE the cohort window
+    val ret = planOf("events_retention")
+    assert(ret.indexOf("Window") < ret.indexOf("FileScan"), ret)
+    // LSH families run through the custom operator, never a band self-join
+    Seq("dedup_minhash_lsh", "ann_lsh_cosine", "ann_lsh_multiprobe").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BandedPairs"), s"$q lost the custom operator")
+      assert(!p.contains("SortMergeJoin ["), s"$q band join regressed: $p")
+    }
+    // hourly leaderboard keeps the custom bounded-heap top-k
+    assert(planOf("events_top_users_hourly").contains("PartialTopK"))
+  }
+
   test("saltedAgg matches the direct aggregation on a skewed dataset") {
     // whale key: 90% of rows on key 7
     val rows = (1 to 20000).map(i => (if (i % 10 != 0) 7L else i.toLong % 100, i.toDouble))
