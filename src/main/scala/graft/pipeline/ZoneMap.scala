@@ -95,10 +95,15 @@ object ZoneMap {
           old.join(batchFiles, Seq("file"), "left_anti").unionByName(stats)
         } else stats
       val tmp = new org.apache.hadoop.fs.Path(s"$manifestDir.tmp-$batchId")
+      val old = new org.apache.hadoop.fs.Path(s"$manifestDir.old-$batchId")
       merged.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(target, true)
+      // two renames, not delete-then-rename: a crash mid-swap leaves the
+      // previous manifest recoverable under .old-<batch> instead of gone
+      if (fs.exists(target) && !fs.rename(target, old))
+        throw new java.io.IOException(s"zone-map manifest swap failed: $target -> $old")
       if (!fs.rename(tmp, target))
         throw new java.io.IOException(s"zone-map manifest swap failed: $tmp -> $target")
+      fs.delete(old, true)
       ()
     }
   }
