@@ -83,8 +83,40 @@ object JoinQueries {
        |  AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
        |ORDER BY a.user_id, event_a, event_b""".stripMargin
 
+  // -------------------------------------------------- co-purchase mining
+
+  /** Market-basket pair mining: parts co-purchased in ≥ 2 orders. The
+    * [[Banded.pairsExec]] custom operator generalizes beyond LSH here —
+    * the "bucket" is simply the order (naturally bounded: a handful of
+    * lines each), so per-order part pairs stream out of one exchange
+    * clustered on l_orderkey and the pair-count aggregate rides on top.
+    * The all-pairs product only ever happens inside one order's lines;
+    * support counting is a plain partial-agg groupBy. The operator's
+    * whale-bucket cap is the guard if a pathological order had thousands
+    * of lines. */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val orderParts = Tables(dir).lineitem.select(col("l_orderkey"), col("l_partkey"))
+    Banded.pairsExec(orderParts, Seq("l_orderkey"), "l_partkey")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 2)
+      .select(col("id_a").as("part_a"), col("id_b").as("part_b"), col("n_orders"))
+  }
+
+  private val copurchaseSql =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      |  FROM op a JOIN op b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |c AS (SELECT part_a, part_b, COUNT(*) AS n_orders FROM pairs GROUP BY part_a, part_b)
+      |SELECT part_a, part_b, n_orders FROM c WHERE n_orders >= 2
+      |ORDER BY part_a, part_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_bloom_semi" -> Q(bloomSemi _, bloomSemiSql, Seq(col("l_returnflag"))),
+    "q_copurchase_pairs" -> Q(copurchasePairs _, copurchaseSql, Seq(col("part_a"), col("part_b"))),
     "events_burst_pairs" -> Q(burstPairs _, burstPairsSql,
       Seq(col("user_id"), col("event_a"), col("event_b"))),
   )
