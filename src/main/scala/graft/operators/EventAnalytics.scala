@@ -168,6 +168,42 @@ object EventAnalytics {
       |FROM sessions GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------ DAU/WAU
+
+  /** Daily and trailing-7-day active users. A naive WAU joins every day
+    * against a week of events; the scale shape here inverts it: collapse
+    * to distinct (day, user) once, then each such row CONTRIBUTES to the
+    * seven wau-days it covers (a map-side explode ×7 of an already
+    * user-deduped frame), and the per-day distinct count runs over that.
+    * No range join, no re-scan per day; the 7× inflation applies to
+    * |users × days|, not to raw events. Days with zero activity are
+    * omitted (inner join of the two series — mirrored in the oracle). */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val daily = Tables(dir).events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = daily
+      .select(explode(sequence(lit(0), lit(6))).as("i"), col("day"), col("user_id"))
+      .select(date_add(col("day"), col("i")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day").select(col("day"), col("dau"), col("wau"))
+  }
+
+  private val dauWauSql =
+    """WITH daily AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM daily GROUP BY day),
+      |contrib AS (
+      |  SELECT DISTINCT day + CAST(i AS INTEGER) AS day, user_id
+      |  FROM daily, UNNEST(range(0, 7)) AS t(i)),
+      |wau AS (SELECT day, COUNT(*) AS wau FROM contrib GROUP BY day)
+      |SELECT dau.day, dau, wau
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY dau.day""".stripMargin
+
   // -------------------------------------------------------- time rollup
 
   /** Day→hour activity ROLLUP, cells-first (the q_cube_agg lesson): the
@@ -257,6 +293,7 @@ object EventAnalytics {
     "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
     "events_value_outliers" -> Q(valueOutliers _, valueOutliersSql, Seq(col("user_id"), col("event_id"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),
+    "events_dau_wau" -> Q(dauWau _, dauWauSql, Seq(col("day"))),
     "events_session_stats" -> Q(sessionStats _, sessionStatsSql, Seq(col("user_id"))),
     "events_funnel" -> Q(funnel _, funnelSql),
     "events_top_users_hourly" -> Q(topUsersHourly _, topUsersHourlySql, Seq(col("hour"), col("rank"))),
