@@ -32,7 +32,7 @@ object AnnQueries {
   private val TopKK = 5
   private val NCentroids = 8 // centroid set: vec_id < 8 (deterministic)
   private val NProbeBuckets = 2
-  private val CosineThreshold = 0.35 // embedding near-dup threshold
+  private[operators] val CosineThreshold = 0.35 // embedding near-dup threshold
   private val Dim = 64
 
   // ---------------------------------------------------------------- SQL
@@ -381,7 +381,10 @@ object AnnQueries {
               struct(lit(b).as("band_id"), bandHash(b).as("band_hash"))): _*)).as("b"))
           .select(col("vec_id"), col("b.band_id").as("band_id"), col("b.band_hash").as("band_hash"))
       } else {
-        // materialize h + margins once, derive the flipped probe from them
+        // compute h + margins ONCE per (vector, band) in a single Generate;
+        // the two probe rows come from a second tiny explode over the
+        // already-materialized columns (a unionAll of sig would re-run the
+        // scan + signature arithmetic twice)
         val sig = emb.select(col("vec_id"),
             explode(array((0 until nBands).map(b =>
               struct(lit(b).as("band_id"), bandHash(b).as("h"), bandMargins(b).as("m"))): _*)).as("s"))
@@ -395,8 +398,8 @@ object AnnQueries {
             case (None, None) => col("h").bitwiseXOR(lit(1 << r)) // nRows == 1
           })
         }.get
-        sig.select(col("vec_id"), col("band_id"), col("h").as("band_hash"))
-          .unionAll(sig.select(col("vec_id"), col("band_id"), flipped.as("band_hash")))
+        sig.select(col("vec_id"), col("band_id"),
+          explode(array(col("h"), flipped)).as("band_hash"))
       }
 
     // custom BandedPairs operator: one bucket-clustered exchange, pairs

@@ -413,7 +413,7 @@ object DedupQueries {
 
   // ---------------------------------------------------- cross-modal audit
 
-  private val CosineThreshold = 0.35 // mirrors AnnQueries' near-dup bar
+  private def CosineThreshold = AnnQueries.CosineThreshold // one near-dup bar, both modalities' owners
 
   /** Training-data quality report (SURVEY §8b candidate (b)): every text
     * LSH candidate pair scored on BOTH modalities — n-gram Jaccard over

@@ -46,11 +46,6 @@ object ZoneMap {
         col("n_rows"), col("e.n_nulls").as("n_nulls"))
   }
 
-  /** Files that MIGHT contain rows with `column` in [lo, hi] — interval
-    * overlap on the zone map, casting min/max back to the column's type.
-    * No false negatives: a file is only dropped when its whole range lies
-    * outside the predicate. Files where the column is entirely null are
-    * dropped (no value can match a range predicate). */
   /** Zone-map-driven scan (SURVEY §8b candidate (i)): build the read over
     * ONLY the files whose [min, max] can satisfy `column ∈ [lo, hi]`, then
     * re-apply the predicate as the residual filter (pruning is
@@ -88,6 +83,17 @@ object ZoneMap {
       val conf = spark.sparkContext.hadoopConfiguration
       val target = new org.apache.hadoop.fs.Path(manifestDir)
       val fs = target.getFileSystem(conf)
+      // crash recovery: a failure between the two swap renames below
+      // leaves the previous manifest under .old-<batch>; restore the
+      // newest backup BEFORE merging, so a retried batch can never
+      // truncate the manifest down to its own files
+      if (!fs.exists(target) && fs.exists(target.getParent)) {
+        val prefix = target.getName + ".old-"
+        val backups = fs.listStatus(target.getParent).map(_.getPath)
+          .filter(_.getName.startsWith(prefix))
+        if (backups.nonEmpty)
+          fs.rename(backups.maxBy(_.getName.stripPrefix(prefix).toLong), target)
+      }
       val merged =
         if (fs.exists(target)) {
           val batchFiles = stats.select("file").distinct()
@@ -108,6 +114,11 @@ object ZoneMap {
     }
   }
 
+  /** Files that MIGHT contain rows with `column` in [lo, hi] — interval
+    * overlap on the zone map, casting min/max back to the column's type.
+    * No false negatives: a file is only dropped when its whole range lies
+    * outside the predicate. Files where the column is entirely null are
+    * dropped (no value can match a range predicate). */
   def candidateFiles(zoneMap: DataFrame, column: String, lo: Column, hi: Column): Seq[String] = {
     import zoneMap.sparkSession.implicits._
     val forCol = zoneMap.where(col("column") === column)

@@ -32,8 +32,13 @@ import org.apache.spark.sql.types.LongType
   * bounding any bucket's output at C(maxBucket,2); standard practice for
   * corpus-scale LSH, surfaced as an explicit, documented knob (0 = exact).
   *
-  * Semantics: pairs (id_a < id_b), ids NULL-skipped, duplicate ids within
+  * Semantics: pairs (id_a < id_b); rows with a NULL id OR a NULL bucket
+  * key are skipped (SQL join equality never matches NULL keys, and this
+  * operator keeps the self-join's result exactly); duplicate ids within
   * one bucket collapse (a pair is two DISTINCT ids sharing the bucket).
+  * Bucket keys compare by binary row equality — use integral/string/
+  * binary keys; float/double keys would split -0.0 from 0.0 where SQL
+  * equality merges them, so they are rejected up front.
   */
 final case class BandedPairs(
     keys: Seq[Attribute],
@@ -45,6 +50,11 @@ final case class BandedPairs(
     idB: Attribute = AttributeReference("id_b", LongType, nullable = false)()) extends UnaryNode {
   require(id.dataType == LongType, s"id must be long, got ${id.dataType}")
   require(maxBucket == 0 || maxBucket >= 2, "maxBucket must be 0 (unbounded) or >= 2")
+  keys.foreach(k => require(
+    k.dataType != org.apache.spark.sql.types.FloatType
+      && k.dataType != org.apache.spark.sql.types.DoubleType,
+    s"bucket key ${k.name}: floating-point keys compare by raw bits here " +
+      "(-0.0 vs 0.0 would split buckets SQL equality merges) — hash or cast first"))
 
   override def output: Seq[Attribute] = Seq(idA, idB)
   override def producedAttributes: AttributeSet = AttributeSet(Seq(idA, idB))
@@ -107,7 +117,8 @@ final case class BandedPairsExec(
             var runOpen = true
             while (runOpen && iter.hasNext) {
               val row = iter.next()
-              if (!row.isNullAt(idIdx)) { // NULL id can never pair
+              // NULL id or NULL bucket key can never pair (join equality)
+              if (!row.isNullAt(idIdx) && !keyIdx.exists(row.isNullAt)) {
                 val k = keyOf(row)
                 val id = row.getLong(idIdx)
                 run match {

@@ -12,8 +12,11 @@ final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type:
 /** One closed session. */
 final case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
-/** Open-session state carried between micro-batches. */
+/** One open session interval (epoch-micros bounds + event count). */
 final case class SessionState(start: Long, last: Long, n: Long)
+
+/** Per-user state: every interval the watermark has not yet sealed. */
+final case class OpenSessions(sessions: Seq[SessionState])
 
 /** Streaming twins of the batch event operators (SURVEY §2.3 rows 36-37).
   *
@@ -71,58 +74,69 @@ object EventStreams {
   }
 
   /** Row 37 (custom-state path) — explicit per-user session state with
-    * flatMapGroupsWithState: events are folded into the open session;
-    * a gap > 30 min (or state timeout at watermark) closes and emits it.
-    * `session_end` is the last event's timestamp (exactly the batch
-    * twin's max(ts), unlike session_window's end = last + gap). */
+    * flatMapGroupsWithState. The state is the SET of open session
+    * intervals, not a single open session: an out-of-order event admitted
+    * by the watermark may open an earlier separate session, extend an
+    * existing one at either end, or BRIDGE two intervals into one — a
+    * lone-open-session fold gets all three wrong (it would glue a
+    * 60-min-early event onto a session it is gap-separated from). Interval
+    * merge is order-independent, so the result matches the batch twin
+    * under any admissible arrival order. A session emits only once the
+    * watermark passes last + gap — from then on no admissible event can
+    * extend or bridge it (any such event would be older than the
+    * watermark). `session_end` is the last event's timestamp (exactly the
+    * batch twin's max(ts), unlike session_window's end = last + gap). */
   def sessionizeStateful(events: Dataset[Event], watermark: String = "2 hours"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val withWm =
       if (events.isStreaming) events.withWatermark("ts", watermark) else events
+
+    def fold(intervals0: List[SessionState], batch: Iterator[Event]): List[SessionState] = {
+      var intervals = intervals0
+      batch.foreach { e =>
+        val t = toUs(e.ts)
+        val (overlap, rest) = intervals.partition(s => t >= s.start - GapUs && t <= s.last + GapUs)
+        val merged = overlap.foldLeft(SessionState(t, t, 1)) { (acc, s) =>
+          SessionState(math.min(acc.start, s.start), math.max(acc.last, s.last), acc.n + s.n)
+        }
+        intervals = merged :: rest
+      }
+      intervals
+    }
+
+    def emitAndPark(userId: Long, intervals: List[SessionState],
+                    state: GroupState[OpenSessions]): Iterator[Session] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (done, open) = intervals.partition(s => s.last + GapUs <= wmUs)
+      if (open.nonEmpty) {
+        state.update(OpenSessions(open))
+        // +1 ms: the ms-truncated timeout must stay strictly past the watermark
+        state.setTimeoutTimestamp(open.map(s => Math.floorDiv(s.last + GapUs, 1000L) + 1).min)
+      } else if (state.exists) state.remove()
+      done.sortBy(_.start)
+        .map(s => Session(userId, fromUs(s.start), fromUs(s.last), s.n)).iterator
+    }
+
     withWm
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[OpenSessions, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSessions]) =>
+          val held = state.getOption.map(_.sessions.toList).getOrElse(Nil)
           if (batch.isEmpty && state.hasTimedOut) {
-            // watermark passed the gap: close the open session
-            val closed = state.getOption.map(s =>
-              Session(userId, fromUs(s.start), fromUs(s.last), s.n)).toSeq
-            state.remove()
-            closed.iterator
+            emitAndPark(userId, held, state)
           } else {
-            // fold this micro-batch's events (sorted by event time) into
-            // the open session, emitting every session a gap closes
-            val sorted = batch.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
-            val out = Seq.newBuilder[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = toUs(e.ts)
-              cur match {
-                case Some(s) if t - s.last <= GapUs =>
-                  // min() on start too: an out-of-order event admitted by
-                  // the watermark may precede the open session's first
-                  // event — the batch twin's session_start is min(ts)
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
-                case Some(s) =>
-                  out += Session(userId, fromUs(s.start), fromUs(s.last), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              if (state.getOption.isDefined && eventTimeWatermarkSet(state))
-                state.setTimeoutTimestamp(Math.floorDiv(s.last, 1000L) + GapUs / 1000L)
-            }
-            out.result().iterator
+            val intervals = fold(held, batch)
+            if (eventTimeWatermarkSet(state)) emitAndPark(userId, intervals, state)
+            else // batch execution: the group holds ALL data — emit everything
+              intervals.sortBy(_.start)
+                .map(s => Session(userId, fromUs(s.start), fromUs(s.last), s.n)).iterator
           }
       }
   }
 
   /** setTimeoutTimestamp throws in batch execution (no watermark); the
     * stateful sessionizer supports both modes, so guard on it. */
-  private def eventTimeWatermarkSet(state: GroupState[SessionState]): Boolean =
+  private def eventTimeWatermarkSet(state: GroupState[_]): Boolean =
     try { state.getCurrentWatermarkMs(); true } catch { case _: Throwable => false }
 }

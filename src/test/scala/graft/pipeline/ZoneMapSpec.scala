@@ -99,6 +99,33 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(got == want && got.size == 2)
   }
 
+  test("maintain recovers a half-swapped manifest from its .old backup") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-zm-crash").toString
+    val src = s"$root/staged"; val manifest = s"$root/manifest"; val ckpt = s"$root/ckpt"
+    def land(lo: Long, hi: Long): Unit =
+      (lo to hi).map(k => (k, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = ZoneMap.maintain(spark.readStream.schema(schema).parquet(src), Seq("k"), manifest)
+        .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    land(1, 10); runOnce()
+    // simulate a crash between the two swap renames: target gone, backup left
+    java.nio.file.Files.move(java.nio.file.Paths.get(manifest),
+      java.nio.file.Paths.get(s"$manifest.old-7"))
+    land(100, 120); runOnce()
+    val got = spark.read.parquet(manifest)
+      .select("file", "column", "min_value", "max_value", "n_rows", "n_nulls")
+      .orderBy("file").collect().toSeq
+    val want = ZoneMap.build(spark.read.parquet(src), Seq("k"))
+      .select("file", "column", "min_value", "max_value", "n_rows", "n_nulls")
+      .orderBy("file").collect().toSeq
+    assert(got == want && got.size == 2) // first file's stats survived the crash
+  }
+
   test("conflicting dtypes for one column are rejected") {
     val bad = Seq(
       ("f1", "k", "BIGINT", "1", "5", 2L, 0L),

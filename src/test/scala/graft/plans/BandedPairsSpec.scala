@@ -13,10 +13,12 @@ class BandedPairsSpec extends AnyFunSuite {
     * {4}, (1,"x") = {1,2} (cross-band duplicate pair), plus a null id and
     * a duplicate membership row. */
   private def bands = Seq(
-    (0, "x", Some(1L)), (0, "x", Some(2L)), (0, "x", Some(3L)), (0, "x", Some(2L)),
-    (0, "y", Some(4L)),
-    (1, "x", Some(1L)), (1, "x", Some(2L)),
-    (1, "y", None)
+    (0, Some("x"), Some(1L)), (0, Some("x"), Some(2L)), (0, Some("x"), Some(3L)), (0, Some("x"), Some(2L)),
+    (0, Some("y"), Some(4L)),
+    (1, Some("x"), Some(1L)), (1, Some("x"), Some(2L)),
+    (1, Some("y"), None),
+    // NULL bucket keys never pair (join equality) — two of them must NOT bucket together
+    (1, None, Some(8L)), (1, None, Some(9L))
   ).toDF("band_id", "band_hash", "id")
 
   test("emits each bucket's ordered pairs; null ids and dup memberships collapse") {

@@ -138,6 +138,50 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == Seq((tEarlier, t0, 2L)))
   }
 
+  test("stateful sessionize keeps a gap-separated early event as its own session") {
+    // batch 1 opens a session at 10:00; batch 2 delivers a 09:00 event —
+    // admitted by the 2h watermark but 60min (> gap) before the open
+    // session. It must become a SEPARATE earlier session, not be glued on.
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val tEarly = Timestamp.valueOf("2026-01-01 09:00:00")
+    val tClose = Timestamp.valueOf("2026-01-01 20:00:00")
+    val mem = MemoryStream[Event](spark)
+    val q = EventStreams.sessionizeStateful(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("s_sep").outputMode("append").start()
+    try {
+      mem.addData(Event(1L, t0, 7L, "a", 0.0)); q.processAllAvailable()
+      mem.addData(Event(2L, tEarly, 7L, "a", 0.0)); q.processAllAvailable()
+      mem.addData(Event(3L, tClose, -1L, "sentinel", 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_sep").where(col("user_id") === 7L)
+      .orderBy("session_start")
+      .select("session_start", "session_end", "n_events")
+      .as[(Timestamp, Timestamp, Long)].collect().toSeq
+    assert(got == Seq((tEarly, tEarly, 1L), (t0, t0, 1L)))
+  }
+
+  test("stateful sessionize bridges two open intervals with a late middle event") {
+    // 09:00 and 09:50 are separate (50min gap); a late 09:25 event sits
+    // within the 30min gap of BOTH and must merge everything into one
+    val tA = Timestamp.valueOf("2026-01-01 09:00:00")
+    val tB = Timestamp.valueOf("2026-01-01 09:50:00")
+    val tMid = Timestamp.valueOf("2026-01-01 09:25:00")
+    val tClose = Timestamp.valueOf("2026-01-01 20:00:00")
+    val mem = MemoryStream[Event](spark)
+    val q = EventStreams.sessionizeStateful(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("s_bridge").outputMode("append").start()
+    try {
+      mem.addData(Event(1L, tA, 7L, "a", 0.0), Event(2L, tB, 7L, "a", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(3L, tMid, 7L, "a", 0.0)); q.processAllAvailable()
+      mem.addData(Event(4L, tClose, -1L, "sentinel", 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_bridge").where(col("user_id") === 7L)
+      .select("session_start", "session_end", "n_events")
+      .as[(Timestamp, Timestamp, Long)].collect().toSeq
+    assert(got == Seq((tA, tB, 3L)))
+  }
+
   test("stateful flatMapGroupsWithState sessionize matches the batch twin") {
     val got = runStream("s_state")(EventStreams.sessionizeStateful(_).toDF())
       .where(col("user_id") =!= -1L)
