@@ -16,12 +16,17 @@ object Banded {
     * 0 keeps the result exactly the self-join's. */
   def pairsExec(df: DataFrame, keyCols: Seq[String], idCol: String, maxBucket: Int = 0): DataFrame = {
     import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
+    // NULL id / NULL bucket key can never pair; filter BELOW the exchange
+    // so dead rows are dropped at the scan instead of being shuffled and
+    // sorted first (the exec re-checks, but only as belt and braces)
+    val df2 = df.where((idCol +: keyCols).map(c => col(c).isNotNull).reduce(_ && _))
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!classic.experimental.extraStrategies.contains(graft.plans.BandedPairsStrategy))
       classic.experimental.extraStrategies =
         classic.experimental.extraStrategies :+ graft.plans.BandedPairsStrategy
-    val plan = GraftSqlBridge.logicalPlan(df)
+    val plan = GraftSqlBridge.logicalPlan(df2)
     def attr(name: String) = plan.output.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"column $name not in ${plan.output.map(_.name)}"))
     GraftSqlBridge.ofRows(spark,

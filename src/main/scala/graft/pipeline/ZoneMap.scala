@@ -91,8 +91,12 @@ object ZoneMap {
         val prefix = target.getName + ".old-"
         val backups = fs.listStatus(target.getParent).map(_.getPath)
           .filter(_.getName.startsWith(prefix))
-        if (backups.nonEmpty)
-          fs.rename(backups.maxBy(_.getName.stripPrefix(prefix).toLong), target)
+        if (backups.nonEmpty) {
+          val newest = backups.maxBy(_.getName.stripPrefix(prefix).toLong)
+          if (!fs.rename(newest, target)) // an ignored failure here would
+            throw new java.io.IOException( // truncate history to this batch
+              s"zone-map manifest restore failed: $newest -> $target")
+        }
       }
       val merged =
         if (fs.exists(target)) {
@@ -104,7 +108,12 @@ object ZoneMap {
       val old = new org.apache.hadoop.fs.Path(s"$manifestDir.old-$batchId")
       merged.write.mode("overwrite").parquet(tmp.toString)
       // two renames, not delete-then-rename: a crash mid-swap leaves the
-      // previous manifest recoverable under .old-<batch> instead of gone
+      // previous manifest recoverable under .old-<batch> instead of gone.
+      // A leftover .old-<batch> from a prior attempt of this SAME batch is
+      // redundant once target exists (the swap completed before the crash)
+      // and must go first — renaming onto an existing dir would NEST
+      // target inside it and poison any later restore.
+      if (fs.exists(old)) fs.delete(old, true)
       if (fs.exists(target) && !fs.rename(target, old))
         throw new java.io.IOException(s"zone-map manifest swap failed: $target -> $old")
       if (!fs.rename(tmp, target))

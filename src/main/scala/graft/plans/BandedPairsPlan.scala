@@ -50,16 +50,27 @@ final case class BandedPairs(
     idB: Attribute = AttributeReference("id_b", LongType, nullable = false)()) extends UnaryNode {
   require(id.dataType == LongType, s"id must be long, got ${id.dataType}")
   require(maxBucket == 0 || maxBucket >= 2, "maxBucket must be 0 (unbounded) or >= 2")
-  keys.foreach(k => require(
-    k.dataType != org.apache.spark.sql.types.FloatType
-      && k.dataType != org.apache.spark.sql.types.DoubleType,
-    s"bucket key ${k.name}: floating-point keys compare by raw bits here " +
-      "(-0.0 vs 0.0 would split buckets SQL equality merges) — hash or cast first"))
+  keys.foreach(k => require(!BandedPairs.containsFloat(k.dataType),
+    s"bucket key ${k.name}: floating-point keys (incl. nested in structs/arrays) compare " +
+      "by raw bits here (-0.0 vs 0.0 would split buckets SQL equality merges) — hash or cast first"))
 
   override def output: Seq[Attribute] = Seq(idA, idB)
   override def producedAttributes: AttributeSet = AttributeSet(Seq(idA, idB))
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
+}
+
+object BandedPairs {
+  import org.apache.spark.sql.types._
+  /** Any float/double anywhere in the type tree (existsRecursively is
+    * private[sql]). */
+  private[plans] def containsFloat(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case s: StructType => s.fields.exists(f => containsFloat(f.dataType))
+    case a: ArrayType => containsFloat(a.elementType)
+    case m: MapType => containsFloat(m.keyType) || containsFloat(m.valueType)
+    case _ => false
+  }
 }
 
 /** Physical: cluster on the bucket key AND sort within the partition by
