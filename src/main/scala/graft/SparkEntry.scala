@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[Map[String, Q]] = Seq(
     operators.Relational.queries,
+    operators.TpchRing.queries,
     operators.CsrQueries.queries,
     operators.TextQueries.queries,
     operators.DedupQueries.queries,

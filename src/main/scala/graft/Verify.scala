@@ -10,7 +10,9 @@ import java.nio.file.{Files, Paths}
   * would be a scale bug, and the engine's plans must not carry it. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional dev-only name filter: Verify <sf> <out> [query ...]
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +25,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.registry.foreach { case (name, q) =>
+    SparkEntry.registry
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, q) =>
       try {
         val df = q.fn(spark, sfDir)
         val sorted = if (q.sort.nonEmpty) df.orderBy(q.sort: _*) else df

@@ -1,0 +1,385 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Num.{dsum, fin}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-4 relational completion ring: the remaining classic TPC-H query
+  * shapes (Q4, Q7, Q9, Q10, Q13, Q14, Q16, Q19, Q20), adapted to the
+  * driver schema (no partsupp table, no l_shipmode/l_commitdate columns —
+  * each adaptation keeps the *shape* that makes the original query a
+  * distinct optimizer/scale exercise: correlated EXISTS, nation-pair
+  * antijoin-free volume trade, profit expression over a 5-way star, outer
+  * join + double aggregation, conditional promo share, distinct-count
+  * grouping with NOT EXISTS, disjunctive pushdown, and a window-relative
+  * dominance test).
+  *
+  * Reference anchor: the CSR join graph (csr2transmart) exercises the same
+  * join/aggregate surface; these shapes complete the relational inventory
+  * of SURVEY §2.1 the way a user of the reference would expect a general
+  * engine to cover it. All money sums ride [[graft.functions.Num.dsum]]
+  * (exact decimal, order-independent) so a 1000-executor aggregation and
+  * the single-node oracle agree digit-for-digit.
+  */
+object TpchRing {
+
+  // ------------------------------------------------------------ Q4 shape
+
+  /** Q4: order-priority checking — orders in a 6-month window with at
+    * least one line shipped > 90 days after the order date (the schema has
+    * no commit/receipt dates; "late shipment" keeps the correlated-EXISTS
+    * shape). The semi-join shuffles only (l_orderkey, l_shipdate) on the
+    * fact side and collapses to the first matching line per order —
+    * map-side the scan is pruned to 2 columns, and no duplicate orders can
+    * reach the aggregate by construction (LEFT SEMI). */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val ord = t.orders
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = t.lineitem.select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------ Q7 shape
+
+  /** Q7: volume trade between a nation pair, by ship year. Both nation
+    * filters cut their dimension to one key each, so supplier and customer
+    * shrink to broadcastable key sets before the fact join; the only big
+    * shuffle is lineitem ⋈ orders. The pair predicate is evaluated on the
+    * two broadcast-joined name columns (no nation×nation product). */
+  def q7NationTrade(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val pair = Seq("NATION_1", "NATION_2")
+    val suppN = t.supplier
+      .join(broadcast(t.nation.where(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val custN = t.customer
+      .join(broadcast(t.nation.where(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey", "cust_nation")
+    t.lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(t.orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(fin(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+  }
+
+  private val q7Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+      |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin
+
+  // ------------------------------------------------------------ Q9 shape
+
+  /** Q9: product-type profit by supplier nation and order year. The schema
+    * has no partsupp.ps_supplycost, so cost is proxied as
+    * 0.6 · p_retailprice · l_quantity — the point of the shape is the
+    * 5-way star with an arithmetic profit expression, a LIKE-filtered part
+    * dimension, and a two-level group. The profit product is evaluated in
+    * DOUBLE with fixed left-association (identical IEEE result in both
+    * engines), then summed exactly in decimal. */
+  def q9PartProfit(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val widget = t.part.where(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val suppN = t.supplier
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    t.lineitem
+      .join(broadcast(widget), col("l_partkey") === col("p_partkey"))
+      .join(t.orders.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(fin(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        - lit(0.6) * col("p_retailprice") * col("l_quantity"))).as("profit"))
+  }
+
+  private val q9Sql =
+    """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |                      - 0.6 * p_retailprice * l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, YEAR(o_orderdate)
+      |ORDER BY nation, order_year""".stripMargin
+
+  // ----------------------------------------------------------- Q10 shape
+
+  /** Q10: top returned-item customers for a quarter. Revenue per customer
+    * over returnflag='R' lines, top 20. Ties cannot straddle the cut:
+    * the grouping key contains c_custkey, and the sort is
+    * (revenue DESC, c_custkey) — fully deterministic. */
+  def q10ReturnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val ord = t.orders
+      .where(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    t.lineitem.where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(fin(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ----------------------------------------------------------- Q13 shape
+
+  /** Q13: customer order-count distribution — LEFT OUTER join (customers
+    * with zero orders must survive as c_count = 0) followed by a second
+    * aggregation over the counts. First shuffle on custkey carries partial
+    * counts; the second group is tiny (distinct order counts). */
+  def q13OrderCountDist(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val ord = t.orders.where(col("o_orderstatus") =!= "P")
+      .select("o_custkey", "o_orderkey")
+    t.customer.select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  private val q13Sql =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer
+      |      LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+      |      GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ----------------------------------------------------------- Q14 shape
+
+  /** Q14: promo revenue share for one ship month — conditional aggregate
+    * over the part-type dimension. The share divides two exact decimal
+    * sums cast to double once at the end (mirrors q_mkt_share). The part
+    * join is left unhinted: tiny at test SF (auto-broadcast), a plain
+    * shuffle join at 100 TB where a projected part still exceeds the
+    * broadcast budget. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val dec = DecimalType(28, 6)
+    t.lineitem
+      .where(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(t.part.select("p_partkey", "p_type"), col("l_partkey") === col("p_partkey"))
+      .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec).as("rev"),
+        col("p_type"))
+      .agg(
+        fin(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0).cast(dec))))
+          .as("promo_revenue"),
+        fin(sum(col("rev"))).as("total_revenue"),
+        round(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0).cast(dec)))
+            .cast("double") * 100 / sum(col("rev")).cast("double"), 6)
+          .as("promo_pct"))
+  }
+
+  private val q14Sql =
+    """SELECT
+      |  CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+      |       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+      |       ELSE CAST(0 AS DECIMAL(28,6)) END), 2) AS DOUBLE) AS promo_revenue,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_revenue,
+      |  ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+      |       ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) * 100
+      |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 6) AS promo_pct
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  // ----------------------------------------------------------- Q16 shape
+
+  /** Q16: supplier variety per (brand, type) — COUNT(DISTINCT supplier)
+    * with an excluded-supplier NOT EXISTS (negative balance proxies the
+    * original's complaints filter). The anti join runs against a tiny
+    * pre-filtered key set (broadcast); the distinct-count shuffles
+    * (brand, type, suppkey) once, partial-deduped map-side. */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val parts = t.part
+      .where(col("p_size").between(1, 15) && col("p_brand") =!= "Brand#2")
+      .select("p_partkey", "p_brand", "p_type")
+    val badSupp = t.supplier.where(col("s_acctbal") < 0).select("s_suppkey")
+    t.lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size BETWEEN 1 AND 15 AND p_brand <> 'Brand#2'
+      |  AND NOT EXISTS (SELECT 1 FROM supplier
+      |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
+
+  // ----------------------------------------------------------- Q19 shape
+
+  /** Q19: disjunctive predicate revenue — three (brand, quantity, size)
+    * OR-arms across the join. Catalyst extracts the common l_quantity
+    * bounds and partial brand/size filters below the join (visible as
+    * PushedFilters on both scans), so the OR does not force a full scan
+    * product; the residual disjunction evaluates post-join in codegen. */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val joined = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(t.part.select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+    joined.where(
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#16" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#19" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+      .agg(fin(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q19Sql =
+    """SELECT
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#2'  AND l_quantity BETWEEN 1  AND 11 AND p_size BETWEEN 1 AND 5)
+      |   OR (p_brand = 'Brand#16' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+      |   OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin
+
+  // ----------------------------------------------------------- Q20 shape
+
+  /** Q20: dominant suppliers — suppliers that shipped more than half of
+    * some part's total 1997 quantity. The per-(part, supplier) aggregate
+    * and the per-part window share the part-key partitioning; the
+    * dominance test is multiplied through in exact decimal (2·sq > tq —
+    * no quotient, no rounding boundary). Supplier/nation attach by
+    * broadcast after the heavy reduction. */
+  def q20DominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val ps = t.lineitem
+      .where(year(col("l_shipdate")) === 1997)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("sq"))
+    val w = Window.partitionBy(col("l_partkey"))
+    ps.withColumn("tq", sum(col("sq")).over(w))
+      .where(col("sq") * 2 > col("tq"))
+      .join(t.supplier.select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(dir).nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_dominated"))
+  }
+
+  private val q20Sql =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sq
+      |  FROM lineitem WHERE YEAR(l_shipdate) = 1997
+      |  GROUP BY l_partkey, l_suppkey),
+      |pw AS (
+      |  SELECT l_partkey, l_suppkey, sq,
+      |         SUM(sq) OVER (PARTITION BY l_partkey) AS tq
+      |  FROM ps)
+      |SELECT s_suppkey, s_name, n_name, COUNT(*) AS n_dominated
+      |FROM pw
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE sq * 2 > tq
+      |GROUP BY s_suppkey, s_name, n_name
+      |ORDER BY s_suppkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q4_late_orders" -> Q(q4LateOrders _, q4Sql, Seq(col("o_orderpriority"))),
+    "q7_nation_trade" -> Q(q7NationTrade _, q7Sql,
+      Seq(col("supp_nation"), col("cust_nation"), col("ship_year"))),
+    "q9_part_profit" -> Q(q9PartProfit _, q9Sql, Seq(col("nation"), col("order_year"))),
+    "q10_returned_customers" -> Q(q10ReturnedCustomers _, q10Sql,
+      Seq(col("revenue").desc, col("c_custkey"))),
+    "q13_order_count_dist" -> Q(q13OrderCountDist _, q13Sql,
+      Seq(col("custdist").desc, col("c_count").desc)),
+    "q14_promo_share" -> Q(q14PromoShare _, q14Sql, Nil),
+    "q16_supplier_variety" -> Q(q16SupplierVariety _, q16Sql,
+      Seq(col("supplier_cnt").desc, col("p_brand"), col("p_type"))),
+    "q19_disjunctive_revenue" -> Q(q19DisjunctiveRevenue _, q19Sql, Nil),
+    "q20_dominant_suppliers" -> Q(q20DominantSuppliers _, q20Sql, Seq(col("s_suppkey"))),
+  )
+}
