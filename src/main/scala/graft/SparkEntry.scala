@@ -12,6 +12,7 @@ object SparkEntry {
   private def modules: Seq[Map[String, Q]] = Seq(
     operators.Relational.queries,
     operators.TpchRing.queries,
+    operators.CorpusQueries.queries,
     operators.CsrQueries.queries,
     operators.TextQueries.queries,
     operators.DedupQueries.queries,

@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.DuckSql
+import graft.functions.TextFunctions.{shingles, words}
+import graft.plans.VectorExpressions
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 training-corpus operators: the checks a pretraining data
+  * pipeline runs between ingestion and tokenization — benchmark
+  * contamination (train/test n-gram overlap), chunk-level exact dedup
+  * (RefinedWeb-style line dedup generalized to fixed token windows),
+  * within-document repetition scoring, and the corpus mixture report that
+  * drives sampling weights.
+  *
+  * All splits derive from the one deterministic md5-bucket convention
+  * (docs_split_sample): bucket(doc) = first-8-hex(md5(doc_id)) mod 100,
+  * <80 train / <90 val / else test. Shingling is the shared 3-gram word
+  * shingle of the dedup family, so contamination numbers are directly
+  * comparable with near-dup scores.
+  */
+object CorpusQueries {
+
+  /** Deterministic 0..99 doc bucket (native codegen'd HexPrefix — same
+    * value as the oracle's [[DuckSql.docBucket]]). */
+  private def docBucket: Column =
+    VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+
+  // -------------------------------------------------------- contamination
+
+  /** Benchmark contamination scan: for every TEST-split document, the
+    * fraction of its distinct 3-gram shingles that also occur anywhere in
+    * the TRAIN split. Shape at 100 TB: both sides are map-side shingle
+    * explosions; the single shuffle keys on the shingle string (uniformly
+    * distributed), with the train side map-side-deduped by the partial
+    * aggregate before the exchange. The test side is 10% of the corpus by
+    * construction. (The probabilistic scale path — a Bloom filter over
+    * train shingles broadcast to the test scan — trades this exactness
+    * for zero shuffle; this operator is the exact variant.) */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val docs = Tables(dir).documents.withColumn("bucket", docBucket)
+    def shingleSet(d: DataFrame): DataFrame = d
+      .withColumn("w", words(col("text")))
+      .where(size(col("w")) > 0)
+      .withColumn("sh", explode(array_distinct(shingles("w"))))
+      .select(col("doc_id"), col("sh"))
+    val trainSh = shingleSet(docs.where(col("bucket") < 80))
+      .select(col("sh")).distinct().withColumn("hit", lit(1))
+    val testSh = shingleSet(docs.where(col("bucket") >= 90))
+    testSh.join(trainSh, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination_pct",
+        round(col("n_contaminated") * lit(100.0) / col("n_shingles"), 4))
+  }
+
+  private val contaminationSql = {
+    s"""WITH bk AS (SELECT doc_id, text, ${DuckSql.docBucket} AS bucket FROM documents),
+       |ws AS (SELECT doc_id, bucket, ${DuckSql.wordsOf("text")} AS w FROM bk),
+       |sh AS (SELECT doc_id, bucket, ${DuckSql.shinglesOf("w")} AS s FROM ws WHERE LEN(w) > 0),
+       |train_sh AS (SELECT DISTINCT unnest(s) AS sh FROM sh WHERE bucket < 80),
+       |test_sh AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM sh WHERE bucket >= 90)
+       |SELECT t.doc_id, COUNT(*) AS n_shingles, COUNT(tr.sh) AS n_contaminated,
+       |  ROUND(COUNT(tr.sh) * 100.0 / COUNT(*), 4) AS contamination_pct
+       |FROM test_sh t LEFT JOIN train_sh tr ON t.sh = tr.sh
+       |GROUP BY t.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------- chunk dedup
+
+  /** Non-overlapping token-window size for chunk-level dedup. */
+  private val ChunkTokens = 20
+
+  /** Chunk-level exact dedup: split every document into fixed 20-token
+    * windows and report every chunk content-hash that occurs more than
+    * once in the corpus (within or across documents). This is the
+    * boilerplate-removal primitive: headers, footers and licence blocks
+    * surface here long before whole-document dedup sees them. One shuffle
+    * keyed by chunk hash with map-side partial counts; the explode is
+    * narrow. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .withColumn("w", words(col("text")))
+      .where(size(col("w")) > 0)
+      .withColumn("chunk", explode(expr(
+        s"transform(sequence(0, (size(w) - 1) div $ChunkTokens), i -> concat_ws(' ', slice(w, i * $ChunkTokens + 1, $ChunkTokens)))")))
+      .groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_occurrences") > 1)
+  }
+
+  private val chunkDedupSql =
+    s"""WITH ws AS (SELECT doc_id, ${DuckSql.wordsOf("text")} AS w FROM documents),
+       |ch AS (SELECT doc_id,
+       |         list_transform(generate_series(0, (LEN(w) - 1) // $ChunkTokens),
+       |           i -> array_to_string(list_slice(w, i * $ChunkTokens + 1, i * $ChunkTokens + $ChunkTokens), ' ')) AS chunks
+       |       FROM ws WHERE LEN(w) > 0),
+       |ex AS (SELECT doc_id, unnest(chunks) AS chunk FROM ch)
+       |SELECT md5(chunk) AS chunk_hash, COUNT(DISTINCT doc_id) AS n_docs,
+       |  COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+       |FROM ex GROUP BY md5(chunk) HAVING COUNT(*) > 1
+       |ORDER BY first_doc, chunk_hash""".stripMargin
+
+  // ---------------------------------------------------------- repetition
+
+  /** Within-document repetition score: share of 3-gram shingles that are
+    * repeats of an earlier shingle in the same document (1 − distinct ⁄
+    * total). A high score flags degenerate generations / boilerplate
+    * loops — a standard pretraining quality gate. Entirely map-side:
+    * zero shuffles, scales with corpus bytes. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .withColumn("w", words(col("text")))
+      .where(size(col("w")) > 0)
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), size(col("s")).as("n_shingles"),
+        size(array_distinct(col("s"))).as("n_distinct"))
+      .withColumn("repetition_pct",
+        round((col("n_shingles") - col("n_distinct")) * lit(100.0) / col("n_shingles"), 4))
+  }
+
+  private val repetitionSql =
+    s"""WITH ws AS (SELECT doc_id, ${DuckSql.wordsOf("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, ${DuckSql.shinglesOf("w")} AS s FROM ws WHERE LEN(w) > 0)
+       |SELECT doc_id, LEN(s) AS n_shingles, LEN(list_distinct(s)) AS n_distinct,
+       |  ROUND((LEN(s) - LEN(list_distinct(s))) * 100.0 / LEN(s), 4) AS repetition_pct
+       |FROM sh
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ mixture report
+
+  /** Corpus mixture report: per (source, lang) document counts, byte and
+    * token volumes, and each cell's share of total corpus tokens — the
+    * table a sampling-weight scheduler consumes. One coarse groupBy; the
+    * global total rides a window over the already-aggregated (tiny)
+    * frame, not a second scan of the corpus. */
+  def mixtureReport(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val agg = Tables(dir).documents
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"))
+    agg.withColumn("token_share_pct",
+      round(col("total_tokens") * lit(100.0) /
+        sum(col("total_tokens")).over(Window.partitionBy()), 4))
+  }
+
+  private val mixtureReportSql =
+    s"""WITH d AS (SELECT source, lang, n_chars,
+       |             CAST(LEN(${DuckSql.wordsOf("text")}) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |agg AS (SELECT source, lang, COUNT(*) AS n_docs,
+       |          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |        FROM d GROUP BY source, lang)
+       |SELECT source, lang, n_docs, total_chars, total_tokens,
+       |  ROUND(total_tokens * 100.0 / SUM(total_tokens) OVER (), 4) AS token_share_pct
+       |FROM agg
+       |ORDER BY source, lang""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text_contamination" -> Q(contamination _, contaminationSql, Seq(col("doc_id"))),
+    "dedup_chunks" -> Q(chunkDedup _, chunkDedupSql, Seq(col("first_doc"), col("chunk_hash"))),
+    "text_repetition" -> Q(repetition _, repetitionSql, Seq(col("doc_id"))),
+    "docs_mixture_report" -> Q(mixtureReport _, mixtureReportSql, Seq(col("source"), col("lang"))),
+  )
+}

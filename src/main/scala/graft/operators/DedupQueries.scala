@@ -447,8 +447,71 @@ object DedupQueries {
        |JOIN embeddings eb ON eb.vec_id = tx.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------- incremental
+
+  /** Incremental dedup: new-batch documents (md5-bucket ≥ 80 — the
+    * val+test 20% standing in for "today's crawl") checked against the
+    * already-ingested index (bucket < 80) WITHOUT re-pairing the index
+    * against itself. Band signatures are computed for both sides in one
+    * map pass, but the join is strictly batch × index on (band_id,
+    * band_hash) — at 100 TB the index side's signatures would be a
+    * persisted table and only the (small) batch gets hashed per cycle;
+    * index-internal pairs never form. Candidates are then exact-verified
+    * by shingle Jaccard on the candidate documents only (same
+    * semi-join-before-reshingle discipline as [[ngramJaccard]]). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val membership = t.documents.select(col("doc_id"), (bucket < 80).as("in_index"))
+    val bb = bandBuckets(t).join(membership, Seq("doc_id"))
+    val idx = bb.where(col("in_index"))
+      .select(col("doc_id").as("index_doc"), col("band_id"), col("band_hash"))
+    val bat = bb.where(!col("in_index"))
+      .select(col("doc_id").as("batch_doc"), col("band_id"), col("band_hash"))
+    val cands = bat.join(idx, Seq("band_id", "band_hash"))
+      .select(col("batch_doc"), col("index_doc")).distinct()
+    val candDocs = cands
+      .select(explode(array(col("batch_doc"), col("index_doc"))).as("doc_id"))
+      .distinct()
+    val sets = t.documents
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
+    cands
+      .join(sets.select(col("doc_id").as("batch_doc"), col("ss").as("ss_a")), Seq("batch_doc"))
+      .join(sets.select(col("doc_id").as("index_doc"), col("ss").as("ss_b")), Seq("index_doc"))
+      .select(col("batch_doc"), col("index_doc"),
+        round(size(array_intersect(col("ss_a"), col("ss_b")))
+          / size(array_union(col("ss_a"), col("ss_b"))), 6).as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+  }
+
+  private val incrementalDedupSql =
+    s"""WITH $minhashCtes,
+       |bk AS (SELECT doc_id, ${graft.functions.DuckSql.docBucket} AS bucket FROM documents),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS batch_doc, a.doc_id AS index_doc
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |  JOIN bk ka ON ka.doc_id = a.doc_id
+       |  JOIN bk kb ON kb.doc_id = b.doc_id
+       |  WHERE ka.bucket < 80 AND kb.bucket >= 80),
+       |sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh)
+       |SELECT batch_doc, index_doc,
+       |  ROUND(LEN(list_intersect(sa.ss, sb.ss)) / LEN(list_distinct(list_concat(sa.ss, sb.ss))), 6) AS jaccard
+       |FROM cand
+       |JOIN sets sa ON sa.doc_id = batch_doc
+       |JOIN sets sb ON sb.doc_id = index_doc
+       |WHERE ROUND(LEN(list_intersect(sa.ss, sb.ss)) / LEN(list_distinct(list_concat(sa.ss, sb.ss))), 6) >= $JaccardThreshold
+       |ORDER BY batch_doc, index_doc""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_exact_docs" -> Q(exactDocs _, exactDocsSql, Seq(col("keep_doc_id"))),
+    "dedup_incremental" -> Q(incrementalDedup _, incrementalDedupSql,
+      Seq(col("batch_doc"), col("index_doc"))),
     "dedup_crossmodal_audit" -> Q(crossModalAudit _, crossModalAuditSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_minhash_lsh" -> Q(minhashLsh _, minhashLshSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_clusters" -> Q(nearDupClusters _, nearDupClustersSql, Seq(col("doc_id"))),
