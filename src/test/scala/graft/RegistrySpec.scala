@@ -10,7 +10,8 @@ class RegistrySpec extends AnyFunSuite {
 
   /** Queries allowed to omit the Verify sort (provably ≤ a handful of
     * rows, or rows-only checks). */
-  private val sortExempt = Set("q_distinct_customers", "q_approx_distinct", "events_funnel")
+  private val sortExempt = Set("q_distinct_customers", "q_approx_distinct", "events_funnel",
+    "q14_promo_share", "q19_disjunctive_revenue")
 
   test("every oracle SQL orders its output (single-row aggregates exempt)") {
     val missing = SparkEntry.registry.collect {

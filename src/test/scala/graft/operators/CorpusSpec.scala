@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.TextFunctions.words
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-4 training-corpus ring: split-consistency of
+  * contamination and incremental dedup, accounting identities of the
+  * mixture report and chunk dedup, and bounds on the repetition score. */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  /** The shared md5-bucket split, recomputed independently. */
+  private def buckets = {
+    graft.plans.VectorExpressions.register(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        (graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100)
+          .as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("contamination: exactly the test-split docs, pct within [0,100] and consistent") {
+    val bk = buckets
+    val rows = CorpusQueries.queries("text_contamination").fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val expectedTest = bk.filter(_._2 >= 90).keySet
+    assert(rows.map(_.getLong(0)).toSet == expectedTest)
+    rows.foreach { r =>
+      val (n, hit, pct) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(hit <= n && n > 0)
+      assert(math.abs(pct - hit * 100.0 / n) < 1e-3)
+    }
+  }
+
+  test("repetition: bounded, distinct<=total, covers every non-empty doc") {
+    val rows = CorpusQueries.queries("text_repetition").fn(spark, dir).collect()
+    val nonEmpty = spark.read.parquet(s"$dir/documents.parquet")
+      .where(size(words(col("text"))) > 0).count()
+    assert(rows.length == nonEmpty)
+    rows.foreach { r =>
+      val (n, d, pct) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      assert(d <= n && d >= 1)
+      assert(pct >= 0.0 && pct <= 100.0)
+    }
+  }
+
+  test("chunk dedup: only repeated chunks, doc counts bounded by occurrences") {
+    val rows = CorpusQueries.queries("dedup_chunks").fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nOcc) = (r.getLong(1), r.getLong(2))
+      assert(nOcc > 1 && nDocs >= 1 && nDocs <= nOcc)
+    }
+  }
+
+  test("mixture report: doc counts and token shares form a complete partition") {
+    val rows = CorpusQueries.queries("docs_mixture_report").fn(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    val shareSum = rows.map(_.getDouble(5)).sum
+    assert(math.abs(shareSum - 100.0) < 0.1)
+  }
+
+  test("incremental dedup: pairs straddle the split and match the symmetric jaccard near-dups") {
+    val bk = buckets
+    val inc = DedupQueries.queries("dedup_incremental").fn(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (index, batch)
+    inc.foreach { case (idx, bat) =>
+      assert(bk(idx) < 80, s"index doc $idx not in index split")
+      assert(bk(bat) >= 80, s"batch doc $bat not in batch split")
+    }
+    // the same near-dup pairs, restricted to split-straddling ones, come
+    // out of the symmetric ngram-jaccard operator (doc_a < doc_b there)
+    val jac = DedupQueries.queries("dedup_ngram_jaccard").fn(spark, dir)
+      .where(col("is_near_dup"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))) // (doc_b, doc_a)
+      .flatMap { case (b, a) => Seq((a, b), (b, a)) }
+      .filter { case (i, bt) => bk(i) < 80 && bk(bt) >= 80 }
+      .toSet
+    assert(inc == jac)
+  }
+}

