@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HexPrefix].getName, "graft_hex_prefix"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HexPrefix(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+    // SQL self-join → BandedPairs rewrite + its planning strategy
+    e.injectOptimizerRule(_ => BandedPairsRewrite)
+    e.injectPlannerStrategy(_ => BandedPairsStrategy)
   }
 }
