@@ -62,6 +62,24 @@ object ZoneMap {
     base.where(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Zone-map-driven config-ingest scan (SURVEY §8b candidate (i)): the
+    * delimited drop zone gets the same scheduler-side file pruning as the
+    * parquet path. The manifest is built once over the typed config-driven
+    * read ([[graft.sources.DelimitedSource]] + [[build]]) and consulted
+    * before every scan — CSV has no row-group statistics of its own, so
+    * at 100 TB this is the ONLY pruning layer the drop zone gets, and the
+    * predicate re-applies as the residual row filter inside surviving
+    * files. */
+  def prunedDelimited(spark: SparkSession, dir: String,
+                      cfg: graft.sources.DelimitedConfig, zoneMap: DataFrame,
+                      column: String, lo: Column, hi: Column): DataFrame = {
+    val files = candidateFiles(zoneMap, column, lo, hi)
+    val base =
+      if (files.isEmpty) graft.sources.DelimitedSource.read(spark, dir, cfg).where(lit(false))
+      else graft.sources.DelimitedSource.read(spark, files, cfg)
+    base.where(col(column) >= lo && col(column) <= hi)
+  }
+
   /** Incremental maintenance (SURVEY §8b candidate (c)): attach to a file
     * stream over the staged directory and upsert each micro-batch's
     * per-file stats into the manifest — the zone map stays current as

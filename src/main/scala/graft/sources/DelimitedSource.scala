@@ -31,7 +31,13 @@ final case class DelimitedConfig(
   */
 object DelimitedSource {
 
-  def read(spark: SparkSession, path: String, cfg: DelimitedConfig): DataFrame = {
+  def read(spark: SparkSession, path: String, cfg: DelimitedConfig): DataFrame =
+    read(spark, Seq(path), cfg)
+
+  /** Multi-path variant — the zone-map-pruned scan hands in the surviving
+    * file list instead of the directory. */
+  def read(spark: SparkSession, paths: Seq[String], cfg: DelimitedConfig): DataFrame = {
+    require(paths.nonEmpty, "DelimitedSource.read: empty path list")
     cfg.columns.foreach(c => require(c.dtype != "date" || c.dateFormat.isDefined,
       s"column ${c.name}: date requires dateFormat"))
     val raw = spark.read
@@ -39,7 +45,7 @@ object DelimitedSource {
       .option("header", cfg.header.toString)
       .option("nullValue", cfg.nullValue)
       .schema(StructType(cfg.columns.map(c => StructField(c.name, StringType, nullable = true))))
-      .csv(path)
+      .csv(paths: _*)
     raw.select(cfg.columns.map(typed): _*)
   }
 
