@@ -49,6 +49,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // drift-normalized regression guard vs the committed anchors (stderr
+    // only; the driver parses the single stdout JSON line above)
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "bench_anchors.json")
+    BenchGuard.loadAnchors(anchorPath).foreach { anchors =>
+      System.err.println(BenchGuard.render(BenchGuard.evaluate(anchors, results.toMap)))
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,75 @@
+package graft
+
+/** Per-query bench regression guard (SURVEY §8b (f)).
+  *
+  * The shared bench box drifts (BASELINE.md: identical binaries re-benched
+  * 47.5 → 54.8 s within one round), so absolute thresholds flag phantom
+  * regressions. The guard instead normalizes by the run's own drift: the
+  * MEDIAN per-query ratio vs the anchor set estimates the box factor
+  * (robust — a real regression moves one ratio, not the median), and a
+  * query is flagged only when its ratio exceeds `relThreshold ×` that
+  * median AND its absolute time clears a noise floor (sub-second queries
+  * are scheduling-noise-dominated at sf0.1).
+  */
+object BenchGuard {
+
+  final case class Report(
+      driftFactor: Double,
+      /** (query, anchorSec, currentSec, ratioVsDriftedAnchor). */
+      flagged: Seq[(String, Double, Double, Double)],
+      /** Anchored queries absent or failed (-1) in the current run. */
+      missing: Seq[String],
+      comparedCount: Int) {
+    def ok: Boolean = flagged.isEmpty && missing.isEmpty
+  }
+
+  /** Pure comparison — no clocks, fully spec-testable. */
+  def evaluate(anchors: Map[String, Double], current: Map[String, Double],
+               relThreshold: Double = 2.0, floorSec: Double = 1.0): Report = {
+    val valid = current.filter(_._2 >= 0)
+    val common = anchors.keySet.intersect(valid.keySet).toSeq.sorted
+    val missing = anchors.keySet.diff(valid.keySet).toSeq.sorted
+    if (common.isEmpty) return Report(1.0, Nil, missing, 0)
+    val ratios = common.map(q => valid(q) / anchors(q)).sorted
+    val drift = {
+      val n = ratios.length
+      if (n % 2 == 1) ratios(n / 2) else (ratios(n / 2 - 1) + ratios(n / 2)) / 2
+    }
+    val flagged = common.flatMap { q =>
+      val ratio = valid(q) / (anchors(q) * drift)
+      if (ratio > relThreshold && valid(q) > floorSec)
+        Some((q, anchors(q), valid(q), ratio))
+      else None
+    }.sortBy(-_._4)
+    Report(drift, flagged, missing, common.length)
+  }
+
+  /** Flat `{"name": seconds, ...}` JSON (the bench_anchors.json format;
+    * names are snake_case so the tokenizer is unambiguous). */
+  def parseAnchors(json: String): Map[String, Double] =
+    json.trim.stripPrefix("{").stripSuffix("}").split(",")
+      .iterator.map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+      }.toMap
+
+  def loadAnchors(path: String): Option[Map[String, Double]] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      Some(parseAnchors(java.nio.file.Files.readString(p)))
+    else None
+  }
+
+  /** Render one stderr block for Bench (stdout stays the driver's single
+    * JSON line). */
+  def render(r: Report): String = {
+    val head = f"[bench-guard] drift=${r.driftFactor}%.2f compared=${r.comparedCount} " +
+      s"flagged=${r.flagged.length} missing=${r.missing.length}"
+    val flags = r.flagged.map { case (q, a, c, ratio) =>
+      f"[bench-guard] REGRESSION $q: anchor $a%.2fs now $c%.2fs (${ratio}%.1fx over drifted anchor)"
+    }
+    val miss = r.missing.map(q => s"[bench-guard] MISSING $q: anchored but absent/failed")
+    (head +: (flags ++ miss)).mkString("\n")
+  }
+}
