@@ -90,18 +90,9 @@ object AnalyticsQueries {
     * map-side: scores and verdicts are per-row expressions. */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val n = length(col("text")).cast("double")
-    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?()]", ""))).cast("double")
-    val wcol = words(col("text"))
-    val nTok = size(wcol).cast("double")
-    val quality = round(least(n / lit(500.0), lit(1.0)) * 0.3
-      + (lit(1.0) - punct / n) * 0.4
-      + (size(filter(wcol, w => w.isin("the", "a", "of", "to", "and", "in", "is", "for"))) / nTok) * 0.3, 6)
-    Tables(dir).documents
-      .select(col("doc_id"), col("lang"), quality.as("quality"),
-        nTok.cast("long").as("n_tokens"))
-      .withColumn("keep",
-        col("quality") >= 0.5 && col("n_tokens") >= 10 && col("lang") =!= "zh")
+    // single scoring definition shared with the streaming ingest gate
+    // (graft.streaming.DocStreams) so batch and stream cannot drift
+    graft.streaming.DocStreams.scored(Tables(dir).documents)
   }
 
   private val qualityFilterSql =

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming corpus gates pinned to their batch twins on sf0.001 docs. */
+class DocStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private case class Doc(doc_id: Long, text: String, lang: String)
+
+  private lazy val docs: Seq[Doc] = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Tables(TestSpark.Sf0001).documents
+      .select(col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => Doc(r.getLong(0), r.getString(1), r.getString(2))).toSeq
+  }
+
+  private def runStream(name: String, chunks: Seq[Seq[Doc]])
+      (transform: DataFrame => DataFrame): DataFrame = {
+    val mem = MemoryStream[Doc](spark)
+    val q = transform(mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming qualityGate admits exactly the batch keep set") {
+    val got = runStream("s_qgate", docs.grouped(200).toSeq)(DocStreams.qualityGate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val want = graft.operators.AnalyticsQueries.queries("docs_quality_filter")
+      .fn(spark, TestSpark.Sf0001)
+      .where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("streaming content dedup keeps one doc per distinct content hash") {
+    val withDups = docs ++ docs.take(50).map(d => d.copy(doc_id = d.doc_id + 100000))
+    val got = runStream("s_dedup", withDups.grouped(300).toSeq)(DocStreams.dedupByContent)
+    val batchHashes = spark.createDataset(docs.map(_.text)).toDF("text")
+      .select(md5(col("text"))).distinct().count()
+    assert(got.count() == batchHashes)
+    assert(got.select("content_hash").distinct().count() == batchHashes)
+  }
+}
