@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Flat-PQ ADC quality gates. Geometry sweep (measured at sf0.01 against
+  * the exact brute-force top-5, recall@5):
+  *   (M=4,  K=8,  R=20)  → 0.20
+  *   (M=4,  K=16, R=50)  → 0.46
+  *   (M=8,  K=16, R=100) → 0.88
+  *   (M=8,  K=32, R=100) → 0.96  ← shipped
+  * The spec pins a recall floor below the measured value so codebook or
+  * shortlist regressions fail loudly. */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  private def topkSet(name: String): Set[(Long, Long)] =
+    AnnQueries.queries(name).fn(spark, dir)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("recall@5 vs exact brute force stays above the floor") {
+    val exact = topkSet("ann_bruteforce_topk")
+    val pq = topkSet("ann_pq_adc")
+    assert(exact.nonEmpty && pq.size == exact.size)
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, f"PQ recall@5 collapsed to $recall%.2f")
+  }
+
+  test("reported scores are true cosines (agree with brute force on shared pairs)") {
+    val exact = AnnQueries.queries("ann_bruteforce_topk").fn(spark, dir)
+      .select("probe_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = AnnQueries.queries("ann_pq_adc").fn(spark, dir)
+      .select("probe_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = pq.keySet & exact.keySet
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(pq(k) == exact(k),
+      s"pair $k: pq score ${pq(k)} != exact ${exact(k)}"))
+  }
+
+  test("exactly k results per probe, ranked descending") {
+    val rows = AnnQueries.queries("ann_pq_adc").fn(spark, dir)
+      .select("probe_id", "rank", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.length == 5)
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val scores = byRank.map(_._3)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
