@@ -585,6 +585,133 @@ object AnnQueries {
     TopK.perKeyExec(exact, "probe_id", "cos", "vec_id", TopKK)
   }
 
+  /** §30d — IVF-PQ: the FAISS-style composition of the two scale
+    * mechanisms. IVF restricts WHICH vectors each probe scores (nprobe
+    * nearest centroid buckets — [[ivfSearch]]'s assignment, same seeds,
+    * same tie rule); PQ restricts WHAT moves per scored vector (8 codes,
+    * ADC lookups — [[pqAdcTopK]]'s codebook). The ADC scan therefore
+    * touches only the probed buckets' code rows; the exact re-rank pass
+    * touches only the per-probe shortlist. At 100 TB: bucket pruning
+    * cuts the scan ~NCentroids/nprobe-fold, codes cut the scanned bytes
+    * 32-fold, and the full-precision corpus is read only for shortlist
+    * rows (a semi-join against a bounded candidate set). */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = centroids(spark, t).toSeq.map(_._2)
+    val cb = pqCodebook(spark, t)
+
+    // corpus: IVF cluster + PQ codes in ONE map-side pass
+    def centCos(embCol: Column): Seq[Column] =
+      cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
+    val corpusArr = array(centCos(col("embedding")): _*)
+    def codeCol(m: Int): Column = {
+      val x = sub(col("embedding"), m)
+      val dists = array(cb(m).map { cw =>
+        val c = typedlit(cw)
+        VectorExpressions.dot(x, x) - lit(2.0) * VectorExpressions.dot(x, c) +
+          VectorExpressions.dot(c, c)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code_$m")
+    }
+    val coded = t.embeddings.select(
+      Seq(col("vec_id"),
+        (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int").as("cluster")) ++
+        (0 until PqM).map(codeCol): _*)
+
+    // probes: nprobe buckets + ADC LUTs in one pass
+    val probeItems = centCos(col("embedding")).zipWithIndex.map { case (c, i) =>
+      struct(c.as("cos"), lit(-i).as("nidx"), lit(i).as("idx"))
+    }
+    def lutCol(m: Int): Column =
+      array(cb(m).map(cw => VectorExpressions.dot(sub(col("embedding"), m), typedlit(cw))): _*)
+        .as(s"lut_$m")
+    val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
+      .select(Seq(col("vec_id").as("probe_id"),
+        explode(expr("transform(top_c, x -> x.idx)")).as("cluster")) ++
+        (0 until PqM).map(lutCol): _*)
+
+    // ADC only inside the probed buckets (co-partitioned on cluster)
+    val approx = coded
+      .join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round((0 until PqM).map(m =>
+            element_at(col(s"lut_$m"), col(s"code_$m") + 1))
+          .reduce(_ + _), 6).as("approx"))
+    val shortlist = TopK.perKeyExec(approx, "probe_id", "approx", "vec_id", PqShortlist)
+      .select("probe_id", "vec_id")
+
+    val corpus = t.embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val pEmb = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("p_norm"))
+    val exact = corpus
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(pEmb), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"))
+    TopK.perKeyExec(exact, "probe_id", "cos", "vec_id", TopKK)
+  }
+
+  private val ivfPqSql = {
+    val encs = (0 until PqM).map(pqEncDuck).mkString("\n  UNION ALL\n  ")
+    val lutSum = (0 until PqM)
+      .map(m => s"${pqDotDuckFull("p.embedding", s"w$m.embedding", m)}")
+      .mkString("(", " + ", ")")
+    val codeJoins = (0 until PqM)
+      .map(m => s"JOIN codes c$m ON c$m.vec_id = x.vec_id AND c$m.m = $m\n  JOIN cw w$m ON w$m.cid = c$m.cid")
+      .mkString("\n  ")
+    s"""WITH cw AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $PqK),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |cluster AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign) x WHERE rn = 1),
+       |probe_assign AS (
+       |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign WHERE vec_id % $ProbeMod = 0) x WHERE rn <= $NProbeBuckets),
+       |enc AS (
+       |  $encs),
+       |codes AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+       |    FROM enc) z WHERE rn = 1),
+       |adc AS (
+       |  SELECT pa.probe_id, x.vec_id, ROUND($lutSum, 6) AS approx
+       |  FROM probe_assign pa
+       |  JOIN cluster cl ON cl.cluster = pa.cluster
+       |  JOIN embeddings x ON x.vec_id = cl.vec_id
+       |  JOIN embeddings p ON p.vec_id = pa.probe_id
+       |  $codeJoins
+       |  WHERE x.vec_id <> pa.probe_id),
+       |shortlist AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx DESC, vec_id) AS rn
+       |    FROM adc) z WHERE rn <= $PqShortlist),
+       |exact AS (
+       |  SELECT probe_id, s.vec_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings p ON p.vec_id = s.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM exact)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** Left-assoc subspace dot mirror (1-based, m fixed). */
   private def pqDotDuck(a: String, b: String, m: Int): String =
     (1 to PqSubDim).map { i =>
@@ -646,6 +773,7 @@ object AnnQueries {
 
   val queries: Map[String, Q] = Map(
     "ann_pq_adc" -> Q(pqAdcTopK _, pqAdcSql, Seq(col("probe_id"), col("rank"))),
+    "ann_ivfpq" -> Q(ivfPqTopK _, ivfPqSql, Seq(col("probe_id"), col("rank"))),
     "dedup_embedding_cosine" -> Q(embeddingCosine _, embeddingCosineSql, Seq(col("probe_id"), col("vec_id"))),
     "ann_lsh_cosine" -> Q(lshCosine _, lshCosineSql, Seq(col("id_a"), col("id_b"))),
     "ann_lsh_multiprobe" -> Q(lshMultiprobe _, lshMultiprobeSql, Seq(col("id_a"), col("id_b"))),
