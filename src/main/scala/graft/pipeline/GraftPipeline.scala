@@ -26,7 +26,10 @@ final case class PipelineConfig(
     concepts: Seq[(String, String, EavMelt.ValueKind)],
     // content-addressed lineage store (the reference's data git repo,
     // main.py:206/219 GitCommit tasks); None = lineage off
-    lineageDir: Option[String] = None)
+    lineageDir: Option[String] = None,
+    // post-load aggregate-cache dir (the reference's after-load cache
+    // rebuild, scripts/transmart_api_calls.py); None = cache off
+    cacheDir: Option[String] = None)
 
 /** The reference's whole pipeline, composed from graft operators under the
   * [[Dag]] (luigi-pipeline/main.py:195 builds the same graph with Luigi):
@@ -100,12 +103,26 @@ object GraftPipeline {
     def load(): String =
       TransmartLoad.doneSignal(spark, s"${cfg.stagingDir}/observations")
 
+    // after_data_loading: rebuild the aggregate caches over the loaded
+    // observations (scripts/transmart_api_calls.py cache cycle)
+    def cacheRebuild(dir: String): String = {
+      val staged = spark.read
+        .option("delimiter", "\t").option("header", "true")
+        .csv(s"${cfg.stagingDir}/observations")
+        .select(col("entity_id").as("patient_num"),
+          col("concept_cd").as("concept_path"),
+          col("num_value").cast("double").as("num_value"))
+      AggCache.rebuild(staged, dir)
+      doneSignal(spark, dir)
+    }
+
     new Dag(Seq(
       Task("sync", Nil, run = sync _,
         externalInput = () => doneSignal(spark, cfg.dropDir)),
       Task("sources2csr", Seq("sync"), sources2csr _),
       Task("csr2transmart", Seq("sources2csr"), csr2transmart _),
-      Task("load", Seq("csr2transmart"), load _)))
+      Task("load", Seq("csr2transmart"), load _)) ++
+      cfg.cacheDir.map(d => Task("cache_rebuild", Seq("load"), () => cacheRebuild(d))).toSeq)
   }
 
   /** Run with persistent `.done-<task>` signals under cfg.signalsDir. */

@@ -52,7 +52,8 @@ class GraftPipelineSpec extends AnyFunSuite {
         ("sex", "Individual.sex", EavMelt.TextValue),
         ("birth_date", "Individual.birth_date", EavMelt.DateValue),
         ("segment", "Individual.segment", EavMelt.TextValue)),
-      lineageDir = Some(root.resolve("lineage").toString))
+      lineageDir = Some(root.resolve("lineage").toString),
+      cacheDir = Some(root.resolve("cache").toString))
     (root, cfg)
   }
 
@@ -78,7 +79,7 @@ class GraftPipelineSpec extends AnyFunSuite {
 
     // run 1: everything executes
     val r1 = GraftPipeline.run(spark, cfg)
-    assert(r1.ran == Seq("sync", "sources2csr", "csr2transmart", "load"))
+    assert(r1.ran == Seq("sync", "sources2csr", "csr2transmart", "load", "cache_rebuild"))
 
     // staged observations: codebook decoded, priority merge resolved
     val obs = spark.read.option("delimiter", "\t").option("header", "true")
@@ -104,7 +105,7 @@ class GraftPipelineSpec extends AnyFunSuite {
 
     // run 2: nothing changed → full skip
     val r2 = GraftPipeline.run(spark, cfg)
-    assert(r2.ran.isEmpty && r2.skipped.size == 4)
+    assert(r2.ran.isEmpty && r2.skipped.size == 5)
     assert(lineageMsgs().size == 2) // no new commits on a skipped run
 
     // drop-zone delta: a new individual arrives → whole cone re-runs
@@ -116,7 +117,7 @@ class GraftPipelineSpec extends AnyFunSuite {
         |5,Eve,HOUSEHOLD
         |""".stripMargin)
     val r3 = GraftPipeline.run(spark, cfg)
-    assert(r3.ran == Seq("sync", "sources2csr", "csr2transmart", "load"))
+    assert(r3.ran == Seq("sync", "sources2csr", "csr2transmart", "load", "cache_rebuild"))
     val obs2 = spark.read.option("delimiter", "\t").option("header", "true")
       .csv(s"${cfg.stagingDir}/observations")
     assert(obs2.where($"entity_id" === "5" && $"concept_cd" === "Individual.name").count() == 1)
@@ -124,6 +125,13 @@ class GraftPipelineSpec extends AnyFunSuite {
     // the delta run appended one input commit + one staging commit
     assert(lineageMsgs() == Seq("Add new input data.", "Add transmart data.",
       "Add new input data.", "Add transmart data."))
+
+    // after_data_loading cache: per-concept counts cover the staged obs
+    val cc = AggCache.read(spark, cfg.cacheDir.get, "concept_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cc.keySet == obs2.select("concept_cd").distinct()
+      .collect().map(_.getString(0)).toSet)
+    assert(cc.values.sum == obs2.count())
   }
 
   test("corrupted drop-zone checksum aborts the sync (reference semantics)") {
