@@ -599,9 +599,16 @@ object AnnQueries {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val cents = centroids(spark, t).toSeq.map(_._2)
-    val cb = pqCodebook(spark, t)
+    ivfPqSearch(t, centroids(spark, t).toSeq.map(_._2), pqCodebook(spark, t))
+  }
 
+  /** The IVF-PQ search body, parameterized by centroid set + codebook so it
+    * runs identically against seed artifacts ([[ivfPqTopK]]), freshly
+    * trained ones ([[ivfPqTrainedTopK]]), or a persisted index
+    * ([[ivfPqTopKFrom]]). */
+  private def ivfPqSearch(t: Tables, cents: Seq[Array[Float]],
+                          cb: Array[Array[Array[Float]]])
+                         (implicit spark: SparkSession): DataFrame = {
     // corpus: IVF cluster + PQ codes in ONE map-side pass
     def centCos(embCol: Column): Seq[Column] =
       cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
@@ -658,6 +665,55 @@ object AnnQueries {
     TopK.perKeyExec(exact, "probe_id", "cos", "vec_id", TopKK)
   }
 
+  /** §8c(j) — IVF-PQ with TRAINED partitioning: the Lloyd-refined centroids
+    * ([[trainRefinedCentroids]], quantized-integer means — bit-reproducible
+    * in the oracle) drive the bucket assignment, the PQ codebook drives the
+    * ADC scan. Refined centroids fit the corpus's actual density, so the
+    * nprobe buckets a probe scans contain more of its true neighbors than
+    * the raw seed partition gives — recall per scanned byte improves with
+    * NO change to the search path. This is the composition FAISS calls
+    * IVFx,PQy with a trained coarse quantizer. */
+  def ivfPqTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    ivfPqSearch(t, trainRefinedCentroids(spark, dir), pqCodebook(spark, t))
+  }
+
+  /** Train once, persist the FULL index recipe: `<path>/centroids` as
+    * (cluster, embedding) — the Lloyd-refined coarse quantizer — and
+    * `<path>/codebook` as (m, cid, codeword). At 100 TB the training pass
+    * is the expensive step; every later search reads two tiny parquet
+    * tables (ncentroids + m·k rows) instead of re-deriving them, and both
+    * artifacts stay queryable/joinable like any dataset. */
+  def trainIvfPq(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    trainRefinedCentroids(spark, dir).zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("cluster", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val t = Tables(dir)
+    pqCodebook(spark, t).zipWithIndex.flatMap { case (cws, m) =>
+      cws.zipWithIndex.map { case (cw, cid) => (m, cid, cw) }
+    }.toSeq.toDF("m", "cid", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+  }
+
+  /** Search a persisted IVF-PQ index — no training or seeding pass touches
+    * the corpus; only the two bounded index tables are collected. */
+  def ivfPqTopKFrom(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cluster").as[(Int, Array[Float])].collect().map(_._2).toSeq
+    val cbRows = spark.read.parquet(s"$indexPath/codebook")
+      .orderBy("m", "cid").as[(Int, Int, Array[Float])].collect()
+    val cb = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }.toArray
+    ivfPqSearch(Tables(dir), cents, cb)
+  }
+
   private val ivfPqSql = {
     val encs = (0 until PqM).map(pqEncDuck).mkString("\n  UNION ALL\n  ")
     val lutSum = (0 until PqM)
@@ -691,6 +747,81 @@ object AnnQueries {
        |  SELECT pa.probe_id, x.vec_id, ROUND($lutSum, 6) AS approx
        |  FROM probe_assign pa
        |  JOIN cluster cl ON cl.cluster = pa.cluster
+       |  JOIN embeddings x ON x.vec_id = cl.vec_id
+       |  JOIN embeddings p ON p.vec_id = pa.probe_id
+       |  $codeJoins
+       |  WHERE x.vec_id <> pa.probe_id),
+       |shortlist AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx DESC, vec_id) AS rn
+       |    FROM adc) z WHERE rn <= $PqShortlist),
+       |exact AS (
+       |  SELECT probe_id, s.vec_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings p ON p.vec_id = s.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM exact)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Trained-coarse-quantizer IVF-PQ oracle: the Lloyd-refinement CTEs
+    * (cents0→cents1, quantized-integer means — same grid as
+    * [[trainRefinedCentroids]]) feed the same enc/codes/adc/shortlist/exact
+    * pipeline as [[ivfPqSql]], with cluster assignment taken against the
+    * REFINED centroids. */
+  private val ivfPqTrainedSql = {
+    val encs = (0 until PqM).map(pqEncDuck).mkString("\n  UNION ALL\n  ")
+    val lutSum = (0 until PqM)
+      .map(m => s"${pqDotDuckFull("p.embedding", s"w$m.embedding", m)}")
+      .mkString("(", " + ", ")")
+    val codeJoins = (0 until PqM)
+      .map(m => s"JOIN codes c$m ON c$m.vec_id = x.vec_id AND c$m.m = $m\n  JOIN cw w$m ON w$m.cid = c$m.cid")
+      .mkString("\n  ")
+    s"""WITH cw AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $PqK),
+       |cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |assign0 AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents0),
+       |cluster0 AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign0) x WHERE rn = 1),
+       |qsum AS (
+       |  SELECT c0.cluster, t.i,
+       |    CAST(SUM(CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE) * $QuantScale, 0) AS BIGINT)) AS DOUBLE) AS s,
+       |    COUNT(*) AS n
+       |  FROM embeddings e JOIN cluster0 c0 USING (vec_id) CROSS JOIN range(1, $Dim + 1) t(i)
+       |  GROUP BY c0.cluster, t.i),
+       |cents1 AS (
+       |  SELECT cluster AS cid, list(CAST(s / (n * $QuantScale.0) AS REAL) ORDER BY i) AS c
+       |  FROM qsum GROUP BY cluster),
+       |assign1 AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents1),
+       |cluster1 AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign1) x WHERE rn = 1),
+       |probe1 AS (
+       |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign1 WHERE vec_id % $ProbeMod = 0) x WHERE rn <= $NProbeBuckets),
+       |enc AS (
+       |  $encs),
+       |codes AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+       |    FROM enc) z WHERE rn = 1),
+       |adc AS (
+       |  SELECT pa.probe_id, x.vec_id, ROUND($lutSum, 6) AS approx
+       |  FROM probe1 pa
+       |  JOIN cluster1 cl ON cl.cluster = pa.cluster
        |  JOIN embeddings x ON x.vec_id = cl.vec_id
        |  JOIN embeddings p ON p.vec_id = pa.probe_id
        |  $codeJoins
@@ -774,6 +905,7 @@ object AnnQueries {
   val queries: Map[String, Q] = Map(
     "ann_pq_adc" -> Q(pqAdcTopK _, pqAdcSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivfpq" -> Q(ivfPqTopK _, ivfPqSql, Seq(col("probe_id"), col("rank"))),
+    "ann_ivfpq_trained" -> Q(ivfPqTrainedTopK _, ivfPqTrainedSql, Seq(col("probe_id"), col("rank"))),
     "dedup_embedding_cosine" -> Q(embeddingCosine _, embeddingCosineSql, Seq(col("probe_id"), col("vec_id"))),
     "ann_lsh_cosine" -> Q(lshCosine _, lshCosineSql, Seq(col("id_a"), col("id_b"))),
     "ann_lsh_multiprobe" -> Q(lshMultiprobe _, lshMultiprobeSql, Seq(col("id_a"), col("id_b"))),

@@ -67,4 +67,25 @@ class PqSpec extends AnyFunSuite {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("persisted IVF-PQ index reproduces the trained inline search exactly") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/index"
+    AnnQueries.trainIvfPq(spark, dir, path)
+    val fromDisk = AnnQueries.ivfPqTopKFrom(spark, dir, path)
+      .collect().map(_.toSeq).toSet
+    val inline = AnnQueries.ivfPqTrainedTopK(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(fromDisk.nonEmpty && fromDisk == inline)
+  }
+
+  test("trained coarse quantizer keeps ADC-stage recall within the bucket bound") {
+    val exact = topkSet("ann_bruteforce_topk")
+    val ivfRef = topkSet("ann_ivf_refined")
+    val trained = topkSet("ann_ivfpq_trained")
+    val refRecall = (ivfRef & exact).size.toDouble / exact.size
+    val trainedRecall = (trained & exact).size.toDouble / exact.size
+    assert(trainedRecall <= refRecall + 1e-9)
+    assert(trainedRecall >= refRecall - 0.2,
+      f"trained ADC stage lost too much: ivf_refined $refRecall%.2f vs ivfpq_trained $trainedRecall%.2f")
+  }
 }
