@@ -54,6 +54,56 @@ object Compaction {
       .toSeq.sortBy(_._1)
   }
 
+  /** Range-aware compaction planning (SURVEY §8c candidate (k)): bin only
+    * RANGE-ADJACENT files, so zone-map pruning stays tight after the
+    * rewrite.
+    *
+    * [[plan]] packs purely by size — a group can merge files from opposite
+    * ends of the value space, and the compacted file's [min, max] interval
+    * then covers nearly the whole domain, which un-prunes every future
+    * zone-map scan on `column`. Here the small files are sorted by their
+    * `column` interval (typed min, then max, then name; all-null files
+    * sort last) and groups are CONSECUTIVE RUNS in that order, closed when
+    * the next file would overflow `targetRows`. Each output file's
+    * interval is therefore the union of neighboring intervals — as tight
+    * as the input layout allows — instead of an arbitrary size-driven
+    * union. The trade-off vs FFD is documented: packing can leave more
+    * residual slack per group (runs close early), but scan-scheduling
+    * selectivity is worth far more than a few under-full files at 100 TB.
+    *
+    * Driver-side over the bounded manifest, like [[plan]]; the returned
+    * assignment feeds [[compact]] unchanged. */
+  def planByRange(manifest: DataFrame, column: String, targetRows: Long): Seq[(String, Int)] = {
+    require(targetRows > 0, "targetRows must be positive")
+    val rows = manifest.where(col("column") === column)
+      .select(col("file"), col("dtype"), col("min_value"), col("max_value"), col("n_rows"))
+      .collect()
+    // typed interval sort key: numeric dtypes compare as numbers, dates /
+    // timestamps / strings compare lexicographically (ISO formats order
+    // correctly as strings); an all-null file has no interval → sorts last
+    def key(dtype: String, v: String): (Int, Double, String) =
+      if (v == null) (1, 0.0, "")
+      else if (Set("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE").contains(dtype)
+        || dtype.startsWith("DECIMAL")) (0, v.toDouble, "")
+      else (0, 0.0, v)
+    val files = rows
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .filter(_._5 < targetRows)
+      .sortBy { case (f, dt, mn, mx, _) => (key(dt, mn), key(dt, mx), f) }
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(Long, List[String])]
+    files.foreach { case (f, _, _, _, n) =>
+      groups.lastOption match {
+        case Some((tot, fs)) if tot + n <= targetRows =>
+          groups(groups.length - 1) = (tot + n, f :: fs)
+        case _ => groups += ((n, List(f)))
+      }
+    }
+    groups.iterator.zipWithIndex
+      .filter(_._1._2.lengthCompare(1) > 0)
+      .flatMap { case ((_, fs), g) => fs.map(_ -> g) }
+      .toSeq.sortBy(_._1)
+  }
+
   /** Execute a compaction plan: read only the planned files, route every
     * group to one shuffle partition, write one file per group under
     * `outDir/compaction_group=N/`. `reader` abstracts the format (parquet

@@ -60,6 +60,44 @@ class CompactionSpec extends AnyFunSuite {
     assert(out.select("id").collect().map(_.getLong(0)).toSet == expected)
   }
 
+  /** Stage parquet files with controlled VALUE RANGES (10 rows each). */
+  private def stageRanges(ranges: Seq[Range]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-range").toString
+    ranges.zipWithIndex.foreach { case (r, i) =>
+      r.map(v => (v.toLong, s"f$i")).toDF("id", "tag").coalesce(1)
+        .write.parquet(s"$dir/in/f$i.parquet")
+    }
+    dir
+  }
+
+  test("planByRange: groups are contiguous runs in value order, not size order") {
+    // ranges deliberately interleaved against file-name order
+    val dir = stageRanges(Seq(0 until 10, 1000 until 1010, 10 until 20,
+      1010 until 1020, 2000 until 2010, 2010 until 2020))
+    val plan = Compaction.planByRange(manifestOf(dir), "id", targetRows = 20L)
+    val groups = plan.groupBy(_._2).values
+      .map(_.map(t => t._1.replaceAll(".*/(f\\d+)\\.parquet.*", "$1")).toSet).toSet
+    assert(groups == Set(Set("f0", "f2"), Set("f1", "f3"), Set("f4", "f5")))
+  }
+
+  test("planByRange keeps zone-map pruning tight after the rewrite") {
+    val dir = stageRanges(Seq(0 until 10, 1000 until 1010, 10 until 20,
+      1010 until 1020, 2000 until 2010, 2010 until 2020))
+    val plan = Compaction.planByRange(manifestOf(dir), "id", targetRows = 20L)
+    Compaction.compact(spark, plan, s"$dir/out", fs => spark.read.parquet(fs: _*))
+    val zmOut = ZoneMap.build(spark.read.parquet(s"$dir/out"), Seq("id"))
+    // a 2-value point-ish predicate hits exactly ONE compacted file; a
+    // size-only packing could smear [0,19] and [2000,2019] into one file
+    // whose interval covers everything in between
+    val hit = ZoneMap.candidateFiles(zmOut, "id", lit(5L), lit(6L))
+    assert(hit.size == 1, s"expected 1 candidate file, got ${hit.size}")
+    val hitMid = ZoneMap.candidateFiles(zmOut, "id", lit(500L), lit(600L))
+    assert(hitMid.isEmpty, "gap between runs must prune to zero files")
+    // no rows lost
+    assert(spark.read.parquet(s"$dir/out").count() == 60L)
+  }
+
   test("plan is deterministic and empty when nothing needs compacting") {
     val dir = stage(Seq(200, 300))
     assert(Compaction.plan(manifestOf(dir), targetRows = 100L).isEmpty)
