@@ -29,8 +29,9 @@ object DedupQueries {
   private val R = 3
   private val K = B * R
 
-  /** Near-dup verification threshold on shingle-set Jaccard. */
-  private val JaccardThreshold = 0.5
+  /** Near-dup verification threshold on shingle-set Jaccard (shared with
+    * the streaming twin in [[graft.streaming.DocStreams]]). */
+  private[graft] val JaccardThreshold = 0.5
 
   /** Simhash bit width and hamming acceptance radius. 60 bits = 15 md5
     * nibbles (fits signed BIGINT in every engine); 4 bands × 15 bits give
@@ -79,8 +80,17 @@ object DedupQueries {
 
   /** (doc_id, band_id, band_hash): K minhashes → B banded md5 bucket keys.
     * Everything up to here is narrow (map-side). */
-  private def bandBuckets(t: Tables): DataFrame = {
-    val mh = shingled(t)
+  private def bandBuckets(t: Tables): DataFrame =
+    bandExplode(shingled(t))
+
+  /** The band-signature pipeline over any frame with (doc_id, s) — shared
+    * by the batch operators and the streaming incremental-dedup twin
+    * ([[graft.streaming.DocStreams.incrementalDedup]]): every expression
+    * is row-local (transform/md5/explode, no state), so the SAME columns
+    * run on batch and streaming frames. Extra input columns are carried
+    * through the explode untouched. */
+  private[graft] def bandExplode(sh: DataFrame): DataFrame = {
+    val mh = sh
       .withColumn("hx", expr("transform(s, x -> md5(x))"))
       .withColumn("hs", transform(col("hx"), h => graft.plans.VectorExpressions.hexPrefix(h, 8)))
       .withColumn("m", array((0 until K).map(i =>
@@ -90,8 +100,10 @@ object DedupQueries {
         lit(b).as("band_id"),
         md5(concat_ws("|", (0 until R).map(r => col("m").getItem(b * R + r)): _*)).as("band_hash"))
     }
-    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band_id").as("band_id"), col("bb.band_hash").as("band_hash"))
+    mh.withColumn("bb", explode(array(bandCols: _*)))
+      .withColumn("band_id", col("bb.band_id"))
+      .withColumn("band_hash", col("bb.band_hash"))
+      .drop("bb", "hx", "hs", "m", "s")
   }
 
   /** Candidate pairs from the banded self-join (co-partitioned on the
@@ -487,6 +499,26 @@ object DedupQueries {
         round(size(array_intersect(col("ss_a"), col("ss_b")))
           / size(array_union(col("ss_a"), col("ss_b"))), 6).as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** §8c(l) — persist the incremental-dedup index manifest: band
+    * signatures and shingle sets of the already-ingested side (md5-bucket
+    * < 80) as two parquet tables. Later ingest cycles — batch or the
+    * streaming twin ([[graft.streaming.DocStreams.incrementalDedup]]) —
+    * check new documents against these tables without re-hashing the
+    * corpus: at 100 TB the index is hashed ONCE, and each cycle's cost is
+    * proportional to the new batch, not the archive. */
+  def persistDedupIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val sh = Tables(dir).documents.where(bucket < 80)
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), col("s"))
+    bandExplode(sh).write.mode("overwrite").parquet(s"$indexPath/signatures")
+    sh.select(col("doc_id"), array_distinct(col("s")).as("ss"))
+      .write.mode("overwrite").parquet(s"$indexPath/shingles")
   }
 
   private val incrementalDedupSql =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.TextFunctions.words
+import graft.functions.TextFunctions.{shingles, words}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -51,4 +51,46 @@ object DocStreams {
   def dedupByContent(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
       .dropDuplicates("content_hash")
+
+  /** §8c(l) — streaming incremental near-dup: the batch
+    * [[graft.operators.DedupQueries.incrementalDedup]] band join run as
+    * documents land, against a PERSISTED index manifest
+    * ([[graft.operators.DedupQueries.persistDedupIndex]]: band signatures
+    * + shingle sets of the already-ingested corpus).
+    *
+    * Per arriving document everything is row-local (the SAME
+    * [[graft.operators.DedupQueries.bandExplode]] columns as batch), the
+    * candidate step is a stream-static equi-join on (band_id, band_hash)
+    * — the index side never re-hashes — and the Jaccard verify joins only
+    * candidate rows against the persisted shingle sets. The one stateful
+    * op is the pair-level dropDuplicates (multi-band hits of the same
+    * pair); its state grows with the number of DISTINCT candidate pairs
+    * seen — same honest bound as [[dedupByContent]], and a deployment
+    * with an ingest-time horizon switches it to
+    * `dropDuplicatesWithinWatermark`.
+    *
+    * Emits (batch_doc, index_doc, jaccard) for verified near-dups — the
+    * stream twin of the batch `dedup_incremental` result restricted to
+    * the streamed documents (spec-pinned). */
+  def incrementalDedup(stream: DataFrame, indexSigs: DataFrame,
+                       indexShingles: DataFrame): DataFrame = {
+    val sh = stream
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .withColumn("ss", array_distinct(col("s")))
+      .select("doc_id", "s", "ss")
+    val banded = graft.operators.DedupQueries.bandExplode(sh)
+    val cand = banded
+      .join(indexSigs.select(col("doc_id").as("index_doc"), col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"))
+      .select(col("doc_id").as("batch_doc"), col("index_doc"), col("ss").as("ss_a"))
+      .dropDuplicates("batch_doc", "index_doc")
+    cand
+      .join(indexShingles.select(col("doc_id").as("index_doc"), col("ss").as("ss_b")),
+        Seq("index_doc"))
+      .select(col("batch_doc"), col("index_doc"),
+        round(size(array_intersect(col("ss_a"), col("ss_b")))
+          / size(array_union(col("ss_a"), col("ss_b"))), 6).as("jaccard"))
+      .where(col("jaccard") >= graft.operators.DedupQueries.JaccardThreshold)
+  }
 }

@@ -42,6 +42,33 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming incremental dedup against the persisted index matches the batch twin") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    graft.plans.VectorExpressions.register(spark)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString + "/index"
+    graft.operators.DedupQueries.persistDedupIndex(spark, TestSpark.Sf0001, idxPath)
+    val sigs = spark.read.parquet(s"$idxPath/signatures")
+    val sets = spark.read.parquet(s"$idxPath/shingles")
+
+    // the batch side of the split (md5-bucket >= 80), streamed in chunks
+    val bucket = graft.plans.VectorExpressions
+      .hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val batchDocs = Tables(TestSpark.Sf0001).documents.where(bucket >= 80)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => Doc(r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(batchDocs.nonEmpty)
+
+    val got = runStream("s_incdedup", batchDocs.grouped(40).toSeq)(
+      df => DocStreams.incrementalDedup(df, sigs, sets))
+      .select("batch_doc", "index_doc", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val want = graft.operators.DedupQueries.queries("dedup_incremental")
+      .fn(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming content dedup keeps one doc per distinct content hash") {
     val withDups = docs ++ docs.take(50).map(d => d.copy(doc_id = d.doc_id + 100000))
     val got = runStream("s_dedup", withDups.grouped(300).toSeq)(DocStreams.dedupByContent)
