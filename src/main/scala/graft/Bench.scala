@@ -52,9 +52,15 @@ object Bench {
     // drift-normalized regression guard vs the committed anchors (stderr
     // only; the driver parses the single stdout JSON line above)
     val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "bench_anchors.json")
-    BenchGuard.loadAnchors(anchorPath).foreach { anchors =>
-      System.err.println(BenchGuard.render(BenchGuard.evaluate(anchors, results.toMap)))
-    }
+    // anchors are per-SCALE measurements: comparing an sf0.001 run against
+    // sf0.1 anchors flags fixed-overhead noise, not regressions
+    val anchorSf = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_SF", "sf0.1")
+    if (sfDir.endsWith(anchorSf))
+      BenchGuard.loadAnchors(anchorPath).foreach { anchors =>
+        System.err.println(BenchGuard.render(BenchGuard.evaluateByFamily(anchors, results.toMap)))
+      }
+    else
+      System.err.println(s"[bench-guard] skipped: anchors recorded at $anchorSf, run is $sfDir")
     spark.stop()
   }
 }

@@ -19,8 +19,26 @@ object BenchGuard {
       flagged: Seq[(String, Double, Double, Double)],
       /** Anchored queries absent or failed (-1) in the current run. */
       missing: Seq[String],
-      comparedCount: Int) {
+      comparedCount: Int,
+      /** Per-family drift factors actually applied (§8c(m)); empty for
+        * the flat [[evaluate]] path. */
+      familyDrift: Map[String, Double] = Map.empty) {
     def ok: Boolean = flagged.isEmpty && missing.isEmpty
+  }
+
+  /** Bench family of a query name (§8c(m)): the box's noise profile is
+    * not uniform — the relational set is shuffle-bound (sensitive to
+    * memory-bandwidth contention), the text/dedup set is codegen-CPU-bound
+    * (sensitive to core stealing), the ANN set is broadcast-heavy — so
+    * each family's drift is estimated from its own queries. */
+  private[graft] def family(name: String): String = name.takeWhile(_ != '_') match {
+    case t if t.startsWith("q") => "relational"
+    case "docs" | "text" => "text"
+    case "dedup" => "dedup"
+    case "ann" => "ann"
+    case "csr" => "csr"
+    case "events" => "events"
+    case _ => "misc" // mm, ngs, ontology, sync, zone — small, shared profile
   }
 
   /** Pure comparison — no clocks, fully spec-testable. */
@@ -44,6 +62,39 @@ object BenchGuard {
     Report(drift, flagged, missing, common.length)
   }
 
+  /** §8c(m) — per-family drift normalization: like [[evaluate]], but each
+    * query is compared against its FAMILY's median ratio when the family
+    * has at least `minFamily` anchored queries (enough for a robust
+    * median), falling back to the global median otherwise. A box where
+    * only the shuffle-bound relational family slowed 1.8× no longer
+    * inflates the drift allowance of a genuinely regressed ANN query —
+    * and vice versa. */
+  def evaluateByFamily(anchors: Map[String, Double], current: Map[String, Double],
+                       relThreshold: Double = 2.0, floorSec: Double = 1.0,
+                       minFamily: Int = 5): Report = {
+    val valid = current.filter(_._2 >= 0)
+    val common = anchors.keySet.intersect(valid.keySet).toSeq.sorted
+    val missing = anchors.keySet.diff(valid.keySet).toSeq.sorted
+    if (common.isEmpty) return Report(1.0, Nil, missing, 0)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val globalDrift = median(common.map(q => valid(q) / anchors(q)))
+    val byFamily = common.groupBy(family)
+    val familyDrift = byFamily.map { case (f, qs) =>
+      f -> (if (qs.length >= minFamily) median(qs.map(q => valid(q) / anchors(q)))
+            else globalDrift)
+    }
+    val flagged = common.flatMap { q =>
+      val ratio = valid(q) / (anchors(q) * familyDrift(family(q)))
+      if (ratio > relThreshold && valid(q) > floorSec)
+        Some((q, anchors(q), valid(q), ratio))
+      else None
+    }.sortBy(-_._4)
+    Report(globalDrift, flagged, missing, common.length, familyDrift)
+  }
+
   /** Flat `{"name": seconds, ...}` JSON (the bench_anchors.json format;
     * names are snake_case so the tokenizer is unambiguous). */
   def parseAnchors(json: String): Map[String, Double] =
@@ -64,8 +115,12 @@ object BenchGuard {
   /** Render one stderr block for Bench (stdout stays the driver's single
     * JSON line). */
   def render(r: Report): String = {
+    val fam =
+      if (r.familyDrift.isEmpty) ""
+      else r.familyDrift.toSeq.sorted.map { case (f, d) => f"$f=$d%.2f" }
+        .mkString(" families[", " ", "]")
     val head = f"[bench-guard] drift=${r.driftFactor}%.2f compared=${r.comparedCount} " +
-      s"flagged=${r.flagged.length} missing=${r.missing.length}"
+      s"flagged=${r.flagged.length} missing=${r.missing.length}" + fam
     val flags = r.flagged.map { case (q, a, c, ratio) =>
       f"[bench-guard] REGRESSION $q: anchor $a%.2fs now $c%.2fs (${ratio}%.1fx over drifted anchor)"
     }

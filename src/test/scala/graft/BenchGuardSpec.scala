@@ -45,6 +45,46 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(m == Map("q_a" -> 1.25, "q_b" -> 0.5))
   }
 
+  test("family drift: one family's slowdown never excuses another family's regression") {
+    // 6 relational + 6 ann anchored queries at 1s each
+    val anch = ((1 to 6).map(i => s"q_r$i" -> 1.0) ++
+      (1 to 6).map(i => s"ann_$i" -> 1.0)).toMap
+    // relational family drifted 3x (box contention); ann family flat except
+    // ann_1, which regressed 2.5x — under the GLOBAL median (≈1.75-3x mixed)
+    // the flat evaluate could absorb it, per-family must flag it
+    val current = ((1 to 6).map(i => s"q_r$i" -> 3.0) ++
+      (2 to 6).map(i => s"ann_$i" -> 1.0)).toMap + ("ann_1" -> 2.5)
+    val r = BenchGuard.evaluateByFamily(anch, current)
+    assert(r.flagged.map(_._1) == Seq("ann_1"))
+    assert(math.abs(r.familyDrift("relational") - 3.0) < 1e-9)
+    assert(math.abs(r.familyDrift("ann") - 1.0) < 1e-9)
+    // ...and the relational 3x slowdown alone is NOT flagged
+    assert(!r.flagged.exists(_._1.startsWith("q_r")))
+  }
+
+  test("family drift: small families fall back to the global median") {
+    val anch = ((1 to 6).map(i => s"q_r$i" -> 1.0) :+ ("mm_binary" -> 1.0)).toMap
+    val current = ((1 to 6).map(i => s"q_r$i" -> 2.0) :+ ("mm_binary" -> 2.0)).toMap
+    val r = BenchGuard.evaluateByFamily(anch, current)
+    assert(r.ok)
+    // misc has 1 member < minFamily → uses global drift (2.0), so not flagged
+    assert(math.abs(r.familyDrift("misc") - 2.0) < 1e-9)
+  }
+
+  test("family classification covers the registry's name prefixes") {
+    assert(BenchGuard.family("q1_pricing_summary") == "relational")
+    assert(BenchGuard.family("q_tree_rollup") == "relational")
+    assert(BenchGuard.family("q13_order_count_dist") == "relational")
+    assert(BenchGuard.family("text_lang_id") == "text")
+    assert(BenchGuard.family("docs_quality_filter") == "text")
+    assert(BenchGuard.family("dedup_minhash_lsh") == "dedup")
+    assert(BenchGuard.family("ann_ivfpq_trained") == "ann")
+    assert(BenchGuard.family("csr_eav_melt") == "csr")
+    assert(BenchGuard.family("events_sessionize") == "events")
+    assert(BenchGuard.family("mm_frame_sample") == "misc")
+    assert(BenchGuard.family("zone_map_stats") == "misc")
+  }
+
   test("render mentions every flagged and missing query") {
     val current = anchors + ("q_d" -> 40.0, "q_a" -> -1.0)
     val out = BenchGuard.render(BenchGuard.evaluate(anchors, current))
