@@ -367,7 +367,72 @@ object TpchRing {
       |GROUP BY s_suppkey, s_name, n_name
       |ORDER BY s_suppkey""".stripMargin
 
+  // ------------------------------------------------------------ Q6 shape
+
+  /** Q6: forecast revenue change — the pure scan-filter-aggregate shape,
+    * no join at all. Its whole point at scale is PUSHDOWN: all three
+    * predicates and the 3-column projection must reach the parquet scan
+    * (PushedFilters + ReadSchema), so a 100 TB lineitem reads only the
+    * row groups whose [min, max] intervals overlap the window — the plan
+    * is one WholeStageCodegen span over a pruned columnar scan, partial
+    * sums map-side, a single-row exchange. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(fin(dsum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+  }
+
+  private val q6Sql =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ----------------------------------------------------------- Q12 shape
+
+  /** Q12: shipping-priority accounting — the fact ⋈ orders join with a
+    * two-way conditional count (the schema has no l_shipmode; grouping by
+    * l_linestatus keeps the shape: a low-cardinality line-side group key
+    * crossed with an order-side CASE on priority). "Late" reuses the Q4
+    * ring's shipped->90-days-after-order predicate, evaluated on the
+    * JOINED row (it references both sides, so it cannot push below the
+    * join — the optimizer exercise is that the date-window filter and
+    * 2-column projections still prune both scans before the one big
+    * shuffle). */
+  def q12PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val li = t.lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate", "l_linestatus")
+    val ord = t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+  }
+
+  private val q12Sql =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q6_forecast_revenue" -> Q(q6ForecastRevenue _, q6Sql, Nil),
+    "q12_priority_shipping" -> Q(q12PriorityShipping _, q12Sql, Seq(col("l_linestatus"))),
     "q4_late_orders" -> Q(q4LateOrders _, q4Sql, Seq(col("o_orderpriority"))),
     "q7_nation_trade" -> Q(q7NationTrade _, q7Sql,
       Seq(col("supp_nation"), col("cust_nation"), col("ship_year"))),

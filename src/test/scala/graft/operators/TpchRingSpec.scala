@@ -11,6 +11,44 @@ class TpchRingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf0001
 
+  test("q6: predicates pushed to the scan, pruned read schema, exact value") {
+    val df = TpchRing.queries("q6_forecast_revenue").fn(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("l_discount"),
+      "scan must carry pushed filters")
+    val read = plan.split("ReadSchema:").last
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .foreach(c => assert(read.contains(c), s"$c missing from ReadSchema"))
+    Seq("l_orderkey", "l_returnflag", "l_partkey")
+      .foreach(c => assert(!read.contains(c), s"$c must be pruned from ReadSchema"))
+    // value against an independent exact-decimal recomputation
+    val want = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select((col("l_extendedprice") * col("l_discount"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("x"))
+      .collect().map(r => r.getDecimal(0)).reduce(_ add _)
+    val got = df.collect().head.getDouble(0)
+    assert(got == want.setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+  }
+
+  test("q12: high/low split exactly partitions the late lines per status") {
+    val res = TpchRing.queries("q12_priority_shipping").fn(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Seq("lineitem", "orders")
+      .foreach(t => spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(s"w_$t"))
+    val totals = spark.sql(
+      """SELECT l_linestatus, COUNT(*) AS n
+        |FROM w_lineitem JOIN w_orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_linestatus""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res.nonEmpty && res.keySet == totals.keySet)
+    res.foreach { case (st, (hi, lo)) => assert(hi + lo == totals(st) && hi >= 0 && lo >= 0) }
+  }
+
   test("q4: late-order counts are bounded by the window's order counts per priority") {
     val res = TpchRing.queries("q4_late_orders").fn(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
