@@ -23,6 +23,13 @@ object DuckSql {
   def wordsOf(textCol: String): String =
     s"list_filter(string_split_regex($textCol, '\\s+'), x -> LEN(x) > 0)"
 
+  /** 2-gram list over a words column (mirror of
+    * TextFunctions.shingles(_, 2); whole text if shorter). */
+  def bigramsOf(w: String): String =
+    s"""CASE WHEN LEN($w) >= 2
+       |    THEN list_transform(generate_series(1, LEN($w) - 1), i -> $w[i] || ' ' || $w[i+1])
+       |    ELSE [array_to_string($w, ' ')] END""".stripMargin
+
   /** 3-gram shingle list over a words column (mirror of
     * TextFunctions.shingles; whole text if shorter). */
   def shinglesOf(w: String): String =

@@ -171,7 +171,103 @@ object CorpusQueries {
        |FROM agg
        |ORDER BY source, lang""".stripMargin
 
+  // ----------------------------------------------------- sequence packing
+
+  /** Training-sequence length (tokens) and the per-shard seq-id stride
+    * (supports up to 10⁶ sequences ≈ 2×10⁹ tokens per shard before ids
+    * would collide — raise the modulus of the shard bucket, not the
+    * stride, when a shard outgrows it). */
+  private val SeqLen = 2048L
+  private val SeqStride = 1000000L
+
+  /** Sequence packing: assign every document a contiguous slot in a
+    * fixed-SeqLen-token training sequence — the last assembly step before
+    * tokenization, where documents are concatenated into uniform training
+    * windows. Packing is inherently sequential per stream, so the corpus
+    * is first split by the deterministic md5 shard bucket (the SAME
+    * convention as the train/val/test split) into independent packing
+    * streams: within a shard, docs pack in doc_id order at offset
+    * `running_sum(n_tokens) - n_tokens`, and the window is per-shard —
+    * each shard is one sorted partition run, never a global sort. At
+    * 100 TB the shard modulus is the parallelism dial; sequences never
+    * span shards, so shards can be packed (and re-packed after corpus
+    * edits) independently. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(dir).documents
+      .select(col("doc_id"), docBucket.as("shard"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("shard") * SeqStride + expr(s"start_tok DIV $SeqLen")).as("seq_id"),
+        (col("start_tok") % SeqLen).as("seq_offset"))
+  }
+
+  private val packSequencesSql =
+    s"""WITH d AS (SELECT doc_id, CAST(${DuckSql.docBucket} AS BIGINT) AS shard,
+       |             CAST(LEN(${DuckSql.wordsOf("text")}) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |w AS (SELECT doc_id, shard, n_tokens,
+       |        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+       |      FROM d)
+       |SELECT doc_id, shard, n_tokens,
+       |  CAST(shard * $SeqStride + start_tok // $SeqLen AS BIGINT) AS seq_id,
+       |  CAST(start_tok % $SeqLen AS BIGINT) AS seq_offset
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- boilerplate
+
+  private val TopNBigrams = 100
+
+  /** Boilerplate scoring: the fraction of a document's word-bigram
+    * occurrences that fall in the corpus's $TopNBigrams most frequent
+    * bigrams. Template/boilerplate text (headers, navigation, legal
+    * footers) scores high; novel prose scores low — the complement is an
+    * outlier/novelty signal. Two corpus passes: the top-bigram table is a
+    * count-aggregate + bounded top-k (ties broken by bigram text, so the
+    * cutoff is deterministic in both engines), then re-broadcast against
+    * the bigram stream for the per-doc hit count. No transcendentals —
+    * the score is an exact ratio, so rankings are engine-identical. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val bg = Tables(dir).documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles("w", 2)).as("bigram"))
+    val top = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram")).limit(TopNBigrams)
+      .select(col("bigram"))
+    val perDoc = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"))
+    val hits = bg.join(broadcast(top), Seq("bigram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("common_hits"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("common_hits"), lit(0L)).as("common_hits"))
+      .withColumn("boilerplate_pct",
+        round(col("common_hits") * lit(100.0) / col("n_bigrams"), 4))
+  }
+
+  private val boilerplateSql =
+    s"""WITH wd AS (SELECT doc_id, ${DuckSql.wordsOf("text")} AS w FROM documents),
+       |bg AS (SELECT doc_id, unnest(${DuckSql.bigramsOf("w")}) AS bigram FROM wd),
+       |top AS (SELECT bigram FROM (
+       |  SELECT bigram, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+       |  FROM bg GROUP BY bigram) z WHERE rn <= $TopNBigrams),
+       |perdoc AS (SELECT doc_id, COUNT(*) AS n_bigrams FROM bg GROUP BY doc_id),
+       |hits AS (SELECT doc_id, COUNT(*) AS common_hits FROM bg
+       |         WHERE bigram IN (SELECT bigram FROM top) GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_bigrams,
+       |  CAST(COALESCE(h.common_hits, 0) AS BIGINT) AS common_hits,
+       |  ROUND(COALESCE(h.common_hits, 0) * 100.0 / p.n_bigrams, 4) AS boilerplate_pct
+       |FROM perdoc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
+    "text_boilerplate" -> Q(boilerplate _, boilerplateSql, Seq(col("doc_id"))),
     "text_contamination" -> Q(contamination _, contaminationSql, Seq(col("doc_id"))),
     "dedup_chunks" -> Q(chunkDedup _, chunkDedupSql, Seq(col("first_doc"), col("chunk_hash"))),
     "text_repetition" -> Q(repetition _, repetitionSql, Seq(col("doc_id"))),

@@ -64,6 +64,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(shareSum - 100.0) < 0.1)
   }
 
+  test("pack sequences: per-shard offsets are contiguous and account for every token") {
+    val rows = CorpusQueries.queries("docs_pack_sequences").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // every doc present exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      val inOrder = docs.sortBy(_._1)
+      // reconstruct each doc's global start offset within the shard from
+      // (seq_id, seq_offset) and check strict contiguity in doc_id order
+      var expectStart = 0L
+      inOrder.foreach { case (docId, _, nTok, seqId, seqOff) =>
+        val start = (seqId - shard * 1000000L) * 2048L + seqOff
+        assert(start == expectStart, s"shard $shard doc $docId: start $start != $expectStart")
+        assert(seqOff >= 0 && seqOff < 2048)
+        expectStart += nTok
+      }
+    }
+  }
+
+  test("boilerplate: hits bounded by totals, pct consistent, covers every doc") {
+    val rows = CorpusQueries.queries("text_boilerplate").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == nDocs)
+    rows.foreach { case (id, n, hits, pct) =>
+      assert(n >= 1, s"doc $id has no bigrams")
+      assert(hits >= 0 && hits <= n)
+      assert(math.abs(pct - math.rint(hits * 100.0 / n * 1e4) / 1e4) < 1e-9)
+    }
+    // the corpus-wide top-100 table must explain at least SOME occurrences
+    assert(rows.map(_._3).sum > 0, "no common-bigram hits anywhere — top table is broken")
+  }
+
   test("incremental dedup: pairs straddle the split and match the symmetric jaccard near-dups") {
     val bk = buckets
     val inc = DedupQueries.queries("dedup_incremental").fn(spark, dir)
