@@ -227,11 +227,15 @@ object CorpusQueries {
     * occurrences that fall in the corpus's $TopNBigrams most frequent
     * bigrams. Template/boilerplate text (headers, navigation, legal
     * footers) scores high; novel prose scores low — the complement is an
-    * outlier/novelty signal. Two corpus passes: the top-bigram table is a
-    * count-aggregate + bounded top-k (ties broken by bigram text, so the
-    * cutoff is deterministic in both engines), then re-broadcast against
-    * the bigram stream for the per-doc hit count. No transcendentals —
-    * the score is an exact ratio, so rankings are engine-identical. */
+    * outlier/novelty signal. Exactly two corpus passes: (1) the
+    * top-bigram table — count-aggregate + bounded top-k, ties broken by
+    * bigram text so the cutoff is deterministic in both engines; (2) ONE
+    * bigram explosion per document, left-outer MARK-joined against the
+    * broadcast top table, folded by a single per-doc aggregate computing
+    * total and hit counts together (no second explosion, no per-doc
+    * outer join — the plan audit caught and removed both). No
+    * transcendentals — the score is an exact ratio, so rankings are
+    * engine-identical. */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val bg = Tables(dir).documents
@@ -239,13 +243,11 @@ object CorpusQueries {
       .select(col("doc_id"), explode(shingles("w", 2)).as("bigram"))
     val top = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram")).limit(TopNBigrams)
-      .select(col("bigram"))
-    val perDoc = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"))
-    val hits = bg.join(broadcast(top), Seq("bigram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("common_hits"))
-    perDoc.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_bigrams"),
-        coalesce(col("common_hits"), lit(0L)).as("common_hits"))
+      .select(col("bigram"), lit(1L).as("is_common"))
+    bg.join(broadcast(top), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("is_common"), lit(0L))).as("common_hits"))
       .withColumn("boilerplate_pct",
         round(col("common_hits") * lit(100.0) / col("n_bigrams"), 4))
   }
