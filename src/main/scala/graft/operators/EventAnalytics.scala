@@ -289,7 +289,45 @@ object EventAnalytics {
       |FROM scored WHERE abs(z) > 3
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ----------------------------------------------------- transition matrix
+
+  /** Event-transition (Markov) matrix: for every ordered per-user event
+    * pair, count (from_type → to_type) with each row's share of its
+    * from_type's outgoing edges; a user's last event transitions to the
+    * sentinel '(end)' so every event has exactly one outgoing edge (the
+    * accounting identity the spec pins). Shape at scale: ONE exchange on
+    * user_id for the lead() window — the same partitioning the
+    * sessionizer uses, so a pipeline computing both reuses the exchange —
+    * then the transition aggregate collapses map-side to ≤ |types|²+|types|
+    * rows and the percentage window runs on that bounded frame. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", coalesce(lead(col("event_type"), 1).over(w), lit("(end)")))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("pct", round(col("n_transitions") * lit(100.0) /
+        sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))), 4))
+  }
+
+  private val transitionsSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      |nxt AS (
+      |  SELECT event_type AS from_type,
+      |    COALESCE(lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |             '(end)') AS to_type
+      |  FROM e),
+      |agg AS (SELECT from_type, to_type, COUNT(*) AS n_transitions FROM nxt GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_transitions,
+      |  ROUND(n_transitions * 100.0 / SUM(n_transitions) OVER (PARTITION BY from_type), 4) AS pct
+      |FROM agg
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_transitions" -> Q(transitions _, transitionsSql, Seq(col("from_type"), col("to_type"))),
     "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
     "events_value_outliers" -> Q(valueOutliers _, valueOutliersSql, Seq(col("user_id"), col("event_id"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),

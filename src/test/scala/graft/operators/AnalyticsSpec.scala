@@ -6,6 +6,24 @@ import org.scalatest.funsuite.AnyFunSuite
 class AnalyticsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("transitions: every event has exactly one outgoing edge; shares sum to 100 per source") {
+    import org.apache.spark.sql.functions._
+    val rows = EventAnalytics.queries("events_transitions").fn(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.exists(_._2 == "(end)"))
+    // outgoing-edge accounting: per from_type, transition counts sum to the
+    // raw event count of that type
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val typeCounts = graft.sources.Tables(TestSpark.Sf0001).events
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (from, edges) =>
+      assert(edges.map(_._3).sum == typeCounts(from), s"edge count mismatch for $from")
+      val pctSum = edges.map(_._4).sum
+      assert(math.abs(pctSum - 100.0) < 0.01, s"$from pct sums to $pctSum")
+    }
+  }
+
   test("approx_count_distinct estimate lands within the configured rsd") {
     val row = AnalyticsQueries.approxDistinct(spark, TestSpark.Sf0001).head()
     val approx = row.getLong(0).toDouble
