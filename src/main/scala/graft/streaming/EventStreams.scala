@@ -139,4 +139,72 @@ object EventStreams {
     * stateful sessionizer supports both modes, so guard on it. */
   private def eventTimeWatermarkSet(state: GroupState[_]): Boolean =
     try { state.getCurrentWatermarkMs(); true } catch { case _: Throwable => false }
+
+  /** One emitted next-event transition. */
+  final case class Transition(user_id: Long, from_event_id: Long, to_event_id: Long,
+                              from_type: String, to_type: String)
+
+  /** Buffered event reference (epoch-micros + tie-break id + type). */
+  final case class EvRef(ts: Long, event_id: Long, event_type: String)
+
+  /** Per-user transition state: the last SEALED event (the chain head for
+    * the next emission) plus every event the watermark has not sealed. */
+  final case class TransitState(last: Option[EvRef], pending: Seq[EvRef])
+
+  /** §8d(p) — streaming event-transition mining: the pair stream behind
+    * the batch `events_transitions` matrix, emitted as users act. Ordering
+    * within a user is only final up to the watermark, so events buffer in
+    * state until the watermark passes them, then seal IN (ts, event_id)
+    * ORDER — exactly the batch twin's window order — chaining from the
+    * last sealed event. Out-of-order arrivals admitted by the watermark
+    * land in the buffer and sort into place; arrivals older than the
+    * watermark are dropped by Spark before the state op (the standard
+    * lateness contract). State per user = the events inside the watermark
+    * horizon (bounded by horizon × per-user rate) + one chain head; an
+    * event-time timeout seals a gone-quiet user's buffer without waiting
+    * for their next event. The batch `(end)` sentinel row is a closure
+    * artifact — an unbounded stream never knows a user's last event, so
+    * the stream emits only realized pairs (the spec compares against the
+    * batch matrix minus its `(end)` rows). */
+  def transitionsStateful(events: Dataset[Event], watermark: String = "2 hours"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+
+    def seal(userId: Long, st: TransitState, wmUs: Long,
+             state: GroupState[TransitState], streaming: Boolean): Iterator[Transition] = {
+      val (ready, stillPending) =
+        if (streaming) st.pending.partition(_.ts < wmUs)
+        else (st.pending, Seq.empty[EvRef])
+      val chain = ready.sortBy(e => (e.ts, e.event_id))
+      val emitted = (st.last.toSeq ++ chain).sliding(2).collect {
+        case Seq(a, b) => Transition(userId, a.event_id, b.event_id, a.event_type, b.event_type)
+      }.toList
+      val newLast = chain.lastOption.orElse(st.last)
+      if (streaming) {
+        if (stillPending.nonEmpty) {
+          state.update(TransitState(newLast, stillPending))
+          state.setTimeoutTimestamp(Math.floorDiv(stillPending.map(_.ts).max, 1000L) + 1)
+        } else if (newLast.isDefined) {
+          // keep only the chain head; no timeout needed — the next event
+          // for this user re-opens the group
+          state.update(TransitState(newLast, Nil))
+        } else if (state.exists) state.remove()
+      }
+      emitted.iterator
+    }
+
+    withWm
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransitState, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[TransitState]) =>
+          val held = state.getOption.getOrElse(TransitState(None, Nil))
+          val streaming = eventTimeWatermarkSet(state)
+          val folded = held.copy(pending =
+            held.pending ++ batch.map(e => EvRef(toUs(e.ts), e.event_id, e.event_type)))
+          val wmUs = if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
+          seal(userId, folded, wmUs, state, streaming)
+      }
+  }
 }

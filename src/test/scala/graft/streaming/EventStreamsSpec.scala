@@ -182,6 +182,44 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == Seq((tA, tB, 3L)))
   }
 
+  test("stateful transitions match the batch matrix minus its (end) closure rows") {
+    val got = runStream("s_trans")(ds => EventStreams.transitionsStateful(ds).toDF())
+      .where(col("user_id") =!= -1L)
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val want = graft.operators.EventAnalytics.queries("events_transitions")
+      .fn(spark, TestSpark.Sf0001)
+      .where(col("to_type") =!= "(end)")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("stateful transitions seal out-of-order events in event-time order and keep the chain head") {
+    val t1 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val tLate = Timestamp.valueOf("2026-01-01 09:50:00")
+    val tNext = Timestamp.valueOf("2026-01-01 21:00:00")
+    val mem = MemoryStream[Event](spark)
+    val q = EventStreams.transitionsStateful(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("s_trans_ooo").outputMode("append").start()
+    try {
+      mem.addData(Event(2L, t1, 7L, "b", 0.0)); q.processAllAvailable()
+      // late arrival, admitted by the 2h watermark, earlier than the buffered event
+      mem.addData(Event(1L, tLate, 7L, "a", 0.0)); q.processAllAvailable()
+      // push the watermark past both buffered events → seal a→b
+      mem.addData(Event(90L, Timestamp.valueOf("2026-01-01 20:00:00"), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      // a later event must chain from the SEALED head (b), not restart
+      mem.addData(Event(3L, tNext, 7L, "c", 0.0)); q.processAllAvailable()
+      mem.addData(Event(91L, Timestamp.valueOf("2026-01-02 08:00:00"), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("s_trans_ooo").where(col("user_id") === 7L)
+      .select("from_event_id", "to_event_id", "from_type", "to_type")
+      .as[(Long, Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 2L, "a", "b"), (2L, 3L, "b", "c")))
+  }
+
   test("stateful flatMapGroupsWithState sessionize matches the batch twin") {
     val got = runStream("s_state")(EventStreams.sessionizeStateful(_).toDF())
       .where(col("user_id") =!= -1L)
