@@ -107,9 +107,17 @@ object Compaction {
   /** Execute a compaction plan: read only the planned files, route every
     * group to one shuffle partition, write one file per group under
     * `outDir/compaction_group=N/`. `reader` abstracts the format (parquet
-    * staging vs delimited drop zone). Returns a per-group summary. */
+    * staging vs delimited drop zone). Returns a per-group summary.
+    *
+    * `sortCol` (§8d(o), pair of [[planByRange]]): sort each group's rows
+    * by the zone column before writing, so the output file's parquet
+    * ROW-GROUP statistics stay as tight as its file-level interval —
+    * range-adjacent planning keeps pruning sharp across files, the
+    * within-group sort keeps it sharp inside them. A sortWithinPartitions
+    * only — the group routing already clustered rows, so no extra
+    * exchange is added. */
   def compact(spark: SparkSession, assignment: Seq[(String, Int)], outDir: String,
-              reader: Seq[String] => DataFrame): DataFrame = {
+              reader: Seq[String] => DataFrame, sortCol: Option[String] = None): DataFrame = {
     import spark.implicits._
     require(assignment.nonEmpty, "empty compaction plan")
     val groupOf = assignment.toMap
@@ -118,8 +126,8 @@ object Compaction {
       .withColumn("_file", input_file_name())
       .join(broadcast(byGroup), Seq("_file"))
       .drop("_file")
-    data
-      .repartition(col("compaction_group"))
+    val routed = data.repartition(col("compaction_group"))
+    sortCol.fold(routed)(c => routed.sortWithinPartitions(col("compaction_group"), col(c)))
       .write.mode("overwrite")
       .partitionBy("compaction_group")
       .parquet(outDir)

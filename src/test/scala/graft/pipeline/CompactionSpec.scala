@@ -98,6 +98,25 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == 60L)
   }
 
+  test("compact with sortCol writes each group's rows in value order") {
+    val dir = stageRanges(Seq(0 until 10, 1000 until 1010, 10 until 20,
+      1010 until 1020, 2000 until 2010, 2010 until 2020))
+    val plan = Compaction.planByRange(manifestOf(dir), "id", targetRows = 20L)
+    Compaction.compact(spark, plan, s"$dir/out", fs => spark.read.parquet(fs: _*),
+      sortCol = Some("id"))
+    val groups = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("compaction_group="))
+    assert(groups.nonEmpty)
+    groups.foreach { g =>
+      val f = g.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(f.length == 1)
+      // a single small file reads back as one partition in file order
+      val ids = spark.read.parquet(f.head.getAbsolutePath)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"group ${g.getName} not value-ordered")
+    }
+  }
+
   test("plan is deterministic and empty when nothing needs compacting") {
     val dir = stage(Seq(200, 300))
     assert(Compaction.plan(manifestOf(dir), targetRows = 100L).isEmpty)
