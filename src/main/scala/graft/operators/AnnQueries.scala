@@ -537,8 +537,14 @@ object AnnQueries {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val cb = pqCodebook(spark, t)
+    pqAdcSearch(t, pqCodebook(spark, t))
+  }
 
+  /** The flat-PQ ADC search body, parameterized by the codebook (seed
+    * slices or Lloyd-refined) — the code path is identical, only the
+    * codeword literals change. */
+  private def pqAdcSearch(t: Tables, cb: Array[Array[Array[Float]]])
+                         (implicit spark: SparkSession): DataFrame = {
     // corpus → (vec_id, code_0..code_3); dist² = xx − 2·xc + cc per
     // codeword, argmin with first-index tie (smallest cid)
     def codeCol(m: Int): Column = {
@@ -583,6 +589,65 @@ object AnnQueries {
         round(VectorExpressions.dot(col("embedding"), col("p_emb"))
           / (col("c_norm") * col("p_norm")), 6).as("cos"))
     TopK.perKeyExec(exact, "probe_id", "cos", "vec_id", TopKK)
+  }
+
+  /** §8d(n) — one Lloyd step on the PQ codebook itself: every corpus
+    * subvector is assigned to its nearest SEED codeword (the same argmin
+    * as encoding), then each (subspace, codeword) is recentered to the
+    * quantized-integer mean of its assigned subvectors — the same
+    * bit-reproducible grid discipline as the coarse quantizer
+    * ([[trainRefinedCentroids]]). Codewords that attract no subvectors
+    * keep their seed values (both engines apply the same fallback).
+    * Distributed shape: assignment is map-side; only M×K×subdim integer
+    * sums reach the driver. */
+  private[operators] def trainPqCodebook(spark: SparkSession, dir: String): Array[Array[Array[Float]]] = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cb0 = pqCodebook(spark, t)
+    def codeCol(m: Int): Column = {
+      val x = sub(col("embedding"), m)
+      val dists = array(cb0(m).map { cw =>
+        val c = typedlit(cw)
+        VectorExpressions.dot(x, x) - lit(2.0) * VectorExpressions.dot(x, c) +
+          VectorExpressions.dot(c, c)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code_$m")
+    }
+    val enc = t.embeddings.select(col("embedding") +: (0 until PqM).map(codeCol): _*)
+    val sums = enc
+      .select(explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), col(s"code_$m").as("cid"),
+          sub(col("embedding"), m).as("sv"))): _*)).as("e"))
+      .select(col("e.m").as("m"), col("e.cid").as("cid"),
+        posexplode(col("e.sv")).as(Seq("pos", "v")))
+      .select(col("m"), col("cid"), col("pos"),
+        round(col("v").cast("double") * QuantScale, 0).cast("long").as("q"))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .collect() // bounded: M × K × subdim rows
+
+    val refined = cb0.map(_.map(_.clone()))
+    sums.map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .groupBy(t3 => (t3._1, t3._2))
+      .foreach { case ((m, cid), rows) =>
+        val vec = refined(m)(cid)
+        rows.foreach { case (_, _, pos, sTot, n) =>
+          vec(pos) = (sTot.toDouble / (n * QuantScale).toDouble).toFloat
+        }
+      }
+    refined
+  }
+
+  /** §8d(n) — flat-PQ ADC search over the TRAINED codebook: recentered
+    * codewords cut per-subspace quantization error vs raw seed slices, so
+    * the ADC shortlist ranks closer to true cosine order and recall per
+    * scanned byte improves with zero change to the search path (same
+    * plan, different literals). */
+  def pqTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    pqAdcSearch(Tables(dir), trainPqCodebook(spark, dir))
   }
 
   /** §30d — IVF-PQ: the FAISS-style composition of the two scale
@@ -855,6 +920,10 @@ object AnnQueries {
       s"CAST($a[${m * PqSubDim + i}] AS DOUBLE) * CAST($b[${m * PqSubDim + i}] AS DOUBLE)"
     }.mkString("(", " + ", ")")
 
+  /** Subvector dot with BOTH arrays 1-based subvector-width. */
+  private def pqDotDuckSub(a: String, b: String): String =
+    (1 to PqSubDim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString("(", " + ", ")")
+
   private def pqEncDuck(m: Int): String =
     s"""SELECT e.vec_id, $m AS m, cid,
        |    (${pqDotDuckFull("e.embedding", "e.embedding", m)}
@@ -902,8 +971,82 @@ object AnnQueries {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** Trained-codebook PQ oracle: seed encode (enc/codes), quantized-mean
+    * recenter with seed fallback (cwr/cwseed/cw1), re-encode against the
+    * refined codewords (enc1/codes1), then the standard ADC → shortlist →
+    * exact re-rank chain. */
+  private val pqTrainedSql = {
+    val encs = (0 until PqM).map(pqEncDuck).mkString("\n  UNION ALL\n  ")
+    val enc1s = (0 until PqM).map { m =>
+      s"""SELECT e.vec_id, $m AS m, w.cid,
+         |    (${pqDotDuckFull("e.embedding", "e.embedding", m)}
+         |     - 2.0 * ${pqDotDuck("e.embedding", "w.c", m)}
+         |     + ${pqDotDuckSub("w.c", "w.c")}) AS d2
+         |  FROM embeddings e CROSS JOIN (SELECT cid, c FROM cw1 WHERE m = $m) w""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val lutSum = (0 until PqM)
+      .map(m => s"${pqDotDuck("p.embedding", s"w$m.c", m)}")
+      .mkString("(", " + ", ")")
+    val codeJoins = (0 until PqM)
+      .map(m => s"JOIN codes1 c$m ON c$m.vec_id = x.vec_id AND c$m.m = $m\n  JOIN cw1 w$m ON w$m.m = $m AND w$m.cid = c$m.cid")
+      .mkString("\n  ")
+    s"""WITH cw AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $PqK),
+       |enc AS (
+       |  $encs),
+       |codes AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+       |    FROM enc) z WHERE rn = 1),
+       |qsub AS (
+       |  SELECT c.m, c.cid, t.i,
+       |    CAST(SUM(CAST(ROUND(CAST(e.embedding[c.m * $PqSubDim + t.i] AS DOUBLE) * $QuantScale, 0) AS BIGINT)) AS DOUBLE) AS s,
+       |    COUNT(*) AS n
+       |  FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id
+       |  CROSS JOIN range(1, ${PqSubDim + 1}) t(i)
+       |  GROUP BY c.m, c.cid, t.i),
+       |cwr AS (
+       |  SELECT m, cid, list(CAST(s / (n * $QuantScale.0) AS REAL) ORDER BY i) AS c
+       |  FROM qsub GROUP BY m, cid),
+       |cwseed AS (
+       |  SELECT t.m, vec_id AS cid, embedding[(t.m * $PqSubDim + 1):(t.m * $PqSubDim + $PqSubDim)] AS c
+       |  FROM embeddings CROSS JOIN range(0, $PqM) t(m) WHERE vec_id < $PqK),
+       |cw1 AS (
+       |  SELECT sd.m, sd.cid, COALESCE(r.c, sd.c) AS c
+       |  FROM cwseed sd LEFT JOIN cwr r ON r.m = sd.m AND r.cid = sd.cid),
+       |enc1 AS (
+       |  $enc1s),
+       |codes1 AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+       |    FROM enc1) z WHERE rn = 1),
+       |adc AS (
+       |  SELECT pr.vec_id AS probe_id, x.vec_id, ROUND($lutSum, 6) AS approx
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $ProbeMod = 0) pr
+       |  JOIN embeddings p ON p.vec_id = pr.vec_id
+       |  CROSS JOIN embeddings x
+       |  $codeJoins
+       |  WHERE x.vec_id <> pr.vec_id),
+       |shortlist AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY approx DESC, vec_id) AS rn
+       |    FROM adc) z WHERE rn <= $PqShortlist),
+       |exact AS (
+       |  SELECT probe_id, s.vec_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings p ON p.vec_id = s.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM exact)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_pq_adc" -> Q(pqAdcTopK _, pqAdcSql, Seq(col("probe_id"), col("rank"))),
+    "ann_pq_trained" -> Q(pqTrainedTopK _, pqTrainedSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivfpq" -> Q(ivfPqTopK _, ivfPqSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivfpq_trained" -> Q(ivfPqTrainedTopK _, ivfPqTrainedSql, Seq(col("probe_id"), col("rank"))),
     "dedup_embedding_cosine" -> Q(embeddingCosine _, embeddingCosineSql, Seq(col("probe_id"), col("vec_id"))),

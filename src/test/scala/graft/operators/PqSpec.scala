@@ -68,6 +68,17 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("trained-codebook PQ holds the recall floor (measured 0.96 sf0.001 / 0.92 sf0.01)") {
+    // one Lloyd step on the codebook is not monotone when the seed
+    // baseline is already high (0.90→0.96 at sf0.001, 0.96→0.92 at
+    // sf0.01) — the spec pins the floor, not dominance
+    val exact = topkSet("ann_bruteforce_topk")
+    val trained = topkSet("ann_pq_trained")
+    assert(trained.size == exact.size)
+    val recall = (trained & exact).size.toDouble / exact.size
+    assert(recall >= 0.85, f"trained-PQ recall@5 collapsed to $recall%.2f")
+  }
+
   test("persisted IVF-PQ index reproduces the trained inline search exactly") {
     val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/index"
     AnnQueries.trainIvfPq(spark, dir, path)
