@@ -219,6 +219,39 @@ object CorpusQueries {
        |  CAST(start_tok % $SeqLen AS BIGINT) AS seq_offset
        |FROM w ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- shard skew
+
+  /** §8d(q) — packing-shard skew report: per-shard document and token
+    * totals with each shard's percentage deviation from the mean shard
+    * load. This is the table a rebalancer consults before moving whole
+    * sequences between shards (sequences never span shards, so moving one
+    * is metadata-only): a shard far above the mean packs longer than its
+    * peers and stalls the tokenization wave. One coarse aggregate; the
+    * mean rides a window over the ≤100-row shard frame. */
+  def shardSkew(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .select(docBucket.as("shard"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("skew_pct",
+        round((col("total_tokens") - avg(col("total_tokens")).over(Window.partitionBy()))
+          * lit(100.0) / avg(col("total_tokens")).over(Window.partitionBy()), 4))
+  }
+
+  private val shardSkewSql =
+    s"""WITH d AS (SELECT CAST(${DuckSql.docBucket} AS BIGINT) AS shard,
+       |             CAST(LEN(${DuckSql.wordsOf("text")}) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |agg AS (SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |        FROM d GROUP BY shard)
+       |SELECT shard, n_docs, total_tokens,
+       |  ROUND((total_tokens - AVG(total_tokens) OVER ()) * 100.0 / AVG(total_tokens) OVER (), 4) AS skew_pct
+       |FROM agg
+       |ORDER BY shard""".stripMargin
+
   // ---------------------------------------------------------- boilerplate
 
   private val TopNBigrams = 100
@@ -269,6 +302,7 @@ object CorpusQueries {
 
   val queries: Map[String, Q] = Map(
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
+    "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),
     "text_boilerplate" -> Q(boilerplate _, boilerplateSql, Seq(col("doc_id"))),
     "text_contamination" -> Q(contamination _, contaminationSql, Seq(col("doc_id"))),
     "dedup_chunks" -> Q(chunkDedup _, chunkDedupSql, Seq(col("first_doc"), col("chunk_hash"))),

@@ -98,6 +98,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum > 0, "no common-bigram hits anywhere — top table is broken")
   }
 
+  test("shard skew: totals account for the packed corpus, deviations consistent") {
+    val skew = CorpusQueries.queries("docs_shard_skew").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val packed = CorpusQueries.queries("docs_pack_sequences").fn(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (shard, n_tokens)
+    assert(skew.map(_._2).sum == packed.length)
+    assert(skew.map(_._3).sum == packed.map(_._2).sum)
+    val avg = skew.map(_._3).sum.toDouble / skew.length
+    skew.foreach { case (shard, _, tot, pct) =>
+      assert(math.abs(pct - math.rint((tot - avg) * 100.0 / avg * 1e4) / 1e4) < 1e-6,
+        s"shard $shard skew mismatch")
+    }
+  }
+
   test("incremental dedup: pairs straddle the split and match the symmetric jaccard near-dups") {
     val bk = buckets
     val inc = DedupQueries.queries("dedup_incremental").fn(spark, dir)
