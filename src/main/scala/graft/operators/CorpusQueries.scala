@@ -195,15 +195,42 @@ object CorpusQueries {
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
+    packDocs(Tables(dir).documents)
+  }
+
+  /** The packing pipeline over any (doc_id, text) frame, with a per-shard
+    * base offset (0 for a fresh pack; the manifest total for an
+    * incremental append). */
+  private def packDocs(docs: DataFrame, base: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(dir).documents
+    val sized = docs
       .select(col("doc_id"), docBucket.as("shard"),
         size(words(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val based = base.fold(sized.withColumn("base_tok", lit(0L)))(b =>
+      sized.join(broadcast(b), Seq("shard"), "left")
+        .withColumn("base_tok", coalesce(col("base_tok"), lit(0L))))
+    based
+      .withColumn("start_tok",
+        col("base_tok") + sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         (col("shard") * SeqStride + expr(s"start_tok DIV $SeqLen")).as("seq_id"),
         (col("start_tok") % SeqLen).as("seq_offset"))
+  }
+
+  /** §8e(t) — incremental packing: pack ONLY the new documents, continuing
+    * each shard's token stream from the existing packing table's end
+    * offset. Contiguity makes the end offset just the per-shard token sum
+    * — a bounded manifest aggregate, broadcast to the new batch — so the
+    * archive is NEVER re-packed and a cycle's cost is proportional to the
+    * new batch, not the corpus. Arrival order defines the stream: new
+    * documents append after everything already packed (in doc_id order
+    * within the batch); when the batch's ids all follow the archive's —
+    * the monotonic-ingest case — the result is bit-identical to a full
+    * repack (spec-pinned). */
+  def packIncrement(existing: DataFrame, newDocs: DataFrame): DataFrame = {
+    val base = existing.groupBy(col("shard")).agg(sum(col("n_tokens")).as("base_tok"))
+    packDocs(newDocs, Some(base))
   }
 
   private val packSequencesSql =

@@ -98,6 +98,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum > 0, "no common-bigram hits anywhere — top table is broken")
   }
 
+  test("incremental packing continues each shard's stream; monotonic ingest equals full repack") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 4 / 5)
+    val oldDocs = docs.where(col("doc_id") < cut)
+    val newDocs = docs.where(col("doc_id") >= cut)
+
+    val full = CorpusQueries.queries("docs_pack_sequences").fn(spark, dir)
+    // the old docs' full-pack rows ARE the pack of the old docs alone
+    // (prefix property of id-ordered packing), so they serve as the archive
+    val archive = full.where(col("doc_id") < cut)
+    val inc = CorpusQueries.packIncrement(archive, newDocs)
+
+    val got = inc.collect().map(_.toSeq).toSet
+    val want = full.where(col("doc_id") >= cut).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+
+    // and with an arbitrary (non-monotonic) split the union still packs
+    // contiguously per shard: every offset accounted, no overlaps
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 === 1)
+    val archive2 = CorpusQueries.packIncrement(
+      spark.emptyDataFrame.select(lit(0L).as("shard"), lit(0L).as("n_tokens")).limit(0), evens)
+    val inc2 = CorpusQueries.packIncrement(archive2, odds)
+    val union = archive2.unionByName(inc2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    union.groupBy(_._2).foreach { case (shard, rows) =>
+      // old docs (by arrival) first in id order, then new docs in id order
+      val evenPart = rows.filter(r => r._1 % 2 == 0).sortBy(_._1)
+      val oddPart = rows.filter(r => r._1 % 2 == 1).sortBy(_._1)
+      var expect = 0L
+      (evenPart ++ oddPart).foreach { case (docId, _, nTok, seqId, seqOff) =>
+        val start = (seqId - shard * 1000000L) * 2048L + seqOff
+        assert(start == expect, s"shard $shard doc $docId: start $start != $expect")
+        expect += nTok
+      }
+    }
+  }
+
   test("shard skew: totals account for the packed corpus, deviations consistent") {
     val skew = CorpusQueries.queries("docs_shard_skew").fn(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
