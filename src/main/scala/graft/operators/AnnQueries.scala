@@ -184,15 +184,31 @@ object AnnQueries {
 
   /** The Lloyd-step training pass, factored out so centroids can be
     * persisted ([[trainIvf]]) and searches run training-free. */
-  private def trainRefinedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] = {
+  private def trainRefinedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] =
+    trainRefinedSteps(spark, dir, 1)
+
+  /** §8e(r) — N Lloyd steps on the quantized-integer grid: each step
+    * re-assigns the corpus to the current centroids (argmax cosine, first
+    * index on ties) and recenters every non-empty cluster to the exact
+    * integer-grid mean; a cluster that loses all members keeps its
+    * previous centroid (the oracle applies the same COALESCE fallback).
+    * Each step is one corpus pass; only ncentroids×dim sums reach the
+    * driver per step. The objective (mean assignment cosine) is
+    * monotone in exact arithmetic; the grid rounds it, so the spec gates
+    * on non-degradation rather than strict improvement. */
+  private[operators] def trainRefinedSteps(spark: SparkSession, dir: String, steps: Int): Seq[Array[Float]] = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val seeds = centroids(spark, t).toSeq.map(_._2)
+    var cents = centroids(spark, t).toSeq.map(_._2)
+    (1 to steps).foreach(_ => cents = lloydStep(t, cents))
+    cents
+  }
 
-    def centCos(embCol: Column): Seq[Column] =
-      seeds.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
-    val corpusArr = array(centCos(col("embedding")): _*)
+  private def lloydStep(t: Tables, cents: Seq[Array[Float]])
+                       (implicit spark: SparkSession): Seq[Array[Float]] = {
+    val corpusArr = array(cents.map(v =>
+      VectorExpressions.cosine(col("embedding"), typedlit(v))): _*)
     val assigned = t.embeddings
       .withColumn("cluster", (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int"))
 
@@ -205,13 +221,22 @@ object AnnQueries {
       .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
       .collect() // bounded: ncentroids × dim rows
 
+    val out = cents.map(_.clone()).toArray
     sums.map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) =>
-        val vec = new Array[Float](rows.map(_._2).max + 1)
-        rows.foreach { case (_, pos, s, n) => vec(pos) = (s.toDouble / (n * QuantScale).toDouble).toFloat }
-        vec
+      .groupBy(_._1)
+      .foreach { case (cluster, rows) =>
+        rows.foreach { case (_, pos, s, n) =>
+          out(cluster)(pos) = (s.toDouble / (n * QuantScale).toDouble).toFloat
+        }
       }
+    out.toSeq
+  }
+
+  /** §8e(r) — IVF search against twice-refined centroids. */
+  def ivfRefined2TopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    ivfSearch(Tables(dir), trainRefinedSteps(spark, dir, 2))
   }
 
   /** §8b(g) — train once, persist the centroid table: at 100 TB the
@@ -265,40 +290,48 @@ object AnnQueries {
        |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
        |ORDER BY probe_id, rank""".stripMargin
 
-  private val ivfRefinedSql =
+  /** N-step Lloyd refinement CTE chain (mirror of [[trainRefinedSteps]]):
+    * centsK recenters non-empty clusters on the quantized grid and keeps
+    * the previous centroid for empty ones (COALESCE — same fallback as
+    * the Scala trainer). The search runs against cents{steps}. */
+  private def buildIvfRefinedSql(steps: Int): String = {
+    def assign(k: Int) =
+      s"""assign$k AS (
+         |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents$k)""".stripMargin
+    def cluster(k: Int) =
+      s"""cluster$k AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM assign$k) x WHERE rn = 1)""".stripMargin
+    def qsum(k: Int) =
+      s"""qsum$k AS (
+         |  SELECT c.cluster, t.i,
+         |    CAST(SUM(CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE) * $QuantScale, 0) AS BIGINT)) AS DOUBLE) AS s,
+         |    COUNT(*) AS n
+         |  FROM embeddings e JOIN cluster${k - 1} c USING (vec_id) CROSS JOIN range(1, $Dim + 1) t(i)
+         |  GROUP BY c.cluster, t.i)""".stripMargin
+    def cents(k: Int) =
+      s"""cents$k AS (
+         |  SELECT p.cid, COALESCE(r.c, p.c) AS c
+         |  FROM cents${k - 1} p LEFT JOIN (
+         |    SELECT cluster AS cid, list(CAST(s / (n * $QuantScale.0) AS REAL) ORDER BY i) AS c
+         |    FROM qsum$k GROUP BY cluster) r ON r.cid = p.cid)""".stripMargin
+    val chain = (1 to steps).flatMap(k =>
+      Seq(qsum(k), cents(k), assign(k), cluster(k))).mkString(",\n")
     s"""WITH cents0 AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
-       |assign0 AS (
-       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
-       |  FROM embeddings e CROSS JOIN cents0),
-       |cluster0 AS (
-       |  SELECT vec_id, cid AS cluster FROM (
-       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-       |    FROM assign0) x WHERE rn = 1),
-       |qsum AS (
-       |  SELECT c0.cluster, t.i,
-       |    CAST(SUM(CAST(ROUND(CAST(e.embedding[t.i] AS DOUBLE) * $QuantScale, 0) AS BIGINT)) AS DOUBLE) AS s,
-       |    COUNT(*) AS n
-       |  FROM embeddings e JOIN cluster0 c0 USING (vec_id) CROSS JOIN range(1, $Dim + 1) t(i)
-       |  GROUP BY c0.cluster, t.i),
-       |cents1 AS (
-       |  SELECT cluster AS cid, list(CAST(s / (n * $QuantScale.0) AS REAL) ORDER BY i) AS c
-       |  FROM qsum GROUP BY cluster),
-       |assign1 AS (
-       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
-       |  FROM embeddings e CROSS JOIN cents1),
-       |cluster1 AS (
-       |  SELECT vec_id, cid AS cluster FROM (
-       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-       |    FROM assign1) x WHERE rn = 1),
-       |probe1 AS (
+       |${assign(0)},
+       |${cluster(0)},
+       |$chain,
+       |probe AS (
        |  SELECT vec_id AS probe_id, cid AS cluster FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-       |    FROM assign1 WHERE vec_id % $ProbeMod = 0) x WHERE rn <= $NProbeBuckets),
+       |    FROM assign$steps WHERE vec_id % $ProbeMod = 0) x WHERE rn <= $NProbeBuckets),
        |scored AS (
        |  SELECT probe_id, e.vec_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
-       |  FROM probe1 pa
-       |  JOIN cluster1 cl ON cl.cluster = pa.cluster
+       |  FROM probe pa
+       |  JOIN cluster$steps cl ON cl.cluster = pa.cluster
        |  JOIN embeddings e ON e.vec_id = cl.vec_id
        |  JOIN embeddings p ON p.vec_id = pa.probe_id
        |  WHERE e.vec_id <> pa.probe_id),
@@ -308,6 +341,10 @@ object AnnQueries {
        |  FROM scored)
        |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
        |ORDER BY probe_id, rank""".stripMargin
+  }
+
+  private val ivfRefinedSql = buildIvfRefinedSql(1)
+  private val ivfRefined2Sql = buildIvfRefinedSql(2)
 
   // ------------------------------------------------- random-hyperplane LSH
 
@@ -864,8 +901,10 @@ object AnnQueries {
        |  FROM embeddings e JOIN cluster0 c0 USING (vec_id) CROSS JOIN range(1, $Dim + 1) t(i)
        |  GROUP BY c0.cluster, t.i),
        |cents1 AS (
-       |  SELECT cluster AS cid, list(CAST(s / (n * $QuantScale.0) AS REAL) ORDER BY i) AS c
-       |  FROM qsum GROUP BY cluster),
+       |  SELECT p.cid, COALESCE(r.c, p.c) AS c
+       |  FROM cents0 p LEFT JOIN (
+       |    SELECT cluster AS cid, list(CAST(s / (n * $QuantScale.0) AS REAL) ORDER BY i) AS c
+       |    FROM qsum GROUP BY cluster) r ON r.cid = p.cid),
        |assign1 AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
        |  FROM embeddings e CROSS JOIN cents1),
@@ -1055,5 +1094,6 @@ object AnnQueries {
     "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined" -> Q(ivfRefinedTopK _, ivfRefinedSql, Seq(col("probe_id"), col("rank"))),
+    "ann_ivf_refined2" -> Q(ivfRefined2TopK _, ivfRefined2Sql, Seq(col("probe_id"), col("rank"))),
   )
 }

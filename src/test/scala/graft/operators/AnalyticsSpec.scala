@@ -85,6 +85,24 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(got == expect, s"user=$u event=$eid")
     }
   }
+  test("second Lloyd step does not degrade the mean assignment cosine") {
+    import org.apache.spark.sql.functions._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    graft.plans.VectorExpressions.register(spark)
+    val c1 = AnnQueries.trainRefinedSteps(spark, TestSpark.Sf0001, 1)
+    val c2 = AnnQueries.trainRefinedSteps(spark, TestSpark.Sf0001, 2)
+    def objective(cents: Seq[Array[Float]]): Double = {
+      val arr = array(cents.map(v =>
+        graft.plans.VectorExpressions.cosine(col("embedding"), typedlit(v))): _*)
+      graft.sources.Tables(TestSpark.Sf0001).embeddings
+        .select(avg(array_max(arr))).head.getDouble(0)
+    }
+    val (o1, o2) = (objective(c1), objective(c2))
+    // Lloyd is monotone in exact arithmetic; the integer grid rounds each
+    // recenter, so gate on non-degradation within grid tolerance
+    assert(o2 >= o1 - 1e-4, s"objective degraded: $o1 -> $o2")
+  }
+
   test("persisted IVF centroids reproduce the refined search exactly") {
     val path = java.nio.file.Files.createTempDirectory("graft-ivf-cent").toString + "/centroids"
     AnnQueries.trainIvf(spark, TestSpark.Sf0001, path)
