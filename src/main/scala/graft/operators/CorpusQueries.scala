@@ -218,6 +218,11 @@ object CorpusQueries {
         (col("start_tok") % SeqLen).as("seq_offset"))
   }
 
+  /** Fresh pack of an arbitrary (doc_id, text) frame — the pipeline-facing
+    * entry ([[graft.pipeline.CorpusPipeline]] packs the deduped corpus,
+    * not the raw table the registered query reads). */
+  def packAll(docs: DataFrame): DataFrame = packDocs(docs)
+
   /** §8e(t) — incremental packing: pack ONLY the new documents, continuing
     * each shard's token stream from the existing packing table's end
     * offset. Contiguity makes the end offset just the per-shard token sum
