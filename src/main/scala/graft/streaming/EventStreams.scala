@@ -140,9 +140,11 @@ object EventStreams {
   private def eventTimeWatermarkSet(state: GroupState[_]): Boolean =
     try { state.getCurrentWatermarkMs(); true } catch { case _: Throwable => false }
 
-  /** One emitted next-event transition. */
+  /** One emitted next-event transition; `ts` is the DESTINATION event's
+    * time — the moment the transition completed — so downstream windowed
+    * monitors aggregate on it. */
   final case class Transition(user_id: Long, from_event_id: Long, to_event_id: Long,
-                              from_type: String, to_type: String)
+                              from_type: String, to_type: String, ts: Timestamp)
 
   /** Buffered event reference (epoch-micros + tie-break id + type). */
   final case class EvRef(ts: Long, event_id: Long, event_type: String)
@@ -178,7 +180,8 @@ object EventStreams {
         else (st.pending, Seq.empty[EvRef])
       val chain = ready.sortBy(e => (e.ts, e.event_id))
       val emitted = (st.last.toSeq ++ chain).sliding(2).collect {
-        case Seq(a, b) => Transition(userId, a.event_id, b.event_id, a.event_type, b.event_type)
+        case Seq(a, b) =>
+          Transition(userId, a.event_id, b.event_id, a.event_type, b.event_type, fromUs(b.ts))
       }.toList
       val newLast = chain.lastOption.orElse(st.last)
       if (streaming) {
@@ -206,5 +209,53 @@ object EventStreams {
           val wmUs = if (streaming) state.getCurrentWatermarkMs() * 1000L else Long.MaxValue
           seal(userId, folded, wmUs, state, streaming)
       }
+  }
+
+  /** §8e(u) — windowed transition counts: the aggregation half of the
+    * drift monitor, run over the LANDED pair log (the sink table
+    * [[transitionsStateful]] writes), not stacked on the live stream.
+    * That separation is forced by correctness, not convenience: sealed
+    * transitions are emitted precisely BECAUSE the watermark passed them,
+    * so their event times are always older than the query's global
+    * watermark and a downstream stateful aggregation in the same query
+    * would discard them as late (Spark's
+    * statefulOperator.checkCorrectness rejects the plan for exactly this
+    * reason). The two-query pattern — pair stream → log; monitor over
+    * the log (batch, or a file-source stream with its own watermark) —
+    * is the standard fix and what a deployment wants anyway: the log is
+    * replayable. Works unchanged in batch (withWatermark is a no-op). */
+  def windowedTransitions(transitions: DataFrame,
+                          window: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    transitions
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("from_type"), col("to_type"), col("n"))
+
+  /** The batch half of the drift monitor: each window's transition
+    * SHARES (within its from_type) against the corpus-wide baseline
+    * matrix (`events_transitions` minus its `(end)` rows — the stream
+    * never emits the closure sentinel). `drift_pct` is the signed share
+    * difference; an alarm thresholds |drift_pct|. Pure exact ratios —
+    * engine-portable like every score in the library. */
+  def transitionDrift(windowCounts: DataFrame, baseline: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("from_type"))
+    val shares = windowCounts
+      .withColumn("window_pct", round(col("n") * lit(100.0) / sum(col("n")).over(w), 4))
+    val base = baseline
+      .where(col("to_type") =!= "(end)")
+      .withColumn("baseline_pct",
+        round(col("n_transitions") * lit(100.0) /
+          sum(col("n_transitions")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))), 4))
+      .select(col("from_type"), col("to_type"), col("baseline_pct"))
+    shares.join(broadcast(base), Seq("from_type", "to_type"), "left")
+      .withColumn("drift_pct",
+        round(col("window_pct") - coalesce(col("baseline_pct"), lit(0.0)), 4))
+      .select(col("bucket"), col("from_type"), col("to_type"),
+        col("n"), col("window_pct"), col("baseline_pct"), col("drift_pct"))
   }
 }

@@ -220,6 +220,51 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, "a", "b"), (2L, 3L, "b", "c")))
   }
 
+  test("windowed transition counts over the landed pair log account for every pair") {
+    // two-query pattern: pair stream → memory sink (the log), monitor
+    // aggregates the log — the direct stacking is rejected by Spark's
+    // global-watermark correctness check (sealed rows are always late)
+    val log = runStream("s_translog")(ds => EventStreams.transitionsStateful(ds).toDF())
+    val got = EventStreams.windowedTransitions(log)
+      .where(col("from_type") =!= "sentinel" && col("to_type") =!= "sentinel")
+      .groupBy("from_type", "to_type").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val want = graft.operators.EventAnalytics.queries("events_transitions")
+      .fn(spark, TestSpark.Sf0001)
+      .where(col("to_type") =!= "(end)")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("transition drift report: window shares vs baseline, zero drift for an identical window") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val baseline = graft.operators.EventAnalytics.queries("events_transitions")
+      .fn(spark, TestSpark.Sf0001).localCheckpoint()
+    // a synthetic window whose counts EQUAL the baseline matrix (minus
+    // (end)) must report zero drift everywhere
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val windowCounts = baseline.where(col("to_type") =!= "(end)")
+      .select(lit(t0).as("bucket"), col("from_type"), col("to_type"),
+        col("n_transitions").as("n"))
+    val drift = EventStreams.transitionDrift(windowCounts, baseline).collect()
+    assert(drift.nonEmpty)
+    drift.foreach { r =>
+      assert(math.abs(r.getDouble(6)) < 1e-9, s"nonzero drift: $r")
+      assert(r.getDouble(4) == r.getDouble(5)) // window_pct == baseline_pct
+    }
+    // and a skewed window reports signed drift that sums to ~0 per source
+    val skewed = windowCounts.withColumn("n",
+      when(col("to_type") === "click", col("n") * 3).otherwise(col("n")))
+    val d2 = EventStreams.transitionDrift(skewed, baseline)
+      .collect().map(r => (r.getString(1), r.getDouble(6)))
+    d2.groupBy(_._1).foreach { case (from, rows) =>
+      assert(math.abs(rows.map(_._2).sum) < 0.02, s"$from drift does not balance")
+    }
+    assert(d2.exists(_._2 > 0.5), "skewed window must show positive drift on click")
+  }
+
   test("stateful flatMapGroupsWithState sessionize matches the batch twin") {
     val got = runStream("s_state")(EventStreams.sessionizeStateful(_).toDF())
       .where(col("user_id") =!= -1L)
