@@ -113,6 +113,21 @@ object DedupQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
 
+  /** §8f(w) — the same minhash-LSH candidate pipeline over an arbitrary
+    * (doc_id, text) frame with a configurable shingle size — the
+    * pipeline-facing twin of [[lshCandidates]] (which is pinned to the
+    * registered 3-gram convention). Same shape: narrow shingle→band map
+    * pass, then the co-partitioned [[Banded.pairsExec]] self-join. */
+  private[graft] def lshPairsOf(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val sh = docs
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w", shingleSize))
+      .select("doc_id", "s")
+    Banded.pairsExec(bandExplode(sh), Seq("band_id", "band_hash"), "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .distinct()
+  }
+
   /** §25 — MinHash + LSH near-dup candidate pairs. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
@@ -167,12 +182,21 @@ object DedupQueries {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val pairs = lshCandidates(t).localCheckpoint()
+    clustersOf(t.documents.select(col("doc_id")), lshCandidates(t), maxRounds)
+  }
+
+  /** The label-propagation core over an arbitrary id frame + (doc_a,
+    * doc_b) pair frame — shared by [[nearDupClusters]] and the pipeline's
+    * near-dup stage ([[graft.pipeline.CorpusPipeline]]). Returns
+    * (doc_id, cluster_rep, cluster_size). */
+  private[graft] def clustersOf(ids: DataFrame, pairs0: DataFrame,
+                                maxRounds: Int = 25): DataFrame = {
+    val pairs = pairs0.localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = t.documents.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var labels = ids.select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {

@@ -2,16 +2,25 @@ package graft.pipeline
 
 import java.nio.file.Path
 
-import graft.operators.CorpusQueries
+import graft.operators.{CorpusQueries, DedupQueries}
 import graft.streaming.DocStreams
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Training-corpus pipeline configuration. */
+/** Training-corpus pipeline configuration.
+  *
+  * `sourcesConfigPath` (§8f(v)) points at the JSON policy file
+  * ([[CorpusPolicy]]) — per-source gate thresholds and shingle sizes,
+  * the corpus analogue of the reference's sources_config.json. Absent →
+  * the fixed default policy (identical behavior to the unconfigured
+  * pipeline). `nearDup` (§8f(w)) swaps the exact-hash dedup stage for
+  * minhash-LSH cluster survivors behind the same task id. */
 final case class CorpusConfig(
     docsDir: String,    // input documents parquet directory
     workDir: String,    // staged outputs (gated/deduped/packed/balanced/skew)
-    signalsDir: Path)
+    signalsDir: Path,
+    sourcesConfigPath: Option[String] = None,
+    nearDup: Boolean = false)
 
 /** The training-data pipeline end-to-end, composed from graft operators
   * under the same [[Dag]] scheduler as the reference-shaped ETL
@@ -19,7 +28,15 @@ final case class CorpusConfig(
   *
   *  1. `quality_gate` — the batch twin of the streaming ingest gate
   *     ([[DocStreams.scored]], SAME columns): drop low-quality docs.
-  *  2. `dedup` — exact content dedup; min doc_id survives per md5(text).
+  *     With a policy file, thresholds resolve per source
+  *     ([[DocStreams.scoredWith]] — broadcast join, zero extra shuffles).
+  *  2. `dedup` — exact content dedup (min doc_id survives per md5(text)),
+  *     or with `nearDup` the minhash-LSH near-dup survivors (cluster rep
+  *     = min doc_id, same semantics as the registered `dedup_survivors`).
+  *     Per-source shingle sizes from the policy partition the corpus into
+  *     size groups; candidates form within a group (signatures with
+  *     different shingle sizes are not comparable), one banding pass per
+  *     distinct size.
   *  3. `pack` — sequence packing of the deduped corpus
   *     ([[CorpusQueries.packAll]]).
   *  4. `rebalance` — whole-sequence shard rebalance ([[Shards.rebalance]]).
@@ -28,25 +45,53 @@ final case class CorpusConfig(
   * Done-signals are output-content signatures ([[GraftPipeline.doneSignal]]),
   * so an unchanged corpus is a no-op run and a drop of new documents
   * re-runs exactly the downstream cone — the property that matters when
-  * step 3 onward is cheap metadata but steps 1–2 re-scan 100 TB. */
+  * step 3 onward is cheap metadata but steps 1–2 re-scan 100 TB. The
+  * POLICY is part of the gate/dedup input signals (the reference treats
+  * sources_config.json the same way): editing a threshold re-runs the
+  * cone even though no data changed. */
 object CorpusPipeline {
 
   def build(spark: SparkSession, cfg: CorpusConfig): Dag = {
     graft.plans.VectorExpressions.register(spark) // hexPrefix in the shard bucket
     def sig(dir: String): String = GraftPipeline.doneSignal(spark, dir)
+    // re-loaded per probe: an edited config must invalidate the cone
+    def policy(): CorpusPolicy =
+      cfg.sourcesConfigPath.map(CorpusPolicy.load).getOrElse(CorpusPolicy())
 
     def qualityGate(): String = {
       val docs = spark.read.parquet(cfg.docsDir)
-      val keep = DocStreams.scored(docs).where(col("keep")).select(col("doc_id"))
+      val keep = DocStreams.scoredWith(docs, policy())
+        .where(col("keep")).select(col("doc_id"))
       docs.join(keep, Seq("doc_id"), "left_semi")
         .write.mode("overwrite").parquet(s"${cfg.workDir}/gated")
       sig(s"${cfg.workDir}/gated")
     }
 
+    def exactDedup(gated: DataFrame): DataFrame =
+      gated.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+
+    /** §8f(w): near-dup survivors — LSH candidates per shingle-size group,
+      * one connected-component pass over the union of pairs, cluster rep
+      * (min doc_id) survives. Unconfigured sources use the default size. */
+    def nearDupSurvivors(gated: DataFrame, p: CorpusPolicy): DataFrame = {
+      val groups = p.shingleSizeGroups
+      val overridden = groups.values.flatten.toSeq
+      val defaultGroup =
+        if (overridden.isEmpty) gated
+        else gated.where(!col("source").isin(overridden: _*))
+      val pairs = (DedupQueries.lshPairsOf(defaultGroup, p.shingleSize) +:
+        groups.toSeq.sortBy(_._1).map { case (sz, srcs) =>
+          DedupQueries.lshPairsOf(gated.where(col("source").isin(srcs: _*)), sz)
+        }).reduce(_ unionByName _)
+      DedupQueries.clustersOf(gated.select(col("doc_id")), pairs)
+        .where(col("doc_id") === col("cluster_rep"))
+        .select("doc_id")
+    }
+
     def dedup(): String = {
       val gated = spark.read.parquet(s"${cfg.workDir}/gated")
-      val keep = gated.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val keep = if (cfg.nearDup) nearDupSurvivors(gated, policy()) else exactDedup(gated)
       gated.join(keep, Seq("doc_id"), "left_semi")
         .write.mode("overwrite").parquet(s"${cfg.workDir}/deduped")
       sig(s"${cfg.workDir}/deduped")
@@ -78,10 +123,25 @@ object CorpusPipeline {
       sig(s"${cfg.workDir}/skew")
     }
 
+    // gate thresholds gate the docs; dedup mode + shingle sizes shape the
+    // dedup output — each task's external input carries exactly the policy
+    // slice it consumes, so a config edit re-runs the right cone
+    def gatePolicySig(): String = {
+      val p = policy()
+      (p.minQuality, p.minTokens, p.dropLangs,
+        p.perSource.toSeq.sortBy(_._1).map { case (s, o) =>
+          (s, o.minQuality, o.minTokens, o.dropLangs)
+        }).toString
+    }
+    def dedupPolicySig(): String =
+      if (!cfg.nearDup) "exact"
+      else s"neardup:${policy().shingleSize}:${policy().shingleSizeGroups.toSeq.sortBy(_._1)}"
+
     new Dag(Seq(
       Task("quality_gate", Nil, run = qualityGate _,
-        externalInput = () => sig(cfg.docsDir)),
-      Task("dedup", Seq("quality_gate"), dedup _),
+        externalInput = () => s"${sig(cfg.docsDir)}\n${gatePolicySig()}"),
+      Task("dedup", Seq("quality_gate"), dedup _,
+        externalInput = dedupPolicySig _),
       Task("pack", Seq("dedup"), pack _),
       Task("rebalance", Seq("pack"), rebalance _),
       Task("skew_report", Seq("rebalance"), skewReport _)))

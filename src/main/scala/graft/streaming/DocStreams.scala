@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.functions.TextFunctions.{shingles, words}
-import org.apache.spark.sql.DataFrame
+import graft.pipeline.CorpusPolicy
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Streaming corpus ingest (the §2.3 streaming story extended to the
@@ -22,17 +23,55 @@ object DocStreams {
     * Works unchanged on batch and streaming frames (pure row-local
     * expressions; nothing here needs a watermark). */
   def scored(docs: DataFrame): DataFrame = {
+    docs.select(col("doc_id"), col("lang"), qualityCol.as("quality"),
+        nTokensCol.as("n_tokens"))
+      .withColumn("keep",
+        col("quality") >= 0.5 && col("n_tokens") >= 10 && col("lang") =!= "zh")
+  }
+
+  /** The shared row-local scoring expressions (no thresholds). */
+  private def qualityCol: Column = {
     val n = length(col("text")).cast("double")
     val punct = (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?()]", ""))).cast("double")
     val wcol = words(col("text"))
     val nTok = size(wcol).cast("double")
-    val quality = round(least(n / lit(500.0), lit(1.0)) * 0.3
+    round(least(n / lit(500.0), lit(1.0)) * 0.3
       + (lit(1.0) - punct / n) * 0.4
       + (size(filter(wcol, w => w.isin("the", "a", "of", "to", "and", "in", "is", "for"))) / nTok) * 0.3, 6)
-    docs.select(col("doc_id"), col("lang"), quality.as("quality"),
-        nTok.cast("long").as("n_tokens"))
-      .withColumn("keep",
-        col("quality") >= 0.5 && col("n_tokens") >= 10 && col("lang") =!= "zh")
+  }
+
+  private def nTokensCol: Column = size(words(col("text"))).cast("long")
+
+  /** §8f(v) — the config-driven gate: SAME scoring expressions as
+    * [[scored]], thresholds resolved per source from a [[CorpusPolicy]].
+    * The policy reaches the plan as a broadcast left join on `source`
+    * (bounded: one row per *configured* source) with the defaults as
+    * coalesce fallbacks — unlisted sources gate exactly like the
+    * fixed-threshold [[scored]] when the policy is all defaults
+    * (spec-pinned). Row-local + broadcast ⇒ streaming-safe in append
+    * mode and shuffle-free at any corpus size. */
+  def scoredWith(docs: DataFrame, policy: CorpusPolicy): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("lang"),
+      qualityCol.as("quality"), nTokensCol.as("n_tokens"))
+    def keepCond(mq: Column, mt: Column, dl: Column): Column =
+      col("quality") >= mq && col("n_tokens") >= mt && !array_contains(dl, col("lang"))
+    if (policy.perSource.isEmpty)
+      base.withColumn("keep", keepCond(lit(policy.minQuality),
+        lit(policy.minTokens), typedlit(policy.dropLangs)))
+    else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val ov = policy.perSource.keys.toSeq.sorted.map { src =>
+        val (mq, mt, dl, _) = policy.resolve(src)
+        (src, mq, mt, dl)
+      }.toDF("source", "p_mq", "p_mt", "p_dl")
+      base.join(broadcast(ov), Seq("source"), "left")
+        .withColumn("keep", keepCond(
+          coalesce(col("p_mq"), lit(policy.minQuality)),
+          coalesce(col("p_mt"), lit(policy.minTokens)),
+          coalesce(col("p_dl"), typedlit(policy.dropLangs))))
+        .drop("p_mq", "p_mt", "p_dl")
+    }
   }
 
   /** Streaming keep-gate: admitted rows only. Stateless — safe in append

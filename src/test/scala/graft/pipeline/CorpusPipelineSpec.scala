@@ -52,4 +52,66 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val third = CorpusPipeline.run(spark, cfg)
     assert(third.ran == Seq("quality_gate", "dedup", "pack", "rebalance", "skew_report"))
   }
+
+  private val allTasks = Seq("quality_gate", "dedup", "pack", "rebalance", "skew_report")
+
+  test("§8f(v): policy file drives the gate; a config edit re-runs the cone") {
+    val cfg0 = freshCfg()
+    val confPath = java.nio.file.Path.of(cfg0.docsDir).getParent.resolve("corpus_config.json")
+    def writeConf(minQuality: Double): Unit =
+      java.nio.file.Files.writeString(confPath,
+        s"""{ "default": {"min_quality": $minQuality} }""")
+    writeConf(0.0)
+    val cfg = cfg0.copy(sourcesConfigPath = Some(confPath.toString))
+
+    val first = CorpusPipeline.run(spark, cfg)
+    assert(first.ran == allTasks)
+    // min_quality 0 admits everything the token/lang gates admit — the
+    // gate is really reading the file, not the fixed 0.5 default
+    val docs = spark.read.parquet(cfg.docsDir)
+    val lax = spark.read.parquet(s"${cfg.workDir}/gated").count()
+    assert(lax == graft.streaming.DocStreams.scored(docs)
+      .where(col("n_tokens") >= 10 && col("lang") =!= "zh").count())
+
+    // unchanged config + data → no-op
+    val second = CorpusPipeline.run(spark, cfg)
+    assert(second.ran.isEmpty && second.skipped == allTasks)
+
+    // tighten the threshold → the whole cone re-runs off the config edit
+    writeConf(0.6)
+    val third = CorpusPipeline.run(spark, cfg)
+    assert(third.ran == allTasks)
+    assert(spark.read.parquet(s"${cfg.workDir}/gated").count() < lax)
+  }
+
+  test("§8f(w): near-dup stage replaces exact dedup behind the same task id") {
+    val cfg = freshCfg()
+    val exact = CorpusPipeline.run(spark, cfg)
+    assert(exact.ran == allTasks)
+    val exactKept = spark.read.parquet(s"${cfg.workDir}/deduped")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // switching the dedup mode invalidates dedup's cone but NOT the gate
+    val near = CorpusPipeline.run(spark, cfg.copy(nearDup = true))
+    assert(near.skipped == Seq("quality_gate"))
+    assert(near.ran == Seq("dedup", "pack", "rebalance", "skew_report"))
+
+    // survivors = LSH cluster reps of the gated corpus (min doc_id per
+    // component), recomputed independently here
+    val gated = spark.read.parquet(s"${cfg.workDir}/gated")
+    val pairs = graft.operators.DedupQueries.lshPairsOf(gated)
+    val want = graft.operators.DedupQueries
+      .clustersOf(gated.select(col("doc_id")), pairs)
+      .where(col("doc_id") === col("cluster_rep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(s"${cfg.workDir}/deduped")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // near-dup absorbs at least the exact duplicates
+    assert(got.size <= exactKept.size)
+
+    // same mode again → full no-op (the mode marker is part of the signal)
+    val again = CorpusPipeline.run(spark, cfg.copy(nearDup = true))
+    assert(again.ran.isEmpty && again.skipped == allTasks)
+  }
 }
