@@ -577,13 +577,10 @@ object AnnQueries {
     pqAdcSearch(t, pqCodebook(spark, t))
   }
 
-  /** The flat-PQ ADC search body, parameterized by the codebook (seed
-    * slices or Lloyd-refined) — the code path is identical, only the
-    * codeword literals change. */
-  private def pqAdcSearch(t: Tables, cb: Array[Array[Array[Float]]])
-                         (implicit spark: SparkSession): DataFrame = {
-    // corpus → (vec_id, code_0..code_3); dist² = xx − 2·xc + cc per
-    // codeword, argmin with first-index tie (smallest cid)
+  /** Corpus → (vec_id, code_0..code_M-1): per-subspace argmin codeword
+    * (dist² = xx − 2·xc + cc, first-index ties) — the encode pass shared
+    * by inline ADC search and the persisted-code path. */
+  private def pqEncode(t: Tables, cb: Array[Array[Array[Float]]]): DataFrame = {
     def codeCol(m: Int): Column = {
       val x = sub(col("embedding"), m)
       val dists = array(cb(m).map { cw =>
@@ -593,9 +590,23 @@ object AnnQueries {
       }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code_$m")
     }
-    val codes = t.embeddings
-      .select(col("vec_id") +: (0 until PqM).map(codeCol): _*)
+    t.embeddings.select(col("vec_id") +: (0 until PqM).map(codeCol): _*)
+  }
 
+  /** The flat-PQ ADC search body, parameterized by the codebook (seed
+    * slices or Lloyd-refined) — the code path is identical, only the
+    * codeword literals change. */
+  private def pqAdcSearch(t: Tables, cb: Array[Array[Array[Float]]])
+                         (implicit spark: SparkSession): DataFrame =
+    pqAdcFromCodes(t, cb, pqEncode(t, cb))
+
+  /** ADC search over an ALREADY-ENCODED corpus: the scan side is the
+    * (vec_id, code_*) table — persisted once, 32× smaller than the float
+    * corpus — and raw embeddings are touched only by the bounded probe
+    * set (LUT build) and the per-probe shortlist (exact re-rank). */
+  private def pqAdcFromCodes(t: Tables, cb: Array[Array[Array[Float]]],
+                             codes: DataFrame)
+                            (implicit spark: SparkSession): DataFrame = {
     // probes → ADC lookup tables: lut_m[cid] = dot(q_m, codeword)
     def lutCol(m: Int): Column =
       array(cb(m).map(cw => VectorExpressions.dot(sub(col("embedding"), m), typedlit(cw))): _*)
@@ -801,6 +812,15 @@ object AnnQueries {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
   }
 
+  /** Read back a persisted (m, cid, codeword) codebook table. */
+  private def readCodebook(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .orderBy("m", "cid").as[(Int, Int, Array[Float])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }.toArray
+  }
+
   /** Search a persisted IVF-PQ index — no training or seeding pass touches
     * the corpus; only the two bounded index tables are collected. */
   def ivfPqTopKFrom(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
@@ -809,11 +829,52 @@ object AnnQueries {
     import spark.implicits._
     val cents = spark.read.parquet(s"$indexPath/centroids")
       .orderBy("cluster").as[(Int, Array[Float])].collect().map(_._2).toSeq
-    val cbRows = spark.read.parquet(s"$indexPath/codebook")
-      .orderBy("m", "cid").as[(Int, Int, Array[Float])].collect()
-    val cb = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }.toArray
-    ivfPqSearch(Tables(dir), cents, cb)
+    ivfPqSearch(Tables(dir), cents, readCodebook(spark, s"$indexPath/codebook"))
+  }
+
+  // ------------------------------------------- persisted PQ code corpus
+
+  /** §8f(y) — persist the PQ-ENCODED CORPUS itself, not just the recipe:
+    * `<path>/codebook` as (m, cid, codeword) — tiny, coalesced — and
+    * `<path>/codes` as (vec_id, code_0..code_M-1) — corpus-sized, so it
+    * KEEPS its partitioning (one file per input partition; at 100 TB the
+    * encode is one map-only pass writing ~3 TB of codes, and every later
+    * ANN query scans codes instead of re-encoding 100 TB of floats).
+    * Codes stay a queryable table: joinable, compactable, zone-mappable
+    * like any other dataset. */
+  def persistPqCorpus(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val t = Tables(dir)
+    val cb = pqCodebook(spark, t)
+    cb.zipWithIndex.flatMap { case (cws, m) =>
+      cws.zipWithIndex.map { case (cw, cid) => (m, cid, cw) }
+    }.toSeq.toDF("m", "cid", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    pqEncode(t, cb).write.mode("overwrite").parquet(s"$indexPath/codes")
+  }
+
+  /** ADC top-k served from a persisted code corpus: the encode pass is
+    * GONE from the query — the scan side reads the code table, raw
+    * embeddings are read only for the probe set and the exact re-rank
+    * shortlist. Identical results to [[pqAdcTopK]] by construction (same
+    * codebook, same encode rule, persisted vs inline). */
+  def pqAdcTopKFrom(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    pqAdcFromCodes(Tables(dir), readCodebook(spark, s"$indexPath/codebook"),
+      spark.read.parquet(s"$indexPath/codes"))
+  }
+
+  /** §8f(y) registered query — the full write-once/serve cycle: encode +
+    * persist the code corpus (idempotent overwrite into a per-sf scratch
+    * path), then answer from the persisted codes. Oracle: identical to
+    * [[pqAdcTopK]]'s SQL — persistence must not change a single row. */
+  def pqServedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val indexPath = s"/tmp/graft_pq_corpus_${new java.io.File(dir).getName}"
+    persistPqCorpus(spark, dir, indexPath)
+    pqAdcTopKFrom(spark, dir, indexPath)
   }
 
   private val ivfPqSql = {
@@ -1085,6 +1146,7 @@ object AnnQueries {
 
   val queries: Map[String, Q] = Map(
     "ann_pq_adc" -> Q(pqAdcTopK _, pqAdcSql, Seq(col("probe_id"), col("rank"))),
+    "ann_pq_served" -> Q(pqServedTopK _, pqAdcSql, Seq(col("probe_id"), col("rank"))),
     "ann_pq_trained" -> Q(pqTrainedTopK _, pqTrainedSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivfpq" -> Q(ivfPqTopK _, ivfPqSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivfpq_trained" -> Q(ivfPqTrainedTopK _, ivfPqTrainedSql, Seq(col("probe_id"), col("rank"))),

@@ -312,6 +312,61 @@ object EventAnalytics {
         sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))), 4))
   }
 
+  /** §8f(x) batch twin — the drift alarm on the SAME code path the live
+    * monitor runs ([[graft.streaming.EventStreams.driftAlarm]]): hourly
+    * transition shares vs the corpus-wide baseline matrix, alarm rows
+    * where |drift| ≥ 20 points. The pair log is the lead-window stream
+    * the stateful miner emits (no `(end)` sentinel — a live stream never
+    * sees closures); the baseline is [[transitions]] minus its sentinel
+    * rows. Pinning this batch run to the DuckDB oracle certifies the
+    * streaming plan's arithmetic row-for-row. */
+  def driftAlarms(spark: SparkSession, dir: String): DataFrame = {
+    val baseline = transitions(spark, dir)
+      .select(col("from_type"), col("to_type"), col("n_transitions"))
+    graft.streaming.EventStreams.driftAlarm(
+      transitionPairs(spark, dir), baseline, alarmPct = 20.0)
+  }
+
+  /** The landed pair log the drift monitor consumes: one row per
+    * consecutive-event transition, stamped with the SOURCE event's time
+    * (shared by the batch twin and the spec's file-source re-ingest). */
+  private[graft] def transitionPairs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"), col("ts"))
+  }
+
+  private val driftAlarmsSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      |p AS (
+      |  SELECT event_type AS from_type, ts,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM e),
+      |pairs AS (SELECT from_type, to_type, ts FROM p WHERE to_type IS NOT NULL),
+      |base AS (
+      |  SELECT from_type, to_type,
+      |    ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (PARTITION BY from_type), 4) AS baseline_pct
+      |  FROM pairs GROUP BY 1, 2),
+      |win AS (
+      |  SELECT date_trunc('hour', ts) AS bucket, from_type, to_type, COUNT(*) AS n
+      |  FROM pairs GROUP BY 1, 2, 3),
+      |tot AS (SELECT bucket, from_type, SUM(n) AS total FROM win GROUP BY 1, 2),
+      |shares AS (
+      |  SELECT w.bucket, w.from_type, w.to_type, w.n,
+      |    ROUND(w.n * 100.0 / t.total, 4) AS window_pct
+      |  FROM win w JOIN tot t USING (bucket, from_type)),
+      |d AS (
+      |  SELECT s.bucket, s.from_type, s.to_type, s.n, s.window_pct, b.baseline_pct,
+      |    ROUND(s.window_pct - COALESCE(b.baseline_pct, 0.0), 4) AS drift_pct
+      |  FROM shares s LEFT JOIN base b USING (from_type, to_type))
+      |SELECT * FROM d WHERE ABS(drift_pct) >= 20.0
+      |ORDER BY bucket, from_type, to_type""".stripMargin
+
   private val transitionsSql =
     """WITH e AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
@@ -328,6 +383,7 @@ object EventAnalytics {
 
   val queries: Map[String, Q] = Map(
     "events_transitions" -> Q(transitions _, transitionsSql, Seq(col("from_type"), col("to_type"))),
+    "events_drift_alarm" -> Q(driftAlarms _, driftAlarmsSql, Seq(col("bucket"), col("from_type"), col("to_type"))),
     "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
     "events_value_outliers" -> Q(valueOutliers _, valueOutliersSql, Seq(col("user_id"), col("event_id"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),

@@ -258,4 +258,71 @@ object EventStreams {
       .select(col("bucket"), col("from_type"), col("to_type"),
         col("n"), col("window_pct"), col("baseline_pct"), col("drift_pct"))
   }
+
+  /** §8f(x) — the LIVE drift alarm: one query from pair log to alarm
+    * rows, streaming-legal end to end. [[transitionDrift]] can't run on a
+    * stream (its share is a non-time window function over the sealed
+    * counts — a second stateful pass); this formulation folds everything
+    * into ONE watermarked aggregation keyed by (time window, from_type):
+    * the static baseline's to_type vocabulary (bounded — |event types|
+    * rows, collected once at plan build) becomes |vocab| conditional
+    * counters inside the group, so per-group state is O(|vocab|) longs —
+    * no collect_list multiset, no whale-group risk when one from_type
+    * dominates an hour at 100 TB rates. After the watermark seals a
+    * window the counters melt statelessly into per-transition rows,
+    * shares are a projection (n·100/total), the baseline share arrives by
+    * broadcast stream-static join, and rows with |drift| below
+    * `alarmPct` are dropped. Transitions into a to_type the baseline has
+    * never seen surface as one `(novel)` row per group (count =
+    * total − Σ vocab counters, baseline share 0) — a brand-new event
+    * type IS drift and must not vanish from the monitor.
+    *
+    * Works unchanged in batch (withWatermark is a no-op), which is how
+    * the registered `events_drift_alarm` twin pins it to the DuckDB
+    * oracle. `baseline` must carry (from_type, to_type, n_transitions)
+    * as produced by the batch transition matrix; its `(end)` sentinel
+    * rows are excluded — the live pair stream never emits closures. */
+  def driftAlarm(transitions: DataFrame, baseline: DataFrame,
+                 window: String = "1 hour", watermark: String = "2 hours",
+                 alarmPct: Double = 2.0): DataFrame = {
+    val baseRows = baseline.where(col("to_type") =!= "(end)")
+    val vocab: Seq[String] = baseRows.select(col("to_type")).distinct()
+      .orderBy(col("to_type"))
+      .collect().map(_.getString(0)).toSeq
+    val base = baseRows
+      .withColumn("baseline_pct",
+        round(col("n_transitions") * lit(100.0) /
+          sum(col("n_transitions")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))), 4))
+      .select(col("from_type"), col("to_type"), col("baseline_pct"))
+
+    val counters = vocab.zipWithIndex.map { case (v, i) =>
+      sum(when(col("to_type") === v, 1L).otherwise(0L)).as(s"n_$i")
+    } :+ count(lit(1)).as("total")
+    val sealedCounts = transitions
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("from_type"))
+      .agg(counters.head, counters.tail: _*)
+
+    val knownN = vocab.indices.map(i => col(s"n_$i")).reduceOption(_ + _).getOrElse(lit(0L))
+    val melted = sealedCounts
+      .select(col("w.start").as("bucket"), col("from_type"), col("total"),
+        explode(array(
+          vocab.zipWithIndex.map { case (v, i) =>
+            struct(lit(v).as("to_type"), col(s"n_$i").as("n"))
+          } :+ struct(lit("(novel)").as("to_type"), (col("total") - knownN).as("n")): _*
+        )).as("e"))
+      .select(col("bucket"), col("from_type"), col("e.to_type").as("to_type"),
+        col("e.n").as("n"), col("total"))
+      .where(col("n") > 0)
+      .withColumn("window_pct", round(col("n") * lit(100.0) / col("total"), 4))
+
+    melted.join(broadcast(base), Seq("from_type", "to_type"), "left")
+      .withColumn("drift_pct",
+        round(col("window_pct") - coalesce(col("baseline_pct"), lit(0.0)), 4))
+      .where(abs(col("drift_pct")) >= alarmPct)
+      .select(col("bucket"), col("from_type"), col("to_type"),
+        col("n"), col("window_pct"), col("baseline_pct"), col("drift_pct"))
+  }
 }

@@ -89,6 +89,22 @@ class PqSpec extends AnyFunSuite {
     assert(fromDisk.nonEmpty && fromDisk == inline)
   }
 
+  test("persisted PQ code corpus serves ADC search identical to inline encoding") {
+    val path = java.nio.file.Files.createTempDirectory("graft-pqcodes").toString + "/index"
+    AnnQueries.persistPqCorpus(spark, dir, path)
+    val served = AnnQueries.pqAdcTopKFrom(spark, dir, path)
+      .collect().map(_.toSeq).toSet
+    val inline = AnnQueries.queries("ann_pq_adc").fn(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(served.nonEmpty && served == inline)
+    // the persisted code table is itself a queryable dataset: one row per
+    // corpus vector, M byte-small code columns
+    val codes = spark.read.parquet(s"$path/codes")
+    val emb = graft.sources.Tables(dir)(spark).embeddings
+    assert(codes.count() == emb.count())
+    assert(codes.columns.count(_.startsWith("code_")) == 8)
+  }
+
   test("trained coarse quantizer keeps ADC-stage recall within the bucket bound") {
     val exact = topkSet("ann_bruteforce_topk")
     val ivfRef = topkSet("ann_ivf_refined")

@@ -265,6 +265,60 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(d2.exists(_._2 > 0.5), "skewed window must show positive drift on click")
   }
 
+  test("drift alarm runs LIVE over a file-source re-ingest of the pair log") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // land the pair log as parquet — the durable half of the two-query
+    // pattern — then re-ingest it as a file-source STREAM with its own
+    // watermark and run the alarm end to end in one streaming query
+    val logDir = java.nio.file.Files.createTempDirectory("graft-pairlog").toString
+    val pairs = graft.operators.EventAnalytics.transitionPairs(spark, TestSpark.Sf0001)
+      .localCheckpoint()
+    pairs.write.mode("overwrite").parquet(logDir)
+    val baseline = graft.operators.EventAnalytics.queries("events_transitions")
+      .fn(spark, TestSpark.Sf0001)
+      .select(col("from_type"), col("to_type"), col("n_transitions"))
+      .localCheckpoint()
+
+    val stream = spark.readStream.schema(pairs.schema).parquet(logDir)
+    val q = EventStreams.driftAlarm(stream, baseline, alarmPct = 20.0)
+      .writeStream.format("memory").queryName("s_drift_alarm").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark sits 2h behind max(ts): a far-future sentinel pair file
+      // seals every real window
+      val maxTs = pairs.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      Seq(("sentinel", "sentinel", new Timestamp(maxTs.getTime + 12L * 3600 * 1000)))
+        .toDF("from_type", "to_type", "ts")
+        .write.mode("append").parquet(logDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("s_drift_alarm")
+      .where(col("from_type") =!= "sentinel")
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.EventAnalytics.queries("events_drift_alarm")
+      .fn(spark, TestSpark.Sf0001).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("drift alarm surfaces transitions into types the baseline never saw as (novel)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val t0 = Timestamp.valueOf("2026-03-01 10:00:00")
+    val pairs = Seq(
+      ("a", "b", t0), ("a", "b", new Timestamp(t0.getTime + 1000)),
+      ("a", "zz_new", new Timestamp(t0.getTime + 2000))) // type unseen in baseline
+      .toDF("from_type", "to_type", "ts")
+    val baseline = Seq(("a", "b", 10L), ("a", "(end)", 5L))
+      .toDF("from_type", "to_type", "n_transitions")
+    val got = EventStreams.driftAlarm(pairs, baseline, alarmPct = 2.0)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getDouble(4), r.getDouble(6))).toList
+      .sortBy(_._1)
+    // (end) is excluded from the baseline → vocab is {b}: b at 66.67% vs
+    // baseline 100% drifts -33.33; the novel type surfaces with share
+    // 33.33 and NO baseline (drift = its full share)
+    assert(got == List(("(novel)", 1L, 33.3333, 33.3333), ("b", 2L, 66.6667, -33.3333)))
+  }
+
   test("stateful flatMapGroupsWithState sessionize matches the batch twin") {
     val got = runStream("s_state")(EventStreams.sessionizeStateful(_).toDF())
       .where(col("user_id") =!= -1L)
