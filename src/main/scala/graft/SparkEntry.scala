@@ -24,6 +24,8 @@ object SparkEntry {
     operators.JoinQueries.queries,
     operators.StorageQueries.queries,
     operators.EventAnalytics.queries,
+    operators.ChangeData.queries,
+    operators.Linkage.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort). */

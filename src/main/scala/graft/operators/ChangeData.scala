@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Num.{dsum, fin}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data operators: SCD2 interval builds, CDC/MERGE apply, per-entity
+  * gap-fill with forward-fill, and interval-counting backlog — the
+  * warehouse-maintenance surface of the reference's ETL story (the patient
+  * registry's entity versions / incremental re-loads,
+  * `csr_transformations.py`'s latest-wins entity merge generalized to
+  * explicit validity intervals and changelog application).
+  *
+  * Scale shapes: every per-entity pass is ONE hash shuffle on the entity
+  * key followed by window functions inside the partition; the backlog's
+  * global running sum runs AFTER a day-grain aggregation, so the
+  * single-partition window sees |calendar days| rows, never the fact
+  * table.
+  */
+object ChangeData {
+
+  // ---------------------------------------------------------------- SCD2
+
+  /** Type-2 slowly-changing dimension build from an event log: collapse
+    * each user's consecutive same-state runs to their first row (lag
+    * compare), then close each surviving version with the next version's
+    * start (lead). Both windows share one (user_id, ts, event_id)
+    * partitioning+ordering — one shuffle, one sort, the filter between
+    * them preserves order. The open version carries valid_to = NULL +
+    * is_current, the warehouse convention downstream point-in-time joins
+    * expect. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  private val scd2Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      |c AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM e),
+      |ch AS (
+      |  SELECT user_id, ts, event_id, event_type FROM c
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_type AS state, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+      |FROM ch
+      |ORDER BY user_id, valid_from""".stripMargin
+
+  // ----------------------------------------------------------- CDC apply
+
+  /** MERGE/upsert semantics: apply a keyed changelog to a base snapshot,
+    * latest change per key wins. The changelog here is the orders table
+    * read as balance updates against the customer base (latest order per
+    * custkey by (o_orderdate, o_orderkey); a final-status 'F' order is a
+    * DELETE, anything else an UPDATE of acctbal to that order's total) —
+    * deterministic stand-ins for a real CDC feed's (key, seq, op, value).
+    * Plan: the latest-wins dedup is a per-key window (one shuffle on the
+    * key — at 100 TB the changelog shuffles, the base streams), then one
+    * equi-join applies it; untouched base rows pass through marked 'K'.
+    * No arithmetic touches the carried values, so parity is bit-exact
+    * with no rounding. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val latest = t.orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey").as("c_custkey"),
+        when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+        col("o_totalprice").as("new_bal"))
+    t.customer
+      .join(latest, Seq("c_custkey"), "left")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("acctbal"),
+        coalesce(col("op"), lit("K")).as("change_op"))
+  }
+
+  private val cdcApplySql =
+    """WITH latest AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+      |    o_totalprice AS new_bal
+      |  FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |    FROM orders) x
+      |  WHERE rn = 1)
+      |SELECT c.c_custkey, c.c_name,
+      |  COALESCE(l.new_bal, c.c_acctbal) AS acctbal,
+      |  COALESCE(l.op, 'K') AS change_op
+      |FROM customer c LEFT JOIN latest l USING (c_custkey)
+      |WHERE l.op IS NULL OR l.op <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------ gap fill
+
+  /** Per-user daily time series with gap days materialized and the value
+    * forward-filled from the last observed day — the standard feature
+    * densification before any sequence model. ONE pass, no spine join:
+    * each observed day explodes into the run of days up to (not
+    * including) the user's next observed day (lead), so every gap day is
+    * generated exactly once and inherits its predecessor's value — the
+    * forward fill falls out of the explode instead of needing a
+    * last(ignoreNulls) window over a spine⋈daily self-join (which would
+    * scan the fact table twice; the first draft did, the plan audit
+    * caught it). Everything after the daily rollup rides one user_id
+    * partitioning; spine size is Σ per-user spans, never a global
+    * calendar cross join. */
+  def gapfill(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id")).orderBy(col("obs_day"))
+    Tables(dir).events
+      .groupBy(col("user_id"), to_date(col("ts")).as("obs_day"))
+      .agg(count(lit(1)).as("n_obs"), fin(dsum(col("value"))).as("day_value"))
+      .withColumn("next_day", lead(col("obs_day"), 1).over(w))
+      .select(col("user_id"), col("obs_day"), col("n_obs"), col("day_value"),
+        explode(sequence(col("obs_day"),
+          coalesce(date_sub(col("next_day"), 1), col("obs_day")))).as("day"))
+      .select(col("user_id"), col("day"),
+        when(col("day") === col("obs_day"), col("n_obs")).otherwise(lit(0L)).as("n_events"),
+        col("day_value").as("value_ffill"))
+  }
+
+  private val gapfillSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    COUNT(*) AS n_events,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS day_value
+      |  FROM e GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+      |spine AS (
+      |  SELECT user_id, CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds)
+      |SELECT s.user_id, s.day, COALESCE(d.n_events, 0) AS n_events,
+      |  last_value(d.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+      |FROM spine s LEFT JOIN daily d USING (user_id, day)
+      |ORDER BY user_id, day""".stripMargin
+
+  // ------------------------------------------------------------- backlog
+
+  /** Daily open-order backlog by interval counting: each order is open
+    * from its order day through its last ship day; +1/−1 deltas aggregate
+    * to day grain FIRST (the only pass over the facts — map-side partial
+    * sums into |days| rows), then the running sum rides a single-partition
+    * window over that bounded day frame. The classic scale mistake this
+    * avoids: a global window directly over the fact table. Orders with no
+    * lineitems (none in this data) would never close and are excluded by
+    * the inner join. */
+  def orderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val spans = t.lineitem
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("done_day"))
+      .join(t.orders.select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("start_day")), Seq("o_orderkey"))
+    // one row → both deltas via explode: a self-union of `spans` would
+    // recompute the lineitem aggregate per branch (plans don't share
+    // derived subtrees) — the plan audit caught the double scan
+    val deltas = spans
+      .select(explode(array(
+        struct(col("start_day").as("day"), lit(1L).as("delta")),
+        struct(date_add(col("done_day"), 1).as("day"), lit(-1L).as("delta")))).as("e"))
+      .groupBy(col("e.day").as("day")).agg(sum(col("e.delta")).as("net"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.select(col("day"), col("net"), sum(col("net")).over(w).as("backlog"))
+  }
+
+  private val orderBacklogSql =
+    """WITH spans AS (
+      |  SELECT o.o_orderkey,
+      |    CAST(date_trunc('day', o.o_orderdate) AS DATE) AS start_day,
+      |    CAST(date_trunc('day', MAX(l.l_shipdate)) AS DATE) AS done_day
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM (
+      |    SELECT start_day AS day, 1 AS delta FROM spans
+      |    UNION ALL
+      |    SELECT CAST(done_day + INTERVAL 1 DAY AS DATE) AS day, -1 AS delta FROM spans) u
+      |  GROUP BY 1)
+      |SELECT day, net,
+      |  CAST(SUM(net) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+      |FROM deltas
+      |ORDER BY day""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "etl_scd2" -> Q(scd2 _, scd2Sql, Seq(col("user_id"), col("valid_from"))),
+    "etl_cdc_apply" -> Q(cdcApply _, cdcApplySql, Seq(col("c_custkey"))),
+    "events_gapfill" -> Q(gapfill _, gapfillSql, Seq(col("user_id"), col("day"))),
+    "q_order_backlog" -> Q(orderBacklog _, orderBacklogSql, Seq(col("day"))),
+  )
+}
