@@ -26,6 +26,7 @@ object SparkEntry {
     operators.EventAnalytics.queries,
     operators.ChangeData.queries,
     operators.Linkage.queries,
+    operators.GraphQueries.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort). */

@@ -312,6 +312,43 @@ object EventAnalytics {
         sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))), 4))
   }
 
+  /** Last-touch attribution: every purchase credits its revenue to the
+    * user's most recent PRIOR non-purchase event type (the touchpoint);
+    * purchases with no prior touch credit "(none)". One pass: the
+    * carry-forward is last(ignoreNulls) over a rows-frame ending 1 row
+    * before current — the same single (user_id, ts, event_id) sort the
+    * sessionizer uses — then the rollup collapses map-side to |types|
+    * rows. Revenue sums in decimal (order-independent) like every money
+    * aggregate in the library. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.functions.Num.fin(graft.functions.Num.dsum(col("value"))).as("revenue"))
+  }
+
+  private val attributionSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events),
+      |t AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM e)
+      |SELECT COALESCE(touch, '(none)') AS touch_type, COUNT(*) AS n_purchases,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** §8f(x) batch twin — the drift alarm on the SAME code path the live
     * monitor runs ([[graft.streaming.EventStreams.driftAlarm]]): hourly
     * transition shares vs the corpus-wide baseline matrix, alarm rows
@@ -384,6 +421,7 @@ object EventAnalytics {
   val queries: Map[String, Q] = Map(
     "events_transitions" -> Q(transitions _, transitionsSql, Seq(col("from_type"), col("to_type"))),
     "events_drift_alarm" -> Q(driftAlarms _, driftAlarmsSql, Seq(col("bucket"), col("from_type"), col("to_type"))),
+    "events_attribution" -> Q(attribution _, attributionSql, Seq(col("touch_type"))),
     "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
     "events_value_outliers" -> Q(valueOutliers _, valueOutliersSql, Seq(col("user_id"), col("event_id"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),
