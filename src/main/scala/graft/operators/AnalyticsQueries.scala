@@ -154,6 +154,26 @@ object AnalyticsQueries {
       count(lit(1)).as("n_orders"))
   }
 
+  /** Mergeable approximate percentiles (KLL-style sketch via the built-in
+    * `percentile_approx`): per-priority p50/p90/p99 of order totals. The
+    * sketch aggregates map-side and merges associatively — ONE exchange of
+    * |groups| sketches instead of [[orderPercentiles]]'s per-group sorts —
+    * which is the 100 TB shape for "give me quantiles over everything".
+    * Not oracle-gated (sketch internals differ engine to engine by
+    * design); the spec bounds the RANK error against the exact quantiles
+    * at 1/accuracy, which is the guarantee the sketch actually makes. */
+  def approxOrderPercentiles(spark: SparkSession, dir: String,
+                             accuracy: Int = 10000): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(percentile_approx(col("o_totalprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("pcts"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("pcts")(0).as("p50"), col("pcts")(1).as("p90"), col("pcts")(2).as("p99"))
+  }
+
   // ------------------------------------------------ NGS matrix transpose
 
   private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
