@@ -11,14 +11,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the engine's own session factory: AQE + the 32 MB adaptive
+    // broadcast ceiling apply to benchmarks exactly as to deployments
+    val spark = GraftSession(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
     // session warmup so the first measured query doesn't absorb JVM/codegen
     // class-loading and the parquet footer reads (alphabetical order made
     // ann_bruteforce_topk pay ~6s of one-time cost in round 1)
@@ -31,7 +26,11 @@ object Bench {
     // min of N runs per query: the shared box has ±40% run-to-run noise;
     // the minimum is the stable estimate of the plan's actual cost
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only: comma-separated subset (full runs leave it unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try {

@@ -20,6 +20,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Spark's 10 MB broadcast default is famously conservative for
+      // multi-GB executors; 32 MB lets AQE runtime-broadcast bounded
+      // derived frames (e.g. the triangle closing-edge list at bench
+      // scale) while still shuffling anything genuinely large — the
+      // decision stays ADAPTIVE, it is not a hint
+      .config("spark.sql.autoBroadcastJoinThreshold", (32 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS): read nanos as long once,
       // at build time, instead of mutating session conf mid-query

@@ -14,16 +14,9 @@ object Verify {
     // optional dev-only name filter: Verify <sf> <out> [query ...]
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS), which Spark 4 otherwise
-      // rejects; set once at build time (no mid-session conf mutation)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the engine's session factory — correctness runs on the same AQE +
+    // broadcast configuration deployments and benchmarks use
+    val spark = GraftSession(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
     new java.io.File(outDir).mkdirs()
     SparkEntry.registry
       .filter { case (name, _) => only.isEmpty || only(name) }

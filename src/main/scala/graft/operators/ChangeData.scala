@@ -112,6 +112,61 @@ object ChangeData {
       |WHERE l.op IS NULL OR l.op <> 'D'
       |ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------------- point-in-time join
+
+  /** Point-in-time enrichment: every event picks up the SCD2 version
+    * valid AT its timestamp (the change row itself included — a version
+    * is valid from its own instant). Implemented in the scalable as-of
+    * form: version starts and facts union into ONE per-user ordered pass
+    * (version rows sort before facts at the same instant) and the state
+    * carries forward via last(ignoreNulls) — no range join, no interval
+    * explosion; the only shuffle is the user_id partitioning both inputs
+    * already want. The oracle runs DuckDB's native ASOF JOIN — a
+    * different algorithm entirely, so agreement checks the semantics,
+    * not the implementation. In production the version table is the
+    * LANDED scd2 output; here it derives from the same events (two scans
+    * of the fact table in one plan — the landed-table deployment reads
+    * the tiny dimension instead). */
+  def pitEnrich(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val versions = scd2(spark, dir)
+      .withColumn("version_no", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("valid_from"))))
+      .select(col("user_id"), col("valid_from").as("ts"),
+        lit(null).cast("long").as("event_id"),
+        col("state"), col("version_no"), lit(0).as("kind"))
+    val facts = Tables(dir).events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("string").as("state"),
+        lit(null).cast("int").as("version_no"), lit(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions.unionAll(facts)
+      .withColumn("state_at", last(col("state"), ignoreNulls = true).over(w))
+      .withColumn("version_at", last(col("version_no"), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("state_at"), col("version_at"))
+  }
+
+  private val pitEnrichSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      |c AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM e),
+      |scd AS (
+      |  SELECT user_id, event_type AS state, ts AS valid_from,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version_no
+      |  FROM c WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT e.user_id AS user_id, e.event_id, e.ts, v.state AS state_at,
+      |  CAST(v.version_no AS INT) AS version_at
+      |FROM e ASOF JOIN scd v
+      |  ON e.user_id = v.user_id AND e.ts >= v.valid_from
+      |ORDER BY e.user_id, e.ts, e.event_id""".stripMargin
+
   // ------------------------------------------------------------ gap fill
 
   /** Per-user daily time series with gap days materialized and the value
@@ -213,6 +268,7 @@ object ChangeData {
 
   val queries: Map[String, Q] = Map(
     "etl_scd2" -> Q(scd2 _, scd2Sql, Seq(col("user_id"), col("valid_from"))),
+    "etl_pit_enrich" -> Q(pitEnrich _, pitEnrichSql, Seq(col("user_id"), col("ts"), col("event_id"))),
     "etl_cdc_apply" -> Q(cdcApply _, cdcApplySql, Seq(col("c_custkey"))),
     "events_gapfill" -> Q(gapfill _, gapfillSql, Seq(col("user_id"), col("day"))),
     "q_order_backlog" -> Q(orderBacklog _, orderBacklogSql, Seq(col("day"))),

@@ -332,7 +332,41 @@ object CorpusQueries {
        |FROM perdoc p LEFT JOIN hits h ON h.doc_id = p.doc_id
        |ORDER BY p.doc_id""".stripMargin
 
+  // ------------------------------------------------------ mixture sample
+
+  /** §8g(ad) — deterministic mixture resampling: each source keeps a
+    * configured fraction of its documents (the training-mixture knob —
+    * upsample books, downsample web). The keep decision is the same
+    * md5 bucket every split/sample op here uses, so it is reproducible,
+    * engine-portable, map-side only (a pure filter — no shuffle, no
+    * sampling state), and STABLE under corpus growth: a doc's fate never
+    * changes when other docs arrive, which is what makes incremental
+    * re-mixes cheap. Rates tier by source index (mod 4 → 100/50/25/10%)
+    * as a stand-in for the per-source policy config. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val rate = element_at(typedlit(Seq(100, 50, 25, 10)),
+      (expr("CAST(substring(source, 4) AS INT)") % 4) + 1)
+    Tables(dir).documents
+      .withColumn("rate_pct", rate)
+      .where(docBucket < col("rate_pct"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("rate_pct").cast("int").as("rate_pct"))
+  }
+
+  private val mixtureSampleSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, lang, n_chars,
+       |    ${graft.functions.DuckSql.docBucket} AS bucket,
+       |    [100, 50, 25, 10][(CAST(SUBSTRING(source, 4) AS INT) % 4) + 1] AS rate_pct
+       |  FROM documents)
+       |SELECT doc_id, source, lang, n_chars, CAST(rate_pct AS INT) AS rate_pct
+       |FROM d WHERE bucket < rate_pct
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "docs_mixture_sample" -> Q(mixtureSample _, mixtureSampleSql, Seq(col("doc_id"))),
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
     "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),
     "text_boilerplate" -> Q(boilerplate _, boilerplateSql, Seq(col("doc_id"))),

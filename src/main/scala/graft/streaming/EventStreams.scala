@@ -259,6 +259,54 @@ object EventStreams {
         col("n"), col("window_pct"), col("baseline_pct"), col("drift_pct"))
   }
 
+  /** One "user went quiet" alarm: last activity and when the silence was
+    * established (event time — the watermark instant that proved it). */
+  final case class SilenceAlarm(user_id: Long, last_seen: Timestamp, silent_events: Long)
+
+  /** Per-user silence state: last event micros + count since last alarm. */
+  final case class SilenceState(lastUs: Long, n: Long)
+
+  /** §8g(z) — heartbeat/silence alarm: emit when a user produces NO
+    * events for `silence` — the first operator here that is
+    * timeout-DRIVEN rather than data-driven: nothing arrives, yet a row
+    * must be emitted, which batch cannot express at all (a batch twin
+    * can only report silence relative to the data's end). Mechanics:
+    * every event updates the user's last-seen state and re-arms an
+    * EventTimeTimeout at last_seen + silence; if the watermark crosses
+    * that point with no newer event, the timeout path fires and emits
+    * one alarm (then disarms — one alarm per quiet spell; the next event
+    * re-arms). State is one record per active user, removed on alarm, so
+    * the store is bounded by |users active within the silence horizon|.
+    * A re-appearing user simply starts a new spell — the alarm stream is
+    * exactly the input for the gap-fill family's downstream repair. */
+  def silenceAlarms(events: Dataset[Event], silenceMs: Long = 2L * 3600 * 1000)
+      : Dataset[SilenceAlarm] = {
+    import events.sparkSession.implicits._
+    require(silenceMs > 0, s"silence must be positive: $silenceMs ms")
+    val silMs = silenceMs
+    events
+      .withWatermark("ts", s"$silenceMs milliseconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SilenceState, SilenceAlarm](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SilenceState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val st = state.get
+            state.remove() // one alarm per quiet spell; next event re-arms
+            Iterator.single(SilenceAlarm(userId, fromUs(st.lastUs), st.n))
+          } else {
+            var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+            var n = state.getOption.map(_.n).getOrElse(0L)
+            batch.foreach { e =>
+              val t = toUs(e.ts); if (t > last) last = t; n += 1
+            }
+            state.update(SilenceState(last, n))
+            state.setTimeoutTimestamp(Math.floorDiv(last, 1000L) + silMs + 1)
+            Iterator.empty
+          }
+      }
+  }
+
   /** §8f(x) — the LIVE drift alarm: one query from pair log to alarm
     * rows, streaming-legal end to end. [[transitionDrift]] can't run on a
     * stream (its share is a non-time window function over the sealed

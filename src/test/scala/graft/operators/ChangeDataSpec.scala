@@ -91,20 +91,20 @@ class ChangeDataSpec extends AnyFunSuite {
     assert(rows.last._2 == 0L)
   }
 
-  test("fuzzy linkage: canonical pair order, distance bound, block soundness") {
+  test("fuzzy linkage: canonical name order, distance in 1..2, block soundness, counts conserve") {
     val rows = Linkage.fuzzyParts(spark, dir)
-      .select("key_a", "key_b", "name_a", "name_b", "dist").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
-    rows.foreach { case (a, b, na, nb, d) =>
-      assert(a < b)
-      assert(d <= 2)
-      assert(na.split(" ")(1) == nb.split(" ")(1), s"cross-block pair $na / $nb")
-      if (d == 0) assert(na == nb)
-    }
-    // the exact-duplicate names the dedup family finds must all be here
     val p = graft.sources.Tables(dir)(spark).part
-      .groupBy("p_name").count().where(col("count") > 1).count()
-    assert(p == 0 || rows.exists(_._5 == 0))
+      .groupBy("p_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (na, nb, d, ca, cb) =>
+      assert(na < nb)
+      assert(d >= 1 && d <= 2, s"$na/$nb dist $d")
+      assert(na.split(" ")(1) == nb.split(" ")(1), s"cross-block pair $na / $nb")
+      // carried part counts match the catalog exactly
+      assert(p(na) == ca && p(nb) == cb)
+    }
   }
 }

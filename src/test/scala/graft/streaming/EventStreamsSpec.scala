@@ -301,6 +301,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("silence alarm fires on timeout only, once per quiet spell, and re-arms") {
+    val t0 = Timestamp.valueOf("2026-04-01 10:00:00")
+    def plus(min: Long) = new Timestamp(t0.getTime + min * 60000)
+    val mem = MemoryStream[Event](spark)
+    val q = EventStreams.silenceAlarms(mem.toDS(), silenceMs = 60L * 60000) // 1h
+      .toDF().writeStream.format("memory").queryName("s_silence").outputMode("append").start()
+    try {
+      // user 1 active at t0 and t0+30m; user 2 only at t0
+      mem.addData(Event(1L, t0, 1L, "a", 0.0), Event(2L, t0, 2L, "a", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(3L, plus(30), 1L, "a", 0.0)); q.processAllAvailable()
+      // driver event pushes the watermark past t0+1h: user 2 went quiet,
+      // user 1 (last seen t0+30) has not yet
+      mem.addData(Event(90L, plus(150), 99L, "w", 0.0)); q.processAllAvailable()
+      val afterFirst = spark.table("s_silence")
+        .select("user_id").as[Long].collect().toSet
+      assert(afterFirst.contains(2L) && !afterFirst.contains(1L))
+      // user 2 re-appears (within the admissible horizon) → new spell arms;
+      // watermark far past everything fires user 1, user 2's second spell,
+      // and eventually the driver user's own silence
+      mem.addData(Event(4L, plus(140), 2L, "b", 0.0)); q.processAllAvailable()
+      mem.addData(Event(91L, plus(600), 99L, "w", 0.0)); q.processAllAvailable()
+      mem.addData(Event(92L, plus(1200), 99L, "w", 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val alarms = spark.table("s_silence")
+      .select("user_id", "last_seen", "silent_events")
+      .as[(Long, Timestamp, Long)].collect().toSeq.sortBy(a => (a._1, a._2.getTime))
+    val u1 = alarms.filter(_._1 == 1L)
+    val u2 = alarms.filter(_._1 == 2L)
+    assert(u1 == Seq((1L, plus(30), 2L)), s"user1 alarms: $u1")
+    assert(u2 == Seq((2L, t0, 1L), (2L, plus(140), 1L)), s"user2 alarms: $u2")
+  }
+
   test("drift alarm surfaces transitions into types the baseline never saw as (novel)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val t0 = Timestamp.valueOf("2026-03-01 10:00:00")
