@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Record linkage: blocked fuzzy matching — the approximate cousin of the
@@ -62,7 +62,105 @@ object Linkage {
       |    AND levenshtein(a.p_name, b.p_name) <= 2)
       |SELECT * FROM m ORDER BY name_a, name_b""".stripMargin
 
+  // ---------------------------------------------- segment-indexed join
+
+  private val K = 2 // edit-distance threshold
+  private val Segs = K + 1
+
+  /** Segment scheme for a string of length ℓ: three deterministic
+    * contiguous pieces (start, length). Any fixed partition works for
+    * the pigeonhole — k edits touch ≤ k segments, so one survives. */
+  private def scheme(l: Column): Seq[(Column, Column)] = {
+    val m0 = floor(l / Segs).cast("int")
+    val m1 = floor((l - m0) / (Segs - 1)).cast("int")
+    val m2 = (l - m0 - m1).cast("int")
+    Seq((lit(0), m0), (m0, m1), ((m0 + m1).cast("int"), m2))
+  }
+
+  /** §8g(ae) — PassJoin-style segment-indexed edit-distance self-join:
+    * fuzzy linkage with NO blocking key at all, for when the distinct
+    * vocabulary itself is too large for per-block quadratics. Pigeonhole:
+    * if lev(a,b) ≤ 2, then at least one of a's 3 segments appears in b
+    * UNEDITED, shifted by at most 2 — so the index side emits each
+    * name's 3 (segment, idx, len) keys, the probe side emits every
+    * substring of compatible length within the ±2 position window for
+    * each candidate partner length (≤ 3·5·5 keys/name), and the
+    * candidate join on the exact segment text replaces all-pairs
+    * generation with an equi-join Catalyst shuffles like any other.
+    * Candidate completeness is not asserted — it is PROVEN by the
+    * oracle, which computes the naive all-pairs answer; any missed
+    * candidate is a row-count mismatch. Verification (the actual
+    * Levenshtein) runs only on the candidate set. */
+  def fuzzySegments(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    segmentPairs(Tables(dir).part
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .select(col("p_name").as("nm"), col("n_parts")))
+  }
+
+  /** The segment-join core over an arbitrary (nm, n_parts) frame —
+    * separated so the completeness property test can feed adversarial
+    * edit pairs directly. */
+  private[operators] def segmentPairs(nameCounts: DataFrame): DataFrame = {
+    val names = nameCounts.select(col("nm"), col("n_parts"), length(col("nm")).as("len"))
+
+    // index side: the 3 exact segments of each name
+    val idxKeys = explode(array(scheme(col("len")).zipWithIndex.map {
+      case ((st, m), i) =>
+        struct(substring(col("nm"), st + 1, m).as("txt"),
+          lit(i).as("seg"), col("len").as("l"))
+    }: _*)).as("k")
+    val index = names.select(col("nm").as("name_a"), col("n_parts").as("n_parts_a"), idxKeys)
+      .select(col("name_a"), col("n_parts_a"), col("k.txt"), col("k.seg"), col("k.l"))
+      .where(length(col("txt")) >= 1)
+
+    // probe side: substrings at the segment's ±K window, for every
+    // candidate partner length within ±K of our own
+    val probeKeys: Seq[Column] = (for {
+      d <- -K to K
+      i <- 0 until Segs
+      w <- -K to K
+    } yield {
+      val l = (col("len") + d).cast("int")
+      val (segStart, segLen) = scheme(l)(i)
+      val start = (segStart + w).cast("int")
+      when(segLen >= 1 && start >= 0 && start + segLen <= col("len"),
+        struct(substring(col("nm"), start + 1, segLen).as("txt"),
+          lit(i).as("seg"), l.as("l")))
+    }).toSeq
+    val probe = names.select(col("nm").as("name_b"), col("n_parts").as("n_parts_b"),
+        explode(array(probeKeys: _*)).as("k"))
+      .where(col("k").isNotNull)
+      .select(col("name_b"), col("n_parts_b"), col("k.txt"), col("k.seg"), col("k.l"))
+      .distinct()
+
+    val cands = index.join(probe, Seq("txt", "seg", "l"))
+      .where(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("n_parts_a"), col("n_parts_b"))
+      .distinct()
+    // pairs can surface in either orientation (a indexed / b probing or
+    // vice versa) — canonical order + distinct above dedups; verify:
+    cands
+      .where(levenshtein(col("name_a"), col("name_b")) <= K)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+  }
+
+  private val fuzzySegmentsSql =
+    """WITH names AS (
+      |  SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1),
+      |m AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+      |    a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+      |  FROM names a JOIN names b ON a.p_name < b.p_name
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 2)
+      |SELECT * FROM m ORDER BY name_a, name_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "link_fuzzy_parts" -> Q(fuzzyParts _, fuzzyPartsSql, Seq(col("name_a"), col("name_b"))),
+    "link_fuzzy_segments" -> Q(fuzzySegments _, fuzzySegmentsSql, Seq(col("name_a"), col("name_b"))),
   )
 }
