@@ -196,6 +196,46 @@ object ChangeData {
         col("day_value").as("value_ffill"))
   }
 
+  // ---------------------------------------- incremental gap-fill state
+
+  /** §8g(ac) — the incremental form: the LANDED state is the observed-day
+    * rollup only (user, day, n_events, exact decimal sum — orders of
+    * magnitude smaller than the fact table and *mergeable*, because
+    * decimal addition is associative where rounded doubles are not).
+    * Each new batch folds in with one groupBy-sum; the gap-filled view
+    * renders from state alone — so the facts are scanned once per batch,
+    * never re-scanned, and closed days never recompute. Late events are
+    * handled by the same merge (their day's sum just grows and the
+    * render re-carries forward) — no special case. */
+  def dailyState(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("sum_value"))
+
+  /** Fold a new event batch into landed state: union + re-sum. Exact —
+    * the decimal sums merge associatively. */
+  def mergeDaily(state: DataFrame, newEvents: DataFrame): DataFrame =
+    state.unionByName(dailyState(newEvents))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("n_events")).as("n_events"), sum(col("sum_value")).as("sum_value"))
+
+  /** Render the gap-filled series from state (same lead-run explode as
+    * the one-shot [[gapfill]]; finalize rounds the exact sums once). */
+  def renderGapfill(state: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("obs_day"))
+    state
+      .select(col("user_id"), col("day").as("obs_day"),
+        col("n_events").as("n_obs"), fin(col("sum_value")).as("day_value"))
+      .withColumn("next_day", lead(col("obs_day"), 1).over(w))
+      .select(col("user_id"), col("obs_day"), col("n_obs"), col("day_value"),
+        explode(sequence(col("obs_day"),
+          coalesce(date_sub(col("next_day"), 1), col("obs_day")))).as("day"))
+      .select(col("user_id"), col("day"),
+        when(col("day") === col("obs_day"), col("n_obs")).otherwise(lit(0L)).as("n_events"),
+        col("day_value").as("value_ffill"))
+  }
+
   private val gapfillSql =
     """WITH e AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

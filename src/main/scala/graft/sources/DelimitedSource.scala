@@ -57,4 +57,55 @@ object DelimitedSource {
       to_date(col(c.name), fmt).as(c.name)
     case other => col(c.name).cast(other).as(c.name)
   }
+
+  // ------------------------------------------------------------ quarantine
+
+  /** Failure-tolerant typed read: every row lands in ONE output frame
+    * carrying the typed columns, the original raw strings (`_raw`), and
+    * `_bad_cols` — the names of columns whose non-null raw cell failed
+    * its cast/parse (try-variants: a malformed cell yields NULL instead
+    * of an ANSI runtime error, and the discrepancy raw≠null ∧ typed=null
+    * IS the detection). [[good]] / [[quarantined]] split it; keeping one
+    * frame means ONE scan feeds both sinks when the caller persists them
+    * in the same job — a 100 TB drop zone is read once, not once per
+    * verdict. Mirrors the reference pipeline's refusal to let one bad
+    * registry row kill the load while never silently dropping it. */
+  def readTagged(spark: SparkSession, paths: Seq[String], cfg: DelimitedConfig): DataFrame = {
+    require(paths.nonEmpty, "DelimitedSource.readTagged: empty path list")
+    cfg.columns.foreach(c => require(c.dtype != "date" || c.dateFormat.isDefined,
+      s"column ${c.name}: date requires dateFormat"))
+    val raw = spark.read
+      .option("delimiter", cfg.delimiter)
+      .option("header", cfg.header.toString)
+      .option("nullValue", cfg.nullValue)
+      .schema(StructType(cfg.columns.map(c => StructField(c.name, StringType, nullable = true))))
+      .csv(paths: _*)
+    val badFlags = cfg.columns.map { c =>
+      when(col(c.name).isNotNull && tryTyped(c).isNull, lit(c.name))
+    }
+    raw.select(
+      cfg.columns.map(c => tryTyped(c).as(c.name)) ++ Seq(
+        struct(cfg.columns.map(c => col(c.name)): _*).as("_raw"),
+        filter(array(badFlags: _*), _.isNotNull).as("_bad_cols")): _*)
+  }
+
+  /** Rows where every cell typed cleanly, with the bookkeeping dropped. */
+  def good(tagged: DataFrame): DataFrame =
+    tagged.where(size(col("_bad_cols")) === 0).drop("_raw", "_bad_cols")
+
+  /** Rejected rows, as their ORIGINAL raw strings plus the failing
+    * column names — exactly what a repair/replay queue needs. */
+  def quarantined(tagged: DataFrame): DataFrame =
+    tagged.where(size(col("_bad_cols")) > 0)
+      .select(col("_raw.*"), col("_bad_cols").as("bad_cols"))
+
+  /** try-variant of [[typed]]: malformed → NULL, never an ANSI error. */
+  private def tryTyped(c: ColSpec): Column = c.dtype match {
+    case "string" => col(c.name)
+    case "date" =>
+      to_date(try_to_timestamp(col(c.name), lit(c.dateFormat.get))).as(c.name)
+    case "long" => expr(s"try_cast(`${c.name}` AS BIGINT)").as(c.name)
+    case "double" => expr(s"try_cast(`${c.name}` AS DOUBLE)").as(c.name)
+    case other => throw new IllegalArgumentException(s"unsupported dtype $other")
+  }
 }

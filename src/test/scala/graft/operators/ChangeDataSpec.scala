@@ -82,6 +82,26 @@ class ChangeDataSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental gap-fill: split-batch merge renders identically to the one-shot") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val events = graft.sources.Tables(dir).events
+    // split by event id parity — both halves carry late/out-of-order days
+    val b1 = events.where(col("event_id") % 2 === 0)
+    val b2 = events.where(col("event_id") % 2 === 1)
+    val incremental = ChangeData.renderGapfill(
+      ChangeData.mergeDaily(ChangeData.dailyState(b1), b2))
+      .collect().map(_.toSeq).toSet
+    val oneShot = ChangeData.gapfill(spark, dir).collect().map(_.toSeq).toSet
+    assert(incremental == oneShot && oneShot.nonEmpty)
+    // second-level increment: fold b2 in two sub-batches — associativity
+    val b2a = b2.where(col("event_id") % 4 === 1)
+    val b2b = b2.where(col("event_id") % 4 === 3)
+    val twice = ChangeData.renderGapfill(
+      ChangeData.mergeDaily(ChangeData.mergeDaily(ChangeData.dailyState(b1), b2a), b2b))
+      .collect().map(_.toSeq).toSet
+    assert(twice == oneShot)
+  }
+
   test("backlog: conservation (final backlog zero), never negative, net sums to zero") {
     val rows = ChangeData.orderBacklog(spark, dir)
       .orderBy("day").select("net", "backlog").as[(Long, Long)].collect()
