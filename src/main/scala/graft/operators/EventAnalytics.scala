@@ -349,6 +349,28 @@ object EventAnalytics {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Batch twin of the stream-stream interval join
+    * ([[graft.streaming.EventStreams.precedingTouches]]): purchases ⋈
+    * same-user touches in the strict hour before. One shuffle on
+    * user_id both sides; the range predicate rides the join. */
+  def precedingTouches(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.streaming.EventStreams.precedingTouches(
+      Tables(dir).events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value")))
+  }
+
+  private val precedingTouchesSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      |p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id FROM e WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, ts AS t_ts, event_id AS touch_id, event_type AS touch_type
+      |      FROM e WHERE event_type <> 'purchase')
+      |SELECT p.user_id AS user_id, p.purchase_id, p.p_ts, t.touch_id, t.touch_type, t.t_ts
+      |FROM p JOIN t ON p.user_id = t.user_id
+      |  AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR AND t.t_ts < p.p_ts
+      |ORDER BY p.user_id, p.purchase_id, t.touch_id""".stripMargin
+
   /** §8f(x) batch twin — the drift alarm on the SAME code path the live
     * monitor runs ([[graft.streaming.EventStreams.driftAlarm]]): hourly
     * transition shares vs the corpus-wide baseline matrix, alarm rows
@@ -422,6 +444,8 @@ object EventAnalytics {
     "events_transitions" -> Q(transitions _, transitionsSql, Seq(col("from_type"), col("to_type"))),
     "events_drift_alarm" -> Q(driftAlarms _, driftAlarmsSql, Seq(col("bucket"), col("from_type"), col("to_type"))),
     "events_attribution" -> Q(attribution _, attributionSql, Seq(col("touch_type"))),
+    "events_preceding_touches" -> Q(precedingTouches _, precedingTouchesSql,
+      Seq(col("user_id"), col("purchase_id"), col("touch_id"))),
     "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
     "events_value_outliers" -> Q(valueOutliers _, valueOutliersSql, Seq(col("user_id"), col("event_id"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),

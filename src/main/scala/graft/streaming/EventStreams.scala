@@ -259,6 +259,35 @@ object EventStreams {
         col("n"), col("window_pct"), col("baseline_pct"), col("drift_pct"))
   }
 
+  /** Stream-stream interval join: every purchase pairs with the SAME
+    * user's touch events in the hour strictly before it. Both sides
+    * carry watermarks, and the time-range predicate is what makes the
+    * join streaming-legal: Spark derives the state retention for each
+    * side from watermark + range (touches can be dropped once the
+    * watermark passes ts + window; purchases once it passes ts), so
+    * state is bounded by the window horizon — the canonical two-stream
+    * join shape. Self-joining one physical stream into two logical
+    * sides is supported and is exactly how a unified event bus gets
+    * consumed. Runs unchanged in batch (the registered
+    * `events_preceding_touches` twin pins it to a DuckDB range join). */
+  def precedingTouches(events: DataFrame, watermark: String = "2 hours",
+                       windowExpr: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val touches = events
+      .where(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_id").as("touch_id"), col("event_type").as("touch_type"))
+      .withWatermark("t_ts", watermark)
+    val purchases = events
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(touches,
+      expr(s"user_id = t_user AND t_ts >= p_ts - $windowExpr AND t_ts < p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"),
+        col("touch_id"), col("touch_type"), col("t_ts"))
+  }
+
   /** One "user went quiet" alarm: last activity and when the silence was
     * established (event time — the watermark instant that proved it). */
   final case class SilenceAlarm(user_id: Long, last_seen: Timestamp, silent_events: Long)

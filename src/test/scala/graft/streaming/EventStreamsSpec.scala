@@ -301,6 +301,17 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    val got = runStream("s_sjoin")(ds => EventStreams.precedingTouches(ds.toDF()))
+      .where(col("user_id") =!= -1L)
+      .collect().map(_.toSeq).toSet
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val want = graft.operators.EventAnalytics.queries("events_preceding_touches")
+      .fn(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("silence alarm fires on timeout only, once per quiet spell, and re-arms") {
     val t0 = Timestamp.valueOf("2026-04-01 10:00:00")
     def plus(min: Long) = new Timestamp(t0.getTime + min * 60000)
