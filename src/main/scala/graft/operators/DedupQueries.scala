@@ -545,6 +545,50 @@ object DedupQueries {
       .write.mode("overwrite").parquet(s"$indexPath/shingles")
   }
 
+  /** §8g(ab) — the bucketed form of the index manifest: signatures
+    * bucketed+sorted on the candidate join's exact key (band_id,
+    * band_hash), shingle sets on doc_id. Every later ingest cycle then
+    * shuffles ONLY the new batch — the archive-sized index side reads
+    * straight from its buckets (spec asserts no Exchange above either
+    * index scan). This is [[graft.pipeline.BucketedLayout]]'s co-location
+    * argument applied to the dedup family, where the asymmetry is
+    * extreme: the index is the 100 TB archive, the batch is a day. */
+  def persistDedupIndexBucketed(spark: SparkSession, dir: String,
+                                path: String, buckets: Int = 8,
+                                prefix: String = "dedup_idx"): Unit = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val sh = Tables(dir).documents.where(bucket < 80)
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), col("s"))
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_signatures")
+    bandExplode(sh).select("doc_id", "band_id", "band_hash")
+      .write.format("parquet")
+      .bucketBy(buckets, "band_id", "band_hash").sortBy("band_id", "band_hash")
+      .option("path", s"$path/signatures").saveAsTable(s"${prefix}_signatures")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_shingles")
+    sh.select(col("doc_id"), array_distinct(col("s")).as("ss"))
+      .write.format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$path/shingles").saveAsTable(s"${prefix}_shingles")
+  }
+
+  /** Incremental dedup served from the bucketed catalog index: the new
+    * batch (md5 bucket ≥ 80) checks against the landed archive without
+    * the archive moving. Same code path as the streaming twin — the
+    * index frames just come from bucketed tables. */
+  def incrementalDedupFromCatalog(spark: SparkSession, dir: String,
+                                  prefix: String = "dedup_idx"): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val batch = Tables(dir).documents.where(bucket >= 80)
+    graft.streaming.DocStreams.incrementalDedup(batch,
+      spark.table(s"${prefix}_signatures"), spark.table(s"${prefix}_shingles"))
+  }
+
   private val incrementalDedupSql =
     s"""WITH $minhashCtes,
        |bk AS (SELECT doc_id, ${graft.functions.DuckSql.docBucket} AS bucket FROM documents),
