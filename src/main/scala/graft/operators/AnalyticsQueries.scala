@@ -174,6 +174,34 @@ object AnalyticsQueries {
         col("pcts")(0).as("p50"), col("pcts")(1).as("p90"), col("pcts")(2).as("p99"))
   }
 
+  /** Month-over-month revenue growth: the reporting shape every warehouse
+    * runs nightly. The fact scan collapses to |months| rows map-side
+    * (decimal partial sums); lag/pct-change ride a single-partition
+    * window over that bounded frame — same discipline as the backlog's
+    * running sum: global windows only ever see aggregates. */
+  def monthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+    Tables(dir).orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(fin(dsum(col("o_totalprice"))).as("revenue"), count(lit(1)).as("n_orders"))
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("mom_pct",
+        round((col("revenue") - col("prev_revenue")) * lit(100.0) / col("prev_revenue"), 4))
+  }
+
+  private val monthlyGrowthSql =
+    """WITH m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT month, revenue, n_orders,
+      |  lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+      |  ROUND((revenue - lag(revenue) OVER (ORDER BY month)) * 100.0
+      |        / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct
+      |FROM m ORDER BY month""".stripMargin
+
   // ------------------------------------------------ NGS matrix transpose
 
   private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -536,6 +564,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, Q] = Map(
     "q_cube_agg" -> Q(cubeAgg _, cubeAggSql, Seq(col("returnflag"), col("linestatus"))),
+    "q_monthly_growth" -> Q(monthlyGrowth _, monthlyGrowthSql, Seq(col("month"))),
     "q_price_histogram" -> Q(priceHistogram _, priceHistogramSql, Seq(col("bucket"))),
     "text_tfidf_topk" -> Q(tfidfTopK _, tfidfTopKSql, Seq(col("doc_id"), col("rank"))),
     "docs_stratified_sample" -> Q(stratifiedSample _, stratifiedSampleSql, Seq(col("doc_id"))),

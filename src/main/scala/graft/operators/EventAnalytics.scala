@@ -349,6 +349,42 @@ object EventAnalytics {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Time-to-convert histogram: minutes from each purchase back to the
+    * user's most recent prior touch (full history — the attribution
+    * carry-forward window reused with the touch TIMESTAMP), bucketed to
+    * 10-minute bins. Integer microsecond arithmetic end to end — the
+    * division is an exact integer div, so bins are engine-exact. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("touch_ts",
+        last(when(col("event_type") =!= "purchase", col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("touch_ts").isNotNull)
+      .withColumn("mins",
+        floor((unix_micros(col("ts")) - unix_micros(col("touch_ts"))) / lit(60000000L)))
+      .groupBy((floor(col("mins") / 10) * 10).as("bucket_min"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
+  private val timeToConvertSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      |t AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+      |  FROM e),
+      |c AS (
+      |  SELECT CAST(FLOOR((epoch_us(ts) - epoch_us(touch_ts)) / 60000000) AS BIGINT) AS mins
+      |  FROM t WHERE event_type = 'purchase' AND touch_ts IS NOT NULL)
+      |SELECT CAST(FLOOR(mins / 10) * 10 AS BIGINT) AS bucket_min,
+      |  COUNT(*) AS n_conversions
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Batch twin of the stream-stream interval join
     * ([[graft.streaming.EventStreams.precedingTouches]]): purchases ⋈
     * same-user touches in the strict hour before. One shuffle on
@@ -446,6 +482,7 @@ object EventAnalytics {
     "events_attribution" -> Q(attribution _, attributionSql, Seq(col("touch_type"))),
     "events_preceding_touches" -> Q(precedingTouches _, precedingTouchesSql,
       Seq(col("user_id"), col("purchase_id"), col("touch_id"))),
+    "events_time_to_convert" -> Q(timeToConvert _, timeToConvertSql, Seq(col("bucket_min"))),
     "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
     "events_value_outliers" -> Q(valueOutliers _, valueOutliersSql, Seq(col("user_id"), col("event_id"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),
