@@ -202,6 +202,37 @@ object AnalyticsQueries {
       |        / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct
       |FROM m ORDER BY month""".stripMargin
 
+  /** Customer lifetime-value distribution: per-segment percent_rank and
+    * cume_dist over decimal LTV sums — the "where does this account sit"
+    * percentile view. Rank windows partition by segment (bounded groups)
+    * over the |customers|-sized aggregate, never the order facts; ties in
+    * LTV get identical ranks in both engines by definition, so the
+    * tie-break needs no extra key. */
+  def customerLtv(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("ltv"))
+    t.orders
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(fin(dsum(col("o_totalprice"))).as("ltv"), count(lit(1)).as("n_orders"))
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")), Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("ltv"), col("n_orders"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  private val customerLtvSql =
+    """WITH ltv AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS ltv,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT l.c_custkey AS c_custkey, c.c_mktsegment, l.ltv, l.n_orders,
+      |  ROUND(percent_rank() OVER (PARTITION BY c.c_mktsegment ORDER BY l.ltv), 6) AS pct_rank,
+      |  ROUND(cume_dist() OVER (PARTITION BY c.c_mktsegment ORDER BY l.ltv), 6) AS cume
+      |FROM ltv l JOIN customer c ON c.c_custkey = l.c_custkey
+      |ORDER BY l.c_custkey""".stripMargin
+
   // ------------------------------------------------ NGS matrix transpose
 
   private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -565,6 +596,7 @@ object AnalyticsQueries {
   val queries: Map[String, Q] = Map(
     "q_cube_agg" -> Q(cubeAgg _, cubeAggSql, Seq(col("returnflag"), col("linestatus"))),
     "q_monthly_growth" -> Q(monthlyGrowth _, monthlyGrowthSql, Seq(col("month"))),
+    "q_customer_ltv" -> Q(customerLtv _, customerLtvSql, Seq(col("c_custkey"))),
     "q_price_histogram" -> Q(priceHistogram _, priceHistogramSql, Seq(col("bucket"))),
     "text_tfidf_topk" -> Q(tfidfTopK _, tfidfTopKSql, Seq(col("doc_id"), col("rank"))),
     "docs_stratified_sample" -> Q(stratifiedSample _, stratifiedSampleSql, Seq(col("doc_id"))),
