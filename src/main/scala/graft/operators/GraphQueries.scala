@@ -63,6 +63,43 @@ object GraphQueries {
     perPart.orderBy(col("n_triangles").desc, col("p_partkey")).limit(100)
   }
 
+  /** §8g(af) — whale-degree guard: cap each source's oriented adjacency
+    * to its `cap` lowest-id neighbors before the wedge join. The
+    * orientation already bounds out-degree near √|E|, but a pathological
+    * hub (every order contains SKU X) can still blow the wedge set; the
+    * cap makes the worst case cap²·|V| with a DOCUMENTED undercount —
+    * the same honest trade as the LSH family's whale-bucket cap. Counts
+    * are a lower bound; cap = Int.MaxValue recovers exact (spec-pinned
+    * both ways). */
+  def trianglesCapped(spark: SparkSession, dir: String, cap: Int): DataFrame = {
+    implicit val s: SparkSession = spark
+    val e = edges(Tables(dir))
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(broadcast(deg.toDF("pa", "deg_a")), Seq("pa"))
+      .join(broadcast(deg.toDF("pb", "deg_b")), Seq("pb"))
+    val oriented = withDeg.select(
+      when(col("deg_a") < col("deg_b")
+        || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pa"))
+        .otherwise(col("pb")).as("src"),
+      when(col("deg_a") < col("deg_b")
+        || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pb"))
+        .otherwise(col("pa")).as("dst"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dst"))))
+      .where(col("rn") <= cap)
+      .drop("rn")
+    val w1 = oriented.toDF("src", "d1")
+    val w2 = oriented.toDF("src", "d2")
+    val wedges = w1.join(w2, Seq("src")).where(col("d1") < col("d2"))
+    val tri = wedges.join(e,
+      wedges("d1") === e("pa") && wedges("d2") === e("pb"))
+      .select(col("src"), col("d1"), col("d2"))
+    tri.select(explode(array(col("src"), col("d1"), col("d2"))).as("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
+  }
+
   private val trianglesSql =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |e AS (
