@@ -92,7 +92,67 @@ object MultimodalQueries {
        |FROM f, UNNEST(generate_series(0, n_frames - 1)) AS t(i)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Audio-side plumbing: overlapping PCM analysis windows. The "audio"
+    * payloads (doc_id % 3 = 1 stand-ins) are cut into 64-byte frames with
+    * a 32-byte hop (50% overlap — the standard STFT layout) and each
+    * frame reports exact integer energy (sum of sample bytes) and peak.
+    * Per-row expressions only — the frame explosion is bounded (≤12
+    * frames/doc) and everything up to the final ordering is map-side.
+    * The decode stays a byte-level stub (no codecs in this container);
+    * the window geometry, overlap arithmetic and batch shape are the
+    * real thing. */
+  private val FrameBytes = 64
+  private val HopBytes = 32
+  private val MaxFrames = 12
+
+  def audioWindows(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .where(col("doc_id") % 3 === 1)
+      .withColumn("hx", hex(encode(col("text"), "UTF-8")))
+      .withColumn("n_bytes", (length(col("hx")) / 2).cast("long"))
+      .where(col("n_bytes") >= FrameBytes) // full frames only
+      .withColumn("n_frames",
+        least(expr(s"(n_bytes - $FrameBytes) div $HopBytes + 1").cast("int"), lit(MaxFrames)))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("hx"),
+        posexplode(expr(s"sequence(0, n_frames - 1)")).as(Seq("frame_idx", "i")))
+      .withColumn("energy", expr(
+        s"""aggregate(transform(sequence(0, ${FrameBytes - 1}),
+           |  j -> cast(conv(substring(hx, (i * $HopBytes + j) * 2 + 1, 2), 16, 10) as bigint)),
+           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("peak", expr(
+        s"""array_max(transform(sequence(0, ${FrameBytes - 1}),
+           |  j -> cast(conv(substring(hx, (i * $HopBytes + j) * 2 + 1, 2), 16, 10) as bigint)))""".stripMargin))
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"), col("energy"), col("peak"))
+  }
+
+  private def duckByte(hxCol: String, pos: String): String =
+    s"((strpos('0123456789ABCDEF', substring($hxCol, $pos, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789ABCDEF', substring($hxCol, $pos + 1, 1)) - 1))"
+
+  private val audioWindowsSql = {
+    val bytesOfFrame =
+      s"list_transform(generate_series(0, ${FrameBytes - 1}), j -> ${duckByte("hx", s"(i * $HopBytes + j) * 2 + 1")})"
+    s"""WITH a AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(LENGTH(hex(encode(text))) / 2 AS BIGINT) AS n_bytes
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |f AS (
+       |  SELECT doc_id, n_bytes,
+       |    LEAST(CAST((n_bytes - $FrameBytes) // $HopBytes + 1 AS INT), $MaxFrames) AS n_frames, hx
+       |  FROM a WHERE n_bytes >= $FrameBytes)
+       |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+       |  CAST(i AS BIGINT) AS frame_idx,
+       |  CAST(list_aggregate($bytesOfFrame, 'sum') AS BIGINT) AS energy,
+       |  CAST(list_aggregate($bytesOfFrame, 'max') AS BIGINT) AS peak
+       |FROM f, UNNEST(generate_series(0, n_frames - 1)) AS t(i)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_audio_windows" -> Q(audioWindows _, audioWindowsSql,
+      Seq(col("doc_id"), col("frame_idx"))),
     "mm_binary_meta" -> Q(binaryMeta _, binaryMetaSql, Seq(col("doc_id"))),
     "mm_frame_sample" -> Q(frameSample _, frameSampleSql, Seq(col("doc_id"), col("frame_idx"))),
   )
