@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+/** Pipeline status notification — the engine-side mirror of the
+  * reference's e-mail reporting (`scripts/email_client.py`: parse the run
+  * log into summary + errors, compose a subject-prefixed body, send).
+  * Transport is out of scope here (no SMTP in a library); what the engine
+  * owns is producing the SAME content deterministically: per-task
+  * outcomes with durations, the skip/ran split from the Dag's
+  * content-signature semantics, and a failure section naming the task
+  * that died and everything it blocked. */
+object RunReport {
+
+  final case class Outcome(id: String, status: String, durationMs: Long)
+
+  /** Wrap a task list so each `run` records its wall-clock duration and
+    * any failure (rethrown after recording — the Dag's abort semantics
+    * stay untouched). */
+  def instrument(tasks: Seq[Task])
+      : (Seq[Task], mutable.LinkedHashMap[String, Outcome]) = {
+    val log = mutable.LinkedHashMap.empty[String, Outcome]
+    val wrapped = tasks.map { t =>
+      t.copy(run = () => {
+        val t0 = System.nanoTime()
+        try {
+          val out = t.run()
+          log(t.id) = Outcome(t.id, "ok", (System.nanoTime() - t0) / 1000000L)
+          out
+        } catch {
+          case e: Throwable =>
+            log(t.id) = Outcome(t.id, s"FAILED: ${e.getMessage}", (System.nanoTime() - t0) / 1000000L)
+            throw e
+        }
+      })
+    }
+    (wrapped, log)
+  }
+
+  /** Compose the notification body (the reference's build_message_body
+    * shape: subject prefix, summary section, error section). `report` is
+    * None when the run aborted before completing. */
+  def body(prefix: String, report: Option[DagReport],
+           outcomes: Seq[Outcome], allTasks: Seq[String]): String = {
+    val failed = outcomes.filter(_.status.startsWith("FAILED"))
+    val attempted = outcomes.map(_.id).toSet
+    val notReached = allTasks.filterNot(attempted.contains)
+      .filterNot(id => report.exists(r => r.skipped.contains(id)))
+    val status = if (failed.nonEmpty) "FAILED" else "SUCCESS"
+    val b = new StringBuilder
+    b ++= s"$prefix pipeline run: $status\n\n== summary ==\n"
+    outcomes.foreach(o => b ++= f"${o.id}%-24s ${o.status}%-12s ${o.durationMs} ms\n")
+    report.foreach { r =>
+      r.skipped.foreach(id => b ++= f"$id%-24s up-to-date (signal match)\n")
+    }
+    if (failed.nonEmpty) {
+      b ++= "\n== errors ==\n"
+      failed.foreach(o => b ++= s"${o.id}: ${o.status.stripPrefix("FAILED: ")}\n")
+      if (notReached.nonEmpty)
+        b ++= s"blocked downstream: ${notReached.mkString(", ")}\n"
+    }
+    b.result()
+  }
+}

@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RunReportSpec extends AnyFunSuite {
+
+  private def task(id: String, deps: Seq[String], out: String = "sig",
+                   fail: Boolean = false): Task =
+    Task(id, deps, () => if (fail) throw new RuntimeException(s"boom-$id") else out)
+
+  test("success body lists every outcome with durations plus signal-skipped tasks") {
+    val (tasks, log) = RunReport.instrument(Seq(
+      task("sync", Nil), task("sources2csr", Seq("sync")), task("load", Seq("sources2csr"))))
+    val dag = new Dag(tasks)
+    val store = new InMemorySignalStore
+    val r1 = dag.execute(store)
+    assert(r1.ran == Seq("sync", "sources2csr", "load"))
+    val body1 = RunReport.body("[graft]", Some(r1), log.values.toSeq, tasks.map(_.id))
+    assert(body1.startsWith("[graft] pipeline run: SUCCESS"))
+    assert(Seq("sync", "sources2csr", "load").forall(id => body1.contains(id)))
+    assert(!body1.contains("errors"))
+    // second run: everything signal-skips; the report says so
+    log.clear()
+    val r2 = dag.execute(store)
+    assert(r2.ran.isEmpty && r2.skipped.size == 3)
+    val body2 = RunReport.body("[graft]", Some(r2), log.values.toSeq, tasks.map(_.id))
+    assert(body2.contains("up-to-date (signal match)"))
+  }
+
+  test("failure body names the dead task and the downstream it blocked") {
+    val (tasks, log) = RunReport.instrument(Seq(
+      task("sync", Nil),
+      task("sources2csr", Seq("sync"), fail = true),
+      task("load", Seq("sources2csr"))))
+    val dag = new Dag(tasks)
+    val thrown = intercept[RuntimeException](dag.execute(new InMemorySignalStore))
+    assert(thrown.getMessage == "boom-sources2csr")
+    val body = RunReport.body("[graft]", None, log.values.toSeq, tasks.map(_.id))
+    assert(body.startsWith("[graft] pipeline run: FAILED"))
+    assert(body.contains("== errors =="))
+    assert(body.contains("sources2csr: boom-sources2csr"))
+    assert(body.contains("blocked downstream: load"))
+    assert(body.contains("sync") && log("sync").status == "ok")
+  }
+}
