@@ -114,15 +114,17 @@ object MultimodalQueries {
       .where(col("n_bytes") >= FrameBytes) // full frames only
       .withColumn("n_frames",
         least(expr(s"(n_bytes - $FrameBytes) div $HopBytes + 1").cast("int"), lit(MaxFrames)))
-      .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("hx"),
+      // decode each byte ONCE per doc before the frame explode — frames
+      // overlap 50%, so per-frame parsing would pay 2× the conv() calls
+      // (and the first draft did: 2.9 s → this form at sf0.1)
+      .withColumn("bytes", expr(
+        s"""transform(sequence(0, cast(n_bytes as int) - 1),
+           |  j -> cast(conv(substring(hx, j * 2 + 1, 2), 16, 10) as bigint))""".stripMargin))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("bytes"),
         posexplode(expr(s"sequence(0, n_frames - 1)")).as(Seq("frame_idx", "i")))
-      .withColumn("energy", expr(
-        s"""aggregate(transform(sequence(0, ${FrameBytes - 1}),
-           |  j -> cast(conv(substring(hx, (i * $HopBytes + j) * 2 + 1, 2), 16, 10) as bigint)),
-           |  0L, (acc, x) -> acc + x)""".stripMargin))
-      .withColumn("peak", expr(
-        s"""array_max(transform(sequence(0, ${FrameBytes - 1}),
-           |  j -> cast(conv(substring(hx, (i * $HopBytes + j) * 2 + 1, 2), 16, 10) as bigint)))""".stripMargin))
+      .withColumn("frame", expr(s"slice(bytes, i * $HopBytes + 1, $FrameBytes)"))
+      .withColumn("energy", expr("aggregate(frame, 0L, (acc, x) -> acc + x)"))
+      .withColumn("peak", expr("array_max(frame)"))
       .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
         col("frame_idx").cast("long").as("frame_idx"), col("energy"), col("peak"))
   }
