@@ -127,8 +127,47 @@ object GraphQueries {
       |SELECT p_partkey, n_triangles FROM corners
       |ORDER BY n_triangles DESC, p_partkey LIMIT 100""".stripMargin
 
+  /** Registered capped variant (cap = 8): the whale-guard semantics are
+    * fully deterministic (lowest-id neighbors survive), so the oracle
+    * mirrors the cap with the same ROW_NUMBER and the undercount is
+    * itself verified row-for-row. */
+  private val CapK = 8
+
+  private def trianglesCappedSql(cap: Int) =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) n GROUP BY 1),
+       |oriented0 AS (
+       |  SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb) THEN pa ELSE pb END AS src,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb) THEN pb ELSE pa END AS dst
+       |  FROM e JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb),
+       |oriented AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+       |    FROM oriented0) x WHERE rn <= $cap),
+       |wedges AS (
+       |  SELECT w1.src, w1.dst AS d1, w2.dst AS d2
+       |  FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src AND w1.dst < w2.dst),
+       |tri AS (
+       |  SELECT w.src, w.d1, w.d2
+       |  FROM wedges w JOIN e ON e.pa = w.d1 AND e.pb = w.d2),
+       |corners AS (
+       |  SELECT p_partkey, COUNT(*) AS n_triangles FROM (
+       |    SELECT src AS p_partkey FROM tri
+       |    UNION ALL SELECT d1 FROM tri
+       |    UNION ALL SELECT d2 FROM tri) c GROUP BY 1)
+       |SELECT p_partkey, n_triangles FROM corners
+       |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "graph_triangles" -> Q(triangles _, trianglesSql,
       Seq(col("n_triangles").desc, col("p_partkey"))),
+    "graph_triangles_capped" -> Q((s, d) => trianglesCapped(s, d, CapK),
+      trianglesCappedSql(CapK), Seq(col("p_partkey"))),
   )
 }

@@ -288,6 +288,31 @@ object EventStreams {
         col("touch_id"), col("touch_type"), col("t_ts"))
   }
 
+  /** §8h(ah) — streaming point-in-time enrichment: live events pick up
+    * the landed SCD2 version valid at their timestamp. The dimension is
+    * STATIC (the landed scd2 table — tiny next to the stream), so the
+    * version candidates arrive by broadcast stream-static join; picking
+    * the latest valid version is one watermarked aggregation keyed by the
+    * event (max struct ordered by version_no), sealed per event once the
+    * watermark passes it. Per-event state is one struct; the explosion
+    * before the agg is bounded by versions-per-user. Events before their
+    * user's first version (or for unknown users) drop — same inner
+    * semantics as the batch twin's ASOF oracle. */
+  def pitEnrichStream(events: DataFrame, versions: DataFrame,
+                      watermark: String = "2 hours"): DataFrame = {
+    val v = broadcast(versions
+      .select(col("user_id"), col("valid_from"), col("state"), col("version_no")))
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .join(v, Seq("user_id"))
+      .where(col("valid_from") <= col("ts"))
+      .groupBy(col("user_id"), col("event_id"), col("ts"))
+      .agg(max(struct(col("version_no"), col("valid_from"), col("state"))).as("v"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("v.state").as("state_at"), col("v.version_no").as("version_at"))
+  }
+
   /** One "user went quiet" alarm: last activity and when the silence was
     * established (event time — the watermark instant that proved it). */
   final case class SilenceAlarm(user_id: Long, last_seen: Timestamp, silent_events: Long)

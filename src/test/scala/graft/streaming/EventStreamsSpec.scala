@@ -301,6 +301,24 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming point-in-time enrich against the landed SCD2 matches the batch twin") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // the landed dimension: the batch SCD2 build with version numbers
+    val versions = graft.operators.ChangeData.scd2(spark, TestSpark.Sf0001)
+      .withColumn("version_no", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("valid_from"))))
+      .select(col("user_id"), col("valid_from"), col("state"), col("version_no"))
+      .localCheckpoint()
+    val got = runStream("s_pit")(ds =>
+        EventStreams.pitEnrichStream(ds.toDF(), versions))
+      .where(col("user_id") =!= -1L)
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.ChangeData.queries("etl_pit_enrich")
+      .fn(spark, TestSpark.Sf0001).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("stream-stream interval join matches the batch twin") {
     val got = runStream("s_sjoin")(ds => EventStreams.precedingTouches(ds.toDF()))
       .where(col("user_id") =!= -1L)
