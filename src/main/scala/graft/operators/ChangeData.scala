@@ -287,6 +287,40 @@ object ChangeData {
     deltas.select(col("day"), col("net"), sum(col("net")).over(w).as("backlog"))
   }
 
+  // ------------------------------------------ incremental backlog state
+
+  /** §8h(ai) — the backlog's landed state: one (order, start_day,
+    * done_day) span per order. Mergeable exactly (min start / max done
+    * are associative), so a late lineitem batch that EXTENDS an existing
+    * order's ship window folds in with one groupBy — no day is ever
+    * recomputed from facts. Render cost is |orders| → |days| →
+    * running sum, independent of the fact volume. */
+  def spanState(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("done_day"))
+      .join(orders.select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("start_day")), Seq("o_orderkey"))
+
+  /** Fold a new batch of spans into landed state (union + re-extremes). */
+  def mergeSpans(state: DataFrame, newSpans: DataFrame): DataFrame =
+    state.unionByName(newSpans)
+      .groupBy(col("o_orderkey"))
+      .agg(min(col("start_day")).as("start_day"), max(col("done_day")).as("done_day"))
+
+  /** Render the daily backlog series from span state (same delta explode
+    * + day-grain running sum as the one-shot [[orderBacklog]]). */
+  def renderBacklog(state: DataFrame): DataFrame = {
+    val deltas = state
+      .select(explode(array(
+        struct(col("start_day").as("day"), lit(1L).as("delta")),
+        struct(date_add(col("done_day"), 1).as("day"), lit(-1L).as("delta")))).as("e"))
+      .groupBy(col("e.day").as("day")).agg(sum(col("e.delta")).as("net"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.select(col("day"), col("net"), sum(col("net")).over(w).as("backlog"))
+  }
+
   private val orderBacklogSql =
     """WITH spans AS (
       |  SELECT o.o_orderkey,

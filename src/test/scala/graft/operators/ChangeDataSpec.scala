@@ -111,6 +111,20 @@ class ChangeDataSpec extends AnyFunSuite {
     assert(rows.last._2 == 0L)
   }
 
+  test("incremental backlog: split lineitem batches merge to the one-shot series") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val t = graft.sources.Tables(dir)
+    // parity split cuts ORDERS ACROSS batches: an order's later lines can
+    // extend its done_day, exercising the max-merge
+    val b1 = t.lineitem.where(col("l_linenumber") % 2 === 0)
+    val b2 = t.lineitem.where(col("l_linenumber") % 2 === 1)
+    val merged = ChangeData.mergeSpans(
+      ChangeData.spanState(b1, t.orders), ChangeData.spanState(b2, t.orders))
+    val incremental = ChangeData.renderBacklog(merged).collect().map(_.toSeq).toSet
+    val oneShot = ChangeData.orderBacklog(spark, dir).collect().map(_.toSeq).toSet
+    assert(incremental == oneShot && oneShot.nonEmpty)
+  }
+
   test("fuzzy linkage: canonical name order, distance in 1..2, block soundness, counts conserve") {
     val rows = Linkage.fuzzyParts(spark, dir)
       .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b").collect()
