@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -30,51 +30,28 @@ import org.apache.spark.sql.functions._
   * machinery is unchanged by that refinement. */
 object UpsertSink {
 
-  private def manifest(base: String) = Paths.get(base, "applied_batches.txt")
-
   /** Applied-batch ids (empty at bootstrap). */
-  def appliedBatches(base: String): Set[Long] =
-    if (Files.exists(manifest(base)))
-      scala.jdk.CollectionConverters.ListHasAsScala(
-        Files.readAllLines(manifest(base))).asScala.filter(_.nonEmpty).map(_.toLong).toSet
-    else Set.empty
+  def appliedBatches(base: String): Set[Long] = Snapshots.appliedBatches(base)
 
   /** The live snapshot (empty frame with the right schema at bootstrap). */
-  def snapshot(spark: SparkSession, base: String): DataFrame = {
-    val cur = Paths.get(base, "current")
-    if (Files.exists(cur)) spark.read.parquet(cur.toString)
-    else spark.emptyDataFrame
-      .select(lit(0L).as("c_custkey"), lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00")).as("o_orderdate"),
-        lit(0L).as("o_orderkey"), lit("U").as("op"), lit(0.0).as("new_bal"))
-      .where(lit(false))
-  }
+  def snapshot(spark: SparkSession, base: String): DataFrame =
+    Snapshots.current(spark, base).getOrElse(
+      spark.emptyDataFrame
+        .select(lit(0L).as("c_custkey"),
+          lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00")).as("o_orderdate"),
+          lit(0L).as("o_orderkey"), lit("U").as("op"), lit(0.0).as("new_bal"))
+        .where(lit(false)))
 
   /** foreachBatch handler: fold one batch of LatestChange rows in. */
   def applyBatch(spark: SparkSession, base: String)(batch: DataFrame, batchId: Long): Unit = {
-    Files.createDirectories(Paths.get(base))
     if (appliedBatches(base).contains(batchId)) return // replay → no-op
-
-    val merged = {
-      val all = snapshot(spark, base).unionByName(
-        batch.select("c_custkey", "o_orderdate", "o_orderkey", "op", "new_bal"))
-      val w = Window.partitionBy(col("c_custkey"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      all.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-        .where(col("op") =!= "D") // deletes drop the key from the snapshot
-    }
-    val vdir = Paths.get(base, s"v$batchId")
-    merged.write.mode("overwrite").parquet(vdir.toString)
-
-    // two-rename atomic publish (AggCache discipline)
-    val cur = Paths.get(base, "current")
-    val old = Paths.get(base, s".old-$batchId")
-    if (Files.exists(cur) && !cur.toFile.renameTo(old.toFile))
-      throw new java.io.IOException(s"snapshot swap failed: $cur -> $old")
-    if (!vdir.toFile.renameTo(cur.toFile))
-      throw new java.io.IOException(s"snapshot swap failed: $vdir -> $cur")
-    if (Files.exists(old)) org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-
-    Files.write(manifest(base), s"$batchId\n".getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    val all = snapshot(spark, base).unionByName(
+      batch.select("c_custkey", "o_orderdate", "o_orderkey", "op", "new_bal"))
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val merged = all.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .where(col("op") =!= "D") // deletes drop the key from the snapshot
+    Snapshots.publish(base, batchId)(dir => merged.write.mode("overwrite").parquet(dir))
+    Snapshots.recordBatch(base, batchId)
   }
 }
