@@ -2,6 +2,8 @@ package graft.pipeline
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.SparkSession
+
 /** Pipeline status notification — the engine-side mirror of the
   * reference's e-mail reporting (`scripts/email_client.py`: parse the run
   * log into summary + errors, compose a subject-prefixed body, send).
@@ -36,6 +38,27 @@ object RunReport {
     }
     (wrapped, log)
   }
+
+  /** §8h(al) — land one run's outcomes as a queryable history row set
+    * (run_id, task, status, duration_ms, skipped): the notification is
+    * ephemeral, the history is a dataset — trend queries ("which task is
+    * slowing down", "how often does load fail") are then ordinary graft
+    * queries over `history()`. Append-only parquet, one directory per
+    * run id, so landing is idempotent per run. */
+  def land(spark: SparkSession, dir: String, runId: Long,
+           report: Option[DagReport], outcomes: Seq[Outcome]): Unit = {
+    import spark.implicits._
+    val rows =
+      outcomes.map(o => (o.id, o.status, o.durationMs, false)) ++
+        report.toSeq.flatMap(_.skipped.map(id => (id, "ok", 0L, true)))
+    // run_id lives in the partition directory, not the file columns —
+    // the partitioned read infers it back
+    rows.toDF("task", "status", "duration_ms", "skipped")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/run_id=$runId")
+  }
+
+  def history(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.option("basePath", dir).parquet(s"$dir/run_id=*")
 
   /** Compose the notification body (the reference's build_message_body
     * shape: subject prefix, summary section, error section). `report` is

@@ -27,6 +27,26 @@ class RunReportSpec extends AnyFunSuite {
     assert(body2.contains("up-to-date (signal match)"))
   }
 
+  test("landed run history is a queryable dataset across runs") {
+    val spark = graft.TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-runhist").toString
+    val (tasks, log) = RunReport.instrument(Seq(
+      task("sync", Nil), task("load", Seq("sync"))))
+    val dag = new Dag(tasks)
+    val store = new InMemorySignalStore
+    val r1 = dag.execute(store)
+    RunReport.land(spark, dir, 1L, Some(r1), log.values.toSeq)
+    log.clear()
+    val r2 = dag.execute(store) // all skip on signals
+    RunReport.land(spark, dir, 2L, Some(r2), log.values.toSeq)
+    val hist = RunReport.history(spark, dir)
+      .select("run_id", "task", "status", "skipped").collect()
+      .map(r => (r.get(0).toString.toLong, r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(hist.count(_._1 == 1L) == 2 && hist.filter(_._1 == 1L).forall(!_._4))
+    assert(hist.count(_._1 == 2L) == 2 && hist.filter(_._1 == 2L).forall(_._4))
+    assert(hist.forall(_._3 == "ok"))
+  }
+
   test("failure body names the dead task and the downstream it blocked") {
     val (tasks, log) = RunReport.instrument(Seq(
       task("sync", Nil),
