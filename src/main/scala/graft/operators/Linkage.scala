@@ -159,6 +159,22 @@ object Linkage {
       |  WHERE levenshtein(a.p_name, b.p_name) <= 2)
       |SELECT * FROM m ORDER BY name_a, name_b""".stripMargin
 
+  /** §8h(aj) — multi-column linkage keys through the same segment join:
+    * the fields concatenate with an unprintable separator (so a typo in
+    * ANY field is an edit in the composite, and fields can't bleed into
+    * each other), distinct composites dedupe with counts, and
+    * [[segmentPairs]] runs unchanged. The edit budget is shared across
+    * fields — two one-char typos in two fields still match, three don't —
+    * which is the record-linkage semantic a per-field threshold can't
+    * give without a cross-product of per-field joins. */
+  def fuzzyRecords(records: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "fuzzyRecords: no key columns")
+    val composite = concat_ws("\u0001", keyCols.map(col): _*)
+    segmentPairs(records
+      .groupBy(composite.as("nm"))
+      .agg(count(lit(1)).as("n_parts")))
+  }
+
   val queries: Map[String, Q] = Map(
     "link_fuzzy_parts" -> Q(fuzzyParts _, fuzzyPartsSql, Seq(col("name_a"), col("name_b"))),
     "link_fuzzy_segments" -> Q(fuzzySegments _, fuzzySegmentsSql, Seq(col("name_a"), col("name_b"))),

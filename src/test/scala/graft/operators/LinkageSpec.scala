@@ -21,6 +21,38 @@ class LinkageSpec extends AnyFunSuite {
     d(a.length)(b.length)
   }
 
+  test("multi-column records share one edit budget across fields") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val recs = Seq(
+      ("johann", "meier"), ("johan", "meier"),   // 1 edit, field 1
+      ("johann", "meyer"),                        // 1 edit, field 2
+      ("johan", "meyer"),                         // 1+1 edits across fields
+      ("johann", "mairer"),                       // 2 edits, field 2
+      ("jxhxnn", "meier"),                        // 2 edits, field 1
+      ("joxann", "mxier"), ("totally", "other"))  // 1+1 vs base; unrelated
+      .toDF("first", "last")
+    val pairs = Linkage.fuzzyRecords(recs, Seq("first", "last"))
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    def key(f: String, l: String) = f + "" + l
+    // within budget: found
+    assert(pairs.contains((key("johan", "meier"), key("johann", "meier"))))
+    assert(pairs.contains((key("johann", "meier"), key("johann", "meyer"))))
+    assert(pairs.contains((key("johan", "meyer"), key("johann", "meier")) )
+      || pairs.contains((key("johann", "meier"), key("johan", "meyer"))))
+    assert(pairs.exists(p => p._1.contains("jxhxnn") || p._2.contains("jxhxnn")))
+    // beyond budget: the unrelated record pairs with nothing
+    assert(!pairs.exists(p => p._1.contains("totally") || p._2.contains("totally")))
+    // the separator makes boundary crossings COST edits instead of being
+    // free: ("johannme","ier") vs ("johann","meier") concatenate to the
+    // same characters, so without a separator they'd match at distance 0;
+    // with it, shifting two chars across the field boundary costs 2
+    val bleed = Seq(("johannme", "ier"), ("johann", "meier")).toDF("first", "last")
+    val bp = Linkage.fuzzyRecords(bleed, Seq("first", "last"))
+      .select("dist").collect().map(_.getLong(0)).toSeq
+    assert(bp == Seq(2L), s"boundary shift must cost its edits, got $bp")
+  }
+
   test("segment candidates recover every pair within distance 2 (adversarial edits)") {
     val bases = Seq("alpha widget", "industrial bolt", "ze rod", "connector",
       "aquamarine housing", "xy", "abcdefghijklmnop")
