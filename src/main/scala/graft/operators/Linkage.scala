@@ -64,17 +64,20 @@ object Linkage {
 
   // ---------------------------------------------- segment-indexed join
 
-  private val K = 2 // edit-distance threshold
-  private val Segs = K + 1
+  private val K = 2 // default edit-distance threshold
 
-  /** Segment scheme for a string of length ℓ: three deterministic
-    * contiguous pieces (start, length). Any fixed partition works for
-    * the pigeonhole — k edits touch ≤ k segments, so one survives. */
-  private def scheme(l: Column): Seq[(Column, Column)] = {
-    val m0 = floor(l / Segs).cast("int")
-    val m1 = floor((l - m0) / (Segs - 1)).cast("int")
-    val m2 = (l - m0 - m1).cast("int")
-    Seq((lit(0), m0), (m0, m1), ((m0 + m1).cast("int"), m2))
+  /** Segment scheme for a string of length ℓ at threshold k: k+1
+    * deterministic contiguous pieces (start, length), each piece taking
+    * floor(remaining / pieces-left). Any fixed partition works for the
+    * pigeonhole — k edits touch ≤ k segments, so one survives. */
+  private def scheme(l: Column, k: Int): Seq[(Column, Column)] = {
+    var start: Column = lit(0).cast("int")
+    (0 to k).map { i =>
+      val m = floor((l - start) / (k + 1 - i)).cast("int")
+      val s0 = start
+      start = (start + m).cast("int")
+      (s0, m)
+    }
   }
 
   /** §8g(ae) — PassJoin-style segment-indexed edit-distance self-join:
@@ -101,12 +104,15 @@ object Linkage {
 
   /** The segment-join core over an arbitrary (nm, n_parts) frame —
     * separated so the completeness property test can feed adversarial
-    * edit pairs directly. */
-  private[operators] def segmentPairs(nameCounts: DataFrame): DataFrame = {
+    * edit pairs directly. `k` is the edit threshold (§8i(am): k+1
+    * segments, ±k windows — probe keys grow as (2k+1)²(k+1) per name,
+    * the price of a looser match). */
+  private[operators] def segmentPairs(nameCounts: DataFrame, k: Int = K): DataFrame = {
+    val segs = k + 1
     val names = nameCounts.select(col("nm"), col("n_parts"), length(col("nm")).as("len"))
 
-    // index side: the 3 exact segments of each name
-    val idxKeys = explode(array(scheme(col("len")).zipWithIndex.map {
+    // index side: the k+1 exact segments of each name
+    val idxKeys = explode(array(scheme(col("len"), k).zipWithIndex.map {
       case ((st, m), i) =>
         struct(substring(col("nm"), st + 1, m).as("txt"),
           lit(i).as("seg"), col("len").as("l"))
@@ -115,15 +121,15 @@ object Linkage {
       .select(col("name_a"), col("n_parts_a"), col("k.txt"), col("k.seg"), col("k.l"))
       .where(length(col("txt")) >= 1)
 
-    // probe side: substrings at the segment's ±K window, for every
-    // candidate partner length within ±K of our own
+    // probe side: substrings at the segment's ±k window, for every
+    // candidate partner length within ±k of our own
     val probeKeys: Seq[Column] = (for {
-      d <- -K to K
-      i <- 0 until Segs
-      w <- -K to K
+      d <- -k to k
+      i <- 0 until segs
+      w <- -k to k
     } yield {
       val l = (col("len") + d).cast("int")
-      val (segStart, segLen) = scheme(l)(i)
+      val (segStart, segLen) = scheme(l, k)(i)
       val start = (segStart + w).cast("int")
       when(segLen >= 1 && start >= 0 && start + segLen <= col("len"),
         struct(substring(col("nm"), start + 1, segLen).as("txt"),
@@ -142,7 +148,7 @@ object Linkage {
     // pairs can surface in either orientation (a indexed / b probing or
     // vice versa) — canonical order + distinct above dedups; verify:
     cands
-      .where(levenshtein(col("name_a"), col("name_b")) <= K)
+      .where(levenshtein(col("name_a"), col("name_b")) <= k)
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
         col("n_parts_a"), col("n_parts_b"))

@@ -53,6 +53,28 @@ class LinkageSpec extends AnyFunSuite {
     assert(bp == Seq(2L), s"boundary shift must cost its edits, got $bp")
   }
 
+  test("threshold-3 segment join recovers every pair within distance 3") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val bases = Seq("alpha widget", "industrial bolt", "aquamarine housing")
+    def subs(t: String, i: Int) = t.updated(i, if (t(i) == 'z') 'q' else 'z')
+    // 0..3 stacked substitutions at spread positions
+    val variants = bases.flatMap { b =>
+      Seq(b, subs(b, 0), subs(subs(b, 0), b.length / 2),
+        subs(subs(subs(b, 0), b.length / 2), b.length - 1))
+    }.distinct
+    val names = variants.toDF("nm")
+      .withColumn("n_parts", org.apache.spark.sql.functions.lit(1L))
+    val got = Linkage.segmentPairs(names, k = 3)
+      .select("name_a", "name_b", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- variants; b <- variants if a < b
+      d = lev(a, b) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(want.exists(_._3 == 3) && got == want,
+      s"missed: ${(want -- got).take(5)}; extra: ${(got -- want).take(5)}")
+  }
+
   test("segment candidates recover every pair within distance 2 (adversarial edits)") {
     val bases = Seq("alpha widget", "industrial bolt", "ze rod", "connector",
       "aquamarine housing", "xy", "abcdefghijklmnop")
