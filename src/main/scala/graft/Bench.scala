@@ -63,9 +63,11 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failed,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
+    // subset (dev) runs must not clobber the committed full-run record
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
     System.err.println(s"[bench-full] $fullJson")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failed,"full":"bench_full.json","queries":${jsonMap(head)},"sf":"$sfDir"}""")
     // drift-normalized regression guard vs the committed anchors (stderr
