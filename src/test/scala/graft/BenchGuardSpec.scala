@@ -91,4 +91,36 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(out.contains("REGRESSION q_d"))
     assert(out.contains("MISSING q_a"))
   }
+
+  test("adjudicate: isolated re-run under threshold reports ordering noise") {
+    // anchor 2.0s, sweep 10.0s (flagged at drift 1.0); isolated 2.5s → noise
+    val anch = ((1 to 6).map(i => s"q_r$i" -> 1.0) :+ ("q_slow" -> 2.0)).toMap
+    val current = ((1 to 6).map(i => s"q_r$i" -> 1.0) :+ ("q_slow" -> 10.0)).toMap
+    val r = BenchGuard.evaluateByFamily(anch, current)
+    assert(r.flagged.map(_._1) == Seq("q_slow"))
+    val verdicts = BenchGuard.adjudicate(r, _ => 2.5)
+    assert(verdicts.map(v => (v.query, v.confirmed)) == Seq(("q_slow", false)))
+    assert(BenchGuard.renderAdjudication(verdicts).contains("ORDERING-NOISE q_slow"))
+  }
+
+  test("adjudicate: isolated re-run still over threshold confirms; rerun uses family drift") {
+    // relational family drifted 2x; q_slow isolated at 9.0 vs drifted anchor
+    // 2.0*2.0=4.0 → ratio 2.25 > 2.0 → confirmed
+    val anch = ((1 to 6).map(i => s"q_r$i" -> 1.0) :+ ("q_slow" -> 2.0)).toMap
+    val current = ((1 to 6).map(i => s"q_r$i" -> 2.0) :+ ("q_slow" -> 20.0)).toMap
+    val r = BenchGuard.evaluateByFamily(anch, current)
+    assert(r.flagged.map(_._1) == Seq("q_slow"))
+    val verdicts = BenchGuard.adjudicate(r, _ => 9.0)
+    assert(verdicts.head.confirmed)
+    assert(math.abs(verdicts.head.isolatedRatio - 2.25) < 1e-9)
+    assert(BenchGuard.renderAdjudication(verdicts).contains("REGRESSION-CONFIRMED q_slow"))
+  }
+
+  test("adjudicate: a failed isolated re-run (-1) is always confirmed") {
+    val anch = ((1 to 6).map(i => s"q_r$i" -> 1.0) :+ ("q_slow" -> 2.0)).toMap
+    val current = ((1 to 6).map(i => s"q_r$i" -> 1.0) :+ ("q_slow" -> 10.0)).toMap
+    val r = BenchGuard.evaluateByFamily(anch, current)
+    val verdicts = BenchGuard.adjudicate(r, _ => -1.0)
+    assert(verdicts.head.confirmed)
+  }
 }
