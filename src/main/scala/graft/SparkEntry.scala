@@ -27,6 +27,7 @@ object SparkEntry {
     operators.ChangeData.queries,
     operators.Linkage.queries,
     operators.GraphQueries.queries,
+    operators.NgsQueries.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort). */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Codebook (code → label) decoding.
@@ -32,4 +32,37 @@ object CodebookDecode {
 
   def decodeAll(df: DataFrame, columns: Seq[String], codebook: DataFrame): DataFrame =
     columns.foldLeft(df)((acc, c) => decode(acc, c, codebook))
+
+  /** Load a codebook FILE in the reference's tab-separated format
+    * (studies/individual_codebook.txt): each line is
+    * `<group>\t<space-separated column names>\t…\t<code>\t<label>\t<code>\t<label>…`
+    * where a single code/label list binds to a whole COLUMN SET and blank
+    * fields are padding. Returns the (column_name, code, label) frame
+    * [[decodeAll]] consumes — one row per (column, code) after expanding
+    * the column set.
+    *
+    * The parse is fully distributed (spark.read.text + native array
+    * functions — no UDF, no driver-side line loop): codebooks are small
+    * today, but nothing in this path stops a million-line dictionary. */
+  def fromFile(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path).where(length(trim(col("value"))) > 0)
+    // keep only non-blank fields; order is preserved, so after the group id
+    // and the column-set field the rest alternate code, label, code, label…
+    val toks = lines.select(
+      filter(split(col("value"), "\t"), f => trim(f) =!= lit("")).as("t"))
+    toks
+      .where(size(col("t")) >= 4)
+      // `get` (0-based) over element_at: Catalyst's subexpression
+      // elimination can evaluate the projection inside the size filter's
+      // predicate, where element_at would throw on a short line
+      .select(
+        split(get(col("t"), lit(1)), " ").as("names"),
+        slice(col("t"), lit(3), size(col("t")) - 2).as("kv"))
+      .select(explode(col("names")).as("column_name"), col("kv"))
+      .where(length(col("column_name")) > 0)
+      .select(col("column_name"), explode(expr(
+        "transform(sequence(0, int(size(kv) / 2) - 1)," +
+          " i -> struct(kv[2*i] AS code, kv[2*i+1] AS label))")).as("p"))
+      .select(col("column_name"), col("p.code").as("code"), col("p.label").as("label"))
+  }
 }

@@ -66,6 +66,28 @@ object CsrQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** §2.2/12 through the FILE path — the same decode, but the codebook
+    * arrives as a tab-separated file in the reference's on-disk format
+    * (sources_config.json `codebooks` → studies/individual_codebook.txt:
+    * group id, space-separated column set, padded code/label pairs),
+    * loaded distributed by [[CodebookDecode.fromFile]]. Same oracle as
+    * [[codebookDecode]]: the transport must not change a single row. */
+  def codebookFile(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_codebook.txt"
+    // reference-shaped content, tab padding included; tiny config artifact,
+    // staged driver-side like the reference's dropzone files
+    val content =
+      "1\tl_returnflag\t\t\tR\tReturned\tA\tAccepted\tN\tNotReturned\n" +
+      "2\tl_linestatus\t\tO\tOpen\tF\tFinished\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), content.getBytes("UTF-8"))
+    val codebook = CodebookDecode.fromFile(spark, path)
+    CodebookDecode.decodeAll(t.lineitem, Seq("l_returnflag", "l_linestatus"), codebook)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   private val codebookDecodeSql =
     """WITH cb(column_name, code, label) AS (VALUES
       |  ('l_returnflag','R','Returned'), ('l_returnflag','A','Accepted'),
@@ -328,6 +350,7 @@ object CsrQueries {
     "csr_validate" -> Q(validate _, validateSql, Seq(col("record_key"), col("col_name"))),
     "csr_entity_merge" -> Q(entityMerge _, entityMergeSql, Seq(col("individual_id"))),
     "csr_codebook_decode" -> Q(codebookDecode _, codebookDecodeSql, Seq(col("l_returnflag"), col("l_linestatus"))),
+    "csr_codebook_file" -> Q(codebookFile _, codebookDecodeSql, Seq(col("l_returnflag"), col("l_linestatus"))),
     "csr_date_normalize" -> Q(dateNormalize _, dateNormalizeSql, Seq(col("o_orderkey"))),
     "csr_eav_melt" -> Q(eavMelt _, eavMeltSql, Seq(col("entity_id"), col("concept_cd"))),
     "csr_pivot_wide" -> Q(pivotWide _, pivotWideSql, Seq(col("o_custkey"))),
