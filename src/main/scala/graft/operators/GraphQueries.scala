@@ -17,25 +17,73 @@ import org.apache.spark.sql.functions._
   * identical orientation, so counts match row-for-row. */
 object GraphQueries {
 
-  /** Distinct co-purchase edges (a < b). One shuffle on l_orderkey; the
-    * per-order pair explosion is bounded by order size (≤ 7 lines in this
-    * schema; a real catalog would cap or sample whale orders the same way
-    * the LSH family caps whale buckets). */
+  /** Distinct co-purchase edges (a < b). Lineitem is shuffled ONCE — a
+    * per-order `collect_set` (with map-side partial aggregation) builds the
+    * sorted part array, and the a<b pairs explode MAP-SIDE from that array
+    * before the final pair-distinct. The earlier self-join formulation
+    * shuffled lineitem through both join sides; at 100 TB that is the
+    * difference between one pass over the fact table and two. The per-order
+    * pair explosion is bounded by order size (≤ 7 lines in this schema; a
+    * real catalog would cap or sample whale orders the same way the LSH
+    * family caps whale buckets).
+    *
+    * The edge table is PERSISTED (memory, disk spill): the triangle plan
+    * consumes it from three branches (degree count, orientation, closing-
+    * edge probe), and without materialization each branch re-derives it
+    * from the fact table — seven lineitem scans in the executed plan. At
+    * 100 TB the edge list is the graph's first-class dataset; you build it
+    * once and every downstream pass reads the materialization. */
   private def edges(t: Tables): DataFrame = {
-    val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
-    val a = li.toDF("o", "pa")
-    val b = li.toDF("o", "pb")
-    a.join(b, Seq("o")).where(col("pa") < col("pb"))
-      .select(col("pa"), col("pb")).distinct()
+    val parts = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    // sorted + deduped array → (x, y) with x earlier than y IS pa < pb
+    parts
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS pa, y AS pb))))"))
+        .as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Per-part triangle participation, top 100 by count: every triangle
-    * found once via its unique low-degree source, then exploded to its
-    * three corners. Shuffle ledger: edge build (1 on orderkey), degree
-    * count (1 on node), two degree joins (broadcast — the degree table is
-    * |parts| rows), wedge self-join (1 on src), closing-edge join (1 on
-    * the canonical pair), corner rollup (1). Each shuffles the BOUNDED
-    * edge/wedge frames, never lineitem again. */
+  /** Ordered pairs (x earlier than y) exploded map-side from a sorted,
+    * deduped array column — the shared shuffle-free pair generator behind
+    * both the co-purchase edge build and the wedge build. */
+  private def sortedPairs(arr: String, a: String, b: String) =
+    explode(expr(
+      s"flatten(transform($arr, (x, i) -> " +
+        s"transform(slice($arr, i + 2, size($arr) - i - 1), y -> struct(x AS $a, y AS $b))))"))
+
+  /** Oriented adjacency: per-source SORTED neighbor array (one shuffle of
+    * the oriented edge set). Wedges then explode map-side — the same
+    * array-pair trick as [[edges]], replacing a self-join that shuffled
+    * the oriented edges twice. `cap` keeps only the cap lowest-id
+    * neighbors (a slice of the sorted array — the whale-degree guard,
+    * previously a window rank costing its own shuffle+sort). */
+  private def wedges(oriented: DataFrame, cap: Int): DataFrame = {
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+    val capped = if (cap == Int.MaxValue) adj else adj.withColumn("ns", slice(col("ns"), 1, cap))
+    capped
+      .select(col("src"), sortedPairs("ns", "d1", "d2").as("w"))
+      .select(col("src"), col("w.d1").as("d1"), col("w.d2").as("d2"))
+  }
+
+  /** Per-part triangle participation, top 100 by count — the EDGE-ITERATOR
+    * form over the degree-ordered orientation: the acyclic orientation
+    * gives every triangle a unique apex edge (a→b with a→c, b→c), so
+    * triangles per edge (a,b) are exactly |N⁺(a) ∩ N⁺(b)|, computed
+    * MAP-SIDE by intersecting the two endpoints' sorted adjacency arrays.
+    * The Σdeg² wedge set — 41M rows at sf0.1, the dominant shuffle of the
+    * earlier wedge-join form — is never materialized.
+    *
+    * Shuffle ledger: edge build (1 on orderkey), degree count (1 on node),
+    * degree + adjacency joins (broadcast — both are |parts|-row tables;
+    * the orientation bounds each adjacency array near √|E|, so the
+    * adjacency table is |V|·O(√|E|) and broadcastable far beyond this
+    * schema; if |V| outgrows the ceiling, the same joins run shuffled on
+    * the |E|-row edge table — still never on wedges), corner rollup (1). */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val e = edges(Tables(dir))
@@ -51,14 +99,15 @@ object GraphQueries {
       when(col("deg_a") < col("deg_b")
         || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pb"))
         .otherwise(col("pa")).as("dst"))
-    val w1 = oriented.toDF("src", "d1")
-    val w2 = oriented.toDF("src", "d2")
-    val wedges = w1.join(w2, Seq("src")).where(col("d1") < col("d2"))
-    val tri = wedges.join(e,
-      wedges("d1") === e("pa") && wedges("d2") === e("pb"))
-      .select(col("src"), col("d1"), col("d2"))
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+    val tri = oriented
+      .join(broadcast(adj.toDF("src", "ns_a")), Seq("src"))
+      .join(broadcast(adj.select(col("src").as("dst"), col("ns").as("ns_b"))), Seq("dst"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("ns_a"), col("ns_b"))).as("w"))
     val perPart = tri
-      .select(explode(array(col("src"), col("d1"), col("d2"))).as("p_partkey"))
+      .select(explode(array(col("src"), col("dst"), col("w"))).as("p_partkey"))
       .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
     perPart.orderBy(col("n_triangles").desc, col("p_partkey")).limit(100)
   }
@@ -86,15 +135,8 @@ object GraphQueries {
       when(col("deg_a") < col("deg_b")
         || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pb"))
         .otherwise(col("pa")).as("dst"))
-      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src")).orderBy(col("dst"))))
-      .where(col("rn") <= cap)
-      .drop("rn")
-    val w1 = oriented.toDF("src", "d1")
-    val w2 = oriented.toDF("src", "d2")
-    val wedges = w1.join(w2, Seq("src")).where(col("d1") < col("d2"))
-    val tri = wedges.join(e,
-      wedges("d1") === e("pa") && wedges("d2") === e("pb"))
+    val w = wedges(oriented, cap)
+    val tri = w.join(e, w("d1") === e("pa") && w("d2") === e("pb"))
       .select(col("src"), col("d1"), col("d2"))
     tri.select(explode(array(col("src"), col("d1"), col("d2"))).as("p_partkey"))
       .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))

@@ -61,6 +61,22 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(planOf("events_top_users_hourly").contains("PartialTopK"))
   }
 
+  test("triangle edge build: one aggregated lineitem pass, edge table materialized") {
+    val opt = graft.SparkEntry.registry("graph_triangles").fn(spark, TestSpark.Sf0001)
+      .queryExecution.optimizedPlan.toString
+    // the edge list is built by per-order collect_set + map-side pair
+    // explode (one lineitem shuffle, no self-join) and persisted: every
+    // consumer reads the materialization, so in the optimized logical plan
+    // lineitem never appears as a bare (uncached) relation leaf — only
+    // inside InMemoryRelation renders of the one edge-build plan. (The
+    // rendered SUBTREE of the cache varies with materialization state, so
+    // the assertion deliberately avoids counting physical FileScans.)
+    assert(opt.contains("collect_set"), opt)
+    assert(opt.contains("InMemoryRelation"), opt)
+    assert("Relation ?\\[[^\\]]*l_orderkey".r.findFirstIn(opt).isEmpty,
+      s"uncached lineitem leaf in triangle plan:\n$opt")
+  }
+
   test("saltedAgg matches the direct aggregation on a skewed dataset") {
     // whale key: 90% of rows on key 7
     val rows = (1 to 20000).map(i => (if (i % 10 != 0) 7L else i.toLong % 100, i.toDouble))
