@@ -365,7 +365,51 @@ object CorpusQueries {
        |FROM d WHERE bucket < rate_pct
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- token budget
+
+  // sized to bind at every test SF (~1.3-1.7k tokens/source): roughly the
+  // top half of each source survives, so the cutoff is actually exercised
+  private val TokenBudget = 800L
+
+  /** Token-BUDGET mixture selection: each source contributes documents in
+    * md5-stable pseudo-random order until its running token total reaches
+    * the budget — how a pre-training mixture is actually specified
+    * ("20B tokens of source X"), complementing [[mixtureSample]]'s
+    * rate-based thinning. The md5 order makes the selected prefix
+    * deterministic AND unbiased by ingest order; the running sum is one
+    * shuffle on source. With very few sources the per-source window
+    * serializes at extreme scale — the two-phase per-shard quota walk
+    * (`pipeline.Shards`) is the deployed form of the same semantics; this
+    * query pins what both must produce. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val toks = Tables(dir).documents.select(
+      col("doc_id"), col("source"),
+      size(words(col("text"))).cast("long").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("h"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    toks
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  private val tokenBudgetSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM d)
+       |SELECT doc_id, source, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "docs_token_budget" -> Q(tokenBudget _, tokenBudgetSql, Seq(col("doc_id"))),
     "docs_mixture_sample" -> Q(mixtureSample _, mixtureSampleSql, Seq(col("doc_id"))),
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
     "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),

@@ -3,7 +3,8 @@ package graft.operators
 import graft.Q
 import graft.functions.TextFunctions._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over `documents` (SURVEY §2.3 rows 31-34). */
@@ -32,6 +33,18 @@ object TextQueries {
 
   /** §32 — quality scoring: length/punctuation/stopword signals combined
     * into one deterministic linear score (no transcendentals — portable). */
+  /** The linear quality score as a reusable column expression (shared by
+    * [[qualityScore]] and [[qualityBuckets]]). */
+  private[operators] def qualityCol: Column = {
+    val n = length(col("text")).cast("double")
+    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?()]", ""))).cast("double")
+    val nTok = size(words(col("text"))).cast("double")
+    val nStop = stopwordCount(words(col("text")), stopwords).cast("double")
+    round(least(n / lit(500.0), lit(1.0)) * 0.3
+      + (lit(1.0) - punct / n) * 0.4
+      + (nStop / nTok) * 0.3, 6)
+  }
+
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
@@ -45,10 +58,45 @@ object TextQueries {
         n.as("n_chars_measured"),
         round(punct / n, 6).as("punct_ratio"),
         round(nStop / nTok, 6).as("stopword_ratio"),
-        round(least(n / lit(500.0), lit(1.0)) * 0.3
-          + (lit(1.0) - punct / n) * 0.4
-          + (nStop / nTok) * 0.3, 6).as("quality"))
+        qualityCol.as("quality"))
   }
+
+  /** CCNet-style per-language quality TIERS: every document lands in the
+    * head / middle / tail third of its own language's quality
+    * distribution — the standard pre-training split (keep head, sample
+    * middle, drop tail) computed per language so low-resource languages
+    * are not graded on the high-resource curve.
+    *
+    * Exact NTILE over (lang) is the oracle-able DEFINITION; its plan
+    * sorts each language's partition, which serializes per language at
+    * extreme scale. The deployed path for that regime already exists in
+    * this repo: broadcast the per-language quantile thresholds from
+    * `text_quality_quantiles` and assign tiers map-side — same tiers,
+    * no per-language sort. This query pins the semantics both paths
+    * must produce. */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .select(col("doc_id"), col("lang"), qualityCol.as("quality"))
+      .withColumn("tier",
+        element_at(typedlit(Seq("head", "middle", "tail")),
+          ntile(3).over(Window.partitionBy(col("lang"))
+            .orderBy(col("quality").desc, col("doc_id")))))
+  }
+
+  private val qualityBucketsSql =
+    s"""WITH x AS (
+      |  SELECT doc_id, lang,
+      |    ROUND(LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+      |      + (1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE)
+      |          / CAST(LENGTH(text) AS DOUBLE)) * 0.4
+      |      + (CAST(LEN(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0),
+      |            w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+      |          / CAST(LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) AS DOUBLE)) * 0.3, 6) AS quality
+      |  FROM documents)
+      |SELECT doc_id, lang, quality,
+      |  ['head', 'middle', 'tail'][NTILE(3) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)] AS tier
+      |FROM x ORDER BY doc_id""".stripMargin
 
   private[operators] val qualityScoreSql =
     s"""WITH x AS (
@@ -145,6 +193,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "text_token_stats" -> Q(tokenStats _, tokenStatsSql, Seq(col("doc_id"))),
     "text_quality_score" -> Q(qualityScore _, qualityScoreSql, Seq(col("doc_id"))),
+    "text_quality_buckets" -> Q(qualityBuckets _, qualityBucketsSql, Seq(col("doc_id"))),
     "text_lang_id" -> Q(langId _, langIdSql, Seq(col("doc_id"))),
     "text_fingerprint" -> Q(docFingerprint _, docFingerprintSql, Seq(col("doc_id"))),
   )
