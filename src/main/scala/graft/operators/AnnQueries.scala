@@ -85,6 +85,61 @@ object AnnQueries {
        |SELECT probe_id, vec_id, cos FROM scored WHERE cos >= $CosineThreshold
        |ORDER BY probe_id, vec_id""".stripMargin
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al., 2023): assign every
+    * embedding to its nearest coarse centroid map-side, then compare pairs
+    * only WITHIN a cluster and drop the higher-id member of any pair above
+    * the similarity threshold (reported with the lowest retained id it
+    * duplicates). The cluster bucketing is what makes semantic dedup
+    * tractable at corpus scale: candidate pairs are Σ|cluster|², never
+    * |corpus|² — the embedding-space analogue of the LSH band buckets,
+    * with ncentroids the knob that bounds bucket size (a whale cluster is
+    * handled like a whale band: grow ncentroids or cap, with the cap
+    * documented as an undercount). Unlike [[embeddingCosine]] (probe set
+    * vs corpus), this deduplicates the WHOLE corpus against itself. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = centroids(spark, t).map(_._2).toSeq
+    val centCos = array(cents.map(v => VectorExpressions.cosine(col("embedding"), typedlit(v))): _*)
+    val assigned = t.embeddings
+      .withColumn("cluster", (array_position(centCos, array_max(centCos)) - 1).cast("int"))
+      .select(col("cluster"), col("vec_id"), col("embedding"),
+        sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(VectorExpressions.dot(col("emb_a"), col("emb_b"))
+          / (col("norm_a") * col("norm_b")), 6).as("cos"))
+      .where(col("cos") >= CosineThreshold)
+      .groupBy(col("cluster"), col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"), max(col("cos")).as("max_cos"))
+  }
+
+  private val semanticDedupSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |clustered AS (
+       |  SELECT vec_id, embedding, cid AS cluster FROM (
+       |    SELECT vec_id, embedding, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign) x WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ROUND(${cosChainDuck("a.embedding", "b.embedding")}, 6) AS cos
+       |  FROM clustered a JOIN clustered b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |SELECT cluster, id_b AS vec_id, MIN(id_a) AS dup_of, MAX(cos) AS max_cos
+       |FROM pairs WHERE cos >= $CosineThreshold
+       |GROUP BY 1, 2 ORDER BY cluster, vec_id""".stripMargin
+
   // ---------------------------------------------------------- brute force
 
   /** §29 — exact cosine top-k per probe. */
@@ -1213,6 +1268,7 @@ object AnnQueries {
     "ann_ivfpq_trained" -> Q(ivfPqTrainedTopK _, ivfPqTrainedSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivfpq_served" -> Q(ivfPqServedTopK _, ivfPqTrainedSql, Seq(col("probe_id"), col("rank"))),
     "dedup_embedding_cosine" -> Q(embeddingCosine _, embeddingCosineSql, Seq(col("probe_id"), col("vec_id"))),
+    "dedup_semantic_clusters" -> Q(semanticDedup _, semanticDedupSql, Seq(col("cluster"), col("vec_id"))),
     "ann_lsh_cosine" -> Q(lshCosine _, lshCosineSql, Seq(col("id_a"), col("id_b"))),
     "ann_lsh_multiprobe" -> Q(lshMultiprobe _, lshMultiprobeSql, Seq(col("id_a"), col("id_b"))),
     "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),

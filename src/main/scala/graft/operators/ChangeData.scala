@@ -340,7 +340,41 @@ object ChangeData {
       |FROM deltas
       |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------ schema evolution
+
+  /** Schema-evolution union: two generations of the same feed — an old
+    * extract missing columns later added to the schema — land in ONE
+    * typed table, with the old generation's missing columns backfilled as
+    * NULL (`unionByName(allowMissingColumns)`: positional union would
+    * silently misalign, the classic evolved-feed bug). The generation tag
+    * preserves provenance. Map-side only — no shuffle; at 100 TB each
+    * generation is read once and the union is a plan-level concatenation. */
+  def schemaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    // generation 1: the feed before o_orderdate/o_orderpriority existed
+    val gen1 = t.orders.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("generation", lit(1))
+    val gen2 = t.orders.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .withColumn("generation", lit(2))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+  }
+
+  private val schemaEvolveSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(NULL AS TIMESTAMP) AS o_orderdate, CAST(NULL AS VARCHAR) AS o_orderpriority,
+      |  1 AS generation
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority, 2
+      |FROM orders WHERE o_orderkey % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "etl_schema_evolve" -> Q(schemaEvolve _, schemaEvolveSql, Seq(col("o_orderkey"))),
     "etl_scd2" -> Q(scd2 _, scd2Sql, Seq(col("user_id"), col("valid_from"))),
     "etl_pit_enrich" -> Q(pitEnrich _, pitEnrichSql, Seq(col("user_id"), col("ts"), col("event_id"))),
     "etl_cdc_apply" -> Q(cdcApply _, cdcApplySql, Seq(col("c_custkey"))),

@@ -365,6 +365,31 @@ object CorpusQueries {
        |FROM d WHERE bucket < rate_pct
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- JSONL ingest
+
+  /** JSONL round-trip through [[graft.sources.JsonlSource]]: documents
+    * staged as one-JSON-object-per-line (the standard corpus interchange
+    * format), read back with an EXPLICIT schema — no inference pass — and
+    * landed typed. Stage-gated like the delimited round-trip; the oracle
+    * reads the original parquet, so the JSONL transport must preserve
+    * every row and every character of text (JSON escaping is lossless). */
+  def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${Integer.toHexString(dir.hashCode)}"
+    if (!Stage.current(stage, s"$dir/documents.parquet")) {
+      Tables(dir).documents.write.mode("overwrite").json(stage)
+      Stage.record(stage, s"$dir/documents.parquet")
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string").add("lang", "string")
+      .add("source", "string").add("n_chars", "long")
+    graft.sources.JsonlSource.read(spark, stage, schema)
+  }
+
+  private val jsonlIngestSql =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- token budget
 
   // sized to bind at every test SF (~1.3-1.7k tokens/source): roughly the
@@ -410,6 +435,7 @@ object CorpusQueries {
 
   val queries: Map[String, Q] = Map(
     "docs_token_budget" -> Q(tokenBudget _, tokenBudgetSql, Seq(col("doc_id"))),
+    "docs_jsonl_ingest" -> Q(jsonlIngest _, jsonlIngestSql, Seq(col("doc_id"))),
     "docs_mixture_sample" -> Q(mixtureSample _, mixtureSampleSql, Seq(col("doc_id"))),
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
     "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),
