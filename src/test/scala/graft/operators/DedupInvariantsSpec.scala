@@ -44,4 +44,17 @@ class DedupInvariantsSpec extends AnyFunSuite {
     val txt = DedupQueries.queries("dedup_minhash_lsh").fn(spark, dir).count()
     assert(ann > 0 && txt > 0)
   }
+
+  test("semantic dedup: drops point at a strictly lower retained id, so cluster minima survive") {
+    import org.apache.spark.sql.functions.col
+    val rows = AnnQueries.queries("dedup_semantic_clusters").fn(spark, dir)
+      .select(col("vec_id"), col("dup_of")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // dup_of < vec_id by construction ⇒ the lowest id of every similarity
+    // group is never dropped (exactly one canonical survivor chain exists)
+    assert(rows.forall { case (v, d) => d < v })
+    // no vec is dropped twice (one report row per dropped vec)
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
 }
