@@ -30,12 +30,25 @@ object JsonlSource {
     * plus the raw line (`_raw`). */
   def readTagged(spark: SparkSession, paths: Seq[String], schema: StructType): DataFrame = {
     require(paths.nonEmpty, "JsonlSource.readTagged: empty path list")
+    tag(spark.read.text(paths: _*), schema)
+  }
+
+  /** The tagging projection over a `(value: string)` lines frame — ONE
+    * definition shared by the batch reader and any streaming ingest
+    * (`spark.readStream.text(dir)` produces the same column, and every
+    * expression here is row-local, so the gate is streaming-legal in
+    * append mode; spec-pinned batch == stream). */
+  def tag(lines: DataFrame, schema: StructType): DataFrame = {
     val parseSchema = schema.add("_corrupt", "string")
     val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")
-    spark.read.text(paths: _*)
+    lines
       .where(length(trim(col("value"))) > 0)
       .select(from_json(col("value"), parseSchema, opts).as("_p"), col("value").as("_raw"))
   }
+
+  /** Streaming variant: tail a drop-zone directory of JSONL files. */
+  def readTaggedStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    tag(spark.readStream.text(dir), schema)
 
   /** Rows that parsed cleanly, expanded to the schema's columns. */
   def good(tagged: DataFrame): DataFrame =

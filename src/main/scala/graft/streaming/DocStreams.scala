@@ -79,6 +79,49 @@ object DocStreams {
   def qualityGate(docs: DataFrame): DataFrame =
     scored(docs).where(col("keep")).drop("keep")
 
+  /** One admitted document of the streaming token-budget gate. */
+  final case class BudgetAdmit(source: String, doc_id: Long, n_tokens: Long, cum_tokens: Long)
+  /** Incoming doc shape for [[tokenBudgetGate]]. */
+  final case class BudgetDoc(source: String, doc_id: Long, h: String, n_tokens: Long)
+
+  /** Streaming token-budget admission — the live twin of the batch
+    * `docs_token_budget`: each source admits documents until its running
+    * token total reaches `budget`, then drops the rest. State is ONE
+    * counter per source (strictly bounded by the number of sources —
+    * nothing grows with the corpus), so the gate runs forever. Within a
+    * micro-batch arrivals are folded in (h, doc_id) order — the same
+    * md5-stable order the batch query uses — so feeding the stream in
+    * that order reproduces the batch selection exactly (spec-pinned).
+    * Once a source's budget is exhausted the state pins to the budget
+    * and every later arrival is dropped without growing anything. */
+  def tokenBudgetGate(docs: org.apache.spark.sql.Dataset[BudgetDoc],
+                      budget: Long): org.apache.spark.sql.Dataset[BudgetAdmit] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, BudgetAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, batch: Iterator[BudgetDoc], state: GroupState[Long]) =>
+          // state > budget is the CLOSED sentinel: the batch twin admits
+          // the maximal prefix (its running sum includes every doc in
+          // order), so the first overflow must close the source for good
+          // — a later smaller doc does NOT get the remaining headroom
+          var cum = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[BudgetAdmit]
+          batch.toSeq.sortBy(d => (d.h, d.doc_id)).foreach { d =>
+            if (cum <= budget) {
+              if (cum + d.n_tokens <= budget) {
+                cum += d.n_tokens
+                out += BudgetAdmit(source, d.doc_id, d.n_tokens, cum)
+              } else cum = budget + 1
+            }
+          }
+          state.update(cum)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup on content hash: the first arrival of each
     * md5(text) passes, later copies are dropped by the state store.
     *

@@ -38,6 +38,26 @@ class JsonlSourceSpec extends AnyFunSuite {
     assert(bad == Seq("""{"id": broken"""))
   }
 
+  test("streaming tag == batch tag: good set and quarantine agree chunk-by-chunk") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lines = Seq(
+      """{"id": 1, "text": "a"}""", """{"id": 2, "text": "b"}""",
+      """not json at all""", """{"id": 4}""", """{"id": 5, "text": "e"}""", """{broken""")
+    val mem = MemoryStream[String](spark)
+    val q = JsonlSource.tag(mem.toDF(), schema)
+      .writeStream.format("memory").queryName("s_jsonl").outputMode("append").start()
+    try {
+      lines.grouped(2).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("s_jsonl")
+    val dir = stage(lines: _*)
+    val batch = JsonlSource.readTagged(spark, Seq(dir), schema)
+    assert(JsonlSource.good(streamed).as[(Long, Option[String])].collect().toSet
+      == JsonlSource.good(batch).as[(Long, Option[String])].collect().toSet)
+    assert(JsonlSource.quarantined(streamed).as[String].collect().toSet
+      == Set("""not json at all""", """{broken"""))
+  }
+
   test("JSON escaping round-trips exotic text exactly") {
     val exotic = "line1\nline2\ttab \"quoted\" \\backslash\\ ué中"
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString

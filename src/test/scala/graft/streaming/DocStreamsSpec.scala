@@ -69,6 +69,30 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming token-budget gate admits exactly the batch prefix, chunked arrivals") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // feed in the SAME md5-stable order the batch query uses
+    val feed = Tables(TestSpark.Sf0001).documents
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"),
+        size(graft.functions.TextFunctions.words(col("text"))).cast("long").as("n_tokens"))
+      .orderBy(col("h"), col("doc_id"))
+      .collect().map(r => DocStreams.BudgetDoc(r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocStreams.BudgetDoc](spark)
+    val q = DocStreams.tokenBudgetGate(mem.toDS(), 800L)
+      .writeStream.format("memory").queryName("s_budget").outputMode("append").start()
+    try {
+      feed.grouped(120).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("s_budget")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet // (doc_id, cum_tokens)
+    val want = graft.operators.CorpusQueries.queries("docs_token_budget")
+      .fn(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming content dedup keeps one doc per distinct content hash") {
     val withDups = docs ++ docs.take(50).map(d => d.copy(doc_id = d.doc_id + 100000))
     val got = runStream("s_dedup", withDups.grouped(300).toSeq)(DocStreams.dedupByContent)
