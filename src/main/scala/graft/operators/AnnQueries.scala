@@ -972,6 +972,58 @@ object AnnQueries {
     pqAdcTopKFrom(spark, dir, indexPath)
   }
 
+  /** [[persistIvfPqCorpus]] with the code corpus laid out
+    * PARTITIONED BY cluster: each IVF bucket is its own directory, so a
+    * search that probes nprobe buckets prunes every other bucket's FILES
+    * at the scan — bucket pruning becomes partition pruning. At 100 TB
+    * this is the difference between scanning 3 TB of codes and scanning
+    * nprobe/ncentroids of them. */
+  def persistIvfPqCorpusPartitioned(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    implicit val s: SparkSession = spark
+    trainIvfPq(spark, dir, indexPath)
+    val cents = readCentroids(spark, s"$indexPath/centroids")
+    val cb = readCodebook(spark, s"$indexPath/codebook")
+    ivfPqEncode(Tables(dir), cents, cb)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$indexPath/codes")
+  }
+
+  /** The distinct IVF buckets the probe set will scan — bounded by
+    * |probes| × nprobe, collected to drive partition pruning. */
+  private def probeClusters(t: Tables, cents: Seq[Array[Float]]): Seq[Int] = {
+    val probeItems = cents.zipWithIndex.map { case (v, i) =>
+      struct(VectorExpressions.cosine(col("embedding"), typedlit(v)).as("cos"),
+        lit(-i).as("nidx"), lit(i).as("idx"))
+    }
+    t.embeddings.where(col("vec_id") % ProbeMod === 0)
+      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
+      .select(explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+  }
+
+  /** §r05b — IVF-PQ served from the cluster-PARTITIONED code corpus with
+    * the probe set's bucket list pushed into the scan as a partition
+    * filter: only the probed buckets' files are read (spec asserts the
+    * pruned PartitionCount). The `isin` prefilter is semantically a
+    * no-op — the search's cluster join already restricts to probed
+    * buckets — but it is the version the SCAN can see. Same oracle as
+    * [[ivfPqTrainedTopK]]: layout must not change a row. */
+  def ivfPqPrunedTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val indexPath = s"/tmp/graft_ivfpq_part_${new java.io.File(dir).getName}"
+    if (!Stage.current(indexPath, s"$dir/embeddings.parquet")) {
+      persistIvfPqCorpusPartitioned(spark, dir, indexPath)
+      Stage.record(indexPath, s"$dir/embeddings.parquet")
+    }
+    val t = Tables(dir)
+    val cents = readCentroids(spark, s"$indexPath/centroids")
+    val cb = readCodebook(spark, s"$indexPath/codebook")
+    val wanted = probeClusters(t, cents)
+    val coded = spark.read.parquet(s"$indexPath/codes")
+      .where(col("cluster").isin(wanted: _*))
+    ivfPqSearchCoded(t, cents, cb, coded)
+  }
+
   /** §r05(7) registered query — IVF-PQ served from the FULLY persisted
     * index: [[persistIvfPqCorpus]] (Lloyd-refined centroids + PQ codebook
     * + encoded corpus) runs once per corpus state behind the [[Stage]]
@@ -1267,6 +1319,7 @@ object AnnQueries {
     "ann_ivfpq" -> Q(ivfPqTopK _, ivfPqSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivfpq_trained" -> Q(ivfPqTrainedTopK _, ivfPqTrainedSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivfpq_served" -> Q(ivfPqServedTopK _, ivfPqTrainedSql, Seq(col("probe_id"), col("rank"))),
+    "ann_ivfpq_pruned" -> Q(ivfPqPrunedTopK _, ivfPqTrainedSql, Seq(col("probe_id"), col("rank"))),
     "dedup_embedding_cosine" -> Q(embeddingCosine _, embeddingCosineSql, Seq(col("probe_id"), col("vec_id"))),
     "dedup_semantic_clusters" -> Q(semanticDedup _, semanticDedupSql, Seq(col("cluster"), col("vec_id"))),
     "ann_lsh_cosine" -> Q(lshCosine _, lshCosineSql, Seq(col("id_a"), col("id_b"))),

@@ -105,6 +105,27 @@ class PqSpec extends AnyFunSuite {
     assert(codes.columns.count(_.startsWith("code_")) == 8)
   }
 
+  test("cluster-partitioned code corpus: a bucket filter prunes files at the scan") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-part").toString + "/idx"
+    AnnQueries.persistIvfPqCorpusPartitioned(spark, dir, path)
+    // a two-bucket probe must read exactly two partition directories
+    val pruned = spark.read.parquet(s"$path/codes")
+      .where(org.apache.spark.sql.functions.col("cluster").isin(2, 5))
+    val scan = pruned.queryExecution.executedPlan
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    assert(scan.partitionFilters.nonEmpty, s"no partition filters:\n$scan")
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 pruned partitions, read ${scan.selectedPartitions.partitionCount}")
+    // and the full pruned query returns exactly the served rows (layout
+    // is invisible to results)
+    val prunedRows = AnnQueries.queries("ann_ivfpq_pruned").fn(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val servedRows = AnnQueries.queries("ann_ivfpq_served").fn(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(prunedRows.nonEmpty && prunedRows == servedRows)
+  }
+
   test("trained coarse quantizer keeps ADC-stage recall within the bucket bound") {
     val exact = topkSet("ann_bruteforce_topk")
     val ivfRef = topkSet("ann_ivf_refined")
