@@ -365,6 +365,99 @@ object CorpusQueries {
        |FROM d WHERE bucket < rate_pct
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- sliding chunks
+
+  private val WinTokens = 80
+  private val WinStride = 60
+
+  /** Sliding-window token chunking — the RAG / long-context preprocessing
+    * step: fixed-size windows (80 tokens) advancing by a stride (60, i.e.
+    * 20-token overlap so no boundary sentence is lost), the final window
+    * clamped to the document tail. Pure map-side: tokenize once, explode
+    * the window starts, slice the token array per window — no shuffle at
+    * all until whatever consumes the chunks. Each chunk carries its
+    * content hash, which is exactly what chunk-level dedup and RAG
+    * indexing key on downstream. */
+  def chunkSliding(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val d = lit(WinStride)
+    val toks = Tables(dir).documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+      .withColumn("ntok", size(col("w")))
+    // last start = ceil(max(ntok-C,0)/S)*S — the tail window is short but
+    // every token is covered
+    val lastStart = floor((greatest(col("ntok") - WinTokens, lit(0)) + d - 1) / d) * d
+    toks
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), lastStart.cast("int"), lit(WinStride))).as("start"))
+      .withColumn("chunk_w", slice(col("w"), col("start") + 1, lit(WinTokens)))
+      .select(
+        col("doc_id"),
+        (col("start") / WinStride).cast("long").as("chunk_idx"),
+        size(col("chunk_w")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk_w"))).as("chunk_hash"))
+  }
+
+  private val chunkSlidingSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0) AS w
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, w, LEN(w) AS ntok FROM t WHERE LEN(w) > 0),
+       |starts AS (
+       |  SELECT doc_id, w, unnest(generate_series(0,
+       |    ((GREATEST(ntok - $WinTokens, 0) + $WinStride - 1) // $WinStride) * $WinStride,
+       |    $WinStride)) AS st
+       |  FROM n)
+       |SELECT doc_id,
+       |  st // $WinStride AS chunk_idx,
+       |  CAST(LEN(w[st + 1 : st + $WinTokens]) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(w[st + 1 : st + $WinTokens], ' ')) AS chunk_hash
+       |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ------------------------------------------------- length batching
+
+  private val LenBucketWidth = 32
+  private val BatchSize = 8
+
+  /** Length-bucketed inference/training batches: documents grouped into
+    * token-length buckets (width 32), then packed into fixed-size batches
+    * in (length, id) order within each bucket; each batch reports the
+    * padding waste (Σ max_tokens − n_tokens) a dense-batch runner would
+    * pay. Bucketing first is the point — batching a mixed-length stream
+    * pads everything to the global max; bucketing bounds the spread per
+    * batch by the bucket width. One shuffle on bucket for the window, one
+    * aggregate on (bucket, batch). */
+  def lengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = Tables(dir).documents
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", (col("n_tokens") / LenBucketWidth).cast("long"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("n_tokens"), col("doc_id"))
+    docs
+      .withColumn("batch", ((row_number().over(w) - 1) / BatchSize).cast("long"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        (max(col("n_tokens")) * count(lit(1)) - sum(col("n_tokens"))).cast("long").as("padding_waste"))
+  }
+
+  private val lengthBatchesSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_tokens, n_tokens // $LenBucketWidth AS bucket FROM d),
+       |r AS (
+       |  SELECT bucket, n_tokens,
+       |    (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) - 1) // $BatchSize AS batch
+       |  FROM b)
+       |SELECT bucket, batch, COUNT(*) AS n_docs, MAX(n_tokens) AS max_tokens,
+       |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_waste
+       |FROM r GROUP BY 1, 2 ORDER BY bucket, batch""".stripMargin
+
   // ------------------------------------------------------- JSONL ingest
 
   /** JSONL round-trip through [[graft.sources.JsonlSource]]: documents
@@ -436,6 +529,8 @@ object CorpusQueries {
   val queries: Map[String, Q] = Map(
     "docs_token_budget" -> Q(tokenBudget _, tokenBudgetSql, Seq(col("doc_id"))),
     "docs_jsonl_ingest" -> Q(jsonlIngest _, jsonlIngestSql, Seq(col("doc_id"))),
+    "docs_chunk_sliding" -> Q(chunkSliding _, chunkSlidingSql, Seq(col("doc_id"), col("chunk_idx"))),
+    "docs_length_batches" -> Q(lengthBatches _, lengthBatchesSql, Seq(col("bucket"), col("batch"))),
     "docs_mixture_sample" -> Q(mixtureSample _, mixtureSampleSql, Seq(col("doc_id"))),
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
     "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),

@@ -152,6 +152,49 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding chunks: contiguous indices, full interior windows, exact token coverage") {
+    val ntok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = CorpusQueries.queries("docs_chunk_sliding").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    // every non-empty doc chunked, empty docs absent
+    assert(chunks.keySet == ntok.filter(_._2 > 0).keySet)
+    chunks.foreach { case (doc, rows) =>
+      val byIdx = rows.sortBy(_._2)
+      assert(byIdx.map(_._2).toSeq == (0L until byIdx.length.toLong), s"doc $doc gap in chunk_idx")
+      // interior windows are always the full 80 tokens; the stride-60
+      // placement means the tail window alone may be short
+      byIdx.init.foreach { case (_, idx, n) => assert(n == 80L, s"doc $doc chunk $idx short interior") }
+      val lastLen = byIdx.last._3
+      assert(lastLen >= 1 && lastLen <= 80)
+      // stride arithmetic reconstructs the doc's token count exactly:
+      // last window starts at (nChunks-1)*60 and runs to the final token
+      assert((byIdx.length - 1) * 60L + lastLen == ntok(doc), s"doc $doc coverage broken")
+    }
+  }
+
+  test("length batches: complete partition, bucket bounds, last-batch-only ragged, waste identity") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val rows = CorpusQueries.queries("docs_length_batches").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._3).sum == total, "batches must partition the corpus")
+    rows.foreach { case (bucket, batch, nDocs, maxTok, waste) =>
+      assert(nDocs >= 1 && nDocs <= 8)
+      assert(maxTok >= bucket * 32 && maxTok < (bucket + 1) * 32, s"bucket $bucket max $maxTok out of band")
+      // padding is bounded by the bucket width: every member is within 31
+      // tokens of the batch max, so waste < nDocs * 32
+      assert(waste >= 0 && waste < nDocs * 32, s"bucket $bucket batch $batch waste $waste")
+    }
+    rows.groupBy(_._1).foreach { case (bucket, bs) =>
+      val byBatch = bs.sortBy(_._2)
+      assert(byBatch.map(_._2).toSeq == (0L until byBatch.length.toLong), s"bucket $bucket gap in batch ids")
+      // only the final batch of a bucket may be under-full
+      byBatch.init.foreach { case (_, b, n, _, _) => assert(n == 8L, s"bucket $bucket batch $b ragged") }
+    }
+  }
+
   test("incremental dedup: pairs straddle the split and match the symmetric jaccard near-dups") {
     val bk = buckets
     val inc = DedupQueries.queries("dedup_incremental").fn(spark, dir)
