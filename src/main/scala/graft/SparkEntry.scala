@@ -15,6 +15,7 @@ object SparkEntry {
     operators.CorpusQueries.queries,
     operators.CsrQueries.queries,
     operators.TextQueries.queries,
+    operators.TextIndexQueries.queries,
     operators.DedupQueries.queries,
     operators.AnnQueries.queries,
     operators.MultimodalQueries.queries,

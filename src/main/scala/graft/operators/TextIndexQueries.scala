@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.DuckSql
+import graft.functions.TextFunctions.words
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics and index structures: Zipf frequency
+  * profile, inverted-index postings, and collocation (merge-candidate)
+  * scoring — the term-level views a tokenizer-training / retrieval
+  * pipeline builds once per corpus snapshot.
+  *
+  * Scale shape shared by all three: one map-side explode of the token
+  * stream, one shuffle keyed on the term (uniform by construction —
+  * hashing a vocabulary), and top-k via TakeOrdered (per-partition heaps
+  * merged on the driver, never a global sort). Scalar corpus totals ride
+  * a 1-row broadcast cross join. Reference anchor: the codebook/top-term
+  * profiling the reference runs per source file
+  * (sources2csr column profiling), lifted to corpus scale.
+  */
+object TextIndexQueries {
+
+  private val TopK = 50
+
+  /** Zipf profile: the corpus's top-50 terms with rank, count, and exact
+    * cumulative coverage share. The vocabulary aggregate is distributed;
+    * only the 50 survivors enter the cumulative window (single tiny
+    * partition by construction, not by luck). Shares are computed
+    * bigint→double with one rounding at the end so DuckDB and Spark agree
+    * bit-for-bit. */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val counts = Tables(dir).documents
+      .select(explode(words(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    val topk = counts.orderBy(col("n").desc, col("term")).limit(TopK)
+    val w = Window.orderBy(col("n").desc, col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    topk
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(w).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("term"), col("n"), col("cum_n"),
+        round(col("n") * lit(100.0) / col("tot"), 4).as("pct"),
+        round(col("cum_n") * lit(100.0) / col("tot"), 4).as("cum_pct"))
+  }
+
+  private val zipfSql = {
+    val w = DuckSql.wordsOf("text")
+    s"""WITH terms AS (
+       |  SELECT t.term FROM documents, UNNEST($w) AS t(term)),
+       |counts AS (SELECT term, COUNT(*) AS n FROM terms GROUP BY term),
+       |total AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM counts),
+       |topk AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT $TopK),
+       |r AS (
+       |  SELECT term, n,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+       |    CAST(SUM(n) OVER (ORDER BY n DESC, term
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+       |  FROM topk)
+       |SELECT rank, term, n, cum_n,
+       |  ROUND(n * 100.0 / tot, 4) AS pct,
+       |  ROUND(cum_n * 100.0 / tot, 4) AS cum_pct
+       |FROM r, total ORDER BY rank""".stripMargin
+  }
+
+  /** Inverted-index postings: per term, the document frequency, total
+    * occurrence count, and the head of the (sorted) posting list — the
+    * structure a retrieval layer serves. One shuffle on term; the posting
+    * head is capped at 10 doc ids so no term's output row is unbounded
+    * (the full posting list at 100 TB is a partitioned table keyed on
+    * term, not a row — this query is the index's catalog view). */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n_occurrences"),
+        expr("array_join(transform(slice(sort_array(collect_set(doc_id)), 1, 10), x -> CAST(x AS STRING)), ',')")
+          .as("postings_head"))
+  }
+
+  private val invertedIndexSql = {
+    val w = DuckSql.wordsOf("text")
+    s"""WITH terms AS (
+       |  SELECT doc_id, t.term FROM documents, UNNEST($w) AS t(term))
+       |SELECT term,
+       |  COUNT(DISTINCT doc_id) AS df,
+       |  COUNT(*) AS n_occurrences,
+       |  array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',') AS postings_head
+       |FROM terms GROUP BY term ORDER BY term""".stripMargin
+  }
+
+  /** Collocation scoring — the BPE/WordPiece merge-candidate view: every
+    * adjacent token pair with its count and lift (observed pair rate over
+    * the independence expectation), top-25 by pair count. Lift replaces
+    * PMI's log with the raw ratio: rank-equivalent for fixed pair count
+    * and transcendental-free, so both engines produce identical doubles.
+    * Unigram counts join back as a broadcast (vocabulary-sized). */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val toks = Tables(dir).documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+    // adjacent pairs via index zip — map-side, no self-join
+    val pairs = toks
+      .select(explode(expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairCounts = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+    val uni = Tables(dir).documents
+      .select(explode(words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_term"))
+    val totPairs = pairCounts.agg(sum(col("n_pair")).cast("long").as("tot_pairs"))
+    val totUni = uni.agg(sum(col("n_term")).cast("long").as("tot_uni"))
+    pairCounts
+      .join(broadcast(uni.select(col("term").as("a"), col("n_term").as("na"))), "a")
+      .join(broadcast(uni.select(col("term").as("b"), col("n_term").as("nb"))), "b")
+      .crossJoin(broadcast(totPairs)).crossJoin(broadcast(totUni))
+      .select(col("a"), col("b"), col("n_pair"), col("na"), col("nb"),
+        round(col("n_pair").cast("double") * col("tot_uni").cast("double") * col("tot_uni").cast("double")
+          / (col("tot_pairs").cast("double") * col("na").cast("double") * col("nb").cast("double")), 4)
+          .as("lift"))
+      .orderBy(col("n_pair").desc, col("a"), col("b"))
+      .limit(25)
+  }
+
+  private val collocationsSql = {
+    val w = DuckSql.wordsOf("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $w AS w FROM documents WHERE LEN($w) >= 2),
+       |pairs AS (
+       |  SELECT w[i] AS a, w[i+1] AS b
+       |  FROM toks, UNNEST(generate_series(1, LEN(w) - 1)) AS g(i)),
+       |pc AS (SELECT a, b, COUNT(*) AS n_pair FROM pairs GROUP BY a, b),
+       |uni AS (
+       |  SELECT t.term, COUNT(*) AS n_term FROM documents, UNNEST($w) AS t(term) GROUP BY t.term),
+       |tp AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS tot_pairs FROM pc),
+       |tu AS (SELECT CAST(SUM(n_term) AS BIGINT) AS tot_uni FROM uni)
+       |SELECT a, b, n_pair, ua.n_term AS na, ub.n_term AS nb,
+       |  ROUND(CAST(n_pair AS DOUBLE) * CAST(tot_uni AS DOUBLE) * CAST(tot_uni AS DOUBLE)
+       |    / (CAST(tot_pairs AS DOUBLE) * CAST(ua.n_term AS DOUBLE) * CAST(ub.n_term AS DOUBLE)), 4) AS lift
+       |FROM pc JOIN uni ua ON pc.a = ua.term JOIN uni ub ON pc.b = ub.term, tp, tu
+       |ORDER BY n_pair DESC, a, b LIMIT 25""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_zipf_profile" -> Q(zipfProfile _, zipfSql, Seq(col("rank"))),
+    "text_inverted_index" -> Q(invertedIndex _, invertedIndexSql, Seq(col("term"))),
+    "text_collocations" -> Q(collocations _, collocationsSql,
+      Seq(col("n_pair").desc, col("a"), col("b"))),
+  )
+}

@@ -430,7 +430,126 @@ object TpchRing {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  // ------------------------------------------------------------ Q2 shape
+
+  /** Q2: minimum-cost supplier — the correlated groupwise-min shape. The
+    * schema has no partsupp, so the supply ledger derives from lineitem:
+    * per (part, supplier) delivered cost within one region's suppliers.
+    * region→nation→supplier broadcast-chains down to a small supplier set
+    * BEFORE the fact scan (the fact join is a broadcast hash join, no
+    * supplier-side shuffle); the ledger aggregates once on (partkey,
+    * suppkey); the correlated min is a window over that aggregate — one
+    * fact pass total, where the textbook formulation rescans the ledger in
+    * a correlated subquery. Costs ride exact decimal so the min and its
+    * equality re-test agree digit-for-digit on any executor count. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val eurSupp = t.supplier
+      .join(broadcast(t.nation
+          .join(broadcast(t.region.where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val ledger = t.lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("cost"))
+      .join(broadcast(eurSupp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(dsum(col("cost")).as("supply_cost"))
+    val w = Window.partitionBy(col("l_partkey"))
+    ledger
+      .withColumn("min_cost", min(col("supply_cost")).over(w))
+      .where(col("supply_cost") === col("min_cost"))
+      .join(broadcast(t.part.where(col("p_size") === 15 && col("p_type") === "STANDARD")
+          .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), fin(col("supply_cost")).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  private val q2Sql =
+    """WITH eur AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |ledger AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS supply_cost
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (SELECT s_suppkey FROM eur)
+      |  GROUP BY l_partkey, l_suppkey),
+      |best AS (
+      |  SELECT *, MIN(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
+      |  FROM ledger)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |  CAST(ROUND(supply_cost, 2) AS DOUBLE) AS supply_cost
+      |FROM best
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN eur ON l_suppkey = s_suppkey
+      |WHERE supply_cost = min_cost AND p_size = 15 AND p_type = 'STANDARD'
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // ----------------------------------------------------------- Q11 shape
+
+  /** Q11: important stock — group value vs a global-scalar threshold.
+    * Per-part delivered value from one nation's suppliers, kept only when
+    * it exceeds 0.1% of that nation's total. The global total is a
+    * single-row aggregate broadcast into the HAVING (a cross join with a
+    * 1-row frame — no shuffle of the grouped side), and the threshold
+    * compare is multiplied through in exact decimal (value * 1000 >
+    * total), division-free, so no engine disagrees at the boundary. At
+    * 100 TB both aggregations are partial→final over the same one scan
+    * (Spark reuses the exchange), and the 1-row total never leaves the
+    * driver-broadcast path. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val natSupp = t.supplier
+      .join(broadcast(t.nation.where(col("n_name") === "NATION_1").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val ledger = t.lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+    val perPart = ledger.groupBy("l_partkey").agg(dsum(col("v")).as("part_value"))
+    // threshold adapts to corpus size: parts above 2x the MEAN part value
+    // (fraction-of-total thresholds go empty as the part count grows);
+    // multiplied through in exact decimal, division-free
+    val total = perPart.agg(dsum(col("part_value")).as("total_value"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .where(col("part_value") * col("n_parts") > col("total_value") * 2)
+      .select(col("l_partkey").as("p_partkey"), fin(col("part_value")).as("part_value"))
+  }
+
+  private val q11Sql =
+    """WITH ledger AS (
+      |  SELECT l_partkey, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS v
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (
+      |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |    WHERE n_name = 'NATION_1')),
+      |per_part AS (
+      |  SELECT l_partkey, SUM(v) AS part_value FROM ledger GROUP BY l_partkey),
+      |thresh AS (
+      |  SELECT SUM(part_value) AS total_value, COUNT(*) AS n_parts FROM per_part)
+      |SELECT l_partkey AS p_partkey, CAST(ROUND(part_value, 2) AS DOUBLE) AS part_value
+      |FROM per_part, thresh
+      |WHERE part_value * n_parts > total_value * 2
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q2_min_cost_supplier" -> Q(q2MinCostSupplier _, q2Sql,
+      Seq(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))),
+    "q11_important_parts" -> Q(q11ImportantParts _, q11Sql, Seq(col("p_partkey"))),
     "q6_forecast_revenue" -> Q(q6ForecastRevenue _, q6Sql, Nil),
     "q12_priority_shipping" -> Q(q12PriorityShipping _, q12Sql, Seq(col("l_linestatus"))),
     "q4_late_orders" -> Q(q4LateOrders _, q4Sql, Seq(col("o_orderpriority"))),
