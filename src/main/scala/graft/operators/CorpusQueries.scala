@@ -380,8 +380,16 @@ object CorpusQueries {
     * indexing key on downstream. */
   def chunkSliding(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    chunksOf(Tables(dir).documents)
+  }
+
+  /** The chunker as a frame transform: every operation is stateless
+    * row-local (tokenize, explode window starts, slice), so the identical
+    * plan is streaming-legal — [[graft.streaming.DocStreams]] applies it
+    * unchanged to the document stream. */
+  def chunksOf(docs: DataFrame): DataFrame = {
     val d = lit(WinStride)
-    val toks = Tables(dir).documents
+    val toks = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .where(size(col("w")) > 0)
       .withColumn("ntok", size(col("w")))

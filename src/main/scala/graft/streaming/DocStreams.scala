@@ -122,6 +122,14 @@ object DocStreams {
       }
   }
 
+  /** Streaming sliding-window chunker: the batch chunker's plan applied
+    * verbatim to the document stream — every operation is stateless
+    * row-local (tokenize, explode window starts, slice), so chunks land
+    * in the same micro-batch their document arrives in, with zero state.
+    * Spec-pinned to `docs_chunk_sliding`. */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.operators.CorpusQueries.chunksOf(docs)
+
   /** Streaming exact dedup on content hash: the first arrival of each
     * md5(text) passes, later copies are dropped by the state store.
     *

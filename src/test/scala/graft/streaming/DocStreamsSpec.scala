@@ -42,6 +42,16 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming chunker emits exactly the batch chunk set") {
+    val got = runStream("s_chunks", docs.grouped(150).toSeq)(DocStreams.chunkStream)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val want = graft.operators.CorpusQueries.queries("docs_chunk_sliding")
+      .fn(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming incremental dedup against the persisted index matches the batch twin") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     graft.plans.VectorExpressions.register(spark)
