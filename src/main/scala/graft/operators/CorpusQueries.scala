@@ -424,6 +424,129 @@ object CorpusQueries {
        |  md5(array_to_string(w[st + 1 : st + $WinTokens], ' ')) AS chunk_hash
        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // --------------------------------------- content-defined chunking
+
+  private val CdcModulus = 16
+
+  /** Content-defined chunking: a token ends a chunk when its own hash
+    * lands in 1/16 of the space — cut points depend only on CONTENT, so
+    * inserting text early in a document disturbs chunks only up to the
+    * next cut, after which boundaries (and hence chunk hashes) realign.
+    * That shift-invariance is what makes CDC the dedup substrate for
+    * near-identical documents with offset edits, where fixed windows
+    * ([[chunkSliding]]) would misalign everything downstream of the edit
+    * (property spec-proven in CorpusSpec).
+    *
+    * Plan: one explode of the token stream, one per-doc running-sum
+    * window (partitions bounded by document length, keyed on doc_id —
+    * uniformly distributed), one (doc, chunk) aggregate. Expected chunk
+    * length is the modulus (16 tokens); the hash is the same md5 the
+    * exact-dedup layer keys on. */
+  def chunkCdc(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    cdcChunksOf(Tables(dir).documents)
+  }
+
+  /** CDC chunking as a frame transform (shift-invariance property is
+    * spec-proven against a prepend edit in CorpusSpec). */
+  def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      .withColumn("cut",
+        when(VectorExpressions.hexPrefix(md5(col("tok")), 8) % CdcModulus === 0, 1L).otherwise(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_id", coalesce(sum(col("cut")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))).as("chunk_hash"))
+  }
+
+  private val chunkCdcSql = {
+    val w = DuckSql.wordsOf("text")
+    val h = DuckSql.hexToLong("md5(tok)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $w AS w FROM documents WHERE LEN($w) > 0),
+       |pos AS (
+       |  SELECT doc_id, g.i AS pos, w[g.i] AS tok
+       |  FROM toks, UNNEST(generate_series(1, LEN(w))) AS g(i)),
+       |b AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN $h % $CdcModulus = 0 THEN 1 ELSE 0 END AS cut
+       |  FROM pos),
+       |c AS (
+       |  SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM b)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(MIN(pos) AS BIGINT) AS start_pos,
+       |  COUNT(*) AS n_tokens,
+       |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+       |FROM c GROUP BY doc_id, chunk_id
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- tokenization
+
+  private val VocabSize = 30
+  private val IdsHead = 20
+
+  /** Vocabulary-id tokenization — the id-mapping step before packing:
+    * the corpus's top-30 terms become ids 1..30 (count-desc, term-asc —
+    * deterministic), everything else is OOV id 0. The vocabulary is a
+    * TakeOrdered over the distributed term counts and joins back as a
+    * broadcast (a real 100 TB vocab of 100k rows is still broadcast-
+    * sized — that asymmetry is the whole design). Output keeps the
+    * per-doc id sequence head plus OOV accounting. */
+  def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = Tables(dir).documents
+    val vocab = docs
+      .select(explode(words(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(VocabSize)
+      .withColumn("id", row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
+      .select("term", "id")
+    docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), col("tok") === col("term"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(",",
+          expr(s"transform(slice(array_sort(collect_list(struct(pos, id))), 1, $IdsHead), x -> CAST(x.id AS STRING))"))
+          .as("ids_head"))
+  }
+
+  private val tokenizeIdsSql = {
+    val w = DuckSql.wordsOf("text")
+    s"""WITH vocab AS (
+       |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS id
+       |  FROM (
+       |    SELECT t.term, COUNT(*) AS n
+       |    FROM documents, UNNEST($w) AS t(term)
+       |    GROUP BY t.term ORDER BY n DESC, term LIMIT $VocabSize)),
+       |toks AS (
+       |  SELECT doc_id, g.i AS pos, w[g.i] AS tok
+       |  FROM (SELECT doc_id, $w AS w FROM documents WHERE LEN($w) > 0) d,
+       |    UNNEST(generate_series(1, LEN(w))) AS g(i)),
+       |ids AS (
+       |  SELECT doc_id, pos, COALESCE(id, 0) AS id
+       |  FROM toks LEFT JOIN vocab ON tok = term)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  array_to_string((list(id ORDER BY pos))[1:$IdsHead], ',') AS ids_head
+       |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- length batching
 
   private val LenBucketWidth = 32
@@ -538,6 +661,8 @@ object CorpusQueries {
     "docs_token_budget" -> Q(tokenBudget _, tokenBudgetSql, Seq(col("doc_id"))),
     "docs_jsonl_ingest" -> Q(jsonlIngest _, jsonlIngestSql, Seq(col("doc_id"))),
     "docs_chunk_sliding" -> Q(chunkSliding _, chunkSlidingSql, Seq(col("doc_id"), col("chunk_idx"))),
+    "docs_chunk_cdc" -> Q(chunkCdc _, chunkCdcSql, Seq(col("doc_id"), col("chunk_id"))),
+    "docs_tokenize_ids" -> Q(tokenizeIds _, tokenizeIdsSql, Seq(col("doc_id"))),
     "docs_length_batches" -> Q(lengthBatches _, lengthBatchesSql, Seq(col("bucket"), col("batch"))),
     "docs_mixture_sample" -> Q(mixtureSample _, mixtureSampleSql, Seq(col("doc_id"))),
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),

@@ -195,6 +195,50 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc chunks: shift-invariant under a prepend edit; sliding chunks are not") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val edited = docs.withColumn("text", concat(lit("zzz "), col("text")))
+
+    def tailHashes(chunks: org.apache.spark.sql.DataFrame, idCol: String) = chunks
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(r.fieldIndex("chunk_hash"))))
+      .groupBy(_._1)
+      .map { case (d, rs) => d -> rs.sortBy(_._2).drop(1).map(_._3).toSeq }
+
+    val cdcOrig = tailHashes(CorpusQueries.cdcChunksOf(docs), "chunk_id")
+    val cdcEdit = tailHashes(CorpusQueries.cdcChunksOf(edited), "chunk_id")
+    // the prepended token can only be absorbed into chunk 0 (cut points are
+    // per-token content hashes) — every later chunk's hash must survive.
+    // Exception: if "zzz" itself were a cut token it would add one chunk;
+    // it is not (verified by the equality below holding for every doc).
+    cdcOrig.foreach { case (d, tail) =>
+      assert(cdcEdit(d) == tail, s"doc $d: cdc chunks shifted after prepend")
+    }
+    assert(cdcOrig.exists(_._2.nonEmpty), "no doc has >1 cdc chunk — modulus too big for corpus")
+
+    // the fixed-stride chunker, by contrast, misaligns: the same edit must
+    // change (nearly) every window hash of any doc long enough to re-window
+    val slideOrig = tailHashes(CorpusQueries.chunksOf(docs), "chunk_idx")
+    val slideEdit = tailHashes(CorpusQueries.chunksOf(edited), "chunk_idx")
+    val multiWindow = slideOrig.filter(_._2.nonEmpty)
+    val disturbed = multiWindow.count { case (d, tail) => slideEdit(d) != tail }
+    assert(multiWindow.nonEmpty && disturbed > multiWindow.size / 2,
+      s"sliding chunks unexpectedly shift-stable ($disturbed of ${multiWindow.size})")
+  }
+
+  test("tokenize ids: oov + in-vocab accounting, bounded head length") {
+    val rows = CorpusQueries.queries("docs_tokenize_ids").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, n, oov, head) =>
+      assert(oov >= 0 && oov <= n)
+      val ids = head.split(",").filter(_.nonEmpty)
+      assert(ids.length == math.min(20, n), s"doc $d head length")
+      assert(ids.forall(i => i.toLong >= 0 && i.toLong <= 30))
+    }
+  }
+
   test("incremental dedup: pairs straddle the split and match the symmetric jaccard near-dups") {
     val bk = buckets
     val inc = DedupQueries.queries("dedup_incremental").fn(spark, dir)
