@@ -206,10 +206,79 @@ object GraphQueries {
        |SELECT p_partkey, n_triangles FROM corners
        |ORDER BY p_partkey""".stripMargin
 
+  // ------------------------------------------------------------ PageRank
+
+  private val PrScale = 1000000000000L // ranks carried as r × 10^12
+  private val PrIters = 4
+
+  /** Integer-exact PageRank over the (symmetrized) co-purchase graph —
+    * Pregel-by-join: each iteration is ONE message shuffle (ranks join
+    * the degree-annotated edge list, contributions aggregate on the
+    * destination). Ranks are scaled bigints and every operation is
+    * integer (`div` truncation, damping multiplied through as 85/100),
+    * so a 1000-executor run, this run, and the oracle produce identical
+    * bits — no floating-point summation-order drift, the same discipline
+    * as the decimal money sums.
+    *
+    * Per-iteration cost at 100 TB: the edge list is the big side and is
+    * hash-partitioned once on src (persisted); ranks are |V|-row and
+    * re-shuffle per iteration (AQE broadcasts them while they fit — at
+    * this scale they always do; beyond, the join runs co-partitioned on
+    * the persisted edge hash). Messages aggregate with map-side partial
+    * sums. Unnormalized start (PrScale per node) keeps the fixpoint
+    * ranking identical to 1/N initialization at iteration ∞ and avoids
+    * an integer division by |V| up front. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val e = edges(Tables(dir))
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val symDeg = sym.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val teleport = PrScale * 15L / 100L
+    var ranks = deg.select(col("src").as("node"), lit(PrScale).as("r"))
+    for (_ <- 1 to PrIters) {
+      ranks = symDeg
+        .join(ranks, symDeg("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("insum"))
+        .select(col("dst").as("node"),
+          (lit(teleport) + expr("(85 * insum) div 100")).as("r"))
+    }
+    ranks
+      .select(col("node").as("p_partkey"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("p_partkey"))
+      .limit(50)
+  }
+
+  private val pagerankSql = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT sd.dst AS node,
+         |    CAST(${PrScale * 15L / 100L} + (85 * SUM(r // outdeg)) // 100 AS BIGINT) AS r
+         |  FROM sd JOIN $prev p ON sd.src = p.node GROUP BY sd.dst)"""
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src),
+       |sd AS (SELECT s.src, s.dst, d.outdeg FROM sym s JOIN deg d ON s.src = d.src),
+       |r0 AS (SELECT src AS node, CAST($PrScale AS BIGINT) AS r FROM deg),
+       |${(1 to PrIters).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")}
+       |SELECT node AS p_partkey, r AS rank_scaled
+       |FROM r$PrIters
+       |ORDER BY rank_scaled DESC, p_partkey LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_triangles" -> Q(triangles _, trianglesSql,
       Seq(col("n_triangles").desc, col("p_partkey"))),
     "graph_triangles_capped" -> Q((s, d) => trianglesCapped(s, d, CapK),
       trianglesCappedSql(CapK), Seq(col("p_partkey"))),
+    "graph_pagerank" -> Q(pagerank _, pagerankSql,
+      Seq(col("rank_scaled").desc, col("p_partkey"))),
   )
 }
