@@ -28,6 +28,7 @@ object SparkEntry {
     operators.ChangeData.queries,
     operators.Linkage.queries,
     operators.GraphQueries.queries,
+    operators.RangeJoin.queries,
     operators.NgsQueries.queries,
   )
 

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Binned interval (range) join: the fact-fact overlap join neither a
+  * broadcast (both sides big) nor an equi-shuffle (no equality key)
+  * can express.
+  *
+  * Each interval explodes into the fixed-width bins it touches; the join
+  * runs as an ordinary hash-shuffle on the bin; the true overlap predicate
+  * re-applies as the residual filter; and each surviving pair is counted
+  * exactly once by attributing it to the bin of `max(start_a, start_b)` —
+  * no post-join distinct, so nothing downstream has to deduplicate a
+  * blown-up intermediate. Bin width is the knob: wider bins replicate
+  * less but pack more intervals per bucket (the per-bin join is quadratic
+  * in bucket occupancy — the same whale-bucket economics as the LSH band
+  * join, and the same mitigation applies: pick the width near the median
+  * interval length, cap or split pathological bins).
+  *
+  * Contrast with the two range joins already in the repo: the NGS
+  * segment×gene overlap broadcasts the small annotation side, and the
+  * streaming interval join bounds state by watermark — this operator is
+  * the third regime, both sides large and batch. */
+object RangeJoin {
+
+  /** Overlap pairs of `left` × `right` with each pair emitted exactly
+    * once. Interval columns are inclusive `[start, end]` longs (any unit;
+    * `binWidth` in the same unit). All other columns of both inputs pass
+    * through, so callers key their frames however they like. */
+  def overlapPairs(left: DataFrame, lStart: String, lEnd: String,
+                   right: DataFrame, rStart: String, rEnd: String,
+                   binWidth: Long): DataFrame = {
+    def binned(df: DataFrame, s: String, e: String) = df.withColumn("_bin",
+      explode(sequence(expr(s"$s div $binWidth"), expr(s"$e div $binWidth"))))
+    val l = binned(left, lStart, lEnd)
+    val r = binned(right, rStart, rEnd).withColumnRenamed("_bin", "_rbin")
+    l.join(r,
+        l("_bin") === r("_rbin") &&
+          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+          expr(s"greatest($lStart, $rStart) div $binWidth") === l("_bin"))
+      .drop("_bin", "_rbin")
+  }
+
+  /** Concurrent sessions: which gap-based sessions overlap in wall-clock
+    * time with a session of another user — the session table joined to
+    * itself as a fact-fact interval join (1-hour bins over epoch-micro
+    * intervals). Per session, the count of concurrent partners; sessions
+    * with none are omitted (inner semantics). */
+  def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val sess = CsrQueries.eventsSessionize(spark, dir)
+      .select(col("user_id"), col("session_seq"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"))
+    val a = sess.toDF("a_user", "a_seq", "a_start", "a_end")
+    val b = sess.toDF("b_user", "b_seq", "b_start", "b_end")
+    val pairs = overlapPairs(a, "a_start", "a_end", b, "b_start", "b_end", HourUs)
+      .where(col("a_user") < col("b_user")) // same-user sessions never overlap (gap-based)
+    pairs
+      .select(col("a_user").as("user_id"), col("a_seq").as("session_seq"))
+      .unionByName(pairs.select(col("b_user").as("user_id"), col("b_seq").as("session_seq")))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_concurrent"))
+  }
+
+  private val HourUs = 3600000000L
+
+  private val concurrentSessionsSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, session_seq,
+      |    epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us
+      |  FROM numbered GROUP BY user_id, session_seq),
+      |pairs AS (
+      |  SELECT a.user_id AS a_user, a.session_seq AS a_seq,
+      |         b.user_id AS b_user, b.session_seq AS b_seq
+      |  FROM sess a JOIN sess b
+      |    ON a.user_id < b.user_id
+      |   AND a.start_us <= b.end_us AND b.start_us <= a.end_us)
+      |SELECT user_id, session_seq, COUNT(*) AS n_concurrent
+      |FROM (
+      |  SELECT a_user AS user_id, a_seq AS session_seq FROM pairs
+      |  UNION ALL SELECT b_user, b_seq FROM pairs) x
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "events_concurrent_sessions" -> Q(concurrentSessions _, concurrentSessionsSql,
+      Seq(col("user_id"), col("session_seq"))),
+  )
+}
