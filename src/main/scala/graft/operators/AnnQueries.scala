@@ -1312,7 +1312,89 @@ object AnnQueries {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  // --------------------------------------- scalar quantization (int8)
+
+  private val SqShortlist = 100
+
+  /** Int8 scalar-quantized ANN — the 4× compression point between raw
+    * floats and PQ's 32×: per-dimension maxabs scales fit in one
+    * distributed pass (only Dim rows reach the driver), the corpus
+    * quantizes to [-127, 127] bigints map-side, and the scan-side proxy
+    * score is an INTEGER dot product — exact, no float summation drift,
+    * so shortlist membership is engine-identical by construction (PQ's
+    * float ADC needs a rounding convention; this needs none). Exact
+    * cosine re-rank on the bounded shortlist, as everywhere in the
+    * family. */
+  def sqTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    // fit pass: per-dim maxabs scales (bounded: Dim rows to the driver)
+    val scales: Seq[Double] = t.embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(max(abs(col("v"))).as("m"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => { val m = r.getFloat(1).toDouble; if (m == 0.0) 1.0 else m }).toSeq
+    def quant(c: Column): Column =
+      zip_with(c, typedlit(scales), (v, m) => round(v.cast("double") * lit(127.0) / m, 0).cast("long"))
+    val corpusQ = t.embeddings.select(col("vec_id"), quant(col("embedding")).as("cq"))
+    val probesQ = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), quant(col("embedding")).as("pq"))
+    val approx = corpusQ.crossJoin(broadcast(probesQ))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        aggregate(zip_with(col("cq"), col("pq"), _ * _), lit(0L), _ + _)
+          .cast("double").as("qdot"))
+    val shortlist = TopK.perKeyExec(approx, "probe_id", "qdot", "vec_id", SqShortlist)
+      .select("probe_id", "vec_id")
+    val corpus = t.embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val pEmb = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("p_norm"))
+    val exact = corpus
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(pEmb), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"))
+    TopK.perKeyExec(exact, "probe_id", "cos", "vec_id", TopKK)
+  }
+
+  private val sqSql =
+    s"""WITH dims AS (
+       |  SELECT t.i AS pos, MAX(ABS(CAST(embedding[t.i] AS DOUBLE))) AS m
+       |  FROM embeddings, UNNEST(generate_series(1, $Dim)) AS t(i)
+       |  GROUP BY t.i),
+       |sc AS (
+       |  SELECT list(CASE WHEN m = 0 THEN 1.0 ELSE m END ORDER BY pos) AS s FROM dims),
+       |cq AS (
+       |  SELECT vec_id, list_transform(generate_series(1, $Dim),
+       |    i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 127.0 / s[i], 0) AS BIGINT)) AS q
+       |  FROM embeddings, sc),
+       |pq AS (SELECT vec_id AS probe_id, q FROM cq WHERE vec_id % $ProbeMod = 0),
+       |adc AS (
+       |  SELECT probe_id, c.vec_id,
+       |    list_sum(list_transform(generate_series(1, $Dim), i -> c.q[i] * p.q[i])) AS qdot
+       |  FROM cq c CROSS JOIN pq p WHERE c.vec_id <> probe_id),
+       |shortlist AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS rn
+       |    FROM adc) z WHERE rn <= $SqShortlist),
+       |exact AS (
+       |  SELECT probe_id, s.vec_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings p ON p.vec_id = s.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM exact)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ann_sq_topk" -> Q(sqTopK _, sqSql, Seq(col("probe_id"), col("rank"))),
     "ann_pq_adc" -> Q(pqAdcTopK _, pqAdcSql, Seq(col("probe_id"), col("rank"))),
     "ann_pq_served" -> Q(pqServedTopK _, pqAdcSql, Seq(col("probe_id"), col("rank"))),
     "ann_pq_trained" -> Q(pqTrainedTopK _, pqTrainedSql, Seq(col("probe_id"), col("rank"))),
