@@ -448,23 +448,39 @@ object CorpusQueries {
   }
 
   /** CDC chunking as a frame transform (shift-invariance property is
-    * spec-proven against a prepend edit in CorpusSpec). */
+    * spec-proven against a prepend edit in CorpusSpec).
+    *
+    * ZERO-shuffle form: cut positions, chunk spans, and chunk hashes are
+    * all array expressions over the per-row token array — the first
+    * version exploded the token stream through a per-doc window (two
+    * shuffles); this one never leaves the row, which is both the 100 TB
+    * plan you want (chunking is embarrassingly parallel) and what makes
+    * the operator streaming-legal ([[graft.streaming.DocStreams]] applies
+    * it to the document stream unchanged, spec-pinned). */
   def cdcChunksOf(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos0", "tok")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
-      .withColumn("cut",
-        when(VectorExpressions.hexPrefix(md5(col("tok")), 8) % CdcModulus === 0, 1L).otherwise(0L))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks
-      .withColumn("chunk_id", coalesce(sum(col("cut")).over(w), lit(0L)))
-      .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(
-        min(col("pos")).cast("long").as("start_pos"),
-        count(lit(1)).as("n_tokens"),
-        md5(concat_ws(" ",
-          expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))).as("chunk_hash"))
+    VectorExpressions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+      // a cut at position j (1-based, j < n) ends the chunk AT j; the next
+      // chunk starts at j+1 — chunk_id(i) = #cuts strictly before i
+      .withColumn("starts", expr(
+        s"""concat(array(1), transform(
+           |  filter(sequence(1, size(w) - 1),
+           |         j -> graft_hex_prefix(md5(element_at(w, j)), 8) % $CdcModulus = 0),
+           |  j -> j + 1))""".stripMargin))
+      .withColumn("bounds", expr("concat(starts, array(size(w) + 1))"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(
+          """transform(sequence(1, size(starts)), k -> struct(
+            |  CAST(k - 1 AS BIGINT) AS chunk_id,
+            |  CAST(element_at(bounds, k) AS BIGINT) AS start_pos,
+            |  CAST(element_at(bounds, k + 1) - element_at(bounds, k) AS BIGINT) AS n_tokens))""".stripMargin))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.start_pos").as("start_pos"), col("c.n_tokens").as("n_tokens"),
+        md5(concat_ws(" ", expr("slice(w, CAST(c.start_pos AS INT), CAST(c.n_tokens AS INT))")))
+          .as("chunk_hash"))
   }
 
   private val chunkCdcSql = {

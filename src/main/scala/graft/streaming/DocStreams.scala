@@ -130,6 +130,13 @@ object DocStreams {
   def chunkStream(docs: DataFrame): DataFrame =
     graft.operators.CorpusQueries.chunksOf(docs)
 
+  /** Streaming CDC chunker: the zero-shuffle array-expression form of
+    * content-defined chunking is row-local, so it runs on the stream
+    * unchanged — chunks land in their document's micro-batch, no state.
+    * Spec-pinned to `docs_chunk_cdc`. */
+  def cdcChunkStream(docs: DataFrame): DataFrame =
+    graft.operators.CorpusQueries.cdcChunksOf(docs)
+
   /** Streaming exact dedup on content hash: the first arrival of each
     * md5(text) passes, later copies are dropped by the state store.
     *

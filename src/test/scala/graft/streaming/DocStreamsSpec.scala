@@ -52,6 +52,18 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming cdc chunker emits exactly the batch chunk set") {
+    val got = runStream("s_cdc", docs.grouped(150).toSeq)(DocStreams.cdcChunkStream)
+      .select("doc_id", "chunk_id", "start_pos", "n_tokens", "chunk_hash")
+      .collect().map(_.toSeq).toSet
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val want = graft.operators.CorpusQueries.queries("docs_chunk_cdc")
+      .fn(spark, TestSpark.Sf0001)
+      .select("doc_id", "chunk_id", "start_pos", "n_tokens", "chunk_hash")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming incremental dedup against the persisted index matches the batch twin") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     graft.plans.VectorExpressions.register(spark)
