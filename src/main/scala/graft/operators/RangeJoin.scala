@@ -50,10 +50,14 @@ object RangeJoin {
     * with none are omitted (inner semantics). */
   def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    // persisted: both self-join sides read ONE materialization of the
+    // session build (otherwise the sessionize window runs twice — the
+    // plan dump showed both branches re-deriving it from the fact scan)
     val sess = CsrQueries.eventsSessionize(spark, dir)
       .select(col("user_id"), col("session_seq"),
         unix_micros(col("session_start")).as("start_us"),
         unix_micros(col("session_end")).as("end_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sess.toDF("a_user", "a_seq", "a_start", "a_end")
     val b = sess.toDF("b_user", "b_seq", "b_start", "b_end")
     val pairs = overlapPairs(a, "a_start", "a_end", b, "b_start", "b_end", HourUs)
