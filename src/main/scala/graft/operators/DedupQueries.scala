@@ -608,7 +608,87 @@ object DedupQueries {
        |WHERE ROUND(LEN(list_intersect(sa.ss, sb.ss)) / LEN(list_distinct(list_concat(sa.ss, sb.ss))), 6) >= $JaccardThreshold
        |ORDER BY batch_doc, index_doc""".stripMargin
 
+  // ------------------------------------------------- per-source report
+
+  /** Dedup governance report — the table a corpus owner reads to decide
+    * which sources to trim: per source, how many documents are exact
+    * duplicates of something in the corpus (content-hash membership in a
+    * >1-occurrence group), and what share of the source's CDC chunks
+    * repeat corpus-wide (the near-dup leading indicator: chunk overlap
+    * rises before whole-document hashes collide). Two hash-keyed
+    * aggregates over frames the engine already produces; rates are
+    * multiplied out in bigint and rounded once. */
+  def sourceReport(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = Tables(dir).documents
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val dupHashes = docs.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select("h")
+    val docStats = docs
+      .join(broadcast(dupHashes.withColumn("is_dup", lit(1L))), Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+    val chunks = CorpusQueries.cdcChunksOf(Tables(dir).documents)
+      .join(Tables(dir).documents.select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("chunk_hash"))
+    val dupChunks = chunks.groupBy("chunk_hash").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select("chunk_hash")
+    val chunkStats = chunks
+      .join(broadcast(dupChunks.withColumn("is_dup", lit(1L))), Seq("chunk_hash"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_chunks"))
+    docStats.join(chunkStats, "source")
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs") * lit(100.0) / col("n_docs"), 4).as("doc_dup_pct"),
+        col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks") * lit(100.0) / col("n_chunks"), 4).as("chunk_dup_pct"))
+  }
+
+  private val sourceReportSql = {
+    val w = graft.functions.DuckSql.wordsOf("text")
+    val h = graft.functions.DuckSql.hexToLong("md5(tok)")
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, md5(text) AS h FROM documents),
+       |dup_h AS (SELECT h FROM docs GROUP BY h HAVING COUNT(*) > 1),
+       |doc_stats AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN h IN (SELECT h FROM dup_h) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+       |  FROM docs GROUP BY source),
+       |toks AS (
+       |  SELECT doc_id, $w AS w FROM documents WHERE LEN($w) > 0),
+       |pos AS (
+       |  SELECT doc_id, g.i AS pos, w[g.i] AS tok
+       |  FROM toks, UNNEST(generate_series(1, LEN(w))) AS g(i)),
+       |b AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN $h % 16 = 0 THEN 1 ELSE 0 END AS cut
+       |  FROM pos),
+       |c AS (
+       |  SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM b),
+       |chunks AS (
+       |  SELECT d.source, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+       |  FROM c JOIN documents d USING (doc_id)
+       |  GROUP BY c.doc_id, c.chunk_id, d.source),
+       |dup_c AS (SELECT chunk_hash FROM chunks GROUP BY chunk_hash HAVING COUNT(*) > 1),
+       |chunk_stats AS (
+       |  SELECT source, COUNT(*) AS n_chunks,
+       |    CAST(SUM(CASE WHEN chunk_hash IN (SELECT chunk_hash FROM dup_c) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+       |  FROM chunks GROUP BY source)
+       |SELECT source, n_docs, n_dup_docs,
+       |  ROUND(n_dup_docs * 100.0 / n_docs, 4) AS doc_dup_pct,
+       |  n_chunks, n_dup_chunks,
+       |  ROUND(n_dup_chunks * 100.0 / n_chunks, 4) AS chunk_dup_pct
+       |FROM doc_stats JOIN chunk_stats USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_source_report" -> Q(sourceReport _, sourceReportSql, Seq(col("source"))),
     "dedup_exact_docs" -> Q(exactDocs _, exactDocsSql, Seq(col("keep_doc_id"))),
     "dedup_incremental" -> Q(incrementalDedup _, incrementalDedupSql,
       Seq(col("batch_doc"), col("index_doc"))),
