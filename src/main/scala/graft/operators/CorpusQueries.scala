@@ -523,12 +523,22 @@ object CorpusQueries {
   def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val docs = Tables(dir).documents
-    val vocab = docs
+    tokenIdsOf(docs, vocabOf(docs, VocabSize))
+  }
+
+  /** Vocabulary fit: top-k terms → (term, id 1..k), count-desc/term-asc
+    * deterministic. TakeOrdered over the distributed counts; the id
+    * window runs on k rows. */
+  def vocabOf(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(explode(words(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("term")).limit(VocabSize)
+      .orderBy(col("n").desc, col("term")).limit(k)
       .withColumn("id", row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
       .select("term", "id")
+
+  /** Id-mapping against a fitted vocabulary (broadcast join; OOV → 0). */
+  def tokenIdsOf(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "tok")))
       .join(broadcast(vocab), col("tok") === col("term"), "left")
@@ -540,7 +550,6 @@ object CorpusQueries {
         concat_ws(",",
           expr(s"transform(slice(array_sort(collect_list(struct(pos, id))), 1, $IdsHead), x -> CAST(x.id AS STRING))"))
           .as("ids_head"))
-  }
 
   private val tokenizeIdsSql = {
     val w = DuckSql.wordsOf("text")

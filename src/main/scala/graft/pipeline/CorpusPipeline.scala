@@ -109,6 +109,27 @@ object CorpusPipeline {
       sig(s"${cfg.workDir}/balanced")
     }
 
+    /** CDC chunk table of the deduped corpus — the RAG / chunk-dedup
+      * substrate, derived once per corpus vintage (zero-shuffle plan). */
+    def chunkIndex(): String = {
+      CorpusQueries.cdcChunksOf(spark.read.parquet(s"${cfg.workDir}/deduped"))
+        .write.mode("overwrite").parquet(s"${cfg.workDir}/chunks")
+      sig(s"${cfg.workDir}/chunks")
+    }
+
+    /** Vocabulary fit + id mapping of the deduped corpus. The vocab is a
+      * first-class artifact (persisted next to the ids): a NEW corpus
+      * vintage refits it, and the signature chain re-runs exactly this
+      * cone — the tokenizer-retrain discipline, content-addressed. */
+    def tokenize(): String = {
+      val deduped = spark.read.parquet(s"${cfg.workDir}/deduped")
+      CorpusQueries.vocabOf(deduped, 64).coalesce(1)
+        .write.mode("overwrite").parquet(s"${cfg.workDir}/vocab")
+      CorpusQueries.tokenIdsOf(deduped, spark.read.parquet(s"${cfg.workDir}/vocab"))
+        .write.mode("overwrite").parquet(s"${cfg.workDir}/tokens")
+      sig(s"${cfg.workDir}/vocab") + sig(s"${cfg.workDir}/tokens")
+    }
+
     def skewReport(): String = {
       val balanced = spark.read.parquet(s"${cfg.workDir}/balanced")
       val loads = balanced.groupBy(col("shard"))
@@ -144,7 +165,9 @@ object CorpusPipeline {
         externalInput = dedupPolicySig _),
       Task("pack", Seq("dedup"), pack _),
       Task("rebalance", Seq("pack"), rebalance _),
-      Task("skew_report", Seq("rebalance"), skewReport _)))
+      Task("skew_report", Seq("rebalance"), skewReport _),
+      Task("chunk_index", Seq("dedup"), chunkIndex _),
+      Task("tokenize", Seq("dedup"), tokenize _)))
   }
 
   /** Run with persistent `.done-<task>` signals under cfg.signalsDir. */

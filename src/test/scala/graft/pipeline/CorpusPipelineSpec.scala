@@ -22,7 +22,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
   test("full run, no-op rerun, and cone re-run on a new document drop") {
     val cfg = freshCfg()
     val first = CorpusPipeline.run(spark, cfg)
-    assert(first.ran == Seq("quality_gate", "dedup", "pack", "rebalance", "skew_report"))
+    assert(first.ran.toSet == allTasks.toSet && first.ran.size == allTasks.size)
     assert(first.skipped.isEmpty)
 
     // outputs are consistent: dedup ⊆ gated, packed rows = deduped rows,
@@ -38,11 +38,19 @@ class CorpusPipelineSpec extends AnyFunSuite {
       packed.agg(sum("n_tokens")).head.getLong(0))
     val skew = spark.read.parquet(s"${cfg.workDir}/skew")
     assert(skew.count() == balanced.select("shard").distinct().count())
+    // chunk index and token table cover exactly the deduped corpus (the
+    // gate's min-token floor guarantees every survivor tokenizes)
+    val chunks = spark.read.parquet(s"${cfg.workDir}/chunks")
+    assert(chunks.select("doc_id").distinct().count() == deduped.count())
+    val tokens = spark.read.parquet(s"${cfg.workDir}/tokens")
+    assert(tokens.count() == deduped.count())
+    val vocab = spark.read.parquet(s"${cfg.workDir}/vocab")
+    assert(vocab.count() > 0 && vocab.count() <= 64)
 
     // unchanged input → complete no-op
     val second = CorpusPipeline.run(spark, cfg)
     assert(second.ran.isEmpty)
-    assert(second.skipped == Seq("quality_gate", "dedup", "pack", "rebalance", "skew_report"))
+    assert(second.skipped.toSet == allTasks.toSet)
 
     // drop new documents → the whole cone re-runs
     spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
@@ -50,10 +58,13 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .withColumn("doc_id", col("doc_id") + 1000000L)
       .write.mode("append").parquet(cfg.docsDir)
     val third = CorpusPipeline.run(spark, cfg)
-    assert(third.ran == Seq("quality_gate", "dedup", "pack", "rebalance", "skew_report"))
+    assert(third.ran.toSet == allTasks.toSet)
   }
 
-  private val allTasks = Seq("quality_gate", "dedup", "pack", "rebalance", "skew_report")
+  private val allTasks = Seq("quality_gate", "dedup", "pack", "rebalance", "skew_report",
+    "chunk_index", "tokenize")
+  private val dedupCone = Seq("dedup", "pack", "rebalance", "skew_report",
+    "chunk_index", "tokenize")
 
   test("§8f(v): policy file drives the gate; a config edit re-runs the cone") {
     val cfg0 = freshCfg()
@@ -65,7 +76,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val cfg = cfg0.copy(sourcesConfigPath = Some(confPath.toString))
 
     val first = CorpusPipeline.run(spark, cfg)
-    assert(first.ran == allTasks)
+    assert(first.ran.toSet == allTasks.toSet)
     // min_quality 0 admits everything the token/lang gates admit — the
     // gate is really reading the file, not the fixed 0.5 default
     val docs = spark.read.parquet(cfg.docsDir)
@@ -75,26 +86,26 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
     // unchanged config + data → no-op
     val second = CorpusPipeline.run(spark, cfg)
-    assert(second.ran.isEmpty && second.skipped == allTasks)
+    assert(second.ran.isEmpty && second.skipped.toSet == allTasks.toSet)
 
     // tighten the threshold → the whole cone re-runs off the config edit
     writeConf(0.6)
     val third = CorpusPipeline.run(spark, cfg)
-    assert(third.ran == allTasks)
+    assert(third.ran.toSet == allTasks.toSet)
     assert(spark.read.parquet(s"${cfg.workDir}/gated").count() < lax)
   }
 
   test("§8f(w): near-dup stage replaces exact dedup behind the same task id") {
     val cfg = freshCfg()
     val exact = CorpusPipeline.run(spark, cfg)
-    assert(exact.ran == allTasks)
+    assert(exact.ran.toSet == allTasks.toSet)
     val exactKept = spark.read.parquet(s"${cfg.workDir}/deduped")
       .select("doc_id").collect().map(_.getLong(0)).toSet
 
     // switching the dedup mode invalidates dedup's cone but NOT the gate
     val near = CorpusPipeline.run(spark, cfg.copy(nearDup = true))
     assert(near.skipped == Seq("quality_gate"))
-    assert(near.ran == Seq("dedup", "pack", "rebalance", "skew_report"))
+    assert(near.ran.toSet == dedupCone.toSet)
 
     // survivors = LSH cluster reps of the gated corpus (min doc_id per
     // component), recomputed independently here
@@ -112,6 +123,6 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
     // same mode again → full no-op (the mode marker is part of the signal)
     val again = CorpusPipeline.run(spark, cfg.copy(nearDup = true))
-    assert(again.ran.isEmpty && again.skipped == allTasks)
+    assert(again.ran.isEmpty && again.skipped.toSet == allTasks.toSet)
   }
 }
