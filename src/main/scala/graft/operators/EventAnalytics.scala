@@ -476,7 +476,71 @@ object EventAnalytics {
       |FROM agg
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ------------------------------------------------ linear attribution
+
+  /** Linear multi-touch attribution — every preceding touch of a
+    * purchase shares its value equally, in integer cents: each touch
+    * gets `cents div n`, the division remainder rides with the MOST
+    * RECENT touch (deterministic, sums exactly to the purchase — no
+    * lost pennies, no float splits). The touch history is a per-row
+    * collect_list window (nulls skipped ⇒ touches only), so the explode
+    * is map-side off one user-keyed window pass; purchases with no
+    * history attribute whole to '(none)'. Complements the last-touch
+    * view (`events_attribution`) the way finance teams actually ask for
+    * both. */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val purchases = Tables(dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("touches",
+        collect_list(when(col("event_type") =!= "purchase", col("event_type"))).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("touches"),
+        expr("CAST(ROUND(value * 100, 0) AS BIGINT)").as("cents"),
+        size(col("touches")).cast("long").as("n"))
+    val split = purchases
+      .where(col("n") > 0)
+      .select(col("cents"), col("n"), posexplode(col("touches")).as(Seq("pos", "touch_type")))
+      .select(col("touch_type"),
+        (expr("cents div n") +
+          when(col("pos") === (col("n") - 1).cast("int"), col("cents") - expr("cents div n") * col("n"))
+            .otherwise(0L)).as("attributed"))
+    val none = purchases.where(col("n") === 0)
+      .select(lit("(none)").as("touch_type"), col("cents").as("attributed"))
+    split.unionByName(none)
+      .groupBy(col("touch_type"))
+      .agg(sum(col("attributed")).as("attributed_cents"))
+  }
+
+  private val attributionLinearSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value FROM events),
+      |p AS (
+      |  SELECT *,
+      |    COALESCE(list_filter(list(CASE WHEN event_type <> 'purchase' THEN event_type END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      x -> x IS NOT NULL), []) AS touches,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM e),
+      |pp AS (
+      |  SELECT touches, cents, CAST(LEN(touches) AS BIGINT) AS n
+      |  FROM p WHERE event_type = 'purchase'),
+      |split AS (
+      |  SELECT touches[g.i] AS touch_type,
+      |    cents // n + CASE WHEN g.i = n THEN cents - (cents // n) * n ELSE 0 END AS attributed
+      |  FROM pp, UNNEST(generate_series(1, n)) AS g(i)
+      |  WHERE n > 0
+      |  UNION ALL
+      |  SELECT '(none)', cents FROM pp WHERE n = 0)
+      |SELECT touch_type, CAST(SUM(attributed) AS BIGINT) AS attributed_cents
+      |FROM split GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_attribution_linear" -> Q(attributionLinear _, attributionLinearSql,
+      Seq(col("touch_type"))),
     "events_transitions" -> Q(transitions _, transitionsSql, Seq(col("from_type"), col("to_type"))),
     "events_drift_alarm" -> Q(driftAlarms _, driftAlarmsSql, Seq(col("bucket"), col("from_type"), col("to_type"))),
     "events_attribution" -> Q(attribution _, attributionSql, Seq(col("touch_type"))),

@@ -137,6 +137,25 @@ object DocStreams {
   def cdcChunkStream(docs: DataFrame): DataFrame =
     graft.operators.CorpusQueries.cdcChunksOf(docs)
 
+  /** Streaming tokenizer — the SERVING side of vocabulary-id
+    * tokenization: the vocabulary is fitted offline
+    * ([[graft.operators.CorpusQueries.vocabOf]], a corpus pass the
+    * stream must never pay) and bakes into the streaming plan as a map
+    * literal; the id-mapping is then pure array expressions — row-local,
+    * zero state, zero shuffles, same output columns as the batch query
+    * (spec-pinned to `docs_tokenize_ids`). */
+  def tokenizeStream(docs: DataFrame, vocab: Map[String, Long]): DataFrame = {
+    val m = typedlit(vocab)
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+      .withColumn("ids", transform(col("w"), t => coalesce(element_at(m, t), lit(0L))))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("ids"), i => i === 0L)).cast("long").as("n_oov"),
+        concat_ws(",", transform(slice(col("ids"), 1, 20), i => i.cast("string"))).as("ids_head"))
+  }
+
   /** Streaming exact dedup on content hash: the first arrival of each
     * md5(text) passes, later copies are dropped by the state store.
     *

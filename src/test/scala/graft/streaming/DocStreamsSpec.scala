@@ -64,6 +64,20 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming tokenizer with the offline-fitted vocab matches the batch query") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val vocab = graft.operators.CorpusQueries
+      .vocabOf(Tables(TestSpark.Sf0001).documents, 30)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = runStream("s_tok", docs.grouped(150).toSeq)(DocStreams.tokenizeStream(_, vocab))
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.CorpusQueries.queries("docs_tokenize_ids")
+      .fn(spark, TestSpark.Sf0001)
+      .select("doc_id", "n_tokens", "n_oov", "ids_head")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming incremental dedup against the persisted index matches the batch twin") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     graft.plans.VectorExpressions.register(spark)
