@@ -777,8 +777,33 @@ object AnnQueries {
   /** Corpus → (vec_id, cluster, code_0..M-1): IVF cluster assignment + PQ
     * codes in ONE map-side pass — shared by the inline search and the
     * persisted-corpus path. */
+  /** Encode an arbitrary embedding frame with a PERSISTED index recipe —
+    * the serving-side codepath and the incremental-maintenance one: new
+    * vectors are coded with the frozen centroids/codebook, never
+    * triggering a retrain. */
+  def encodeWithIndex(spark: SparkSession, emb: DataFrame, indexPath: String): DataFrame = {
+    VectorExpressions.register(spark)
+    ivfPqEncodeDf(emb,
+      readCentroids(spark, s"$indexPath/centroids"),
+      readCodebook(spark, s"$indexPath/codebook"))
+  }
+
+  /** Incremental index maintenance: encode ONLY the new batch with the
+    * persisted recipe and APPEND to the codes table — no retrain, no
+    * archive re-encode. Because the encode is deterministic (distance
+    * argmin with fixed tie-break), append-of-batches equals a full
+    * re-encode row-for-row (spec-proven), so an ever-growing 100 TB
+    * corpus pays exactly one encode per vector, ever. */
+  def appendToIvfPqIndex(spark: SparkSession, newEmb: DataFrame, indexPath: String): Unit =
+    encodeWithIndex(spark, newEmb, indexPath)
+      .write.mode("append").parquet(s"$indexPath/codes")
+
   private def ivfPqEncode(t: Tables, cents: Seq[Array[Float]],
-                          cb: Array[Array[Array[Float]]]): DataFrame = {
+                          cb: Array[Array[Array[Float]]]): DataFrame =
+    ivfPqEncodeDf(t.embeddings, cents, cb)
+
+  private def ivfPqEncodeDf(emb: DataFrame, cents: Seq[Array[Float]],
+                            cb: Array[Array[Array[Float]]]): DataFrame = {
     def centCos(embCol: Column): Seq[Column] =
       cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
     val corpusArr = array(centCos(col("embedding")): _*)
@@ -791,7 +816,7 @@ object AnnQueries {
       }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code_$m")
     }
-    t.embeddings.select(
+    emb.select(
       Seq(col("vec_id"),
         (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int").as("cluster")) ++
         (0 until PqM).map(codeCol): _*)

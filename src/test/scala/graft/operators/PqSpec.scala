@@ -105,6 +105,22 @@ class PqSpec extends AnyFunSuite {
     assert(codes.columns.count(_.startsWith("code_")) == 8)
   }
 
+  test("index append: batch-encoded arrivals equal a full re-encode, codes written once each") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString + "/index"
+    AnnQueries.trainIvfPq(spark, dir, path)
+    val emb = graft.sources.Tables(dir)(spark).embeddings
+    // archive first, then two later arrival batches, through the append path
+    AnnQueries.encodeWithIndex(spark, emb.where(col("vec_id") % 3 === 0), path)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    AnnQueries.appendToIvfPqIndex(spark, emb.where(col("vec_id") % 3 === 1), path)
+    AnnQueries.appendToIvfPqIndex(spark, emb.where(col("vec_id") % 3 === 2), path)
+    val appended = spark.read.parquet(s"$path/codes").collect().map(_.toSeq).toSet
+    val full = AnnQueries.encodeWithIndex(spark, emb, path).collect().map(_.toSeq).toSet
+    assert(appended == full && appended.size == emb.count())
+  }
+
   test("cluster-partitioned code corpus: a bucket filter prunes files at the scan") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-part").toString + "/idx"
