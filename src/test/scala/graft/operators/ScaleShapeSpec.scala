@@ -77,6 +77,29 @@ class ScaleShapeSpec extends AnyFunSuite {
       s"uncached lineitem leaf in triangle plan:\n$opt")
   }
 
+  test("round-5c plan-shape invariants hold") {
+    // CDC chunker: the zero-shuffle claim — no Exchange anywhere
+    val cdc = planOf("docs_chunk_cdc")
+    assert(!cdc.contains("Exchange"), s"cdc chunker grew a shuffle:\n$cdc")
+    // sliding chunker is likewise map-side only
+    assert(!planOf("docs_chunk_sliding").contains("Exchange hashpartitioning"))
+    // tokenization: the vocab joins back as a BROADCAST, never a shuffle
+    // of the token stream against the vocab
+    val tok = planOf("docs_tokenize_ids")
+    assert(tok.contains("BroadcastHashJoin"), tok)
+    // SQ ANN: both top-k phases ride the bounded-heap custom operator
+    val sq = planOf("ann_sq_topk")
+    assert(sq.contains("PartialTopK") && sq.contains("FinalTopK"), sq)
+    // pagerank: the rank join is a broadcast at this scale (AQE) and the
+    // persisted edge list is read from the cache, not re-derived
+    val pr = planOf("graph_pagerank")
+    assert(pr.contains("InMemoryTableScan"), pr)
+    // binned range join: the exactly-once predicate rides the JOIN
+    // condition (no post-join Distinct/Dedup node materializes pairs)
+    val rj = planOf("events_concurrent_sessions")
+    assert(!rj.contains("Deduplicate") && !rj.contains("HashAggregate(keys=[a_user"), rj)
+  }
+
   test("saltedAgg matches the direct aggregation on a skewed dataset") {
     // whale key: 90% of rows on key 7
     val rows = (1 to 20000).map(i => (if (i % 10 != 0) 7L else i.toLong % 100, i.toDouble))
