@@ -1418,8 +1418,110 @@ object AnnQueries {
        |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
        |ORDER BY probe_id, rank""".stripMargin
 
+  /** IVF front over the int8 scan — the pruned serving regime for SQ
+    * (SURVEY §8i(ap), closing the one super-linear row in the sf1
+    * table): corpus vectors quantize once and assign to their nearest
+    * coarse centroid map-side; each probe scans only its nprobe buckets,
+    * so the integer-ADC candidate set is the PRUNED fraction of the
+    * corpus instead of all of it — the same bucket economics as IVF-PQ,
+    * with SQ's exact integer proxy inside the bucket. */
+  def ivfSqTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = centroids(spark, t).toSeq.map(_._2)
+    val scales: Seq[Double] = t.embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(max(abs(col("v"))).as("m"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => { val m = r.getFloat(1).toDouble; if (m == 0.0) 1.0 else m }).toSeq
+    def quant(c: Column): Column =
+      zip_with(c, typedlit(scales), (v, m) => round(v.cast("double") * lit(127.0) / m, 0).cast("long"))
+    def centCos(embCol: Column): Seq[Column] =
+      cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
+    val corpusArr = array(centCos(col("embedding")): _*)
+    val corpusQ = t.embeddings
+      .withColumn("cluster", (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int"))
+      .select(col("vec_id"), quant(col("embedding")).as("cq"), col("cluster"))
+    val probeItems = centCos(col("embedding")).zipWithIndex.map { case (c, i) =>
+      struct(c.as("cos"), lit(-i).as("nidx"), lit(i).as("idx"))
+    }
+    val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
+      .select(col("vec_id").as("probe_id"), quant(col("embedding")).as("pq2"),
+        explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
+    val approx = corpusQ.join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        aggregate(zip_with(col("cq"), col("pq2"), _ * _), lit(0L), _ + _)
+          .cast("double").as("qdot"))
+    val shortlist = TopK.perKeyExec(approx, "probe_id", "qdot", "vec_id", SqShortlist)
+      .select("probe_id", "vec_id")
+    val corpus = t.embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val pEmb = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("p_norm"))
+    val exact = corpus
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(pEmb), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"))
+    TopK.perKeyExec(exact, "probe_id", "cos", "vec_id", TopKK)
+  }
+
+  private val ivfSqSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |cluster AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign) x WHERE rn = 1),
+       |probe_assign AS (
+       |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign WHERE vec_id % $ProbeMod = 0) x WHERE rn <= $NProbeBuckets),
+       |dims AS (
+       |  SELECT t.i AS pos, MAX(ABS(CAST(embedding[t.i] AS DOUBLE))) AS m
+       |  FROM embeddings, UNNEST(generate_series(1, $Dim)) AS t(i)
+       |  GROUP BY t.i),
+       |sc AS (
+       |  SELECT list(CASE WHEN m = 0 THEN 1.0 ELSE m END ORDER BY pos) AS s FROM dims),
+       |cq AS (
+       |  SELECT vec_id, list_transform(generate_series(1, $Dim),
+       |    i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 127.0 / s[i], 0) AS BIGINT)) AS q
+       |  FROM embeddings, sc),
+       |adc AS (
+       |  SELECT pa.probe_id, cl.vec_id,
+       |    list_sum(list_transform(generate_series(1, $Dim), i -> c.q[i] * p.q[i])) AS qdot
+       |  FROM probe_assign pa
+       |  JOIN cluster cl ON cl.cluster = pa.cluster
+       |  JOIN cq c ON c.vec_id = cl.vec_id
+       |  JOIN cq p ON p.vec_id = pa.probe_id
+       |  WHERE cl.vec_id <> pa.probe_id),
+       |shortlist AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) AS rn
+       |    FROM adc) z WHERE rn <= $SqShortlist),
+       |exact AS (
+       |  SELECT probe_id, s.vec_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM shortlist s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings p ON p.vec_id = s.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM exact)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_sq_topk" -> Q(sqTopK _, sqSql, Seq(col("probe_id"), col("rank"))),
+    "ann_ivf_sq_topk" -> Q(ivfSqTopK _, ivfSqSql, Seq(col("probe_id"), col("rank"))),
     "ann_pq_adc" -> Q(pqAdcTopK _, pqAdcSql, Seq(col("probe_id"), col("rank"))),
     "ann_pq_served" -> Q(pqServedTopK _, pqAdcSql, Seq(col("probe_id"), col("rank"))),
     "ann_pq_trained" -> Q(pqTrainedTopK _, pqTrainedSql, Seq(col("probe_id"), col("rank"))),
