@@ -538,7 +538,61 @@ object EventAnalytics {
       |SELECT touch_type, CAST(SUM(attributed) AS BIGINT) AS attributed_cents
       |FROM split GROUP BY touch_type ORDER BY touch_type""".stripMargin
 
+  // --------------------------------------------------- windowed funnel
+
+  /** Time-bounded strict-order funnel (§8i(am)): view → click within 24h
+    * of the first view → purchase within 24h of that click. The deadline
+    * is what the unbounded funnel can't express: a user who converts a
+    * week later is NOT a funnel conversion. Same per-step min-join shape
+    * as [[funnel]] — each step joins the previous step's per-user
+    * timestamp (user-keyed shuffle, dims never explode) with the window
+    * riding the join condition — plus step-over-step conversion rates. */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val DayUs = 86400000000L
+    val ev = Tables(dir).events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id")
+      .where(col("us") > col("t_view") && col("us") <= col("t_view") + DayUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .where(col("us") > col("t_click") && col("us") <= col("t_click") + DayUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked_24h")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchased_24h")))
+      .select(col("n_viewed"), col("n_clicked_24h"), col("n_purchased_24h"),
+        round(col("n_clicked_24h") * lit(100.0) / col("n_viewed"), 4).as("click_pct"),
+        round(col("n_purchased_24h") * lit(100.0) / col("n_clicked_24h"), 4).as("purchase_pct"))
+  }
+
+  private val funnelWindowedSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |v AS (
+      |  SELECT user_id, MIN(us) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(us) AS t_click
+      |  FROM e JOIN v ON e.user_id = v.user_id
+      |  WHERE event_type = 'click' AND us > t_view AND us <= t_view + 86400000000
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(us) AS t_purchase
+      |  FROM e JOIN c ON e.user_id = c.user_id
+      |  WHERE event_type = 'purchase' AND us > t_click AND us <= t_click + 86400000000
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+      |  (SELECT COUNT(*) FROM c) AS n_clicked_24h,
+      |  (SELECT COUNT(*) FROM p) AS n_purchased_24h,
+      |  ROUND((SELECT COUNT(*) FROM c) * 100.0 / (SELECT COUNT(*) FROM v), 4) AS click_pct,
+      |  ROUND((SELECT COUNT(*) FROM p) * 100.0 / (SELECT COUNT(*) FROM c), 4) AS purchase_pct""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_funnel_windowed" -> Q(funnelWindowed _, funnelWindowedSql),
     "events_attribution_linear" -> Q(attributionLinear _, attributionLinearSql,
       Seq(col("touch_type"))),
     "events_transitions" -> Q(transitions _, transitionsSql, Seq(col("from_type"), col("to_type"))),

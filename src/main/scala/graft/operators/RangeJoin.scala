@@ -43,6 +43,34 @@ object RangeJoin {
       .drop("_bin", "_rbin")
   }
 
+  /** Whale-bin guard (§8i(ao)): [[overlapPairs]] with each bin's
+    * PER-SIDE membership capped to the `cap` earliest-starting intervals
+    * (ties by the caller's `lId`/`rId` — deterministic survivors, the
+    * same honest contract as the LSH whale-bucket and triangle-degree
+    * caps). The per-bin join is quadratic in bin occupancy; one
+    * pathological bin (every interval alive at noon) otherwise owns the
+    * whole stage. Output is a deterministic SUBSET of the uncapped
+    * pairs — an undercount, never an invention — and cap ≥ max occupancy
+    * recovers exactness (both spec-proven). Costs one rank window per
+    * side, keyed on the bin — the same shuffle the join pays anyway. */
+  def overlapPairsCapped(left: DataFrame, lStart: String, lEnd: String, lId: String,
+                         right: DataFrame, rStart: String, rEnd: String, rId: String,
+                         binWidth: Long, cap: Int): DataFrame = {
+    def binnedCapped(df: DataFrame, s: String, e: String, id: String) = df
+      .withColumn("_bin", explode(sequence(expr(s"$s div $binWidth"), expr(s"$e div $binWidth"))))
+      .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_bin"))
+          .orderBy(col(s), col(id))))
+      .where(col("_rk") <= cap).drop("_rk")
+    val l = binnedCapped(left, lStart, lEnd, lId)
+    val r = binnedCapped(right, rStart, rEnd, rId).withColumnRenamed("_bin", "_rbin")
+    l.join(r,
+        l("_bin") === r("_rbin") &&
+          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+          expr(s"greatest($lStart, $rStart) div $binWidth") === l("_bin"))
+      .drop("_bin", "_rbin")
+  }
+
   /** Concurrent sessions: which gap-based sessions overlap in wall-clock
     * time with a session of another user — the session table joined to
     * itself as a fact-fact interval join (1-hour bins over epoch-micro

@@ -35,6 +35,23 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("whale-bin cap: deterministic undercount, monotone in cap, exact when cap covers occupancy") {
+    val a = ivals.toDF("a_id", "a_start", "a_end")
+    val b = ivals.toDF("b_id", "b_start", "b_end")
+    def capped(cap: Int): Set[(Long, Long)] =
+      RangeJoin.overlapPairsCapped(a, "a_start", "a_end", "a_id",
+          b, "b_start", "b_end", "b_id", 64L, cap)
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val full = naive
+    val c4 = capped(4)
+    val c16 = capped(16)
+    assert(c4.subsetOf(c16) && c16.subsetOf(full), "cap must be monotone and never invent pairs")
+    assert(c4.size < full.size, "cap=4 on 120 intervals must actually drop pairs")
+    // cap beyond any bin's occupancy recovers the exact result
+    assert(capped(ivals.size) == full)
+  }
+
   test("non-overlapping inputs produce nothing; touching endpoints count (inclusive)") {
     val a = Seq((1L, 0L, 10L)).toDF("a_id", "a_start", "a_end")
     val far = Seq((2L, 100L, 110L)).toDF("b_id", "b_start", "b_end")
