@@ -84,6 +84,46 @@ object DocStreams {
   /** Incoming doc shape for [[tokenBudgetGate]]. */
   final case class BudgetDoc(source: String, doc_id: Long, h: String, n_tokens: Long)
 
+  final case class BatchDoc(doc_id: Long, n_tokens: Long)
+  final case class EmittedBatch(bucket: Long, batch: Long, n_docs: Long,
+                                max_tokens: Long, padding_waste: Long)
+
+  /** Streaming length-batcher (§8i(aq)) — the serving twin of
+    * `docs_length_batches`: documents accumulate per token-length bucket
+    * (width 32) and a FULL batch of 8 emits the moment it completes,
+    * with its exact padding-waste ledger. State per bucket is one batch
+    * counter plus at most 7 pending token counts — strictly bounded by
+    * the bucket count, never by the stream. Within a micro-batch,
+    * arrivals fold in (n_tokens, doc_id) order, so feeding the batch
+    * query's own ordering reproduces its full batches exactly
+    * (spec-pinned); under any other arrival order the emitted batches
+    * still satisfy the contract that matters for a dense-batch runner:
+    * 8 docs, one bucket, waste < 8 × bucket width. */
+  def lengthBatchGate(docs: org.apache.spark.sql.Dataset[BatchDoc]):
+      org.apache.spark.sql.Dataset[EmittedBatch] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .groupByKey(_.n_tokens / 32)
+      .flatMapGroupsWithState[(Long, List[Long]), EmittedBatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, arrivals: Iterator[BatchDoc], state: GroupState[(Long, List[Long])]) =>
+          var (nextBatch, pending) = state.getOption.getOrElse((0L, List.empty[Long]))
+          val out = Seq.newBuilder[EmittedBatch]
+          arrivals.toSeq.sortBy(d => (d.n_tokens, d.doc_id)).foreach { d =>
+            pending = pending :+ d.n_tokens
+            if (pending.length == 8) {
+              val mx = pending.max
+              out += EmittedBatch(bucket, nextBatch, 8L, mx, mx * 8L - pending.sum)
+              nextBatch += 1
+              pending = Nil
+            }
+          }
+          state.update((nextBatch, pending))
+          out.result().iterator
+      }
+  }
+
   /** Streaming token-budget admission — the live twin of the batch
     * `docs_token_budget`: each source admits documents until its running
     * token total reaches `budget`, then drops the rest. State is ONE

@@ -78,6 +78,30 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming length-batcher emits the batch query's full batches under ordered feed") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.functions.TextFunctions.words
+    val scored = Tables(TestSpark.Sf0001).documents
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+      .collect().map(r => DocStreams.BatchDoc(r.getLong(0), r.getLong(1)))
+      .sortBy(d => (d.n_tokens, d.doc_id)).toSeq
+    val mem = MemoryStream[DocStreams.BatchDoc](spark)
+    val q = DocStreams.lengthBatchGate(mem.toDS())
+      .writeStream.format("memory").queryName("s_batches").outputMode("append").start()
+    try {
+      scored.grouped(120).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("s_batches")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val want = graft.operators.CorpusQueries.queries("docs_length_batches")
+      .fn(spark, TestSpark.Sf0001)
+      .where(col("n_docs") === 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want && got.nonEmpty)
+    // every emitted batch honors the dense-runner contract
+    got.foreach { case (_, _, n, _, waste) => assert(n == 8L && waste >= 0 && waste < 8 * 32) }
+  }
+
   test("streaming incremental dedup against the persisted index matches the batch twin") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     graft.plans.VectorExpressions.register(spark)
