@@ -230,7 +230,33 @@ object GraphQueries {
     * an integer division by |V| up front. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val e = edges(Tables(dir))
+    pagerankFrom(edges(Tables(dir)))
+  }
+
+  /** The co-purchase edge list as a PERSISTED dataset (§8i(an)) — the
+    * graphs' encode-once discipline, same content-signature gate as the
+    * ANN indices: triangles, PageRank, and any future graph pass read
+    * the materialization instead of re-deriving it from the fact table
+    * per run. An unchanged lineitem is a no-op; a new drop rebuilds. */
+  def persistEdges(spark: SparkSession, dir: String, path: String): Unit = {
+    implicit val s: SparkSession = spark
+    edges(Tables(dir)).write.mode("overwrite").parquet(path)
+  }
+
+  /** PageRank served from the staged edge dataset (edge build paid once
+    * per corpus state, not per query — the ann_*_served precedent). */
+  def pagerankServed(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_edges_${new java.io.File(dir).getName}"
+    if (!Stage.current(path, s"$dir/lineitem.parquet")) {
+      persistEdges(spark, dir, path)
+      Stage.record(path, s"$dir/lineitem.parquet")
+    }
+    pagerankFrom(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private def pagerankFrom(e: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -279,6 +305,8 @@ object GraphQueries {
     "graph_triangles_capped" -> Q((s, d) => trianglesCapped(s, d, CapK),
       trianglesCappedSql(CapK), Seq(col("p_partkey"))),
     "graph_pagerank" -> Q(pagerank _, pagerankSql,
+      Seq(col("rank_scaled").desc, col("p_partkey"))),
+    "graph_pagerank_served" -> Q(pagerankServed _, pagerankSql,
       Seq(col("rank_scaled").desc, col("p_partkey"))),
   )
 }
