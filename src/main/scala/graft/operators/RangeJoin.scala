@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Overlap pairs of `left` × `right` with each pair emitted exactly
-    * once. Interval columns are inclusive `[start, end]` longs (any unit;
-    * `binWidth` in the same unit). All other columns of both inputs pass
+    * once. Interval columns are inclusive `[start, end]` NON-NEGATIVE
+    * longs (any unit; `binWidth` in the same unit) — binning uses `div`,
+    * whose truncation-toward-zero equals floor only for non-negatives;
+    * epoch-like domains satisfy this by construction, shifted domains
+    * must be offset first. All other columns of both inputs pass
     * through, so callers key their frames however they like. */
   def overlapPairs(left: DataFrame, lStart: String, lEnd: String,
                    right: DataFrame, rStart: String, rEnd: String,
