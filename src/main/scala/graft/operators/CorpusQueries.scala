@@ -572,6 +572,61 @@ object CorpusQueries {
        |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- repeated-span dedup
+
+  private val SpanTokens = 30
+
+  /** Exact-substring dedup (the Lee et al. 2022 mode): every 30-token
+    * window at EVERY stride-1 position, hashed and grouped corpus-wide —
+    * cross-document repeats surface regardless of alignment, which is
+    * exactly what fixed windows ([[chunkDedup]]'s aligned chunks, the CDC
+    * chunker's content-cut chunks) cannot see when the repeat starts
+    * mid-chunk. Window generation is a map-side array expression (no
+    * shuffle until the hash groupBy); the per-token cost is O(window)
+    * hashing — the honest trade against a suffix-array build, linear in
+    * the corpus with a documented constant, and embarrassingly parallel
+    * where the suffix array is not. Only spans seen in >1 document
+    * survive (within-doc repetition is `text_repetition`'s job). */
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) >= SpanTokens)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${SpanTokens - 1}),
+           |  i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, $SpanTokens))) AS h))""".stripMargin))
+        .as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("n_docs") > 1)
+      .select(col("span_hash"), col("n_docs"), col("n_occurrences"),
+        col("first.doc_id").as("first_doc"), col("first.pos").cast("long").as("first_pos"))
+  }
+
+  private val repeatedSpansSql = {
+    val w = DuckSql.wordsOf("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $w AS w FROM documents WHERE LEN($w) >= $SpanTokens),
+       |spans AS (
+       |  SELECT doc_id, g.i AS pos,
+       |    md5(array_to_string(w[g.i : g.i + ${SpanTokens - 1}], ' ')) AS span_hash
+       |  FROM toks, UNNEST(generate_series(1, LEN(w) - ${SpanTokens - 1})) AS g(i)),
+       |grouped AS (
+       |  SELECT span_hash,
+       |    COUNT(DISTINCT doc_id) AS n_docs,
+       |    COUNT(*) AS n_occurrences,
+       |    MIN(struct_pack(doc_id := doc_id, pos := pos)) AS first
+       |  FROM spans GROUP BY span_hash)
+       |SELECT span_hash, n_docs, n_occurrences,
+       |  CAST(first.doc_id AS BIGINT) AS first_doc, CAST(first.pos AS BIGINT) AS first_pos
+       |FROM grouped WHERE n_docs > 1
+       |ORDER BY span_hash""".stripMargin
+  }
+
   // ------------------------------------------------- length batching
 
   private val LenBucketWidth = 32
@@ -687,6 +742,7 @@ object CorpusQueries {
     "docs_jsonl_ingest" -> Q(jsonlIngest _, jsonlIngestSql, Seq(col("doc_id"))),
     "docs_chunk_sliding" -> Q(chunkSliding _, chunkSlidingSql, Seq(col("doc_id"), col("chunk_idx"))),
     "docs_chunk_cdc" -> Q(chunkCdc _, chunkCdcSql, Seq(col("doc_id"), col("chunk_id"))),
+    "dedup_repeated_spans" -> Q(repeatedSpans _, repeatedSpansSql, Seq(col("span_hash"))),
     "docs_tokenize_ids" -> Q(tokenizeIds _, tokenizeIdsSql, Seq(col("doc_id"))),
     "docs_length_batches" -> Q(lengthBatches _, lengthBatchesSql, Seq(col("bucket"), col("batch"))),
     "docs_mixture_sample" -> Q(mixtureSample _, mixtureSampleSql, Seq(col("doc_id"))),
