@@ -627,6 +627,79 @@ object CorpusQueries {
        |ORDER BY span_hash""".stripMargin
   }
 
+  /** The scrub ACTION for span dedup (what Lee et al. actually do to the
+    * corpus): every occurrence of a cross-document repeated span EXCEPT
+    * the corpus-first one has its tokens dropped; first occurrences and
+    * unique text survive verbatim. Overlapping repeats resolve by token
+    * mask union (a position is dropped if ANY non-first occurrence
+    * covers it), which makes the result order-independent and
+    * deterministic. Per doc: token count, scrubbed-token count, and the
+    * md5 of the kept text — the scrubbed corpus signature downstream
+    * stages re-key on. The in-row mask test is O(tokens × |cut|); a
+    * deployment scrubbing a 100 TB corpus joins token positions against
+    * the covered set instead — same semantics, chosen per scale. */
+  def scrubSpans(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val toks = Tables(dir).documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+    val spans = toks
+      .where(size(col("w")) >= SpanTokens)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${SpanTokens - 1}),
+           |  i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, $SpanTokens))) AS h))""".stripMargin))
+        .as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val firsts = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("n_docs") > 1)
+      .select(col("h"), col("first.doc_id").as("first_doc"), col("first.pos").as("first_pos"))
+    val covered = spans.join(firsts, "h")
+      .where(!(col("doc_id") === col("first_doc") && col("pos") === col("first_pos")))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (SpanTokens - 1))).as("cpos"))
+      .distinct()
+    val cuts = covered.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("cpos"))).as("cut"))
+    toks.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cut")), lit(0)).cast("long").as("n_scrubbed"),
+        md5(concat_ws(" ", expr(
+          "transform(filter(sequence(1, size(w)), i -> cut IS NULL OR NOT array_contains(cut, i)), i -> element_at(w, i))")))
+          .as("scrubbed_hash"))
+  }
+
+  private val scrubSpansSql = {
+    val w = DuckSql.wordsOf("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $w AS w FROM documents WHERE LEN($w) > 0),
+       |spans AS (
+       |  SELECT doc_id, g.i AS pos,
+       |    md5(array_to_string(w[g.i : g.i + ${SpanTokens - 1}], ' ')) AS h
+       |  FROM toks, UNNEST(generate_series(1, LEN(w) - ${SpanTokens - 1})) AS g(i)
+       |  WHERE LEN(w) >= $SpanTokens),
+       |firsts AS (
+       |  SELECT h, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS first
+       |  FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+       |covered AS (
+       |  SELECT DISTINCT s.doc_id, g.c AS cpos
+       |  FROM spans s JOIN firsts f USING (h),
+       |    UNNEST(generate_series(s.pos, s.pos + ${SpanTokens - 1})) AS g(c)
+       |  WHERE NOT (s.doc_id = f.first.doc_id AND s.pos = f.first.pos)),
+       |cuts AS (
+       |  SELECT doc_id, list(cpos ORDER BY cpos) AS cut FROM covered GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(LEN(w) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(LEN(cut), 0) AS BIGINT) AS n_scrubbed,
+       |  md5(COALESCE(array_to_string(
+       |    list_transform(
+       |      list_filter(generate_series(1, LEN(w)), i -> cut IS NULL OR NOT list_contains(cut, i)),
+       |      i -> w[i]), ' '), '')) AS scrubbed_hash
+       |FROM toks t LEFT JOIN cuts USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- length batching
 
   private val LenBucketWidth = 32
@@ -743,6 +816,7 @@ object CorpusQueries {
     "docs_chunk_sliding" -> Q(chunkSliding _, chunkSlidingSql, Seq(col("doc_id"), col("chunk_idx"))),
     "docs_chunk_cdc" -> Q(chunkCdc _, chunkCdcSql, Seq(col("doc_id"), col("chunk_id"))),
     "dedup_repeated_spans" -> Q(repeatedSpans _, repeatedSpansSql, Seq(col("span_hash"))),
+    "dedup_scrub_spans" -> Q(scrubSpans _, scrubSpansSql, Seq(col("doc_id"))),
     "docs_tokenize_ids" -> Q(tokenizeIds _, tokenizeIdsSql, Seq(col("doc_id"))),
     "docs_length_batches" -> Q(lengthBatches _, lengthBatchesSql, Seq(col("bucket"), col("batch"))),
     "docs_mixture_sample" -> Q(mixtureSample _, mixtureSampleSql, Seq(col("doc_id"))),
