@@ -37,6 +37,14 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")
           -1.0
+      } finally {
+        // measurement isolation: operators persist intermediates
+        // (edge lists, session frames, LSH bands) and nothing unpersists —
+        // across a 148-query sweep the accumulated cache evicts later
+        // queries' own working sets and their times degrade with sweep
+        // LENGTH rather than plan cost (r05c: graph_pagerank_served 2.7s
+        // fresh vs 5.9s late-sweep). Each run starts with an empty cache.
+        spark.catalog.clearCache()
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
