@@ -810,7 +810,91 @@ object CorpusQueries {
        |SELECT doc_id, source, n_tokens, cum_tokens
        |FROM c WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- curriculum order
+
+  /** Curriculum phase boundaries (token-count thresholds, config). Chosen
+    * at the testdata quartiles (~32/56/76 of a 10..99 range) so all four
+    * phases bind at every test SF; a deployment sets them from the corpus
+    * length distribution. */
+  private val CurriculumPhases = Seq(32L, 56L, 76L)
+
+  /** Deterministic curriculum training order: documents are phased
+    * easy→hard by token count, and WITHIN each phase the sources are
+    * round-robin interleaved in md5-stable order, yielding a global
+    * `step` every trainer replays identically (curriculum + mixture
+    * interleaving in one schedule).
+    *
+    * The point of the design is computing the global step WITHOUT a
+    * global window — `ROW_NUMBER() OVER (ORDER BY ...)` is a
+    * single-reducer total sort, the classic curriculum-ordering
+    * scale-killer. Instead: `rn`, the md5-order rank within
+    * (phase, source), comes from a keyed window (one uniform shuffle);
+    * the global rank of (phase, rn, source) is then CLOSED-FORM from the
+    * tiny (phase × source) count table: rows before it in its phase are
+    * Σ_{s'} min(cnt(s'), rn−1)  (completed earlier round-robin rounds)
+    * + |{s' < s : cnt(s') ≥ rn}|  (same round, earlier sources),
+    * and earlier phases contribute their totals. The count table is
+    * |phases|·|sources| rows — broadcast — so step assignment is a
+    * broadcast join fanning each doc out to its phase's ≤|sources| count
+    * rows plus one re-aggregation keyed on doc_id. No stage ever sees
+    * the corpus in fewer partitions than its uniform keys give. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val phased = Tables(dir).documents.select(
+      col("doc_id"), col("source"),
+      size(words(col("text"))).cast("long").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("phase",
+        when(col("n_tokens") <= CurriculumPhases(0), 1)
+          .when(col("n_tokens") <= CurriculumPhases(1), 2)
+          .when(col("n_tokens") <= CurriculumPhases(2), 3)
+          .otherwise(4))
+    val w = Window.partitionBy(col("phase"), col("source")).orderBy(col("h"), col("doc_id"))
+    val ranked = phased.withColumn("rn", row_number().over(w).cast("long"))
+    val counts = ranked.groupBy(col("phase").as("c_phase"), col("source").as("c_source"))
+      .agg(count(lit(1)).as("cnt"))
+    val phaseTotals = counts.groupBy(col("c_phase")).agg(sum(col("cnt")).as("ptot"))
+    val offsets = phaseTotals.as("a")
+      .join(phaseTotals.as("b"), col("b.c_phase") < col("a.c_phase"), "left")
+      .groupBy(col("a.c_phase").as("o_phase"))
+      .agg(coalesce(sum(col("b.ptot")), lit(0L)).as("phase_offset"))
+    ranked
+      .join(broadcast(counts), col("phase") === col("c_phase"))
+      .withColumn("before",
+        least(col("cnt"), col("rn") - 1) +
+          when(col("c_source") < col("source") && col("cnt") >= col("rn"), lit(1L))
+            .otherwise(lit(0L)))
+      .groupBy(col("doc_id"), col("source"), col("n_tokens"), col("phase"))
+      .agg(sum(col("before")).as("before_in_phase"))
+      .join(broadcast(offsets), col("phase") === col("o_phase"))
+      .withColumn("step", col("phase_offset") + col("before_in_phase") + 1)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("phase"), col("step"))
+  }
+
+  // the oracle states the SEMANTICS with the global window the Spark side
+  // deliberately avoids — exact agreement proves the closed form
+  private val curriculumSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, n_tokens, h,
+       |    CASE WHEN n_tokens <= ${CurriculumPhases(0)} THEN 1
+       |         WHEN n_tokens <= ${CurriculumPhases(1)} THEN 2
+       |         WHEN n_tokens <= ${CurriculumPhases(2)} THEN 3 ELSE 4 END AS phase
+       |  FROM d),
+       |r AS (
+       |  SELECT doc_id, source, n_tokens, phase,
+       |    ROW_NUMBER() OVER (PARTITION BY phase, source ORDER BY h, doc_id) AS rn
+       |  FROM p)
+       |SELECT doc_id, source, n_tokens, phase,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY phase, rn, source, doc_id) AS BIGINT) AS step
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "docs_curriculum" -> Q(curriculum _, curriculumSql, Seq(col("doc_id"))),
     "docs_token_budget" -> Q(tokenBudget _, tokenBudgetSql, Seq(col("doc_id"))),
     "docs_jsonl_ingest" -> Q(jsonlIngest _, jsonlIngestSql, Seq(col("doc_id"))),
     "docs_chunk_sliding" -> Q(chunkSliding _, chunkSlidingSql, Seq(col("doc_id"), col("chunk_idx"))),

@@ -47,6 +47,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum: step is the dense global round-robin rank, no global window") {
+    val rows = CorpusQueries.queries("docs_curriculum").fn(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == n)
+    // dense permutation 1..N
+    val steps = rows.map(_.getLong(4)).sorted
+    assert(steps.head == 1L && steps.last == n && steps.distinct.length == n)
+    // easy→hard: phase is non-decreasing along the schedule
+    val byStep = rows.sortBy(_.getLong(4))
+    assert(byStep.map(_.getInt(3)).sliding(2).forall(p => p(0) <= p(1)))
+    // the closed form equals the naive global-window rank it replaces:
+    // sort by (phase, rn, source) recomputed independently driver-side
+    val perKey = scala.collection.mutable.Map.empty[(Int, String), Long]
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md5.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val naive = rows.map { r => (r.getLong(0), r.getInt(3), r.getString(1)) }
+      .sortBy { case (id, ph, src) => (ph, src, h(id), id) }
+      .map { case (id, ph, src) =>
+        val rn = perKey.getOrElse((ph, src), 0L) + 1
+        perKey((ph, src)) = rn
+        (id, (ph, rn, src))
+      }
+      .sortBy(_._2).zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    rows.foreach(r => assert(r.getLong(4) == naive(r.getLong(0)),
+      s"doc ${r.getLong(0)}: closed-form ${r.getLong(4)} != naive ${naive(r.getLong(0))}"))
+  }
+
   test("chunk dedup: only repeated chunks, doc counts bounded by occurrences") {
     val rows = CorpusQueries.queries("dedup_chunks").fn(spark, dir).collect()
     assert(rows.nonEmpty)
