@@ -840,6 +840,7 @@ object CorpusQueries {
     * the corpus in fewer partitions than its uniform keys give. */
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    import spark.implicits._
     val phased = Tables(dir).documents.select(
       col("doc_id"), col("source"),
       size(words(col("text"))).cast("long").as("n_tokens"),
@@ -851,13 +852,20 @@ object CorpusQueries {
           .otherwise(4))
     val w = Window.partitionBy(col("phase"), col("source")).orderBy(col("h"), col("doc_id"))
     val ranked = phased.withColumn("rn", row_number().over(w).cast("long"))
-    val counts = ranked.groupBy(col("phase").as("c_phase"), col("source").as("c_source"))
-      .agg(count(lit(1)).as("cnt"))
-    val phaseTotals = counts.groupBy(col("c_phase")).agg(sum(col("cnt")).as("ptot"))
-    val offsets = phaseTotals.as("a")
-      .join(phaseTotals.as("b"), col("b.c_phase") < col("a.c_phase"), "left")
-      .groupBy(col("a.c_phase").as("o_phase"))
-      .agg(coalesce(sum(col("b.ptot")), lit(0L)).as("phase_offset"))
+    // the (phase x source) count table is BOUNDED (|phases|·|sources|
+    // rows) — collect it once and re-enter it as literal frames, the IVF-
+    // centroid driver-side discipline. Left as lazy subplans, Catalyst
+    // re-derived the corpus scan (and its tokenize pass over `text`, the
+    // expensive column at 100 TB) once for the counts and twice more for
+    // the offsets' self-join: 4 corpus scans where 2 suffice.
+    val countRows = phased.groupBy(col("phase"), col("source"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val counts = countRows.toSeq.toDF("c_phase", "c_source", "cnt")
+    val totals = countRows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val offsets = totals.keys.toSeq.sorted
+      .map(p => (p, totals.filter(_._1 < p).values.sum))
+      .toDF("o_phase", "phase_offset")
     ranked
       .join(broadcast(counts), col("phase") === col("c_phase"))
       .withColumn("before",

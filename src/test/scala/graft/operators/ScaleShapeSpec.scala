@@ -77,6 +77,20 @@ class ScaleShapeSpec extends AnyFunSuite {
       s"uncached lineitem leaf in triangle plan:\n$opt")
   }
 
+  test("curriculum: one keyed shuffle, counts enter as broadcast literals") {
+    // the global-step closed form must not reintroduce the global window
+    // it exists to avoid: the corpus shuffles exactly once, keyed on
+    // (phase, source), and the count/offset tables ride in as broadcast
+    // literal frames (no second derivation of the corpus scan)
+    val p = planOf("docs_curriculum")
+    assert(!p.contains("windowspecdefinition()"), p) // no empty-partition window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"curriculum wants 1 keyed shuffle, got $exchanges:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"corpus scanned more than once in the main job:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("round-5c plan-shape invariants hold") {
     // CDC chunker: the zero-shuffle claim — no Exchange anywhere
     val cdc = planOf("docs_chunk_cdc")
