@@ -365,6 +365,39 @@ object CorpusQueries {
        |FROM d WHERE bucket < rate_pct
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- importance sample
+
+  /** Per-document IMPORTANCE sampling: acceptance probability equals the
+    * document's own quality score (keep_pct = ⌊quality·100⌋ against the
+    * shared md5 bucket) — the per-doc complement of [[mixtureSample]]'s
+    * per-source rates. High-quality documents survive, low-quality ones
+    * thin out proportionally, and the decision is the same deterministic
+    * map-side filter as every sampling op here: no RNG, no shuffle, no
+    * sampling state, stable under corpus growth (a doc's fate never
+    * changes when other docs arrive). Both engines compute the quality
+    * double with the identical IEEE expression, so ⌊·⌋ at the bucket
+    * boundary is engine-exact — pinned by the oracle hash gate. */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .withColumn("quality", TextQueries.qualityCol)
+      .withColumn("keep_pct", floor(col("quality") * 100).cast("int"))
+      .where(docBucket < col("keep_pct"))
+      .select(col("doc_id"), col("source"), col("quality"), col("keep_pct"))
+  }
+
+  private val importanceSampleSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    ${TextQueries.qualitySqlExpr} AS quality,
+       |    ${graft.functions.DuckSql.docBucket} AS bucket
+       |  FROM documents)
+       |SELECT doc_id, source, quality,
+       |  CAST(FLOOR(quality * 100) AS INT) AS keep_pct
+       |FROM d WHERE bucket < CAST(FLOOR(quality * 100) AS INT)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- sliding chunks
 
   private val WinTokens = 80
@@ -912,6 +945,7 @@ object CorpusQueries {
     "docs_tokenize_ids" -> Q(tokenizeIds _, tokenizeIdsSql, Seq(col("doc_id"))),
     "docs_length_batches" -> Q(lengthBatches _, lengthBatchesSql, Seq(col("bucket"), col("batch"))),
     "docs_mixture_sample" -> Q(mixtureSample _, mixtureSampleSql, Seq(col("doc_id"))),
+    "docs_importance_sample" -> Q(importanceSample _, importanceSampleSql, Seq(col("doc_id"))),
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
     "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),
     "text_boilerplate" -> Q(boilerplate _, boilerplateSql, Seq(col("doc_id"))),

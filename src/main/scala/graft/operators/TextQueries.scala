@@ -45,6 +45,16 @@ object TextQueries {
       + (nStop / nTok) * 0.3, 6)
   }
 
+  /** The same linear quality score as a DuckDB SQL expression (shared
+    * with the corpus importance sampler's oracle). */
+  private[operators] def qualitySqlExpr: String =
+    s"""ROUND(LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+       |      + (1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?()]', '', 'g')) AS DOUBLE)
+       |          / CAST(LENGTH(text) AS DOUBLE)) * 0.4
+       |      + (CAST(LEN(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0),
+       |            w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+       |          / CAST(LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) AS DOUBLE)) * 0.3, 6)""".stripMargin
+
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val t = Tables(dir)

@@ -75,6 +75,19 @@ class CorpusSpec extends AnyFunSuite {
       s"doc ${r.getLong(0)}: closed-form ${r.getLong(4)} != naive ${naive(r.getLong(0))}"))
   }
 
+  test("importance sample: exactly the docs whose bucket clears their quality") {
+    val bk = buckets
+    val q = TextQueries.queries("text_quality_score").fn(spark, dir)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = CorpusQueries.queries("docs_importance_sample").fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val expected = q.filter { case (id, qual) =>
+      bk(id) < math.floor(qual * 100).toInt }.keySet
+    assert(rows.map(_.getLong(0)).toSet == expected)
+    rows.foreach(r => assert(r.getInt(3) == math.floor(r.getDouble(2) * 100).toInt))
+  }
+
   test("chunk dedup: only repeated chunks, doc counts bounded by occurrences") {
     val rows = CorpusQueries.queries("dedup_chunks").fn(spark, dir).collect()
     assert(rows.nonEmpty)
