@@ -32,8 +32,13 @@ object DuckSql {
 
   /** 3-gram shingle list over a words column (mirror of
     * TextFunctions.shingles; whole text if shorter). */
-  def shinglesOf(w: String): String =
-    s"""CASE WHEN LEN($w) >= 3
-       |    THEN list_transform(generate_series(1, LEN($w) - 2), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])
+  def shinglesOf(w: String): String = ngramsOf(w, 3)
+
+  /** Word n-gram shingles for any n — mirrors TextFunctions.shingles(_, n)
+    * including the whole-text fallback for short docs. */
+  def ngramsOf(w: String, n: Int): String =
+    s"""CASE WHEN LEN($w) >= $n
+       |    THEN list_transform(generate_series(1, LEN($w) - ${n - 1}),
+       |         i -> ${(0 until n).map(k => if (k == 0) s"$w[i]" else s"$w[i+$k]").mkString(" || ' ' || ")})
        |    ELSE [array_to_string($w, ' ')] END""".stripMargin
 }

@@ -72,6 +72,60 @@ object CorpusQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------ decontaminate
+
+  /** N-gram length for the decontamination ACTION: 8, not the report's 3.
+    * The 3-gram overlap is the right REPORT statistic (comparable with
+    * the near-dup family's shingles) but far too weak a DROP key — on
+    * this corpus it would scrub ~96% of train, since any common phrase
+    * matches. 8-gram overlap (the GPT-3-style decontamination window)
+    * flags only genuinely shared passages: here, exactly the planted
+    * test-twin documents. */
+  private val DecontamNgram = 8
+
+  /** Benchmark DECONTAMINATION — the action behind [[contamination]]'s
+    * report (the report/action symmetry of repeated-spans → scrub): drop
+    * from the TRAIN split every document sharing ANY 8-gram shingle with
+    * the held-out test split, keep the clean remainder. Shape at 100 TB:
+    * the test shingle set is ~10% of the corpus map-side-deduped before
+    * its exchange; the contaminated-id set comes from one semi join on
+    * the shingle key (uniform), and the final anti join keys on doc_id.
+    * Nothing is ever wider than a keyed shuffle of shingle strings; the
+    * probabilistic zero-shuffle path (broadcast Bloom over test
+    * shingles, q_bloom_semi precedent) trades exactness for one scan
+    * when the strict form's shuffle dominates. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val docs = Tables(dir).documents.withColumn("bucket", docBucket)
+    def ngramSet(d: DataFrame): DataFrame = d
+      .withColumn("w", words(col("text")))
+      .where(size(col("w")) > 0)
+      .withColumn("sh", explode(array_distinct(shingles("w", DecontamNgram))))
+      .select(col("doc_id"), col("sh"))
+    val testSh = ngramSet(docs.where(col("bucket") >= 90))
+      .select(col("sh")).distinct()
+    val contaminated = ngramSet(docs.where(col("bucket") < 80))
+      .join(testSh, Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.where(col("bucket") < 80)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
+  private val decontaminateSql =
+    s"""WITH bk AS (SELECT doc_id, text, source, lang, n_chars, ${DuckSql.docBucket} AS bucket FROM documents),
+       |ws AS (SELECT doc_id, bucket, ${DuckSql.wordsOf("text")} AS w FROM bk),
+       |sh AS (SELECT doc_id, bucket, ${DuckSql.ngramsOf("w", DecontamNgram)} AS s FROM ws WHERE LEN(w) > 0),
+       |test_sh AS (SELECT DISTINCT unnest(s) AS sh FROM sh WHERE bucket >= 90),
+       |bad AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT doc_id, unnest(s) AS sh FROM sh WHERE bucket < 80) t
+       |  JOIN test_sh te ON t.sh = te.sh)
+       |SELECT doc_id, source, lang, n_chars
+       |FROM bk WHERE bucket < 80 AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- chunk dedup
 
   /** Non-overlapping token-window size for chunk-level dedup. */
@@ -950,6 +1004,7 @@ object CorpusQueries {
     "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),
     "text_boilerplate" -> Q(boilerplate _, boilerplateSql, Seq(col("doc_id"))),
     "text_contamination" -> Q(contamination _, contaminationSql, Seq(col("doc_id"))),
+    "docs_decontaminate" -> Q(decontaminate _, decontaminateSql, Seq(col("doc_id"))),
     "dedup_chunks" -> Q(chunkDedup _, chunkDedupSql, Seq(col("first_doc"), col("chunk_hash"))),
     "text_repetition" -> Q(repetition _, repetitionSql, Seq(col("doc_id"))),
     "docs_mixture_report" -> Q(mixtureReport _, mixtureReportSql, Seq(col("source"), col("lang"))),

@@ -88,6 +88,25 @@ class CorpusSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(3) == math.floor(r.getDouble(2) * 100).toInt))
   }
 
+  test("decontaminate: keeps exactly the train docs sharing no 8-gram with test") {
+    val bk = buckets
+    import graft.functions.TextFunctions.{shingles, words}
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("w", words(col("text"))).where(size(col("w")) > 0)
+      .select(col("doc_id"), shingles("w", 8).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val testSh = sh.collect { case (id, s) if bk(id) >= 90 => s }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = bk.collect { case (id, b)
+      if b < 80 && sh.get(id).forall(_.intersect(testSh).isEmpty) => id }.toSet
+    val kept = CorpusQueries.queries("docs_decontaminate").fn(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == expected && kept.nonEmpty)
+    // the action must be strictly smaller than the train split (the
+    // testdata corpus does contain contaminated twins)
+    assert(kept.size < bk.count(_._2 < 80))
+  }
+
   test("chunk dedup: only repeated chunks, doc counts bounded by occurrences") {
     val rows = CorpusQueries.queries("dedup_chunks").fn(spark, dir).collect()
     assert(rows.nonEmpty)
