@@ -81,7 +81,7 @@ object CorpusQueries {
     * matches. 8-gram overlap (the GPT-3-style decontamination window)
     * flags only genuinely shared passages: here, exactly the planted
     * test-twin documents. */
-  private val DecontamNgram = 8
+  private[graft] val DecontamNgram = 8
 
   /** Benchmark DECONTAMINATION — the action behind [[contamination]]'s
     * report (the report/action symmetry of repeated-spans → scrub): drop

@@ -196,6 +196,27 @@ object DocStreams {
         concat_ws(",", transform(slice(col("ids"), 1, 20), i => i.cast("string"))).as("ids_head"))
   }
 
+  /** Streaming decontamination gate — the SERVING side of the batch
+    * `docs_decontaminate` action: the held-out benchmark's 8-gram set is
+    * computed offline (it is small and FROZEN — benchmarks don't grow
+    * with the corpus) and bakes into the streaming plan as an array
+    * literal; each arriving document is admitted iff its own 8-gram set
+    * does not overlap it. Row-local expressions only — zero state, zero
+    * shuffles (the tokenizeStream discipline). A deployment whose
+    * held-out set outgrows a literal switches to the broadcast-Bloom
+    * form (`pipeline.FileBloom` precedent): same admit semantics, one
+    * bounded false-positive knob. Spec-pinned to the batch kept set. */
+  def decontaminateGate(docs: DataFrame, testNgrams: Seq[String]): DataFrame = {
+    val n = graft.operators.CorpusQueries.DecontamNgram
+    docs
+      .withColumn("w", words(col("text")))
+      .withColumn("sh",
+        when(size(col("w")) > 0, array_distinct(shingles("w", n)))
+          .otherwise(array().cast("array<string>")))
+      .where(!arrays_overlap(col("sh"), typedlit(testNgrams)))
+      .drop("w", "sh")
+  }
+
   /** Streaming exact dedup on content hash: the first arrival of each
     * md5(text) passes, later copies are dropped by the state store.
     *

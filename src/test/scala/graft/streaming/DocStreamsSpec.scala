@@ -42,6 +42,30 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming decontaminate gate admits exactly the batch kept set") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    graft.plans.VectorExpressions.register(spark)
+    import graft.functions.TextFunctions.{shingles, words}
+    val withB = Tables(TestSpark.Sf0001).documents.withColumn("bucket",
+      graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100)
+    // the frozen held-out n-gram set, fitted offline like the tokenizer vocab
+    val testNg = withB.where(col("bucket") >= 90)
+      .withColumn("w", words(col("text"))).where(size(col("w")) > 0)
+      .select(explode(array_distinct(shingles("w", graft.operators.CorpusQueries.DecontamNgram))).as("sh"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val bucketOf = withB.select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainDocs = docs.filter(d => bucketOf(d.doc_id) < 80)
+    val got = runStream("s_decontam", trainDocs.grouped(150).toSeq)(
+      df => DocStreams.decontaminateGate(df, testNg))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = graft.operators.CorpusQueries.queries("docs_decontaminate")
+      .fn(spark, TestSpark.Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.size < trainDocs.size) // the gate does drop the planted twins
+  }
+
   test("streaming chunker emits exactly the batch chunk set") {
     val got = runStream("s_chunks", docs.grouped(150).toSeq)(DocStreams.chunkStream)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
