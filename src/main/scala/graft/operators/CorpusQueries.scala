@@ -72,6 +72,53 @@ object CorpusQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------- epoch plan
+
+  /** Quality thresholds granting 4 / 3 / 2 repeats (else 1). Set at the
+    * testdata quartiles (~0.67 / 0.60 / 0.52 of a 0.43–0.74 range) so
+    * every tier binds at every test SF; a deployment derives them from
+    * its quality distribution. */
+  private val EpochTiers = Seq(0.67, 0.60, 0.52)
+
+  /** Epoch REPETITION plan — the data-constrained-scaling knob: when the
+    * token budget exceeds the deduplicated corpus, repeat the best data
+    * rather than relaxing the filters. Per-doc repeat counts step by
+    * quality tier (capped at 4 — the published regime where repeated
+    * epochs still behave almost like fresh data), and the contributed
+    * token total makes the budget arithmetic auditable per document.
+    * Deterministic, map-side, zero-shuffle: one scan computing quality +
+    * tier + contribution inside a single codegen span. Composes with the
+    * schedule family: [[importanceSample]] thins, this repeats,
+    * [[curriculum]] orders. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .withColumn("quality", TextQueries.qualityCol)
+      .withColumn("n_tokens", size(words(col("text"))).cast("long"))
+      .withColumn("repeats",
+        when(col("quality") >= EpochTiers(0), 4)
+          .when(col("quality") >= EpochTiers(1), 3)
+          .when(col("quality") >= EpochTiers(2), 2)
+          .otherwise(1))
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("repeats"),
+        (col("n_tokens") * col("repeats")).cast("long").as("tokens_contributed"))
+  }
+
+  private val epochPlanSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) AS BIGINT) AS n_tokens,
+       |    ${TextQueries.qualitySqlExpr} AS quality
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, quality,
+       |  CASE WHEN quality >= ${EpochTiers(0)} THEN 4
+       |       WHEN quality >= ${EpochTiers(1)} THEN 3
+       |       WHEN quality >= ${EpochTiers(2)} THEN 2 ELSE 1 END AS repeats,
+       |  CAST(n_tokens * (CASE WHEN quality >= ${EpochTiers(0)} THEN 4
+       |       WHEN quality >= ${EpochTiers(1)} THEN 3
+       |       WHEN quality >= ${EpochTiers(2)} THEN 2 ELSE 1 END) AS BIGINT) AS tokens_contributed
+       |FROM d ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ decontaminate
 
   /** N-gram length for the decontamination ACTION: 8, not the report's 3.
@@ -1000,6 +1047,7 @@ object CorpusQueries {
     "docs_length_batches" -> Q(lengthBatches _, lengthBatchesSql, Seq(col("bucket"), col("batch"))),
     "docs_mixture_sample" -> Q(mixtureSample _, mixtureSampleSql, Seq(col("doc_id"))),
     "docs_importance_sample" -> Q(importanceSample _, importanceSampleSql, Seq(col("doc_id"))),
+    "docs_epoch_plan" -> Q(epochPlan _, epochPlanSql, Seq(col("doc_id"))),
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
     "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),
     "text_boilerplate" -> Q(boilerplate _, boilerplateSql, Seq(col("doc_id"))),

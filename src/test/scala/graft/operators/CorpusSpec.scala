@@ -88,6 +88,20 @@ class CorpusSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(3) == math.floor(r.getDouble(2) * 100).toInt))
   }
 
+  test("epoch plan: repeats monotone in quality, every tier realized, accounting exact") {
+    val rows = CorpusQueries.queries("docs_epoch_plan").fn(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) * r.getInt(3)) // contribution identity
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 4)
+    }
+    // monotone: a higher-quality doc never repeats fewer times
+    val byQ = rows.sortBy(_.getDouble(2))
+    assert(byQ.map(_.getInt(3)).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.map(_.getInt(3)).distinct.sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("decontaminate: keeps exactly the train docs sharing no 8-gram with test") {
     val bk = buckets
     import graft.functions.TextFunctions.{shingles, words}
