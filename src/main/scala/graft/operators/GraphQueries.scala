@@ -260,6 +260,13 @@ object GraphQueries {
     val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // Deliberately NOT pre-partitioned on dst: the per-iteration Exchange
+    // is cheap because it carries map-side PARTIAL sums (≤ partitions·|V|
+    // rows, not |E| messages), while a dst repartition of the full edge
+    // list at cache build is a real |E| shuffle — and under AQE a cached
+    // relation does not expose its partitioning at planning time, so the
+    // iteration aggs re-add their ENSURE_REQUIREMENTS exchange anyway
+    // (measured: the repartition made the query ~15% slower, r05d).
     val symDeg = sym.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val teleport = PrScale * 15L / 100L
