@@ -42,4 +42,43 @@ object TextFunctions {
   /** Count of tokens that appear in `stopwords`. */
   def stopwordCount(wordsCol: Column, stopwords: Seq[String]): Column =
     size(filter(wordsCol, w => w.isin(stopwords: _*)))
+
+  // ----------------------------------------------------- PII redaction
+
+  /** PII patterns redacted before a corpus ships to training — the
+    * C4/RefinedWeb-style hygiene pass: emails, IPv4 addresses, dashed
+    * phone-shaped numbers. Ordered: each class is (pattern, placeholder),
+    * applied in sequence (email first, so its dotted host is consumed
+    * before the IP pattern can bite a lookalike). Anchored to word
+    * boundaries where the class allows it; deliberately conservative —
+    * a corpus scrub prefers missed borderline strings over destroying
+    * ordinary prose (the same trade every published scrub makes). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "[IP]",
+    "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b" -> "[PHONE]")
+
+  /** Redacted text: every PII class replaced by its placeholder. Pure
+    * chained `regexp_replace` — codegen'd, row-local, zero shuffle. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-class PII hit counts as a struct (email_hits, ip_hits,
+    * phone_hits) — the audit side of [[redactPii]]: a scrub without a
+    * count report can't prove it ran. Counted on the SAME sequentially
+    * redacted text as the replacement pass, so classes never double-count
+    * one substring (an email's dotted host is not also an IP). */
+  def piiCounts(text: Column): Column = {
+    val (struct_, _) = piiPatterns.foldLeft((Seq.empty[Column], text)) {
+      case ((acc, cur), (pat, repl)) =>
+        val hits = size(regexp_extract_all(cur, lit(pat), lit(0)))
+        (acc :+ hits, regexp_replace(cur, pat, repl))
+    }
+    struct(
+      struct_(0).as("email_hits"),
+      struct_(1).as("ip_hits"),
+      struct_(2).as("phone_hits"))
+  }
 }

@@ -66,4 +66,29 @@ class TextFunctionsSpec extends AnyFunSuite {
       .head().getInt(0)
     assert(n == 3)
   }
+
+  test("redactPii: emails, IPs, phones replaced; ordinary prose untouched") {
+    val rows = df(
+      "contact bob.smith+x@corp.example.org or 10.0.42.7 or 555-867-5309 today",
+      "version 1.2.3 of the lib costs 12.50 at pi 3.14159 no pii here",
+      "two mails a@b.io c@d.net one ip 192.168.0.1").select(
+      col("id"), redactPii(col("text")).as("red"), piiCounts(col("text")).as("c"))
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getString(1) == "contact [EMAIL] or [IP] or [PHONE] today")
+    val c0 = rows(0).getStruct(2)
+    assert((c0.getInt(0), c0.getInt(1), c0.getInt(2)) == ((1, 1, 1)))
+    // dotted version / decimal / pi strings survive (word-boundary anchors,
+    // 4-octet shape): nothing redacted, all counts zero
+    assert(rows(1).getString(1).contains("1.2.3") && rows(1).getString(1).contains("3.14159"))
+    val c1 = rows(1).getStruct(2)
+    assert((c1.getInt(0), c1.getInt(1), c1.getInt(2)) == ((0, 0, 0)))
+    val c2 = rows(2).getStruct(2)
+    assert((c2.getInt(0), c2.getInt(1)) == ((2, 1)))
+  }
+
+  test("piiCounts never double-counts: an email host is not also an IP") {
+    val r = df("mail me at a@10.0.0.1.example.com now")
+      .select(piiCounts(col("text")).as("c")).head().getStruct(0)
+    assert(r.getInt(0) == 1 && r.getInt(1) == 0)
+  }
 }
