@@ -72,6 +72,74 @@ object CorpusQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------- BPE trainer
+
+  /** Number of merge rounds the registered query trains (a real run
+    * trains ~30k; the loop is identical, each round one bounded job). */
+  private[operators] val BpeMergeRounds = 12
+
+  /** Distributed BPE merge training — the missing third of the tokenizer
+    * story (train → fit → serve): learns the top-K byte-pair merges from
+    * the corpus, Sennrich-style.
+    *
+    * The scale design is the classic BPE factoring: the CORPUS is
+    * touched exactly once (the word-frequency groupBy); every merge
+    * round then runs over the DISTINCT-WORD table — |W| rows, bounded by
+    * the language, orders of magnitude smaller than the corpus — as one
+    * pair-explode + one keyed sum, with only the single argmax row ever
+    * reaching the driver (the IVF-centroid discipline: per-round driver
+    * state is one pair, total K rows). The merge apply is a pure
+    * `aggregate` fold over each word's symbol array — left-to-right,
+    * non-overlapping by construction (a merged token can never equal its
+    * own left half), no UDF. Ties break (freq desc, pair lexicographic)
+    * so the merge sequence is deterministic on any cluster.
+    *
+    * Rows-only correctness check by design (the merge recurrence is not
+    * expressible as one DuckDB query); the REAL verification is the spec
+    * pinning the full merge sequence against an independent driver-side
+    * reference BPE at sf0.001. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val wordFreq = Tables(dir).documents
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        filter(split(col("word"), ""), c => c =!= "").as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = wordFreq
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= BpeMergeRounds && !exhausted) {
+      val top = cur
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("w"))
+        .orderBy(col("w").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, w) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, a, b, w))
+        val (la, lb) = (lit(a), lit(b))
+        cur = cur.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, sym) => when(size(acc) > 0
+                && element_at(acc, -1) === la && sym === lb,
+              concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
+              .otherwise(concat(acc, array(sym)))))
+        round += 1
+      }
+    }
+    wordFreq.unpersist()
+    merges.result().toDF("rank", "left", "right", "pair_freq")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select(col("rank"), col("left"), col("right"), col("merged"), col("pair_freq"))
+  }
+
   // --------------------------------------------------------- epoch plan
 
   /** Quality thresholds granting 4 / 3 / 2 repeats (else 1). Set at the
@@ -1048,6 +1116,9 @@ object CorpusQueries {
     "docs_mixture_sample" -> Q(mixtureSample _, mixtureSampleSql, Seq(col("doc_id"))),
     "docs_importance_sample" -> Q(importanceSample _, importanceSampleSql, Seq(col("doc_id"))),
     "docs_epoch_plan" -> Q(epochPlan _, epochPlanSql, Seq(col("doc_id"))),
+    // rows-only: the merge recurrence isn't one DuckDB query; the merge
+    // sequence is pinned exactly by a reference-BPE spec instead
+    "docs_bpe_merges" -> Q(bpeMerges _, None, Seq(col("rank"))),
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
     "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),
     "text_boilerplate" -> Q(boilerplate _, boilerplateSql, Seq(col("doc_id"))),

@@ -88,6 +88,43 @@ class CorpusSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(3) == math.floor(r.getDouble(2) * 100).toInt))
   }
 
+  test("bpe merges: the distributed trainer reproduces reference BPE exactly") {
+    val rows = CorpusQueries.queries("docs_bpe_merges").fn(spark, dir).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    // independent driver-side reference BPE over the same word-freq table
+    val wf = scala.collection.mutable.Map.empty[List[String], Long]
+    spark.read.parquet(s"$dir/documents.parquet").select(col("text")).collect()
+      .flatMap(_.getString(0).split("\\s+")).filter(_.nonEmpty)
+      .foreach { w =>
+        val k = w.split("").filter(_.nonEmpty).toList
+        wf(k) = wf.getOrElse(k, 0L) + 1
+      }
+    val expected = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to CorpusQueries.BpeMergeRounds) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      wf.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + f)
+      }
+      if (pc.nonEmpty) {
+        val ((a, b), w) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        expected += ((a, b, w))
+        val next = scala.collection.mutable.Map.empty[List[String], Long]
+        wf.foreach { case (syms, f) =>
+          val m = scala.collection.mutable.ListBuffer.empty[String]
+          syms.foreach { s =>
+            if (m.nonEmpty && m.last == a && s == b) m(m.length - 1) = a + b
+            else m += s
+          }
+          val k = m.toList
+          next(k) = next.getOrElse(k, 0L) + f
+        }
+        wf.clear(); wf ++= next
+      }
+    }
+    assert(rows == expected.result(), s"merge sequences diverge:\n$rows")
+    assert(rows.size == CorpusQueries.BpeMergeRounds)
+  }
+
   test("epoch plan: repeats monotone in quality, every tier realized, accounting exact") {
     val rows = CorpusQueries.queries("docs_epoch_plan").fn(spark, dir).collect()
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
