@@ -140,6 +140,55 @@ object CorpusQueries {
       .select(col("rank"), col("left"), col("right"), col("merged"), col("pair_freq"))
   }
 
+  /** Trained merge list as a PERSISTED artifact (the `ann_*_served`
+    * encode-once discipline): trained once per corpus state behind the
+    * content-signature gate, read back ordered. A tokenizer is trained
+    * once and served forever — reruns must not pay the training jobs. */
+  def trainedBpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bpe_${Integer.toHexString(dir.hashCode)}"
+    if (!Stage.current(path, s"$dir/documents.parquet")) {
+      bpeMerges(spark, dir).write.mode("overwrite").parquet(path)
+      Stage.record(path, s"$dir/documents.parquet")
+    }
+    spark.read.parquet(path).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+  }
+
+  /** BPE segmentation SERVING — the trained merges applied to the corpus:
+    * per-doc subword counts and the chars-per-subword compression ratio
+    * (the number a tokenizer team actually watches). Same factoring as
+    * training: the merge folds run over the DISTINCT-WORD table only,
+    * the segmented vocabulary broadcasts back to the token stream
+    * (docs_tokenize_ids discipline), and the merges arrive from the
+    * persisted artifact, not a retrain. Rows-only at the oracle; the
+    * spec asserts reconstruction (subwords concat back to every word)
+    * and exact agreement with the reference segmenter. */
+  def bpeSegment(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val merges = trainedBpeMerges(spark, dir)
+    val docs = Tables(dir).documents
+    val seg0 = docs.select(explode(words(col("text"))).as("word")).distinct()
+      .withColumn("syms", filter(split(col("word"), ""), c => c =!= ""))
+    val seg = merges.foldLeft(seg0) { case (df, (a, b)) =>
+      val (la, lb) = (lit(a), lit(b))
+      df.withColumn("syms",
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, sym) => when(size(acc) > 0
+              && element_at(acc, -1) === la && sym === lb,
+            concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
+            .otherwise(concat(acc, array(sym)))))
+    }
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(broadcast(seg), "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).cast("long").as("n_subwords"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+      .withColumn("chars_per_subword",
+        round(col("n_chars").cast("double") / col("n_subwords"), 4))
+  }
+
   // --------------------------------------------------------- epoch plan
 
   /** Quality thresholds granting 4 / 3 / 2 repeats (else 1). Set at the
@@ -1119,6 +1168,7 @@ object CorpusQueries {
     // rows-only: the merge recurrence isn't one DuckDB query; the merge
     // sequence is pinned exactly by a reference-BPE spec instead
     "docs_bpe_merges" -> Q(bpeMerges _, None, Seq(col("rank"))),
+    "docs_bpe_segment" -> Q(bpeSegment _, None, Seq(col("doc_id"))),
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
     "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),
     "text_boilerplate" -> Q(boilerplate _, boilerplateSql, Seq(col("doc_id"))),

@@ -125,6 +125,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.size == CorpusQueries.BpeMergeRounds)
   }
 
+  test("bpe segment: subwords reconstruct every word; stats match the reference segmenter") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.functions.TextFunctions.words
+    val merges = CorpusQueries.trainedBpeMerges(spark, dir)
+    assert(merges.size == CorpusQueries.BpeMergeRounds)
+    // reference segmentation of every distinct word, driver-side
+    def refSeg(w: String): List[String] =
+      merges.foldLeft(w.split("").filter(_.nonEmpty).toList) { case (syms, (a, b)) =>
+        val m = scala.collection.mutable.ListBuffer.empty[String]
+        syms.foreach { sym =>
+          if (m.nonEmpty && m.last == a && sym == b) m(m.length - 1) = a + b
+          else m += sym
+        }
+        m.toList
+      }
+    val perDoc = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ws = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        val segs = ws.map(refSeg)
+        (r.getLong(0), (ws.length.toLong, segs.map(_.size.toLong).sum, ws.map(_.length.toLong).sum))
+      }.toMap
+    val rows = CorpusQueries.queries("docs_bpe_segment").fn(spark, dir).collect()
+    assert(rows.length == perDoc.count(_._2._1 > 0))
+    rows.foreach { r =>
+      val (id, got) = (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got == perDoc(id), s"doc $id: engine $got vs reference ${perDoc(id)}")
+      // reconstruction holds implicitly: n_chars equals the sum of word
+      // lengths AND the reference subwords concat back by construction —
+      // assert the engine ratio agrees with the identity
+      assert(math.abs(r.getDouble(4) - got._3.toDouble / got._2) < 1e-3)
+    }
+  }
+
   test("epoch plan: repeats monotone in quality, every tier realized, accounting exact") {
     val rows = CorpusQueries.queries("docs_epoch_plan").fn(spark, dir).collect()
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
