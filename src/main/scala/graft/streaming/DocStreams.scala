@@ -217,6 +217,41 @@ object DocStreams {
       .drop("w", "sh")
   }
 
+  /** Streaming BPE segmentation — the tokenizer-trainer's stream-serving
+    * form: the trained merge list (fitted offline,
+    * [[graft.operators.CorpusQueries.trainedBpeMerges]]) bakes into the
+    * plan as fold literals, and the per-WORD merge fold runs INSIDE a
+    * `transform` over each document's word array — so the stream needs
+    * no distinct-word table, no join, no state: every doc's subword
+    * stats are computed row-locally on arrival. Batch amortizes the fold
+    * across duplicate words via the vocabulary join; a stream cannot
+    * (words arrive inside documents), so it pays the fold per word —
+    * the honest serving trade, and still zero-shuffle. Spec-pinned to
+    * `docs_bpe_segment`. */
+  def bpeSegmentStream(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    def segSize(word: Column): Column = {
+      val chars = filter(split(word, ""), c => c =!= "")
+      val folded = merges.foldLeft(chars) { case (acc0, (a, b)) =>
+        val (la, lb) = (lit(a), lit(b))
+        aggregate(acc0, array().cast("array<string>"),
+          (acc, sym) => when(size(acc) > 0
+              && element_at(acc, -1) === la && sym === lb,
+            concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
+            .otherwise(concat(acc, array(sym))))
+      }
+      size(folded).cast("long")
+    }
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(transform(col("w"), segSize _), lit(0L), _ + _).as("n_subwords"),
+        aggregate(transform(col("w"), w => length(w).cast("long")), lit(0L), _ + _).as("n_chars"))
+      .withColumn("chars_per_subword",
+        round(col("n_chars").cast("double") / col("n_subwords"), 4))
+  }
+
   /** Streaming exact dedup on content hash: the first arrival of each
     * md5(text) passes, later copies are dropped by the state store.
     *

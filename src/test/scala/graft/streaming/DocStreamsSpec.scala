@@ -66,6 +66,18 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got.size < trainDocs.size) // the gate does drop the planted twins
   }
 
+  test("streaming bpe segmentation emits exactly the batch per-doc stats") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val merges = graft.operators.CorpusQueries.trainedBpeMerges(spark, TestSpark.Sf0001)
+    val got = runStream("s_bpe", docs.grouped(200).toSeq)(
+      df => DocStreams.bpeSegmentStream(df, merges))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.operators.CorpusQueries.queries("docs_bpe_segment")
+      .fn(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming chunker emits exactly the batch chunk set") {
     val got = runStream("s_chunks", docs.grouped(150).toSeq)(DocStreams.chunkStream)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
