@@ -76,7 +76,7 @@ object CorpusQueries {
 
   /** Number of merge rounds the registered query trains (a real run
     * trains ~30k; the loop is identical, each round one bounded job). */
-  private[operators] val BpeMergeRounds = 12
+  private[graft] val BpeMergeRounds = 12
 
   /** Distributed BPE merge training — the missing third of the tokenizer
     * story (train → fit → serve): learns the top-K byte-pair merges from
@@ -100,8 +100,15 @@ object CorpusQueries {
     * reference BPE at sf0.001. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    import s.implicits._
-    val wordFreq = Tables(dir).documents
+    bpeMergesOf(Tables(dir).documents)
+  }
+
+  /** The trainer over any document frame with a `text` column — the
+    * pipeline trains on the DEDUPED corpus (duplicated text must not
+    * vote for its own boilerplate pairs). */
+  def bpeMergesOf(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val wordFreq = docs
       .select(explode(words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("freq"),

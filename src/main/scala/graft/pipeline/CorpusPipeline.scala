@@ -130,6 +130,20 @@ object CorpusPipeline {
       sig(s"${cfg.workDir}/vocab") + sig(s"${cfg.workDir}/tokens")
     }
 
+    /** BPE merge training on the DEDUPED corpus — a tokenizer must not
+      * be fitted on duplicated text (dup clusters would vote for their
+      * own boilerplate pairs; this ordering is why dedup precedes
+      * tokenizer training in every published pipeline). Merges are a
+      * first-class artifact like the vocab: the signature chain
+      * retrains exactly when the deduped corpus changes. */
+    def bpeTrain(): String = {
+      implicit val s: SparkSession = spark
+      CorpusQueries.bpeMergesOf(spark.read.parquet(s"${cfg.workDir}/deduped"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${cfg.workDir}/bpe_merges")
+      sig(s"${cfg.workDir}/bpe_merges")
+    }
+
     def skewReport(): String = {
       val balanced = spark.read.parquet(s"${cfg.workDir}/balanced")
       val loads = balanced.groupBy(col("shard"))
@@ -167,7 +181,8 @@ object CorpusPipeline {
       Task("rebalance", Seq("pack"), rebalance _),
       Task("skew_report", Seq("rebalance"), skewReport _),
       Task("chunk_index", Seq("dedup"), chunkIndex _),
-      Task("tokenize", Seq("dedup"), tokenize _)))
+      Task("tokenize", Seq("dedup"), tokenize _),
+      Task("bpe_train", Seq("dedup"), bpeTrain _)))
   }
 
   /** Run with persistent `.done-<task>` signals under cfg.signalsDir. */

@@ -46,6 +46,13 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(tokens.count() == deduped.count())
     val vocab = spark.read.parquet(s"${cfg.workDir}/vocab")
     assert(vocab.count() > 0 && vocab.count() <= 64)
+    // the trained merges are a first-class artifact: full rank sequence,
+    // and trained on the DEDUPED corpus (left/right of rank 1 must be
+    // symbols that occur there)
+    val bpe = spark.read.parquet(s"${cfg.workDir}/bpe_merges")
+    assert(bpe.count() == graft.operators.CorpusQueries.BpeMergeRounds)
+    assert(bpe.select("rank").collect().map(_.getInt(0)).sorted.toSeq ==
+      (1 to graft.operators.CorpusQueries.BpeMergeRounds))
 
     // unchanged input → complete no-op
     val second = CorpusPipeline.run(spark, cfg)
@@ -62,9 +69,9 @@ class CorpusPipelineSpec extends AnyFunSuite {
   }
 
   private val allTasks = Seq("quality_gate", "dedup", "pack", "rebalance", "skew_report",
-    "chunk_index", "tokenize")
+    "chunk_index", "tokenize", "bpe_train")
   private val dedupCone = Seq("dedup", "pack", "rebalance", "skew_report",
-    "chunk_index", "tokenize")
+    "chunk_index", "tokenize", "bpe_train")
 
   test("§8f(v): policy file drives the gate; a config edit re-runs the cone") {
     val cfg0 = freshCfg()
