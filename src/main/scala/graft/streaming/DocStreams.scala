@@ -217,6 +217,24 @@ object DocStreams {
       .drop("w", "sh")
   }
 
+  /** Streaming importance-sampling gate — the stream twin of the batch
+    * `docs_importance_sample`: acceptance probability equals the doc's
+    * own quality score, decided by the SAME deterministic md5 bucket as
+    * every sampling op (no RNG, no state — a doc's fate is a pure
+    * function of its id and text, so replays and batch backfills agree
+    * exactly). Row-local expressions only. Spec-pinned to the batch
+    * kept set. */
+  def importanceGate(docs: DataFrame): DataFrame = {
+    graft.plans.VectorExpressions.register(docs.sparkSession)
+    val bucket = graft.plans.VectorExpressions
+      .hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    docs
+      .withColumn("quality", qualityCol)
+      .withColumn("keep_pct", floor(col("quality") * 100).cast("int"))
+      .where(bucket < col("keep_pct"))
+      .select(col("doc_id"), col("quality"), col("keep_pct"))
+  }
+
   /** Streaming BPE segmentation — the tokenizer-trainer's stream-serving
     * form: the trained merge list (fitted offline,
     * [[graft.operators.CorpusQueries.trainedBpeMerges]]) bakes into the

@@ -66,6 +66,16 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got.size < trainDocs.size) // the gate does drop the planted twins
   }
 
+  test("streaming importance gate admits exactly the batch kept set") {
+    val got = runStream("s_imp", docs.grouped(200).toSeq)(DocStreams.importanceGate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val want = graft.operators.CorpusQueries.queries("docs_importance_sample")
+      .fn(spark, TestSpark.Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming bpe segmentation emits exactly the batch per-doc stats") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val merges = graft.operators.CorpusQueries.trainedBpeMerges(spark, TestSpark.Sf0001)
