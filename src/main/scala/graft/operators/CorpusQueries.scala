@@ -196,6 +196,68 @@ object CorpusQueries {
         round(col("n_chars").cast("double") / col("n_subwords"), 4))
   }
 
+  /** Subword vocabulary size for the id encoding — truncated BELOW the
+    * corpus's reachable subword count (24 base chars + 12 merges ≈ 36)
+    * so OOV is a real case at every test SF, mirroring a production
+    * vocab cap. */
+  private[graft] val SubwordVocabSize = 24
+
+  /** Subword-ID encoding — the tensor a trainer actually consumes,
+    * closing the tokenizer ring (train → segment → encode): the trained
+    * merges segment the distinct-word table once, subwords rank into a
+    * corpus-frequency vocabulary (top-K, deterministic ties), every word
+    * maps to its id sequence, and documents reduce to id-sequence stats
+    * plus the head — the docs_tokenize_ids shape, at the subword unit.
+    * All vocabulary objects are word/subword-bounded (broadcast); the
+    * corpus-side work is one posexplode + keyed re-aggregation on
+    * doc_id. Subwords beyond the top-K map to 0 (OOV) — real, because
+    * the vocab is truncated like any production tokenizer's. */
+  def bpeIds(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val merges = trainedBpeMerges(spark, dir)
+    val docs = Tables(dir).documents
+    val wordFreq = docs.select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
+      .withColumn("syms", filter(split(col("word"), ""), c => c =!= ""))
+    // persisted: the segmented vocabulary is word-bounded, and BOTH the
+    // subword ranking and the word→ids map derive from it — left lazy,
+    // the 12-deep fold expression re-analyzes and re-executes per
+    // consumer (measured 6.4 s vs 1.3 s for the single-consumer segment
+    // query at sf0.01 — the cost is plan constant, not data)
+    val seg = merges.foldLeft(wordFreq) { case (df, (a, b)) =>
+      val (la, lb) = (lit(a), lit(b))
+      df.withColumn("syms",
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, sym) => when(size(acc) > 0
+              && element_at(acc, -1) === la && sym === lb,
+            concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
+            .otherwise(concat(acc, array(sym)))))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the ranked subword vocabulary is ≤ SubwordVocabSize rows by
+    // construction — a BOUNDED driver map (tokenizeStream's vocab
+    // discipline), so the word→ids step is a map-literal projection
+    // over the cached segmentation instead of explode+join+regroup
+    val subMap = seg.select(col("wfreq"), explode(col("syms")).as("sub"))
+      .groupBy(col("sub")).agg(sum(col("wfreq")).as("n"))
+      .orderBy(col("n").desc, col("sub")).limit(SubwordVocabSize)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getString(0) -> (i + 1L) }.toMap
+    val m = typedlit(subMap)
+    val wordIds = seg.select(col("word"),
+      transform(col("syms"), sb => coalesce(element_at(m, sb), lit(0L))).as("ids"))
+    docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("wpos", "word")))
+      .join(broadcast(wordIds), "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("ids"))).cast("long").as("n_subwords"),
+        sum(size(filter(col("ids"), i => i === 0L))).cast("long").as("n_oov"),
+        concat_ws(",", expr(
+          s"transform(slice(flatten(transform(array_sort(collect_list(struct(wpos, ids))), x -> x.ids)), 1, $IdsHead), x -> CAST(x AS STRING))"))
+          .as("ids_head"))
+  }
+
   // --------------------------------------------------------- epoch plan
 
   /** Quality thresholds granting 4 / 3 / 2 repeats (else 1). Set at the
@@ -1176,6 +1238,7 @@ object CorpusQueries {
     // sequence is pinned exactly by a reference-BPE spec instead
     "docs_bpe_merges" -> Q(bpeMerges _, None, Seq(col("rank"))),
     "docs_bpe_segment" -> Q(bpeSegment _, None, Seq(col("doc_id"))),
+    "docs_bpe_ids" -> Q(bpeIds _, None, Seq(col("doc_id"))),
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
     "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),
     "text_boilerplate" -> Q(boilerplate _, boilerplateSql, Seq(col("doc_id"))),

@@ -159,6 +159,42 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe ids: encoding matches the reference end-to-end, OOV is real") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val merges = CorpusQueries.trainedBpeMerges(spark, dir)
+    def refSeg(w: String): List[String] =
+      merges.foldLeft(w.split("").filter(_.nonEmpty).toList) { case (syms, (a, b)) =>
+        val m = scala.collection.mutable.ListBuffer.empty[String]
+        syms.foreach { sym =>
+          if (m.nonEmpty && m.last == a && sym == b) m(m.length - 1) = a + b
+          else m += sym
+        }
+        m.toList
+      }
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq)
+    // reference subword vocab: corpus-frequency ranked, same ties, top-K
+    val subFreq = scala.collection.mutable.Map.empty[String, Long]
+    texts.flatMap(_._2).foreach(w => refSeg(w).foreach(sb => subFreq(sb) = subFreq.getOrElse(sb, 0L) + 1))
+    val vocab = subFreq.toSeq.sortBy { case (sb, n) => (-n, sb) }
+      .take(CorpusQueries.SubwordVocabSize).zipWithIndex
+      .map { case ((sb, _), i) => sb -> (i + 1L) }.toMap
+    val want = texts.filter(_._2.nonEmpty).map { case (id, ws) =>
+      val ids = ws.flatMap(w => refSeg(w).map(sb => vocab.getOrElse(sb, 0L)))
+      (id, (ws.size.toLong, ids.size.toLong, ids.count(_ == 0L).toLong,
+        ids.take(20).mkString(",")))
+    }.toMap
+    val rows = CorpusQueries.queries("docs_bpe_ids").fn(spark, dir).collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(got == want(r.getLong(0)), s"doc ${r.getLong(0)}: $got vs ${want(r.getLong(0))}")
+    }
+    // the truncated vocab must actually produce OOV somewhere
+    assert(rows.map(_.getLong(3)).sum > 0)
+  }
+
   test("epoch plan: repeats monotone in quality, every tier realized, accounting exact") {
     val rows = CorpusQueries.queries("docs_epoch_plan").fn(spark, dir).collect()
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
