@@ -176,15 +176,7 @@ object CorpusQueries {
     val docs = Tables(dir).documents
     val seg0 = docs.select(explode(words(col("text"))).as("word")).distinct()
       .withColumn("syms", filter(split(col("word"), ""), c => c =!= ""))
-    val seg = merges.foldLeft(seg0) { case (df, (a, b)) =>
-      val (la, lb) = (lit(a), lit(b))
-      df.withColumn("syms",
-        aggregate(col("syms"), array().cast("array<string>"),
-          (acc, sym) => when(size(acc) > 0
-              && element_at(acc, -1) === la && sym === lb,
-            concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
-            .otherwise(concat(acc, array(sym)))))
-    }
+    val seg = foldMerges(seg0, merges)
     docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .join(broadcast(seg), "word")
       .groupBy(col("doc_id"))
@@ -212,6 +204,38 @@ object CorpusQueries {
     * corpus-side work is one posexplode + keyed re-aggregation on
     * doc_id. Subwords beyond the top-K map to 0 (OOV) — real, because
     * the vocab is truncated like any production tokenizer's. */
+  /** Apply a merge list to a frame's `syms` array column, in rank order
+    * (shared by the segment / ids queries and the vocab fitter). */
+  private[graft] def foldMerges(df: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(df) { case (d, (a, b)) =>
+      val (la, lb) = (lit(a), lit(b))
+      d.withColumn("syms",
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, sym) => when(size(acc) > 0
+              && element_at(acc, -1) === la && sym === lb,
+            concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
+            .otherwise(concat(acc, array(sym)))))
+    }
+
+  /** The truncated subword→id vocabulary as a driver map — FITTED
+    * offline (one corpus pass), the stream-serving analogue of
+    * [[trainedBpeMerges]]: bounded at [[SubwordVocabSize]] entries by
+    * construction. */
+  def trainedSubwordVocab(spark: SparkSession, dir: String): Map[String, Long] = {
+    implicit val s: SparkSession = spark
+    val merges = trainedBpeMerges(spark, dir)
+    val wf = Tables(dir).documents
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
+      .withColumn("syms", filter(split(col("word"), ""), c => c =!= ""))
+    foldMerges(wf, merges)
+      .select(col("wfreq"), explode(col("syms")).as("sub"))
+      .groupBy(col("sub")).agg(sum(col("wfreq")).as("n"))
+      .orderBy(col("n").desc, col("sub")).limit(SubwordVocabSize)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getString(0) -> (i + 1L) }.toMap
+  }
+
   def bpeIds(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val merges = trainedBpeMerges(spark, dir)
@@ -224,15 +248,8 @@ object CorpusQueries {
     // the 12-deep fold expression re-analyzes and re-executes per
     // consumer (measured 6.4 s vs 1.3 s for the single-consumer segment
     // query at sf0.01 — the cost is plan constant, not data)
-    val seg = merges.foldLeft(wordFreq) { case (df, (a, b)) =>
-      val (la, lb) = (lit(a), lit(b))
-      df.withColumn("syms",
-        aggregate(col("syms"), array().cast("array<string>"),
-          (acc, sym) => when(size(acc) > 0
-              && element_at(acc, -1) === la && sym === lb,
-            concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
-            .otherwise(concat(acc, array(sym)))))
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seg = foldMerges(wordFreq, merges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the ranked subword vocabulary is ≤ SubwordVocabSize rows by
     // construction — a BOUNDED driver map (tokenizeStream's vocab
     // discipline), so the word→ids step is a map-literal projection

@@ -270,6 +270,38 @@ object DocStreams {
         round(col("n_chars").cast("double") / col("n_subwords"), 4))
   }
 
+  /** Streaming subword-id encoding — the full tokenizer serving path at
+    * arrival: trained merges AND the truncated subword vocabulary (both
+    * fitted offline, both bounded) bake in as literals; each document's
+    * words fold to subwords and map to ids row-locally, emitting the
+    * same per-doc tensor stats as the batch `docs_bpe_ids`. Zero state,
+    * zero shuffle. Spec-pinned to the batch twin. */
+  def bpeIdsStream(docs: DataFrame, merges: Seq[(String, String)],
+                   vocab: Map[String, Long]): DataFrame = {
+    val m = typedlit(vocab)
+    def idsOfWord(word: Column): Column = {
+      val chars = filter(split(word, ""), c => c =!= "")
+      val folded = merges.foldLeft(chars) { case (acc0, (a, b)) =>
+        val (la, lb) = (lit(a), lit(b))
+        aggregate(acc0, array().cast("array<string>"),
+          (acc, sym) => when(size(acc) > 0
+              && element_at(acc, -1) === la && sym === lb,
+            concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
+            .otherwise(concat(acc, array(sym))))
+      }
+      transform(folded, sb => coalesce(element_at(m, sb), lit(0L)))
+    }
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+      .withColumn("ids", flatten(transform(col("w"), idsOfWord _)))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("ids")).cast("long").as("n_subwords"),
+        size(filter(col("ids"), i => i === 0L)).cast("long").as("n_oov"),
+        concat_ws(",", transform(slice(col("ids"), 1, 20), i => i.cast("string"))).as("ids_head"))
+  }
+
   /** Streaming exact dedup on content hash: the first arrival of each
     * md5(text) passes, later copies are dropped by the state store.
     *

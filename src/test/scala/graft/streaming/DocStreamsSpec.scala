@@ -76,6 +76,19 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming subword-id encoding emits exactly the batch tensor stats") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val merges = graft.operators.CorpusQueries.trainedBpeMerges(spark, TestSpark.Sf0001)
+    val vocab = graft.operators.CorpusQueries.trainedSubwordVocab(spark, TestSpark.Sf0001)
+    val got = runStream("s_bpe_ids", docs.grouped(200).toSeq)(
+      df => DocStreams.bpeIdsStream(df, merges, vocab))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val want = graft.operators.CorpusQueries.queries("docs_bpe_ids")
+      .fn(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming bpe segmentation emits exactly the batch per-doc stats") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val merges = graft.operators.CorpusQueries.trainedBpeMerges(spark, TestSpark.Sf0001)
