@@ -72,6 +72,45 @@ object CorpusQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------- schedule audit
+
+  /** The per-document TRAINING MANIFEST — the schedule family composed
+    * into the one table a training run materializes: curriculum position
+    * (phase, step), the importance-sampling verdict, the epoch repeat
+    * count, and the resulting token contribution (zero when sampled
+    * out). Fully oracled: each component is SQL-expressible, so the
+    * composite is too — the hash gate proves the three deterministic
+    * mechanisms agree doc-by-doc across engines. Plan shape: the
+    * curriculum subplan's one keyed shuffle dominates; the importance
+    * verdict and epoch tier are recomputed map-side in the same pass
+    * rather than re-scanned (all three derive from the same row). */
+  def scheduleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cur = curriculum(spark, dir)
+    val imp = importanceSample(spark, dir).select(col("doc_id"), lit(true).as("kept"))
+    val ep = epochPlan(spark, dir).select(col("doc_id"), col("repeats"))
+    cur
+      .join(imp, Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(col("kept"), lit(false)))
+      .join(ep, Seq("doc_id"))
+      .withColumn("tokens_contributed",
+        when(col("kept"), col("n_tokens") * col("repeats")).otherwise(lit(0L)).cast("long"))
+      .select(col("doc_id"), col("phase"), col("step"), col("kept"),
+        col("repeats"), col("n_tokens"), col("tokens_contributed"))
+  }
+
+  private lazy val scheduleAuditSql =
+    s"""WITH cur AS (${curriculumSql.replace("ORDER BY doc_id", "")}),
+       |imp AS (${importanceSampleSql.replace("ORDER BY doc_id", "")}),
+       |ep AS (${epochPlanSql.replace("ORDER BY doc_id", "")})
+       |SELECT c.doc_id, c.phase, c.step, (i.doc_id IS NOT NULL) AS kept,
+       |  e.repeats, c.n_tokens,
+       |  CAST(CASE WHEN i.doc_id IS NOT NULL THEN c.n_tokens * e.repeats
+       |       ELSE 0 END AS BIGINT) AS tokens_contributed
+       |FROM cur c
+       |LEFT JOIN imp i ON c.doc_id = i.doc_id
+       |JOIN ep e ON c.doc_id = e.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // -------------------------------------------------------- BPE trainer
 
   /** Number of merge rounds the registered query trains (a real run
@@ -1256,6 +1295,7 @@ object CorpusQueries {
     "docs_bpe_merges" -> Q(bpeMerges _, None, Seq(col("rank"))),
     "docs_bpe_segment" -> Q(bpeSegment _, None, Seq(col("doc_id"))),
     "docs_bpe_ids" -> Q(bpeIds _, None, Seq(col("doc_id"))),
+    "docs_schedule_audit" -> Q(scheduleAudit _, scheduleAuditSql, Seq(col("doc_id"))),
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
     "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),
     "text_boilerplate" -> Q(boilerplate _, boilerplateSql, Seq(col("doc_id"))),

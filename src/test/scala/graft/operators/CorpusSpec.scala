@@ -195,6 +195,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > 0)
   }
 
+  test("schedule audit: manifest agrees with its three component mechanisms") {
+    val rows = CorpusQueries.queries("docs_schedule_audit").fn(spark, dir).collect()
+    val kept = CorpusQueries.queries("docs_importance_sample").fn(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == kept(r.getLong(0)))
+      val expect = if (r.getBoolean(3)) r.getLong(5) * r.getInt(4) else 0L
+      assert(r.getLong(6) == expect)
+    }
+    val n = rows.length.toLong
+    assert(rows.map(_.getLong(2)).toSet == (1L to n).toSet) // steps stay dense
+    assert(rows.exists(!_.getBoolean(3)) && rows.exists(_.getBoolean(3)))
+  }
+
   test("epoch plan: repeats monotone in quality, every tier realized, accounting exact") {
     val rows = CorpusQueries.queries("docs_epoch_plan").fn(spark, dir).collect()
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
