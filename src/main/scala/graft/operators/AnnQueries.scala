@@ -908,7 +908,7 @@ object AnnQueries {
   }
 
   /** Read back a persisted (m, cid, codeword) codebook table. */
-  private def readCodebook(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
+  private[graft] def readCodebook(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
     import spark.implicits._
     spark.read.parquet(path)
       .orderBy("m", "cid").as[(Int, Int, Array[Float])].collect()
@@ -919,7 +919,7 @@ object AnnQueries {
   /** Search a persisted IVF-PQ index — no training or seeding pass touches
     * the corpus; only the two bounded index tables are collected. */
   /** Read back a persisted (cluster, embedding) centroid table. */
-  private def readCentroids(spark: SparkSession, path: String): Seq[Array[Float]] = {
+  private[graft] def readCentroids(spark: SparkSession, path: String): Seq[Array[Float]] = {
     import spark.implicits._
     spark.read.parquet(path)
       .orderBy("cluster").as[(Int, Array[Float])].collect().map(_._2).toSeq
@@ -1059,15 +1059,62 @@ object AnnQueries {
   def ivfPqServedTopK(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
+    val indexPath = ivfPqServedIndex(spark, dir)
+    ivfPqSearchCoded(Tables(dir),
+      readCentroids(spark, s"$indexPath/centroids"),
+      readCodebook(spark, s"$indexPath/codebook"),
+      spark.read.parquet(s"$indexPath/codes"))
+  }
+
+  /** Ensure the full IVF-PQ index (centroids + codebook + coded corpus)
+    * is persisted for `dir` and return its path — the Stage-gated
+    * train/encode-once entry shared by the batch served query and the
+    * streaming server ([[graft.streaming.AnnStream.servedTopK]]). */
+  private[graft] def ivfPqServedIndex(spark: SparkSession, dir: String): String = {
     val indexPath = s"/tmp/graft_ivfpq_idx_${new java.io.File(dir).getName}"
     if (!Stage.current(indexPath, s"$dir/embeddings.parquet")) {
       persistIvfPqCorpus(spark, dir, indexPath)
       Stage.record(indexPath, s"$dir/embeddings.parquet")
     }
-    ivfPqSearchCoded(Tables(dir),
-      readCentroids(spark, s"$indexPath/centroids"),
-      readCodebook(spark, s"$indexPath/codebook"),
-      spark.read.parquet(s"$indexPath/codes"))
+    indexPath
+  }
+
+  /** Shortlist width / final k, exposed for the streaming server so its
+    * bounded heaps match the batch [[TopK.perKeyExec]] calls exactly. */
+  private[graft] def pqShortlistSize: Int = PqShortlist
+  private[graft] def serveTopKK: Int = TopKK
+
+  /** The IVF-PQ candidate stage as a STREAM-COMPATIBLE plan: given a
+    * (probe_id, embedding) frame — batch or streaming — derive each
+    * probe's nprobe buckets, ADC lookup tables, and norm map-side (only
+    * the bounded recipe is embedded as literals), join the coded corpus
+    * on cluster, and score candidates by ADC. Column expressions are the
+    * ones [[ivfPqSearchCoded]] uses, so candidate `approx` values are
+    * bit-identical to the batch search; the per-probe shortlist/top-k
+    * selection (a stateful op in a stream) is left to the caller.
+    * Output: (probe_id, p_emb, p_norm, vec_id, approx). */
+  private[graft] def ivfPqCandidateFrame(probeFrame: DataFrame, coded: DataFrame,
+                                         cents: Seq[Array[Float]],
+                                         cb: Array[Array[Array[Float]]]): DataFrame = {
+    val probeItems = cents.zipWithIndex.map { case (v, i) =>
+      struct(VectorExpressions.cosine(col("embedding"), typedlit(v)).as("cos"),
+        lit(-i).as("nidx"), lit(i).as("idx"))
+    }
+    def lutCol(m: Int): Column =
+      array(cb(m).map(cw => VectorExpressions.dot(sub(col("embedding"), m), typedlit(cw))): _*)
+        .as(s"lut_$m")
+    val probes = probeFrame
+      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
+      .select(Seq(col("probe_id"), col("embedding").as("p_emb"),
+        sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("p_norm"),
+        explode(expr("transform(top_c, x -> x.idx)")).as("cluster")) ++
+        (0 until PqM).map(lutCol): _*)
+    probes.join(coded, Seq("cluster"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("p_emb"), col("p_norm"), col("vec_id"),
+        round((0 until PqM).map(m =>
+            element_at(col(s"lut_$m"), col(s"code_$m") + 1))
+          .reduce(_ + _), 6).as("approx"))
   }
 
   private val ivfPqSql = {

@@ -1,8 +1,12 @@
 package graft.streaming
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import scala.collection.mutable
 
+import graft.operators.AnnQueries
+import graft.plans.VectorExpressions
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** One streamed similarity probe. */
 final case class Probe(probe_id: Long, embedding: Array[Float])
@@ -10,65 +14,131 @@ final case class Probe(probe_id: Long, embedding: Array[Float])
 /** One emitted neighbor. */
 final case class Hit(probe_id: Long, rank: Long, vec_id: Long, cos: Double)
 
+/** One scored candidate (internal shuffle row of the exact path). */
+final case class Scored(probe_id: Long, vec_id: Long, cos: Double)
+
+/** One ADC candidate (internal shuffle row of the served path). */
+final case class AdcCand(probe_id: Long, p_emb: Array[Float], p_norm: Double,
+                         vec_id: Long, approx: Double)
+
+/** One shortlist member awaiting exact re-rank (served path). */
+final case class ShortCand(probe_id: Long, vec_id: Long,
+                           p_emb: Array[Float], p_norm: Double)
+
 /** Streaming ANN (SURVEY §8 candidate (c)): a probe stream searched
-  * against a broadcast corpus snapshot.
+  * against a STATIC corpus-side table via stream-static joins — the
+  * corpus never leaves the executors. Two serving shapes:
   *
-  * The corpus snapshot is the bounded driver-side structure (same class
-  * as IVF centroids / codebooks per SURVEY §5) — the pattern fits the
-  * "index built offline, probes arrive as a stream" serving shape. Each
-  * probe is independent, so the transform is a stateless per-row flatMap:
-  * no watermark, no state store, append-mode output, and the stream
-  * parallelizes by repartitioning probes across executors (each holds the
-  * read-only snapshot once via the broadcast).
+  *  - [[topK]] — the EXACT baseline: probes stream-static-join the raw
+  *    embedding table (the same cross-join-shaped candidate plan as the
+  *    batch `ann_bruteforce_topk`); cost is O(corpus) per probe by
+  *    definition of exact search, but the work is distributed — nothing
+  *    O(corpus) ever reaches the driver.
+  *  - [[servedTopK]] — the DEPLOYMENT shape: probes search the persisted
+  *    IVF-PQ code corpus ([[AnnQueries.ivfPqServedIndex]]). Only the
+  *    recipe (ncentroids centroid vectors + m·k PQ codewords) is embedded
+  *    in the plan as literals — the genuinely bounded structures; the
+  *    coded corpus stays a static parquet scan joined per micro-batch on
+  *    the probed clusters, and raw floats are touched only by the
+  *    per-probe shortlist re-rank. This is the same economics as the
+  *    batch `ann_ivfpq_served`, which the spec pins row-for-row.
   *
-  * Scoring reproduces the batch [[graft.operators.AnnQueries]] exactly:
-  * the same sequential-double dot product as the codegen'd
-  * [[graft.plans.DotProduct]], norms precomputed once per corpus row, and
-  * the same HALF_UP rounding to 6 digits — so the streamed hits are
-  * row-identical to `ann_bruteforce_topk`, which the spec pins.
+  * Per-probe top-k selection is a stateful op in a stream; both shapes
+  * use append-mode flatMapGroupsWithState with a bounded heap (ranking
+  * (score DESC, vec_id ASC) — [[graft.plans.TopKPerKey]]'s exact
+  * semantics) and never set state: each probe row arrives in exactly one
+  * micro-batch, and a stream-static join emits that probe's complete
+  * candidate set within the same micro-batch, so the group fires once
+  * with everything it needs. Column expressions (codegen'd dot/cosine,
+  * HALF_UP round to 6) are shared with the batch queries, so streamed
+  * hits are row-identical to their batch twins.
   */
 object AnnStream {
 
-  /** (vec_id, embedding, norm) rows of the snapshot, norm = sqrt(x·x) in
-    * the same accumulation order as the batch plan. */
-  def corpusSnapshot(corpus: DataFrame): Array[(Long, Array[Float], Double)] = {
-    import corpus.sparkSession.implicits._
-    corpus.select("vec_id", "embedding").as[(Long, Array[Float])]
-      .collect()
-      .map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
+  /** Exact top-k: probes vs the raw embedding table (static side).
+    * Row-identical to `ann_bruteforce_topk` — same candidate expressions
+    * ([[AnnQueries]] `scoredProbes`), same ranking. Works on batch
+    * Datasets through the same code path (flatMapGroupsWithState
+    * degrades to flatMapGroups in batch execution). */
+  def topK(probes: Dataset[Probe], corpus: DataFrame, k: Int): Dataset[Hit] = {
+    val spark = probes.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val corpusN = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val p = probes.toDF().select(col("probe_id"), col("embedding").as("p_emb"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("p_norm"))
+    val cands = p.join(corpusN, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"))
+      .as[Scored]
+    topKPerProbe(cands, k)
   }
 
-  /** Sequential-double dot — the exact loop DotProduct generates. */
-  private def dot(a: Array[Float], b: Array[Float]): Double = {
-    val n = math.min(a.length, b.length)
-    var d = 0.0
-    var i = 0
-    while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
-    d
-  }
-
-  /** Spark's round(col, 6) for doubles (Round expression semantics). */
-  private def round6(v: Double): Double =
-    JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP).doubleValue()
-
-  /** Top-k cosine neighbors per probe; self-matches (vec_id == probe_id)
-    * are excluded like the batch queries. Works on both streaming and
-    * batch Datasets (same code path). */
-  def topK(probes: Dataset[Probe], corpus: Array[(Long, Array[Float], Double)], k: Int): Dataset[Hit] = {
-    import probes.sparkSession.implicits._
-    val bc = probes.sparkSession.sparkContext.broadcast(corpus)
-    probes.flatMap { p =>
-      val pNorm = math.sqrt(dot(p.embedding, p.embedding))
-      val scored = bc.value.iterator
-        .filter(_._1 != p.probe_id)
-        .map { case (id, v, norm) => (id, round6(dot(v, p.embedding) / (norm * pNorm))) }
-        .toArray
-      // bounded selection: (cos desc, vec_id asc), identical to TopKPerKey
-      scala.util.Sorting.stableSort(scored,
-        (a: (Long, Double), b: (Long, Double)) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
-      scored.iterator.take(k).zipWithIndex.map { case ((id, cos), i) =>
-        Hit(p.probe_id, (i + 1).toLong, id, cos)
+  /** Served top-k from the persisted IVF-PQ index: ADC candidates from
+    * the coded corpus (stream-static join on the probed clusters), a
+    * bounded shortlist per probe, then exact cosine re-rank against the
+    * raw embeddings for shortlist members only. `cents`/`cb` are the
+    * persisted recipe ([[AnnQueries.readCentroids]]/`readCodebook`) —
+    * the only structures that leave the executors. Row-identical to
+    * `ann_ivfpq_served` by construction (same recipe, same expressions,
+    * same shortlist width and ranking). */
+  def servedTopK(probes: Dataset[Probe], corpus: DataFrame, codes: DataFrame,
+                 cents: Seq[Array[Float]], cb: Array[Array[Array[Float]]],
+                 k: Int): Dataset[Hit] = {
+    val spark = probes.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val cands = AnnQueries.ivfPqCandidateFrame(probes.toDF(), codes, cents, cb).as[AdcCand]
+    val short = cands.groupByKey(_.probe_id)
+      .flatMapGroupsWithState[Boolean, ShortCand](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (pid: Long, rows: Iterator[AdcCand], _: GroupState[Boolean]) =>
+          var pEmb: Array[Float] = null
+          var pNorm = 0.0
+          val kept = heapSelect(rows.map { c =>
+            if (pEmb == null) { pEmb = c.p_emb; pNorm = c.p_norm }
+            (c.approx, c.vec_id)
+          }, AnnQueries.pqShortlistSize)
+          kept.iterator.map { case (_, id) => ShortCand(pid, id, pEmb, pNorm) }
       }
+    val corpusN = corpus.select(col("vec_id"), col("embedding").as("c_emb"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val exact = short.join(corpusN, Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.dot(col("c_emb"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"))
+      .as[Scored]
+    topKPerProbe(exact, k)
+  }
+
+  /** Per-probe ranked top-k over scored candidates — the streaming
+    * counterpart of [[graft.operators.TopK.perKeyExec]], same bounded
+    * heap, same (score DESC, vec_id ASC) ranking. */
+  private def topKPerProbe(cands: Dataset[Scored], k: Int): Dataset[Hit] = {
+    import cands.sparkSession.implicits._
+    cands.groupByKey(_.probe_id)
+      .flatMapGroupsWithState[Boolean, Hit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (pid: Long, rows: Iterator[Scored], _: GroupState[Boolean]) =>
+          heapSelect(rows.map(c => (c.cos, c.vec_id)), k)
+            .iterator.zipWithIndex.map { case ((cos, id), i) =>
+              Hit(pid, (i + 1).toLong, id, cos)
+            }
+      }
+  }
+
+  /** Bounded-heap selection of the best `k` (score DESC, id ASC) entries,
+    * returned best-first — [[graft.plans.TopKHeap]]'s exact semantics
+    * (worst entry dequeued first: lowest score, then highest id). */
+  private def heapSelect(rows: Iterator[(Double, Long)], k: Int): Seq[(Double, Long)] = {
+    val worstFirst = Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+    val heap = mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+    rows.foreach { e =>
+      if (heap.size < k) heap.enqueue(e)
+      else if (worstFirst.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
     }
+    heap.dequeueAll.reverse
   }
 }

@@ -6,26 +6,32 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Streaming ANN pinned to the batch brute-force result: the same probes
-  * streamed through a MemoryStream against a corpus snapshot must emit
-  * row-identical top-k hits. */
+/** Streaming ANN pinned to its batch twins: the same probes streamed
+  * through a MemoryStream must emit row-identical top-k hits — exact
+  * search vs `ann_bruteforce_topk`, index-backed serving vs
+  * `ann_ivfpq_served`. The corpus side stays a static DataFrame in both
+  * shapes (no driver-side corpus snapshot exists to test). */
 class AnnStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  private def probeSeq = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    graft.sources.Tables(TestSpark.Sf0001).embeddings
+      .where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+      .as[Probe].collect().toSeq
+  }
+
   test("streamed top-k matches batch ann_bruteforce_topk row-for-row") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val emb = graft.sources.Tables(TestSpark.Sf0001).embeddings
-    val corpus = AnnStream.corpusSnapshot(emb)
-    val probes = emb.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding"))
-      .as[Probe].collect().toSeq
 
     val mem = MemoryStream[Probe](spark)
-    val q = AnnStream.topK(mem.toDS(), corpus, k = 5)
+    val q = AnnStream.topK(mem.toDS(), emb, k = 5)
       .toDF().writeStream.format("memory").queryName("s_ann").outputMode("append").start()
     try {
-      mem.addData(probes)
+      mem.addData(probeSeq)
       q.processAllAvailable()
     } finally q.stop()
 
@@ -41,15 +47,60 @@ class AnnStreamSpec extends AnyFunSuite {
   test("topK runs the same code path in batch mode") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val emb = graft.sources.Tables(TestSpark.Sf0001).embeddings
-    val corpus = AnnStream.corpusSnapshot(emb)
     val probes = emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding")).as[Probe]
-    val got = AnnStream.topK(probes, corpus, k = 5)
+    val got = AnnStream.topK(probes, emb, k = 5)
       .toDF().orderBy("probe_id", "rank")
       .as[(Long, Long, Long, Double)].collect().toSeq
     val want = AnnQueries.bruteForceTopK(spark, TestSpark.Sf0001)
       .orderBy("probe_id", "rank")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got == want)
+  }
+
+  test("streamed servedTopK matches batch ann_ivfpq_served row-for-row") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = TestSpark.Sf0001
+    val emb = graft.sources.Tables(dir).embeddings
+    // batch twin first — also trains/persists the index the stream serves from
+    val want = AnnQueries.ivfPqServedTopK(spark, dir)
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val idx = AnnQueries.ivfPqServedIndex(spark, dir)
+    val cents = AnnQueries.readCentroids(spark, s"$idx/centroids")
+    val cb = AnnQueries.readCodebook(spark, s"$idx/codebook")
+    val codes = spark.read.parquet(s"$idx/codes")
+
+    val mem = MemoryStream[Probe](spark)
+    val q = AnnStream.servedTopK(mem.toDS(), emb, codes, cents, cb, k = 5)
+      .toDF().writeStream.format("memory").queryName("s_ann_served").outputMode("append").start()
+    try {
+      mem.addData(probeSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("s_ann_served")
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("servedTopK runs the same code path in batch mode") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = TestSpark.Sf0001
+    val emb = graft.sources.Tables(dir).embeddings
+    val idx = AnnQueries.ivfPqServedIndex(spark, dir)
+    val cents = AnnQueries.readCentroids(spark, s"$idx/centroids")
+    val cb = AnnQueries.readCodebook(spark, s"$idx/codebook")
+    val codes = spark.read.parquet(s"$idx/codes")
+    val probes = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding")).as[Probe]
+    val got = AnnStream.servedTopK(probes, emb, codes, cents, cb, k = 5)
+      .toDF().orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = AnnQueries.ivfPqServedTopK(spark, dir)
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
   }
 }
