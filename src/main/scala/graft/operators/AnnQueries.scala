@@ -99,13 +99,22 @@ object AnnQueries {
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    val t = Tables(dir)
+    semanticPairs(clusterAssigned(spark, Tables(dir)))
+  }
+
+  /** Embeddings with their nearest-centroid cluster and norm — the shared
+    * front of [[semanticDedup]] and [[semanticDedupCapped]]. */
+  private def clusterAssigned(spark: SparkSession, t: Tables): DataFrame = {
     val cents = centroids(spark, t).map(_._2).toSeq
     val centCos = array(cents.map(v => VectorExpressions.cosine(col("embedding"), typedlit(v))): _*)
-    val assigned = t.embeddings
+    t.embeddings
       .withColumn("cluster", (array_position(centCos, array_max(centCos)) - 1).cast("int"))
       .select(col("cluster"), col("vec_id"), col("embedding"),
         sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("norm"))
+  }
+
+  /** Within-cluster pair stage shared by the capped/uncapped variants. */
+  private def semanticPairs(assigned: DataFrame): DataFrame = {
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
@@ -118,6 +127,36 @@ object AnnQueries {
       .where(col("cos") >= CosineThreshold)
       .groupBy(col("cluster"), col("id_b").as("vec_id"))
       .agg(min(col("id_a")).as("dup_of"), max(col("cos")).as("max_cos"))
+  }
+
+  /** Whale-factor for [[semanticDedupCapped]]: a cluster is a whale when
+    * its occupancy exceeds factor × (corpus / ncentroids). */
+  private[operators] val SemanticWhaleFactor = 2.0
+
+  /** [[semanticDedup]] with the family's WHALE-CLUSTER CAP — the
+    * [[graft.plans.BandedPairsPlan]] `maxBucket` contract transposed to
+    * embedding space: clusters whose occupancy exceeds
+    * `whaleFactor × avg` (avg = corpus / ncentroids) are dropped from the
+    * pair stage entirely, so no single skewed region of embedding space
+    * can turn the cluster-bucketed Σ|cluster|² into a quadratic whale
+    * self-join. The output is a documented UNDERCOUNT: pairs inside a
+    * dropped whale are not reported (exactly the LSH band cap's
+    * semantics). The cap is skew-RELATIVE, not absolute, because the
+    * family's scale knob for aggregate cost is ncentroids ∝ corpus
+    * (SemDeDup trains k with the corpus); the cap's job is only to bound
+    * the worst single cluster at C× the average bucket. Occupancy is a
+    * ≤ncentroids-row aggregate collected driver-side (same bounded class
+    * as the centroid table itself). */
+  def semanticDedupCapped(spark: SparkSession, dir: String,
+                          whaleFactor: Double = SemanticWhaleFactor): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val assigned = clusterAssigned(spark, Tables(dir))
+    val occ = assigned.groupBy("cluster").count().collect() // ≤ NCentroids rows
+    val n = occ.map(_.getLong(1)).sum
+    val keep = occ.filter(_.getLong(1) <= whaleFactor * n / NCentroids)
+      .map(r => r.getInt(0): Any).toSeq
+    semanticPairs(assigned.where(col("cluster").isin(keep: _*)))
   }
 
   private val semanticDedupSql =
@@ -135,6 +174,32 @@ object AnnQueries {
        |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
        |    ROUND(${cosChainDuck("a.embedding", "b.embedding")}, 6) AS cos
        |  FROM clustered a JOIN clustered b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |SELECT cluster, id_b AS vec_id, MIN(id_a) AS dup_of, MAX(cos) AS max_cos
+       |FROM pairs WHERE cos >= $CosineThreshold
+       |GROUP BY 1, 2 ORDER BY cluster, vec_id""".stripMargin
+
+  private val semanticDedupCappedSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT e.vec_id, e.embedding, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |clustered AS (
+       |  SELECT vec_id, embedding, cid AS cluster FROM (
+       |    SELECT vec_id, embedding, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign) x WHERE rn = 1),
+       |occ AS (SELECT cluster, COUNT(*) AS occ FROM clustered GROUP BY 1),
+       |total AS (SELECT COUNT(*) AS n FROM clustered),
+       |kept AS (
+       |  SELECT cl.vec_id, cl.embedding, cl.cluster
+       |  FROM clustered cl JOIN occ o ON cl.cluster = o.cluster CROSS JOIN total t
+       |  WHERE o.occ <= $SemanticWhaleFactor * t.n / $NCentroids),
+       |pairs AS (
+       |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ROUND(${cosChainDuck("a.embedding", "b.embedding")}, 6) AS cos
+       |  FROM kept a JOIN kept b
        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
        |SELECT cluster, id_b AS vec_id, MIN(id_a) AS dup_of, MAX(cos) AS max_cos
        |FROM pairs WHERE cos >= $CosineThreshold
@@ -1578,6 +1643,8 @@ object AnnQueries {
     "ann_ivfpq_pruned" -> Q(ivfPqPrunedTopK _, ivfPqTrainedSql, Seq(col("probe_id"), col("rank"))),
     "dedup_embedding_cosine" -> Q(embeddingCosine _, embeddingCosineSql, Seq(col("probe_id"), col("vec_id"))),
     "dedup_semantic_clusters" -> Q(semanticDedup _, semanticDedupSql, Seq(col("cluster"), col("vec_id"))),
+    "dedup_semantic_capped" -> Q((s: SparkSession, d: String) => semanticDedupCapped(s, d),
+      semanticDedupCappedSql, Seq(col("cluster"), col("vec_id"))),
     "ann_lsh_cosine" -> Q(lshCosine _, lshCosineSql, Seq(col("id_a"), col("id_b"))),
     "ann_lsh_multiprobe" -> Q(lshMultiprobe _, lshMultiprobeSql, Seq(col("id_a"), col("id_b"))),
     "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),
