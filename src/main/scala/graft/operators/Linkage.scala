@@ -67,18 +67,26 @@ object Linkage {
   private val K = 2 // default edit-distance threshold
 
   /** Segment scheme for a string of length ℓ at threshold k: k+1
-    * deterministic contiguous pieces (start, length), each piece taking
-    * floor(remaining / pieces-left). Any fixed partition works for the
-    * pigeonhole — k edits touch ≤ k segments, so one survives. */
-  private def scheme(l: Column, k: Int): Seq[(Column, Column)] = {
-    var start: Column = lit(0).cast("int")
-    (0 to k).map { i =>
-      val m = floor((l - start) / (k + 1 - i)).cast("int")
-      val s0 = start
-      start = (start + m).cast("int")
-      (s0, m)
-    }
-  }
+    * deterministic contiguous pieces (start, length) — an even split with
+    * the remainder going to the TRAILING segments (the same partition the
+    * greedy floor(remaining / pieces-left) recurrence produces, in closed
+    * form). Any fixed partition works for the pigeonhole — k edits touch
+    * ≤ k segments, so one survives.
+    *
+    * Closed form, columnar in BOTH ℓ and the segment index i (q = ℓ div
+    * segs, r = ℓ mod segs): segment i starts at i·q + max(0, i−(segs−r))
+    * with length q (+1 for the last r segments). Columnar-in-i matters:
+    * it lets candidate generation be ONE higher-order `transform` lambda
+    * over a literal combo table instead of (2k+1)²·(k+1) inlined CASE
+    * structs — the inlined form grew the generated Generate method past
+    * janino's 64 KB limit and silently dropped the whole kernel out of
+    * whole-stage codegen (r05 verdict finding #3). */
+  private def segStart(l: Column, i: Column, segs: Int): Column =
+    (i * floor(l / segs).cast("int") +
+      greatest(lit(0), i - (lit(segs) - l % segs))).cast("int")
+  private def segLen(l: Column, i: Column, segs: Int): Column =
+    (floor(l / segs).cast("int") +
+      when(i >= lit(segs) - l % segs, 1).otherwise(0)).cast("int")
 
   /** §8g(ae) — PassJoin-style segment-indexed edit-distance self-join:
     * fuzzy linkage with NO blocking key at all, for when the distinct
@@ -111,32 +119,35 @@ object Linkage {
     val segs = k + 1
     val names = nameCounts.select(col("nm"), col("n_parts"), length(col("nm")).as("len"))
 
-    // index side: the k+1 exact segments of each name
-    val idxKeys = explode(array(scheme(col("len"), k).zipWithIndex.map {
-      case ((st, m), i) =>
-        struct(substring(col("nm"), st + 1, m).as("txt"),
-          lit(i).as("seg"), col("len").as("l"))
-    }: _*)).as("k")
-    val index = names.select(col("nm").as("name_a"), col("n_parts").as("n_parts_a"), idxKeys)
+    // index side: the k+1 exact segments of each name, one transform
+    // lambda over the segment indices (codegen: one small loop body)
+    val idxStructs = transform(typedlit((0 until segs).toList), i =>
+      struct(substring(col("nm"), segStart(col("len"), i, segs) + 1,
+          segLen(col("len"), i, segs)).as("txt"),
+        i.as("seg"), col("len").as("l")))
+    val index = names.select(col("nm").as("name_a"), col("n_parts").as("n_parts_a"),
+        explode(idxStructs).as("k"))
       .select(col("name_a"), col("n_parts_a"), col("k.txt"), col("k.seg"), col("k.l"))
       .where(length(col("txt")) >= 1)
 
     // probe side: substrings at the segment's ±k window, for every
-    // candidate partner length within ±k of our own
-    val probeKeys: Seq[Column] = (for {
-      d <- -k to k
-      i <- 0 until segs
-      w <- -k to k
-    } yield {
-      val l = (col("len") + d).cast("int")
-      val (segStart, segLen) = scheme(l, k)(i)
-      val start = (segStart + w).cast("int")
-      when(segLen >= 1 && start >= 0 && start + segLen <= col("len"),
-        struct(substring(col("nm"), start + 1, segLen).as("txt"),
-          lit(i).as("seg"), l.as("l")))
-    }).toSeq
+    // candidate partner length within ±k of our own. The (Δlen, segment,
+    // shift) combos are a LITERAL table transformed by one lambda — the
+    // generated code is one loop body regardless of k, where the old
+    // (2k+1)²·(k+1) inlined structs overflowed janino's method limit.
+    val trips = typedlit((for { d <- -k to k; i <- 0 until segs; w <- -k to k }
+      yield (d, i, w)).toList)
+    val probeStructs = transform(trips, t => {
+      val l = (col("len") + t.getField("_1")).cast("int")
+      val i = t.getField("_2")
+      val start = (segStart(l, i, segs) + t.getField("_3")).cast("int")
+      val len = segLen(l, i, segs)
+      when(len >= 1 && start >= 0 && start + len <= col("len"),
+        struct(substring(col("nm"), start + 1, len).as("txt"),
+          i.as("seg"), l.as("l")))
+    })
     val probe = names.select(col("nm").as("name_b"), col("n_parts").as("n_parts_b"),
-        explode(array(probeKeys: _*)).as("k"))
+        explode(probeStructs).as("k"))
       .where(col("k").isNotNull)
       .select(col("name_b"), col("n_parts_b"), col("k.txt"), col("k.seg"), col("k.l"))
       .distinct()
