@@ -44,6 +44,9 @@ object Bench {
         // queries' own working sets and their times degrade with sweep
         // LENGTH rather than plan cost (r05c: graph_pagerank_served 2.7s
         // fresh vs 5.9s late-sweep). Each run starts with an empty cache.
+        // releaseAll additionally drains the Cached registry so tracked
+        // Dataset references don't accumulate across the sweep.
+        graft.operators.Cached.releaseAll()
         spark.catalog.clearCache()
       }
     }

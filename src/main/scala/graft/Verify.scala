@@ -27,6 +27,11 @@ object Verify {
         sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // release operator-persisted intermediates (the Cached contract):
+        // a 150+ query dump would otherwise accumulate every edge list and
+        // session frame in executor memory for the whole run
+        graft.operators.Cached.releaseAll()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

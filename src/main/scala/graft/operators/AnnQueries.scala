@@ -1055,9 +1055,8 @@ object AnnQueries {
     * persistence must not change a single row. */
   def pqServedTopK(spark: SparkSession, dir: String): DataFrame = {
     val indexPath = s"/tmp/graft_pq_corpus_${new java.io.File(dir).getName}"
-    if (!Stage.current(indexPath, s"$dir/embeddings.parquet")) {
+    Stage.ensure(indexPath, s"$dir/embeddings.parquet") {
       persistPqCorpus(spark, dir, indexPath)
-      Stage.record(indexPath, s"$dir/embeddings.parquet")
     }
     pqAdcTopKFrom(spark, dir, indexPath)
   }
@@ -1101,9 +1100,8 @@ object AnnQueries {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val indexPath = s"/tmp/graft_ivfpq_part_${new java.io.File(dir).getName}"
-    if (!Stage.current(indexPath, s"$dir/embeddings.parquet")) {
+    Stage.ensure(indexPath, s"$dir/embeddings.parquet") {
       persistIvfPqCorpusPartitioned(spark, dir, indexPath)
-      Stage.record(indexPath, s"$dir/embeddings.parquet")
     }
     val t = Tables(dir)
     val cents = readCentroids(spark, s"$indexPath/centroids")
@@ -1137,9 +1135,8 @@ object AnnQueries {
     * streaming server ([[graft.streaming.AnnStream.servedTopK]]). */
   private[graft] def ivfPqServedIndex(spark: SparkSession, dir: String): String = {
     val indexPath = s"/tmp/graft_ivfpq_idx_${new java.io.File(dir).getName}"
-    if (!Stage.current(indexPath, s"$dir/embeddings.parquet")) {
+    Stage.ensure(indexPath, s"$dir/embeddings.parquet") {
       persistIvfPqCorpus(spark, dir, indexPath)
-      Stage.record(indexPath, s"$dir/embeddings.parquet")
     }
     indexPath
   }

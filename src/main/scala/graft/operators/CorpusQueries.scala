@@ -192,9 +192,8 @@ object CorpusQueries {
     * once and served forever — reruns must not pay the training jobs. */
   def trainedBpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_bpe_${Integer.toHexString(dir.hashCode)}"
-    if (!Stage.current(path, s"$dir/documents.parquet")) {
+    Stage.ensure(path, s"$dir/documents.parquet") {
       bpeMerges(spark, dir).write.mode("overwrite").parquet(path)
-      Stage.record(path, s"$dir/documents.parquet")
     }
     spark.read.parquet(path).orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
@@ -287,8 +286,8 @@ object CorpusQueries {
     // the 12-deep fold expression re-analyzes and re-executes per
     // consumer (measured 6.4 s vs 1.3 s for the single-consumer segment
     // query at sf0.01 — the cost is plan constant, not data)
-    val seg = foldMerges(wordFreq, merges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seg = Cached.track(foldMerges(wordFreq, merges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the ranked subword vocabulary is ≤ SubwordVocabSize rows by
     // construction — a BOUNDED driver map (tokenizeStream's vocab
     // discipline), so the word→ids step is a map-literal projection
@@ -1129,9 +1128,8 @@ object CorpusQueries {
   def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val stage = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${Integer.toHexString(dir.hashCode)}"
-    if (!Stage.current(stage, s"$dir/documents.parquet")) {
+    Stage.ensure(stage, s"$dir/documents.parquet") {
       Tables(dir).documents.write.mode("overwrite").json(stage)
-      Stage.record(stage, s"$dir/documents.parquet")
     }
     val schema = new org.apache.spark.sql.types.StructType()
       .add("doc_id", "long").add("text", "string").add("lang", "string")

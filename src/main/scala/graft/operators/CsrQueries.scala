@@ -294,7 +294,7 @@ object CsrQueries {
     // read+type path, not tmpdir write throughput (r04 flagged 3.51 s
     // sweep vs 0.75 s isolated purely on this write's disk noise).
     val stage = s"${System.getProperty("java.io.tmpdir")}/graft_delim_${Integer.toHexString(dir.hashCode)}"
-    if (!Stage.current(stage, s"$dir/orders.parquet")) {
+    Stage.ensure(stage, s"$dir/orders.parquet") {
       t.orders
         .select(
           col("o_orderkey").as("order_id"),
@@ -304,7 +304,6 @@ object CsrQueries {
         .write.mode("overwrite")
         .option("delimiter", ";").option("header", "true")
         .csv(stage)
-      Stage.record(stage, s"$dir/orders.parquet")
     }
     DelimitedSource.read(spark, stage, DelimitedConfig(
       delimiter = ";",

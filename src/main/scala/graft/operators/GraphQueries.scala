@@ -45,6 +45,7 @@ object GraphQueries {
         .as("e"))
       .select(col("e.pa").as("pa"), col("e.pb").as("pb")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached.track)
   }
 
   /** Ordered pairs (x earlier than y) exploded map-side from a sorted,
@@ -248,12 +249,11 @@ object GraphQueries {
   def pagerankServed(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val path = s"/tmp/graft_edges_${new java.io.File(dir).getName}"
-    if (!Stage.current(path, s"$dir/lineitem.parquet")) {
+    Stage.ensure(path, s"$dir/lineitem.parquet") {
       persistEdges(spark, dir, path)
-      Stage.record(path, s"$dir/lineitem.parquet")
     }
-    pagerankFrom(spark.read.parquet(path)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pagerankFrom(Cached.track(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
   }
 
   private def pagerankFrom(e: DataFrame)(implicit spark: SparkSession): DataFrame = {
@@ -267,8 +267,8 @@ object GraphQueries {
     // relation does not expose its partitioning at planning time, so the
     // iteration aggs re-add their ENSURE_REQUIREMENTS exchange anyway
     // (measured: the repartition made the query ~15% slower, r05d).
-    val symDeg = sym.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val symDeg = Cached.track(sym.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val teleport = PrScale * 15L / 100L
     var ranks = deg.select(col("src").as("node"), lit(PrScale).as("r"))
     for (_ <- 1 to PrIters) {

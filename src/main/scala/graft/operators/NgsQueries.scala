@@ -60,7 +60,7 @@ object NgsQueries {
     * line item; classification keyed off l_returnflag). */
   private def stageMaf(spark: SparkSession, dir: String): String = {
     val stage = s"${System.getProperty("java.io.tmpdir")}/graft_maf_${Integer.toHexString(dir.hashCode)}"
-    if (!Stage.current(stage, s"$dir/lineitem.parquet")) {
+    Stage.ensure(stage, s"$dir/lineitem.parquet") {
       Tables(dir)(spark).lineitem.select(
         concat(lit("G"), (col("l_partkey") % Genes).cast("string")).as("Hugo_Symbol"),
         (col("l_partkey") % Genes).as("Entrez_Gene_Id"),
@@ -76,7 +76,6 @@ object NgsQueries {
         .write.mode("overwrite")
         .option("delimiter", "\t").option("header", "true")
         .csv(stage)
-      Stage.record(stage, s"$dir/lineitem.parquet")
     }
     stage
   }
@@ -116,7 +115,7 @@ object NgsQueries {
     * eighth order; integer-derived bounds and a 0.01-grid mean). */
   private def stageSeg(spark: SparkSession, dir: String): String = {
     val stage = s"${System.getProperty("java.io.tmpdir")}/graft_seg_${Integer.toHexString(dir.hashCode)}"
-    if (!Stage.current(stage, s"$dir/orders.parquet")) {
+    Stage.ensure(stage, s"$dir/orders.parquet") {
       Tables(dir)(spark).orders
         .where(col("o_orderkey") % 8 === 0)
         .select(
@@ -130,7 +129,6 @@ object NgsQueries {
         .write.mode("overwrite")
         .option("delimiter", "\t").option("header", "true")
         .csv(stage)
-      Stage.record(stage, s"$dir/orders.parquet")
     }
     stage
   }

@@ -31,19 +31,24 @@ object RangeJoin {
     * whose truncation-toward-zero equals floor only for non-negatives;
     * epoch-like domains satisfy this by construction, shifted domains
     * must be offset first. All other columns of both inputs pass
-    * through, so callers key their frames however they like. */
+    * through, so callers key their frames however they like — including
+    * frames that SHARE interval column names (a self-join that doesn't
+    * rename): the residual predicate binds through per-side temp columns
+    * projected before the join, never a bare post-join name. */
   def overlapPairs(left: DataFrame, lStart: String, lEnd: String,
                    right: DataFrame, rStart: String, rEnd: String,
                    binWidth: Long): DataFrame = {
-    def binned(df: DataFrame, s: String, e: String) = df.withColumn("_bin",
-      explode(sequence(expr(s"$s div $binWidth"), expr(s"$e div $binWidth"))))
-    val l = binned(left, lStart, lEnd)
-    val r = binned(right, rStart, rEnd).withColumnRenamed("_bin", "_rbin")
+    def binned(df: DataFrame, s: String, e: String, ts: String, te: String) = df
+      .withColumn(ts, col(s)).withColumn(te, col(e))
+      .withColumn("_bin",
+        explode(sequence(expr(s"$ts div $binWidth"), expr(s"$te div $binWidth"))))
+    val l = binned(left, lStart, lEnd, "_ls", "_le")
+    val r = binned(right, rStart, rEnd, "_rs", "_re").withColumnRenamed("_bin", "_rbin")
     l.join(r,
         l("_bin") === r("_rbin") &&
-          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
-          expr(s"greatest($lStart, $rStart) div $binWidth") === l("_bin"))
-      .drop("_bin", "_rbin")
+          col("_ls") <= col("_re") && col("_rs") <= col("_le") &&
+          expr(s"greatest(_ls, _rs) div $binWidth") === l("_bin"))
+      .drop("_bin", "_rbin", "_ls", "_le", "_rs", "_re")
   }
 
   /** Whale-bin guard (§8i(ao)): [[overlapPairs]] with each bin's
@@ -59,19 +64,20 @@ object RangeJoin {
   def overlapPairsCapped(left: DataFrame, lStart: String, lEnd: String, lId: String,
                          right: DataFrame, rStart: String, rEnd: String, rId: String,
                          binWidth: Long, cap: Int): DataFrame = {
-    def binnedCapped(df: DataFrame, s: String, e: String, id: String) = df
-      .withColumn("_bin", explode(sequence(expr(s"$s div $binWidth"), expr(s"$e div $binWidth"))))
+    def binnedCapped(df: DataFrame, s: String, e: String, id: String, ts: String, te: String) = df
+      .withColumn(ts, col(s)).withColumn(te, col(e))
+      .withColumn("_bin", explode(sequence(expr(s"$ts div $binWidth"), expr(s"$te div $binWidth"))))
       .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("_bin"))
-          .orderBy(col(s), col(id))))
+          .orderBy(col(ts), col(id))))
       .where(col("_rk") <= cap).drop("_rk")
-    val l = binnedCapped(left, lStart, lEnd, lId)
-    val r = binnedCapped(right, rStart, rEnd, rId).withColumnRenamed("_bin", "_rbin")
+    val l = binnedCapped(left, lStart, lEnd, lId, "_ls", "_le")
+    val r = binnedCapped(right, rStart, rEnd, rId, "_rs", "_re").withColumnRenamed("_bin", "_rbin")
     l.join(r,
         l("_bin") === r("_rbin") &&
-          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
-          expr(s"greatest($lStart, $rStart) div $binWidth") === l("_bin"))
-      .drop("_bin", "_rbin")
+          col("_ls") <= col("_re") && col("_rs") <= col("_le") &&
+          expr(s"greatest(_ls, _rs) div $binWidth") === l("_bin"))
+      .drop("_bin", "_rbin", "_ls", "_le", "_rs", "_re")
   }
 
   /** Concurrent sessions: which gap-based sessions overlap in wall-clock
@@ -89,6 +95,7 @@ object RangeJoin {
         unix_micros(col("session_start")).as("start_us"),
         unix_micros(col("session_end")).as("end_us"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached.track)
     val a = sess.toDF("a_user", "a_seq", "a_start", "a_end")
     val b = sess.toDF("b_user", "b_seq", "b_start", "b_end")
     val pairs = overlapPairs(a, "a_start", "a_end", b, "b_start", "b_end", HourUs)

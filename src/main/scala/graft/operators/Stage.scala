@@ -18,9 +18,14 @@ object Stage {
   private def signature(sourcePath: String): String = {
     val p = Paths.get(sourcePath)
     if (Files.isDirectory(p)) {
-      // parquet "file" may be a directory of part files: fold their stats
-      val parts = Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(Files.isRegularFile(_)).sortBy(_.toString)
+      // parquet "file" may be a directory of part files: fold their stats.
+      // Files.list returns a Stream backed by an open DirectoryStream —
+      // close it or every signature() on a directory leaks a descriptor.
+      val listing = Files.list(p)
+      val parts =
+        try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(Files.isRegularFile(_)).sortBy(_.toString)
+        finally listing.close()
       parts.map(f => s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
         .mkString("|")
     } else if (Files.exists(p))
@@ -39,4 +44,17 @@ object Stage {
   /** Record that `stage` now reflects `sourcePath`'s current state. */
   def record(stage: String, sourcePath: String): Unit =
     Files.write(sigFile(stage), signature(sourcePath).getBytes("UTF-8"))
+
+  /** Build-if-stale with the sig invalidated FIRST: a `mode(overwrite)`
+    * rewrite deletes and re-creates the stage directory, and a stale `.sig`
+    * surviving into that window would let a concurrent `current` call serve
+    * a partially written stage. Deleting the sig before `build` runs means
+    * any reader racing the rewrite fails `current` and rebuilds (idempotent)
+    * instead of reading torn data. */
+  def ensure(stage: String, sourcePath: String)(build: => Unit): Unit =
+    if (!current(stage, sourcePath)) {
+      Files.deleteIfExists(sigFile(stage))
+      build
+      record(stage, sourcePath)
+    }
 }

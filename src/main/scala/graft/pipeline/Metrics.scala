@@ -38,8 +38,10 @@ object Metrics {
       if (tag != null && tag.startsWith(Prefix))
         job.stageIds.foreach(sid => stageTag.put(sid, tag))
     }
+    // remove (not get): a completed stage's mapping is dead — holding it
+    // grows the map by one entry per stage for the session's lifetime
     override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
-      stageTag.get(ev.stageInfo.stageId).foreach { tag =>
+      stageTag.remove(ev.stageInfo.stageId).foreach { tag =>
         val m = ev.stageInfo.taskMetrics
         val add = Ledger(
           m.inputMetrics.bytesRead,
@@ -72,8 +74,9 @@ object Metrics {
     val out =
       try body
       finally spark.sparkContext.clearJobGroup()
-    // flush pending listener events so the ledger is complete
+    // flush pending listener events so the ledger is complete, then evict
+    // the tag — ledgers must not accumulate across a long-lived session
     org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
-    (out, c.ledgers.getOrElse(group, Zero))
+    (out, c.ledgers.remove(group).getOrElse(Zero))
   }
 }
