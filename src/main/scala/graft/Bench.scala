@@ -22,12 +22,14 @@ object Bench {
     // the engine's own session factory: AQE + the 32 MB adaptive
     // broadcast ceiling apply to benchmarks exactly as to deployments
     val spark = GraftSession(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
-    warmup(spark, sfDir)
     // min of N runs per query: the shared box has ±40% run-to-run noise;
     // the minimum is the stable estimate of the plan's actual cost
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     // dev-only: comma-separated subset (full runs leave it unset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // fail fast with one named error if the testdata vintage changed shape
+    graft.sources.Tables(sfDir)(spark).assertVintage()
+    warmup(spark, sfDir, only)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
@@ -117,7 +119,8 @@ object Bench {
     * lineitem/orders scans and the CSV codepath (adjudicated as ordering
     * noise by isolated re-bench); paying those scans here keeps the
     * measured times attributable to the plans. */
-  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+  private def warmup(spark: SparkSession, sfDir: String,
+                     only: Option[Set[String]] = None): Unit = {
     import org.apache.spark.sql.functions._
     try {
       spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
@@ -135,5 +138,25 @@ object Bench {
         .write.mode("overwrite").option("header", "true").csv(csvWarm)
       spark.read.option("header", "true").csv(csvWarm).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // Stage warmup: content-signature-gated artifacts (delimited/MAF/seg/
+    // jsonl staging dirs, trained BPE merges, persisted ANN indexes, the
+    // pagerank edge set) rebuild on the first execution after a testdata
+    // regen flips their source signature. Paying that build inside the
+    // timed region charges one-off staging I/O to whatever sweep position
+    // hits it first (r06: csr_delimited_ingest 9.30 s in-sweep vs 0.79 s
+    // isolated, ann_pq_adc 53.75 vs 6.38). Run every stage-gated query
+    // once here so a signature flip costs warmup, not measurement.
+    val stageGated = Seq(
+      "csr_delimited_ingest", "ngs_maf_mutations", "ngs_seg_gene_overlap",
+      "docs_jsonl_ingest", "docs_bpe_segment", "docs_bpe_ids",
+      "ann_pq_served", "ann_ivfpq_served", "ann_ivfpq_pruned",
+      "graph_pagerank_served")
+    stageGated.filter(n => only.forall(_(n))).foreach { name =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        graft.operators.Cached.releaseAll()
+        spark.catalog.clearCache()
+      } catch { case e: Throwable => System.err.println(s"[bench] stage warmup $name failed: $e") }
+    }
   }
 }

@@ -27,8 +27,10 @@ object GraftSession {
       // decision stays ADAPTIVE, it is not a hint
       .config("spark.sql.autoBroadcastJoinThreshold", (32 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS): read nanos as long once,
-      // at build time, instead of mutating session conf mid-query
+      // older events.parquet vintages carry TIMESTAMP(NANOS): read nanos
+      // as long once, at build time, instead of mutating session conf
+      // mid-query (harmless for the current timestamp[us] vintage —
+      // the conf only affects NANOS-typed columns)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Linkage.queries,
     operators.GraphQueries.queries,
     operators.RangeJoin.queries,
+    operators.MultiIntervalJoin.queries,
     operators.NgsQueries.queries,
   )
 

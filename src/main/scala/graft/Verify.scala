@@ -17,6 +17,9 @@ object Verify {
     // the engine's session factory — correctness runs on the same AQE +
     // broadcast configuration deployments and benchmarks use
     val spark = GraftSession(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+    // fail fast (one named error) if the driver's testdata vintage changed
+    // shape, instead of 150 per-query analysis errors
+    graft.sources.Tables(sfDir)(spark).assertVintage()
     new java.io.File(outDir).mkdirs()
     SparkEntry.registry
       .filter { case (name, _) => only.isEmpty || only(name) }

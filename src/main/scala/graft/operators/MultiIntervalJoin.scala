@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-interval range join (SURVEY §8i(ar)): rows carry interval SETS —
+  * a user's session list, an entity's validity windows — and two tables
+  * join on "ANY interval of mine overlaps ANY interval of yours", without
+  * first exploding every row into one-row-per-interval.
+  *
+  * Why not pre-explode: an explode-then-[[RangeJoin.overlapPairs]] plan
+  * replicates the row PAYLOAD once per interval before the join even
+  * starts — a 100-session user carries its columns 100× through the
+  * shuffle — and the pair (A,B) then surfaces once per OVERLAPPING
+  * interval pair, forcing a distinct over the blown-up join output. Here
+  * each row is replicated only once per DISTINCT bin its interval set
+  * touches (a slim bin key next to the intact payload, never a payload
+  * copy per interval), the per-bin join is an ordinary hash shuffle, and
+  * the set-vs-set overlap test runs as ONE codegen higher-order
+  * expression per candidate pair. Exactly-once emission uses the same
+  * attribution trick as the single-interval join, lifted to sets: a pair
+  * is kept only in the bin of the MINIMUM `greatest(a.s, b.s) div width`
+  * over its overlapping interval pairs — a bin both rows provably touch —
+  * so no downstream dedup of a blown-up intermediate ever runs.
+  */
+object MultiIntervalJoin {
+
+  /** Overlap pairs of `left` × `right`, one output row per (left-row,
+    * right-row) pair whose interval sets intersect. `lIvs` / `rIvs` name
+    * columns of type `array<struct<s: long, e: long>>` — inclusive
+    * `[s, e]` NON-NEGATIVE long intervals (`div`-binning is floor only
+    * for non-negatives), arrays non-empty. All other columns pass
+    * through unchanged; working names are derived collision-free, so
+    * un-renamed self-joins are safe. */
+  def overlapPairsMulti(left: DataFrame, lIvs: String,
+                        right: DataFrame, rIvs: String,
+                        binWidth: Long): DataFrame = {
+    val n = RangeJoin.fresh((left.columns ++ right.columns).toSet,
+      Seq("_bin", "_rbin", "_livs", "_rivs"))
+    // per-side temp copies of the interval arrays: the residual must bind
+    // through projected columns, never a bare post-join name (self-joins
+    // share `lIvs`/`rIvs` spellings)
+    def prepped(df: DataFrame, ivs: String, tIvs: String, bin: String) = df
+      .withColumn(tIvs, col(ivs))
+      .withColumn(bin, explode(array_distinct(flatten(expr(
+        s"transform(`$tIvs`, iv -> sequence(iv.s div $binWidth, iv.e div $binWidth))")))))
+    val l = prepped(left, lIvs, n("_livs"), n("_bin"))
+    val r = prepped(right, rIvs, n("_rivs"), n("_rbin"))
+    // min attribution bin over the OVERLAPPING interval pairs (null when
+    // the sets don't intersect — which also serves as the overlap test)
+    val attr = expr(
+      s"""aggregate(
+         |  flatten(transform(`${n("_livs")}`, a -> transform(`${n("_rivs")}`, b ->
+         |    IF(a.s <= b.e AND b.s <= a.e,
+         |       greatest(a.s, b.s) div $binWidth, CAST(NULL AS BIGINT))))),
+         |  CAST(NULL AS BIGINT),
+         |  (acc, x) -> CASE WHEN x IS NULL THEN acc
+         |                   WHEN acc IS NULL THEN x
+         |                   WHEN x < acc THEN x ELSE acc END)""".stripMargin)
+    l.join(r, l(n("_bin")) === r(n("_rbin")) && attr === l(n("_bin")))
+      .drop(n("_bin"), n("_rbin"), n("_livs"), n("_rivs"))
+  }
+
+  /** Overlapping stays: user pairs whose gap-based sessions ("stays")
+    * overlap in wall-clock time — the concurrent-sessions question asked
+    * at USER grain, where each user's whole session LIST is one row's
+    * interval set. Counts the overlapping session pairs per user pair.
+    * The session build is persisted once and read by both self-join
+    * sides (the [[RangeJoin.concurrentSessions]] discipline). */
+  def overlappingStays(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val sess = CsrQueries.eventsSessionize(spark, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("session_start")).as("s"),
+          unix_micros(col("session_end")).as("e")).as("iv"))
+      .groupBy(col("user_id")).agg(sort_array(collect_list(col("iv"))).as("ivs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached.track)
+    val a = sess.toDF("a_user", "a_ivs")
+    val b = sess.toDF("b_user", "b_ivs")
+    overlapPairsMulti(a, "a_ivs", b, "b_ivs", HourUs)
+      .where(col("a_user") < col("b_user"))
+      .select(col("a_user"), col("b_user"),
+        expr("""size(filter(
+          flatten(transform(a_ivs, x -> transform(b_ivs, y ->
+            x.s <= y.e AND y.s <= x.e))), z -> z))""").cast("long")
+          .as("n_overlap_pairs"))
+  }
+
+  private val HourUs = 3600000000L
+
+  private val overlappingStaysSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, session_seq,
+      |    epoch_us(MIN(ts)) AS s, epoch_us(MAX(ts)) AS e
+      |  FROM numbered GROUP BY user_id, session_seq)
+      |SELECT a.user_id AS a_user, b.user_id AS b_user,
+      |  COUNT(*) AS n_overlap_pairs
+      |FROM sess a JOIN sess b
+      |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "events_overlapping_stays" -> Q(overlappingStays _, overlappingStaysSql,
+      Seq(col("a_user"), col("b_user"))),
+  )
+}

@@ -25,30 +25,50 @@ import org.apache.spark.sql.functions._
   * the third regime, both sides large and batch. */
 object RangeJoin {
 
+  /** Derive working column names that collide with NO input column: each
+    * base gets a numeric suffix until it is free of `taken` and of the
+    * other derived names. Temp columns used to be fixed `_ls`/`_bin`/…
+    * literals, which silently overwrote (and then dropped) same-named
+    * caller columns. */
+  private[operators] def fresh(taken: Set[String], bases: Seq[String]): Map[String, String] = {
+    var used = taken
+    bases.map { b =>
+      var n = b
+      var i = 0
+      while (used(n)) { i += 1; n = b + i }
+      used += n
+      b -> n
+    }.toMap
+  }
+
   /** Overlap pairs of `left` × `right` with each pair emitted exactly
     * once. Interval columns are inclusive `[start, end]` NON-NEGATIVE
     * longs (any unit; `binWidth` in the same unit) — binning uses `div`,
     * whose truncation-toward-zero equals floor only for non-negatives;
     * epoch-like domains satisfy this by construction, shifted domains
     * must be offset first. All other columns of both inputs pass
-    * through, so callers key their frames however they like — including
-    * frames that SHARE interval column names (a self-join that doesn't
-    * rename): the residual predicate binds through per-side temp columns
-    * projected before the join, never a bare post-join name. */
+    * through UNCHANGED — working columns are derived collision-free
+    * against both schemas, so callers key their frames however they
+    * like — including frames that SHARE interval column names (a
+    * self-join that doesn't rename): the residual predicate binds
+    * through per-side temp columns projected before the join, never a
+    * bare post-join name. */
   def overlapPairs(left: DataFrame, lStart: String, lEnd: String,
                    right: DataFrame, rStart: String, rEnd: String,
                    binWidth: Long): DataFrame = {
-    def binned(df: DataFrame, s: String, e: String, ts: String, te: String) = df
+    val n = fresh((left.columns ++ right.columns).toSet,
+      Seq("_bin", "_rbin", "_ls", "_le", "_rs", "_re"))
+    def binned(df: DataFrame, s: String, e: String, ts: String, te: String, bin: String) = df
       .withColumn(ts, col(s)).withColumn(te, col(e))
-      .withColumn("_bin",
-        explode(sequence(expr(s"$ts div $binWidth"), expr(s"$te div $binWidth"))))
-    val l = binned(left, lStart, lEnd, "_ls", "_le")
-    val r = binned(right, rStart, rEnd, "_rs", "_re").withColumnRenamed("_bin", "_rbin")
+      .withColumn(bin,
+        explode(sequence(expr(s"`$ts` div $binWidth"), expr(s"`$te` div $binWidth"))))
+    val l = binned(left, lStart, lEnd, n("_ls"), n("_le"), n("_bin"))
+    val r = binned(right, rStart, rEnd, n("_rs"), n("_re"), n("_rbin"))
     l.join(r,
-        l("_bin") === r("_rbin") &&
-          col("_ls") <= col("_re") && col("_rs") <= col("_le") &&
-          expr(s"greatest(_ls, _rs) div $binWidth") === l("_bin"))
-      .drop("_bin", "_rbin", "_ls", "_le", "_rs", "_re")
+        l(n("_bin")) === r(n("_rbin")) &&
+          col(n("_ls")) <= col(n("_re")) && col(n("_rs")) <= col(n("_le")) &&
+          expr(s"greatest(`${n("_ls")}`, `${n("_rs")}`) div $binWidth") === l(n("_bin")))
+      .drop(n("_bin"), n("_rbin"), n("_ls"), n("_le"), n("_rs"), n("_re"))
   }
 
   /** Whale-bin guard (§8i(ao)): [[overlapPairs]] with each bin's
@@ -64,20 +84,24 @@ object RangeJoin {
   def overlapPairsCapped(left: DataFrame, lStart: String, lEnd: String, lId: String,
                          right: DataFrame, rStart: String, rEnd: String, rId: String,
                          binWidth: Long, cap: Int): DataFrame = {
-    def binnedCapped(df: DataFrame, s: String, e: String, id: String, ts: String, te: String) = df
+    val n = fresh((left.columns ++ right.columns).toSet,
+      Seq("_bin", "_rbin", "_ls", "_le", "_rs", "_re", "_rk"))
+    def binnedCapped(df: DataFrame, s: String, e: String, id: String,
+                     ts: String, te: String, bin: String) = df
       .withColumn(ts, col(s)).withColumn(te, col(e))
-      .withColumn("_bin", explode(sequence(expr(s"$ts div $binWidth"), expr(s"$te div $binWidth"))))
-      .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("_bin"))
+      .withColumn(bin,
+        explode(sequence(expr(s"`$ts` div $binWidth"), expr(s"`$te` div $binWidth"))))
+      .withColumn(n("_rk"), org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(bin))
           .orderBy(col(ts), col(id))))
-      .where(col("_rk") <= cap).drop("_rk")
-    val l = binnedCapped(left, lStart, lEnd, lId, "_ls", "_le")
-    val r = binnedCapped(right, rStart, rEnd, rId, "_rs", "_re").withColumnRenamed("_bin", "_rbin")
+      .where(col(n("_rk")) <= cap).drop(n("_rk"))
+    val l = binnedCapped(left, lStart, lEnd, lId, n("_ls"), n("_le"), n("_bin"))
+    val r = binnedCapped(right, rStart, rEnd, rId, n("_rs"), n("_re"), n("_rbin"))
     l.join(r,
-        l("_bin") === r("_rbin") &&
-          col("_ls") <= col("_re") && col("_rs") <= col("_le") &&
-          expr(s"greatest(_ls, _rs) div $binWidth") === l("_bin"))
-      .drop("_bin", "_rbin", "_ls", "_le", "_rs", "_re")
+        l(n("_bin")) === r(n("_rbin")) &&
+          col(n("_ls")) <= col(n("_re")) && col(n("_rs")) <= col(n("_le")) &&
+          expr(s"greatest(`${n("_ls")}`, `${n("_rs")}`) div $binWidth") === l(n("_bin")))
+      .drop(n("_bin"), n("_rbin"), n("_ls"), n("_le"), n("_rs"), n("_re"))
   }
 
   /** Concurrent sessions: which gap-based sessions overlap in wall-clock

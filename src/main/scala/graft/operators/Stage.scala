@@ -47,10 +47,16 @@ object Stage {
 
   /** Build-if-stale with the sig invalidated FIRST: a `mode(overwrite)`
     * rewrite deletes and re-creates the stage directory, and a stale `.sig`
-    * surviving into that window would let a concurrent `current` call serve
-    * a partially written stage. Deleting the sig before `build` runs means
-    * any reader racing the rewrite fails `current` and rebuilds (idempotent)
-    * instead of reading torn data. */
+    * surviving into that window would let a later `current` call serve a
+    * partially written stage. Deleting the sig before `build` runs NARROWS
+    * that window for the single-process, sequential harness this gates
+    * (one driver, one ensure at a time): a crash mid-build leaves no sig,
+    * so the next run rebuilds instead of reading torn data. It is NOT a
+    * multi-process guarantee — a reader that passed `current` just before
+    * the delete can still observe the overwrite, and two processes
+    * building the same stage concurrently interleave destructively. A
+    * shared deployment needs write-to-temp + atomic rename (the
+    * [[graft.pipeline.AggCache]] swap discipline) or an external lock. */
   def ensure(stage: String, sourcePath: String)(build: => Unit): Unit =
     if (!current(stage, sourcePath)) {
       Files.deleteIfExists(sigFile(stage))

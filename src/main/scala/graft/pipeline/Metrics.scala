@@ -31,17 +31,22 @@ object Metrics {
 
   private final class Collector extends SparkListener {
     val stageTag = new TrieMap[Int, String]
+    val jobStages = new TrieMap[Int, Seq[Int]]
     val ledgers = new TrieMap[String, Ledger]
     override def onJobStart(job: SparkListenerJobStart): Unit = {
       val tag = Option(job.properties)
         .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).orNull
-      if (tag != null && tag.startsWith(Prefix))
+      if (tag != null && tag.startsWith(Prefix)) {
         job.stageIds.foreach(sid => stageTag.put(sid, tag))
+        jobStages.put(job.jobId, job.stageIds)
+      }
     }
-    // remove (not get): a completed stage's mapping is dead — holding it
-    // grows the map by one entry per stage for the session's lifetime
+    // get, not remove: a fetch-failure resubmit completes the same stage
+    // id again and the retry's (successful) metrics must still resolve
+    // their tag. Eviction happens at job end — which also reclaims
+    // entries for stages the scheduler skipped (they never complete).
     override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
-      stageTag.remove(ev.stageInfo.stageId).foreach { tag =>
+      stageTag.get(ev.stageInfo.stageId).foreach { tag =>
         val m = ev.stageInfo.taskMetrics
         val add = Ledger(
           m.inputMetrics.bytesRead,
@@ -51,6 +56,8 @@ object Metrics {
           ev.stageInfo.numTasks.toLong)
         ledgers.updateWith(tag) { cur => Some(cur.getOrElse(Zero) + add) }
       }
+    override def onJobEnd(ev: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      jobStages.remove(ev.jobId).foreach(_.foreach(stageTag.remove))
   }
 
   private val Prefix = "graft-metrics:"

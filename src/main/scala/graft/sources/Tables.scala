@@ -18,23 +18,100 @@ final case class Tables(dir: String)(implicit spark: SparkSession) {
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
-    * rejects outright; read the nanos as long and rebuild a microsecond
-    * timestamp with integer division (epoch nanos exceed the double
-    * mantissa, so no floating-point path is acceptable here). Matches
-    * DuckDB's TIMESTAMP_NS → TIMESTAMP truncation.
+  /** The events table's `ts` column has shipped in two vintages: as
+    * TIMESTAMP(NANOS) parquet (which Spark 4 rejects outright, so we read
+    * the nanos as long and rebuild a microsecond timestamp with integer
+    * division — epoch nanos exceed the double mantissa, so no
+    * floating-point path is acceptable) and as plain timestamp[us] (which
+    * Spark reads as TIMESTAMP_NTZ when the writer leaves
+    * isAdjustedToUTC=false). Branch on the loaded dtype so both vintages
+    * read identically: with a UTC session timezone the NTZ→TIMESTAMP cast
+    * is value-identical, matching DuckDB's reading of the same file.
     *
-    * The nanosAsLong conf is set at session build time by GraftSession /
-    * Verify / Bench; the guard below only covers externally-built sessions
-    * and is idempotent (same value always), so no mid-session flip can
+    * The nanosAsLong conf is harmless for micros-vintage files (it only
+    * affects NANOS-typed columns) and idempotent, so setting it here can't
     * change any other read's schema. */
   def events: DataFrame = {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t("events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+
+  /** Fail-fast data-vintage probe: check every table's schema (footer reads
+    * only, no data scan) against the column/type contract the operators
+    * assume, and raise ONE named error listing every mismatch. The driver
+    * regenerates the testdata between rounds and has already changed a
+    * column's physical type once (events.ts TIMESTAMP(NANOS) →
+    * timestamp[us], r06 — which silently took out 24 queries and 25 specs
+    * with per-query analysis errors); this turns the next vintage change
+    * into a single clear message at session start. */
+  def assertVintage(): Unit = {
+    import org.apache.spark.sql.types._
+    // name → required columns with acceptable type classes. Extra columns
+    // are fine (schema evolution); missing/mistyped ones are not.
+    def num(dt: DataType) = dt.isInstanceOf[NumericType]
+    def str(dt: DataType) = dt == StringType
+    def time(dt: DataType) = dt == TimestampType || dt == TimestampNTZType || dt == DateType
+    // events.ts additionally admits LongType: the NANOS vintage loads as
+    // raw nanos under the nanosAsLong conf and `events` rebuilds it
+    def tsVintage(dt: DataType) = time(dt) || dt == LongType
+    val contract: Seq[(String, Seq[(String, DataType => Boolean)])] = Seq(
+      "region" -> Seq("r_regionkey" -> num _, "r_name" -> str _),
+      "nation" -> Seq("n_nationkey" -> num _, "n_name" -> str _, "n_regionkey" -> num _),
+      "customer" -> Seq("c_custkey" -> num _, "c_name" -> str _, "c_nationkey" -> num _,
+        "c_acctbal" -> num _, "c_mktsegment" -> str _),
+      "supplier" -> Seq("s_suppkey" -> num _, "s_name" -> str _, "s_nationkey" -> num _,
+        "s_acctbal" -> num _),
+      "part" -> Seq("p_partkey" -> num _, "p_name" -> str _, "p_brand" -> str _,
+        "p_type" -> str _, "p_size" -> num _, "p_retailprice" -> num _),
+      "orders" -> Seq("o_orderkey" -> num _, "o_custkey" -> num _, "o_orderstatus" -> str _,
+        "o_totalprice" -> num _, "o_orderdate" -> time _, "o_orderpriority" -> str _),
+      "lineitem" -> Seq("l_orderkey" -> num _, "l_partkey" -> num _, "l_suppkey" -> num _,
+        "l_linenumber" -> num _, "l_quantity" -> num _, "l_extendedprice" -> num _,
+        "l_discount" -> num _, "l_tax" -> num _, "l_returnflag" -> str _,
+        "l_linestatus" -> str _, "l_shipdate" -> time _),
+      "events" -> Seq("event_id" -> num _, "ts" -> tsVintage _, "user_id" -> num _,
+        "event_type" -> str _, "value" -> num _, "props" -> str _),
+      "documents" -> Seq("doc_id" -> num _, "text" -> str _, "lang" -> str _,
+        "source" -> str _, "n_chars" -> num _),
+      "embeddings" -> Seq("vec_id" -> num _,
+        "embedding" -> ((dt: DataType) => dt match {
+          case ArrayType(et, _) => et == FloatType || et == DoubleType
+          case _ => false
+        }),
+        "label" -> num _))
+    // the nanos conf must be live BEFORE the events footer read or a NANOS
+    // vintage fails the probe itself with an unrelated error
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val problems = contract.flatMap { case (name, cols) =>
+      scala.util.Try(t(name).schema) match {
+        case scala.util.Failure(e) =>
+          Seq(s"$name: unreadable ($e)")
+        case scala.util.Success(schema) =>
+          val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+          cols.flatMap { case (c, ok) =>
+            byName.get(c) match {
+              case None => Some(s"$name.$c: missing (have ${schema.fieldNames.mkString(",")})")
+              case Some(dt) if !ok(dt) => Some(s"$name.$c: unexpected type $dt")
+              case _ => None
+            }
+          }
+      }
+    }
+    if (problems.nonEmpty)
+      throw new IllegalStateException(
+        s"graft data-vintage mismatch under $dir — the driver's testdata " +
+          s"shape changed; fix graft.sources.Tables before anything else:\n  " +
+          problems.mkString("\n  "))
+  }
 }
