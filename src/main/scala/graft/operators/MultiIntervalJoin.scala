@@ -62,6 +62,48 @@ object MultiIntervalJoin {
       .drop(n("_bin"), n("_rbin"), n("_livs"), n("_rivs"))
   }
 
+  /** Whale-bin guard for [[overlapPairsMulti]]: each bin's PER-SIDE
+    * membership is capped to the `cap` rows with the earliest minimum
+    * interval start (ties by the caller's `lId`/`rId`) — the same
+    * deterministic-undercount contract as [[RangeJoin.overlapPairsCapped]]
+    * and the LSH whale-bucket cap. The per-bin join is quadratic in bin
+    * occupancy, and at 100 TB one hot wall-clock hour (everyone's session
+    * list touches the product-launch bin) otherwise owns the stage.
+    * Output is a deterministic SUBSET of the uncapped pairs — never an
+    * invention — and cap ≥ max occupancy recovers exactness (both
+    * spec-proven). Costs one rank window per side, keyed on the bin the
+    * join shuffles on anyway. */
+  def overlapPairsMultiCapped(left: DataFrame, lIvs: String, lId: String,
+                              right: DataFrame, rIvs: String, rId: String,
+                              binWidth: Long, cap: Int): DataFrame = {
+    val n = RangeJoin.fresh((left.columns ++ right.columns).toSet,
+      Seq("_bin", "_rbin", "_livs", "_rivs", "_rk", "_minS"))
+    def prepped(df: DataFrame, ivs: String, id: String, tIvs: String, bin: String) = df
+      .withColumn(tIvs, col(ivs))
+      .withColumn(bin, explode(array_distinct(flatten(expr(
+        s"transform(`$tIvs`, iv -> sequence(iv.s div $binWidth, iv.e div $binWidth))")))))
+      .withColumn(n("_minS"), expr(
+        s"aggregate(`$tIvs`, CAST(NULL AS BIGINT), (acc, x) -> " +
+          "CASE WHEN acc IS NULL OR x.s < acc THEN x.s ELSE acc END)"))
+      .withColumn(n("_rk"), org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(bin))
+          .orderBy(col(n("_minS")), col(id))))
+      .where(col(n("_rk")) <= cap).drop(n("_rk"), n("_minS"))
+    val l = prepped(left, lIvs, lId, n("_livs"), n("_bin"))
+    val r = prepped(right, rIvs, rId, n("_rivs"), n("_rbin"))
+    val attr = expr(
+      s"""aggregate(
+         |  flatten(transform(`${n("_livs")}`, a -> transform(`${n("_rivs")}`, b ->
+         |    IF(a.s <= b.e AND b.s <= a.e,
+         |       greatest(a.s, b.s) div $binWidth, CAST(NULL AS BIGINT))))),
+         |  CAST(NULL AS BIGINT),
+         |  (acc, x) -> CASE WHEN x IS NULL THEN acc
+         |                   WHEN acc IS NULL THEN x
+         |                   WHEN x < acc THEN x ELSE acc END)""".stripMargin)
+    l.join(r, l(n("_bin")) === r(n("_rbin")) && attr === l(n("_bin")))
+      .drop(n("_bin"), n("_rbin"), n("_livs"), n("_rivs"))
+  }
+
   /** Overlapping stays: user pairs whose gap-based sessions ("stays")
     * overlap in wall-clock time — the concurrent-sessions question asked
     * at USER grain, where each user's whole session LIST is one row's

@@ -46,14 +46,19 @@ object RunReport {
     * queries over `history()`. Append-only parquet, one directory per
     * run id, so landing is idempotent per run. */
   def land(spark: SparkSession, dir: String, runId: Long,
-           report: Option[DagReport], outcomes: Seq[Outcome]): Unit = {
+           report: Option[DagReport], outcomes: Seq[Outcome],
+           attempts: Map[String, ExternalTask.Attempts] = Map.empty): Unit = {
     import spark.implicits._
+    // external-task retry accounting rides along (0/0 for in-DAG tasks):
+    // "how flaky is the external service" becomes a history query
+    def att(id: String) = attempts.get(id)
     val rows =
-      outcomes.map(o => (o.id, o.status, o.durationMs, false)) ++
-        report.toSeq.flatMap(_.skipped.map(id => (id, "ok", 0L, true)))
+      outcomes.map(o => (o.id, o.status, o.durationMs, false,
+        att(o.id).map(_.submits).getOrElse(0), att(o.id).map(_.polls).getOrElse(0))) ++
+        report.toSeq.flatMap(_.skipped.map(id => (id, "ok", 0L, true, 0, 0)))
     // run_id lives in the partition directory, not the file columns —
     // the partitioned read infers it back
-    rows.toDF("task", "status", "duration_ms", "skipped")
+    rows.toDF("task", "status", "duration_ms", "skipped", "n_submits", "n_polls")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/run_id=$runId")
   }
 
@@ -83,5 +88,44 @@ object RunReport {
         b ++= s"blocked downstream: ${notReached.mkString(", ")}\n"
     }
     b.result()
+  }
+
+  /** A rendered notification: subject + body, ready for any transport. */
+  final case class Notification(subject: String, body: String)
+
+  /** Transport plug — the reference renders a template and SMTP-sends it
+    * (scripts/email_client.py: Config → build_message_body → send); the
+    * engine owns rendering only, transport stays injected. Deployments
+    * bind SMTP/webhook/pager here; specs and the default harness bind
+    * [[RecordingNotifier]]. */
+  trait Notifier { def send(n: Notification): Unit }
+
+  /** Capture-only transport: what the pipeline WOULD have sent, as data. */
+  final class RecordingNotifier extends Notifier {
+    val sent = mutable.ArrayBuffer.empty[Notification]
+    def send(n: Notification): Unit = sent += n
+  }
+
+  /** Render the full notification in the reference template's shape
+    * (templates/template_email.txt: status headline, execution-summary
+    * section, error-message section, logfile pointer) over the engine's
+    * own outcome data, then hand it to `notifier`. Subject carries the
+    * configured prefix plus the run status, like `Config.set_subject`. */
+  def notify(notifier: Notifier, prefix: String, report: Option[DagReport],
+             outcomes: Seq[Outcome], allTasks: Seq[String],
+             logFile: Option[String] = None): Notification = {
+    val failed = outcomes.filter(_.status.startsWith("FAILED"))
+    val status =
+      if (failed.nonEmpty) "Errors found!" else "Completed successfully"
+    val b = new StringBuilder
+    b ++= s"Pipeline status: $status\n\n"
+    b ++= "Execution Summary\n"
+    b ++= "-" * 69 + "\n"
+    b ++= body(prefix, report, outcomes, allTasks)
+    logFile.foreach(f =>
+      b ++= s"\nAdditional information can be retrieved from the logfile: $f\n")
+    val n = Notification(s"$prefix ${if (failed.nonEmpty) "FAILED" else "SUCCESS"}", b.result())
+    notifier.send(n)
+    n
   }
 }

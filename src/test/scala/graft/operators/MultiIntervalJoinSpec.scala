@@ -67,6 +67,21 @@ class MultiIntervalJoinSpec extends AnyFunSuite {
     }, "caller columns must pass through untouched")
   }
 
+  test("whale-bin cap: deterministic undercount, monotone in cap, exact when cap covers occupancy") {
+    val a = df("a_id", "a_ivs")
+    val b = df("b_id", "b_ivs")
+    def capped(cap: Int): Set[(Long, Long)] =
+      MultiIntervalJoin.overlapPairsMultiCapped(a, "a_ivs", "a_id", b, "b_ivs", "b_id", 64L, cap)
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val full = naive
+    val c4 = capped(4)
+    val c16 = capped(16)
+    assert(c4.subsetOf(c16) && c16.subsetOf(full), "cap must be monotone and never invent pairs")
+    assert(c4.size < full.size, "cap=4 on 60 interval-set rows must actually drop pairs")
+    assert(capped(rows.size) == full, "cap beyond any bin's occupancy recovers exactness")
+  }
+
   test("disjoint sets emit nothing; touching endpoints count (inclusive)") {
     def one(id: Long, ivs: Seq[(Long, Long)], idc: String, ivc: String) =
       Seq((id, ivs)).toDF(idc, "_raw")

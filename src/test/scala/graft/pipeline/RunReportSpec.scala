@@ -47,6 +47,29 @@ class RunReportSpec extends AnyFunSuite {
     assert(hist.forall(_._3 == "ok"))
   }
 
+  test("notifier receives the template-shaped notification; transport stays pluggable") {
+    val (tasks, log) = RunReport.instrument(Seq(
+      task("sync", Nil),
+      task("load", Seq("sync"), fail = true)))
+    intercept[RuntimeException](new Dag(tasks).execute(new InMemorySignalStore))
+    val rec = new RunReport.RecordingNotifier
+    val n = RunReport.notify(rec, "[graft]", None, log.values.toSeq, tasks.map(_.id),
+      logFile = Some("/var/log/graft.log"))
+    assert(rec.sent == Seq(n), "send goes through the injected transport")
+    assert(n.subject == "[graft] FAILED")
+    assert(n.body.startsWith("Pipeline status: Errors found!"))
+    assert(n.body.contains("Execution Summary"))
+    assert(n.body.contains("== errors ==") && n.body.contains("load: boom-load"))
+    assert(n.body.contains("logfile: /var/log/graft.log"))
+    // success shape
+    val (ok, okLog) = RunReport.instrument(Seq(task("sync", Nil)))
+    val r = new Dag(ok).execute(new InMemorySignalStore)
+    val n2 = RunReport.notify(new RunReport.RecordingNotifier, "[graft]",
+      Some(r), okLog.values.toSeq, ok.map(_.id))
+    assert(n2.subject == "[graft] SUCCESS")
+    assert(n2.body.startsWith("Pipeline status: Completed successfully"))
+  }
+
   test("failure body names the dead task and the downstream it blocked") {
     val (tasks, log) = RunReport.instrument(Seq(
       task("sync", Nil),
