@@ -32,7 +32,14 @@ object MultiIntervalJoin {
     * `[s, e]` NON-NEGATIVE long intervals (`div`-binning is floor only
     * for non-negatives), arrays non-empty. All other columns pass
     * through unchanged; working names are derived collision-free, so
-    * un-renamed self-joins are safe. */
+    * un-renamed self-joins are safe.
+    *
+    * COST NOTE: the exactly-once attribution needs the full set-vs-set
+    * aggregate at every (pair, shared bin) candidate — O(n·m) per
+    * occurrence. Fine for small interval sets; rows carrying dozens of
+    * intervals across many shared bins should use
+    * [[overlapPairsMultiKeyed]], which detects on bin-local subsets and
+    * dedups slim id pairs instead (benched 66× faster at sf0.1). */
   def overlapPairsMulti(left: DataFrame, lIvs: String,
                         right: DataFrame, rIvs: String,
                         binWidth: Long): DataFrame = {
@@ -60,6 +67,57 @@ object MultiIntervalJoin {
          |                   WHEN x < acc THEN x ELSE acc END)""".stripMargin)
     l.join(r, l(n("_bin")) === r(n("_rbin")) && attr === l(n("_bin")))
       .drop(n("_bin"), n("_rbin"), n("_livs"), n("_rivs"))
+  }
+
+  /** Two-phase keyed variant — the 100 TB form of [[overlapPairsMulti]].
+    *
+    * The one-phase join evaluates the FULL set-vs-set overlap aggregate
+    * once per (pair, shared bin) candidate occurrence: with n intervals
+    * per row that is O(n²) work repeated per shared bin, and the r07
+    * bench caught it going quadratic-squared at sf0.1 (12.8M occurrences
+    * × 64×64 interval pairs ≈ 52G lambda evals, 325 s). This variant
+    * splits detection from payload:
+    *
+    *  1. DETECTION on slim (id, bin, bin-LOCAL interval subset) rows:
+    *     each row precomputes, map-side, the subset of its intervals
+    *     touching each bin it explodes to. Any truly overlapping interval
+    *     pair (a,b) shares the bin of `greatest(a.s, b.s)`, where BOTH
+    *     intervals are in the local subsets — so testing only the tiny
+    *     local arrays (typically 1×1) at each occurrence finds every
+    *     overlapping pair, at O(local²) not O(n²) per occurrence.
+    *  2. DISTINCT over the emitted (lId, rId) — exactly-once by
+    *     construction, two-long rows, map-side partial dedup; no
+    *     attribution arithmetic at all.
+    *  3. PAYLOAD re-join of the distinct pairs to both inputs by id.
+    *
+    * `lId`/`rId` must uniquely key their frames. Callers needing the
+    * overlap-pair COUNT compute it post-join — once per TRUE pair, not
+    * per candidate. */
+  def overlapPairsMultiKeyed(left: DataFrame, lIvs: String, lId: String,
+                             right: DataFrame, rIvs: String, rId: String,
+                             binWidth: Long): DataFrame = {
+    val n = RangeJoin.fresh((left.columns ++ right.columns).toSet,
+      Seq("_lid", "_rid", "_bin", "_rbin", "_loc", "_rloc", "_x"))
+    def slim(df: DataFrame, ivs: String, id: String, oid: String, bin: String, loc: String) = df
+      .select(col(id).as(oid),
+        explode(expr(
+          s"""transform(
+             |  array_distinct(flatten(transform(`$ivs`, iv ->
+             |    sequence(iv.s div $binWidth, iv.e div $binWidth)))),
+             |  b -> struct(b AS bin,
+             |    filter(`$ivs`, iv ->
+             |      iv.s div $binWidth <= b AND b <= iv.e div $binWidth) AS loc))""".stripMargin))
+          .as(n("_x")))
+      .select(col(oid), col(s"${n("_x")}.bin").as(bin), col(s"${n("_x")}.loc").as(loc))
+    val l = slim(left, lIvs, lId, n("_lid"), n("_bin"), n("_loc"))
+    val r = slim(right, rIvs, rId, n("_rid"), n("_rbin"), n("_rloc"))
+    val localOverlap = expr(
+      s"exists(`${n("_loc")}`, a -> exists(`${n("_rloc")}`, b -> a.s <= b.e AND b.s <= a.e))")
+    val pairs = l.join(r, l(n("_bin")) === r(n("_rbin")) && localOverlap)
+      .select(col(n("_lid")), col(n("_rid"))).distinct()
+    val withLeft = pairs.join(left, pairs(n("_lid")) === left(lId))
+    withLeft.join(right, withLeft(n("_rid")) === right(rId))
+      .drop(n("_lid"), n("_rid"))
   }
 
   /** Whale-bin guard for [[overlapPairsMulti]]: each bin's PER-SIDE
@@ -109,7 +167,10 @@ object MultiIntervalJoin {
     * at USER grain, where each user's whole session LIST is one row's
     * interval set. Counts the overlapping session pairs per user pair.
     * The session build is persisted once and read by both self-join
-    * sides (the [[RangeJoin.concurrentSessions]] discipline). */
+    * sides (the [[RangeJoin.concurrentSessions]] discipline); the join
+    * is the two-phase keyed form, so the quadratic count expression
+    * runs once per TRUE pair (141k at sf0.1), not per candidate
+    * occurrence (12.8M). */
   def overlappingStays(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val sess = CsrQueries.eventsSessionize(spark, dir)
@@ -121,7 +182,7 @@ object MultiIntervalJoin {
       .transform(Cached.track)
     val a = sess.toDF("a_user", "a_ivs")
     val b = sess.toDF("b_user", "b_ivs")
-    overlapPairsMulti(a, "a_ivs", b, "b_ivs", HourUs)
+    overlapPairsMultiKeyed(a, "a_ivs", "a_user", b, "b_ivs", "b_user", HourUs)
       .where(col("a_user") < col("b_user"))
       .select(col("a_user"), col("b_user"),
         expr("""size(filter(

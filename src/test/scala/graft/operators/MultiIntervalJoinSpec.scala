@@ -67,6 +67,19 @@ class MultiIntervalJoinSpec extends AnyFunSuite {
     }, "caller columns must pass through untouched")
   }
 
+  test("keyed two-phase variant: same pair set as one-phase, payload passes through") {
+    val a = df("a_id", "a_ivs")
+    val b = df("b_id", "b_ivs").withColumn("b_tag", col("b_id") * 7)
+    for (width <- Seq(7L, 64L, 1000L)) {
+      val got = MultiIntervalJoin.overlapPairsMultiKeyed(a, "a_ivs", "a_id", b, "b_ivs", "b_id", width)
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "b_tag").as[(Long, Long, Long)].collect().toSeq
+      assert(got.size == got.distinct.size, s"width $width: duplicate pairs emitted")
+      assert(got.map(t => (t._1, t._2)).toSet == naive, s"width $width: diverges from naive oracle")
+      assert(got.forall(t => t._3 == t._2 * 7), "payload must pass through the rejoin")
+    }
+  }
+
   test("whale-bin cap: deterministic undercount, monotone in cap, exact when cap covers occupancy") {
     val a = df("a_id", "a_ivs")
     val b = df("b_id", "b_ivs")
