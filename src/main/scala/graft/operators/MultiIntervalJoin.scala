@@ -173,6 +173,7 @@ object MultiIntervalJoin {
     * occurrence (12.8M). */
   def overlappingStays(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    graft.plans.VectorExpressions.register(spark)
     val sess = CsrQueries.eventsSessionize(spark, dir)
       .select(col("user_id"),
         struct(unix_micros(col("session_start")).as("s"),
@@ -184,10 +185,11 @@ object MultiIntervalJoin {
     val b = sess.toDF("b_user", "b_ivs")
     overlapPairsMultiKeyed(a, "a_ivs", "a_user", b, "b_ivs", "b_user", HourUs)
       .where(col("a_user") < col("b_user"))
+      // per-pair overlap count via the codegen two-pointer kernel
+      // (b_ivs is sort_array-built, satisfying the sorted-right contract);
+      // the lambda formulation pays ~200 ns per of the n·m pair evals
       .select(col("a_user"), col("b_user"),
-        expr("""size(filter(
-          flatten(transform(a_ivs, x -> transform(b_ivs, y ->
-            x.s <= y.e AND y.s <= x.e))), z -> z))""").cast("long")
+        graft.plans.VectorExpressions.intervalOverlapCount(col("a_ivs"), col("b_ivs"))
           .as("n_overlap_pairs"))
   }
 

@@ -151,6 +151,89 @@ case class HexPrefix(child: Expression, nChars: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of overlapping interval pairs between two `array<struct<s: long,
+  * e: long>>` columns (inclusive `[s, e]`): |{(i,j) : a[i].s ≤ b[j].e AND
+  * b[j].s ≤ a[i].e}|. PRECONDITION: the RIGHT array is sorted ascending by
+  * `s` (the `sort_array(collect_list(...))` build order); left order is
+  * irrelevant.
+  *
+  * Exists because the higher-order-function formulation —
+  * `size(filter(flatten(transform(a, x -> transform(b, y -> ...)))))` —
+  * materializes and lambda-evaluates all n·m pairs (~200 ns per lambda
+  * eval measured in the r07 bench, 325 s for the one-phase multi-interval
+  * join at sf0.1). This kernel is O(m log m + n log m): b's starts are
+  * already sorted (binary-searchable), b's ends are sorted once per eval,
+  * and each left interval contributes `#(b.s ≤ a.e) − #(b.e < a.s)`
+  * (every b with b.e < a.s also satisfies b.s ≤ a.e, so the difference is
+  * exactly the overlap count) — inside whole-stage codegen, no boxing. */
+case class IntervalOverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_interval_overlap_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    val bs = new Array[Long](m); val be = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val r = y.getStruct(j, 2)
+      bs(j) = r.getLong(0); be(j) = r.getLong(1)
+      j += 1
+    }
+    java.util.Arrays.sort(be)
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      val ra = x.getStruct(i, 2)
+      val as = ra.getLong(0); val ae = ra.getLong(1)
+      var lo = 0; var hi = m
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (bs(mid) <= ae) lo = mid + 1 else hi = mid }
+      val ub = lo
+      lo = 0; hi = m
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (be(mid) < as) lo = mid + 1 else hi = mid }
+      cnt += ub - lo
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val bs = ctx.freshName("bs"); val be = ctx.freshName("be")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val r = ctx.freshName("r"); val as = ctx.freshName("as"); val ae = ctx.freshName("ae")
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi"); val mid = ctx.freshName("mid")
+      val ub = ctx.freshName("ub"); val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |long[] $bs = new long[$m]; long[] $be = new long[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $r = $b.getStruct($j, 2);
+         |  $bs[$j] = $r.getLong(0); $be[$j] = $r.getLong(1);
+         |}
+         |java.util.Arrays.sort($be);
+         |long $cnt = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $r = $a.getStruct($i, 2);
+         |  long $as = $r.getLong(0); long $ae = $r.getLong(1);
+         |  int $lo = 0; int $hi = $m;
+         |  while ($lo < $hi) { int $mid = ($lo + $hi) >>> 1; if ($bs[$mid] <= $ae) $lo = $mid + 1; else $hi = $mid; }
+         |  int $ub = $lo;
+         |  $lo = 0; $hi = $m;
+         |  while ($lo < $hi) { int $mid = ($lo + $hi) >>> 1; if ($be[$mid] < $as) $lo = $mid + 1; else $hi = $mid; }
+         |  $cnt += $ub - $lo;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Idempotent per-session registration; queries call this so the
     * functions exist no matter which session (driver-created included)
@@ -165,11 +248,15 @@ object VectorExpressions {
     registry.createOrReplaceTempFunction("graft_hex_prefix",
       exprs => HexPrefix(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    registry.createOrReplaceTempFunction("graft_interval_overlap_count",
+      exprs => IntervalOverlapCount(exprs.head, exprs(1)), "built-in")
   }
 
   /** Column-level handles (resolve through the function registry). */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def intervalOverlapCount(a: Column, b: Column): Column =
+    call_function("graft_interval_overlap_count", a, b)
   def hexPrefix(c: Column, nChars: Int): Column =
     call_function("graft_hex_prefix", c, org.apache.spark.sql.functions.lit(nChars))
 }

@@ -107,6 +107,28 @@ class MultiIntervalJoinSpec extends AnyFunSuite {
     assert(MultiIntervalJoin.overlapPairsMulti(a, "a_ivs", touch, "b_ivs", 8L).count() == 1)
   }
 
+  test("interval overlap-count kernel matches the quadratic lambda formulation") {
+    graft.plans.VectorExpressions.register(spark)
+    // sort right side: the kernel's contract (sort_array build order)
+    val a = df("a_id", "a_ivs")
+    val b = df("b_id", "b_ivs").withColumn("b_ivs", sort_array(col("b_ivs")))
+    val both = a.crossJoin(b).select(
+      graft.plans.VectorExpressions.intervalOverlapCount(col("a_ivs"), col("b_ivs")).as("fast"),
+      expr("""CAST(size(filter(
+        flatten(transform(a_ivs, x -> transform(b_ivs, y ->
+          x.s <= y.e AND y.s <= x.e))), z -> z)) AS BIGINT)""").as("naive"))
+      .as[(Long, Long)].collect()
+    assert(both.length == rows.size * rows.size)
+    assert(both.forall { case (f, nv) => f == nv }, "kernel must equal the n*m lambda count")
+    // empty side → 0
+    val e = Seq((1L, Seq.empty[(Long, Long)])).toDF("a_id", "_raw")
+      .withColumn("a_ivs", expr("transform(_raw, x -> named_struct('s', x._1, 'e', x._2))"))
+    val z = e.crossJoin(b.limit(3))
+      .select(graft.plans.VectorExpressions.intervalOverlapCount(col("a_ivs"), col("b_ivs")))
+      .as[Long].collect()
+    assert(z.forall(_ == 0L))
+  }
+
   test("registered overlapping-stays query returns sane user pairs at sf0.001") {
     val out = MultiIntervalJoin.overlappingStays(spark, TestSpark.Sf0001)
     val r = out.select("a_user", "b_user", "n_overlap_pairs")
