@@ -30,6 +30,7 @@ object SparkEntry {
     operators.GraphQueries.queries,
     operators.RangeJoin.queries,
     operators.MultiIntervalJoin.queries,
+    operators.IntervalCoverage.queries,
     operators.NgsQueries.queries,
   )
 

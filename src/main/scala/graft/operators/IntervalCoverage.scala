@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval coverage / union-measure operators (SURVEY §8j(as)) — the
+  * complement of the overlap JOIN: how much wall-clock is covered by a
+  * set of overlapping intervals, in how many contiguous blocks.
+  *
+  * The classic formulation is a sweep line: sort by start, track the
+  * running max end, open a new block when a start clears it. A naive
+  * per-key sweep is a single-partition sort per key — with few, hot keys
+  * (event types) that is one core per key at 100 TB. The plan here
+  * DECOMPOSES the sweep by day first: every interval is clipped to the
+  * half-open day windows it spans, and because days partition the
+  * timeline, the union measure of the originals is EXACTLY the sum of
+  * the per-(key, day) clip-union measures. The sweep window then runs
+  * per (key, day) — thousands of independent partitions, each bounded by
+  * one day's intervals — and a final hash aggregate folds days back to
+  * the key. Block counts are reported at day grain (`n_day_blocks`: a
+  * block crossing midnight counts once per day it touches) — the
+  * decomposable, deterministic statistic. */
+object IntervalCoverage {
+
+  private val DayUs = 86400000000L
+
+  /** Per-(key, day) sweep over half-open [cs, ce) clips: `new_block`
+    * when a clip's start clears the running max end of its predecessors
+    * (ties are order-invariant: zero-length clips are dropped, so any
+    * tied predecessor's end strictly exceeds the shared start). */
+  private def dayBlocks(iv: DataFrame, key: String): DataFrame = {
+    val clipped = iv
+      .withColumn("day", explode(expr(s"sequence(s_us div $DayUs, e_us div $DayUs)")))
+      .withColumn("cs", greatest(col("s_us"), col("day") * DayUs))
+      .withColumn("ce", least(col("e_us"), (col("day") + 1) * DayUs))
+      .where(col("cs") < col("ce"))
+    val w = Window.partitionBy(col(key), col("day")).orderBy(col("cs"))
+    clipped
+      .withColumn("prev_max_e", max(col("ce")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_block",
+        when(col("prev_max_e").isNull || col("cs") >= col("prev_max_e"), 1L).otherwise(0L))
+      .withColumn("block", sum(col("new_block")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(key), col("day"), col("block"))
+      .agg((max(col("ce")) - min(col("cs"))).as("block_us"))
+  }
+
+  /** Coverage of each event type's activity: typed per-user gap sessions
+    * (30-min inactivity closes one), unioned ACROSS users per type —
+    * users genuinely overlap, so this exercises real interval-union
+    * merging, not the disjoint-by-construction per-user case. Output per
+    * type: covered wall-clock micros, day-grain block count, longest
+    * day-grain block. */
+  def typeCoverage(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val wOrd = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = Tables(dir).events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("event_type"), col("session_seq"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+        // half-open [s, e+1): a single-event session covers one micro,
+        // so every session contributes measure and the zero-length
+        // degenerate case never reaches the sweep
+        (max(unix_micros(col("ts"))) + 1).as("e_us"))
+    coverageOf(sessions, "event_type")
+  }
+
+  /** Union measure of half-open `[s_us, e_us)` intervals per `key`:
+    * (key, covered_us, n_day_blocks, max_block_us). Inputs may overlap
+    * arbitrarily within a key; zero-length intervals contribute
+    * nothing. */
+  def coverageOf(iv: DataFrame, key: String): DataFrame =
+    dayBlocks(iv, key)
+      .groupBy(col(key))
+      .agg(sum(col("block_us")).as("covered_us"),
+        count(lit(1)).as("n_day_blocks"),
+        max(col("block_us")).as("max_block_us"))
+
+  private val typeCoverageSql =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT user_id, event_type, ts,
+       |    SUM(new_sess) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM flagged),
+       |sess AS (
+       |  SELECT user_id, event_type, session_seq,
+       |    epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) + 1 AS e_us
+       |  FROM numbered GROUP BY 1, 2, 3),
+       |clipped AS (
+       |  SELECT event_type, d.day,
+       |    GREATEST(s_us, d.day * ${DayUs}) AS cs,
+       |    LEAST(e_us, (d.day + 1) * ${DayUs}) AS ce
+       |  FROM sess, LATERAL (
+       |    SELECT UNNEST(range(s_us // ${DayUs}, e_us // ${DayUs} + 1)) AS day) d
+       |  WHERE GREATEST(s_us, d.day * ${DayUs}) < LEAST(e_us, (d.day + 1) * ${DayUs})),
+       |swept AS (
+       |  SELECT event_type, day, cs, ce,
+       |    CASE WHEN MAX(ce) OVER (PARTITION BY event_type, day ORDER BY cs
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |           OR cs >= MAX(ce) OVER (PARTITION BY event_type, day ORDER BY cs
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |         THEN 1 ELSE 0 END AS new_block
+       |  FROM clipped),
+       |blocks AS (
+       |  SELECT event_type, day,
+       |    SUM(new_block) OVER (PARTITION BY event_type, day ORDER BY cs
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block,
+       |    cs, ce
+       |  FROM swept),
+       |block_spans AS (
+       |  SELECT event_type, day, block, MAX(ce) - MIN(cs) AS block_us
+       |  FROM blocks GROUP BY 1, 2, 3)
+       |SELECT event_type, CAST(SUM(block_us) AS BIGINT) AS covered_us,
+       |  COUNT(*) AS n_day_blocks, MAX(block_us) AS max_block_us
+       |FROM block_spans GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "events_type_coverage" -> Q(typeCoverage _, typeCoverageSql, Seq(col("event_type"))),
+  )
+}

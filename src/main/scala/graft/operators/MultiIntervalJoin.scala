@@ -120,6 +120,48 @@ object MultiIntervalJoin {
       .drop(n("_lid"), n("_rid"))
   }
 
+  /** Whale-bin guard for [[overlapPairsMultiKeyed]] (§8j(at)): the
+    * two-phase detection join is quadratic in per-bin occupancy, and one
+    * hot wall-clock bin (everyone active during the launch hour) owns
+    * the stage at 100 TB. Each bin's PER-SIDE membership is capped to
+    * the `cap` rows whose bin-LOCAL intervals start earliest (ties by
+    * id) — the same deterministic-undercount contract as every other
+    * whale cap in the repo: output is a SUBSET of the uncapped pairs,
+    * monotone in `cap`, exact once `cap` covers the max occupancy (all
+    * spec-proven). Costs one rank window per side on the bin key the
+    * join shuffles on anyway; the payload rejoin is unchanged. */
+  def overlapPairsMultiKeyedCapped(left: DataFrame, lIvs: String, lId: String,
+                                   right: DataFrame, rIvs: String, rId: String,
+                                   binWidth: Long, cap: Int): DataFrame = {
+    val n = RangeJoin.fresh((left.columns ++ right.columns).toSet,
+      Seq("_lid", "_rid", "_bin", "_rbin", "_loc", "_rloc", "_x", "_rk"))
+    def slim(df: DataFrame, ivs: String, id: String, oid: String, bin: String, loc: String) = df
+      .select(col(id).as(oid),
+        explode(expr(
+          s"""transform(
+             |  array_distinct(flatten(transform(`$ivs`, iv ->
+             |    sequence(iv.s div $binWidth, iv.e div $binWidth)))),
+             |  b -> struct(b AS bin,
+             |    filter(`$ivs`, iv ->
+             |      iv.s div $binWidth <= b AND b <= iv.e div $binWidth) AS loc))""".stripMargin))
+          .as(n("_x")))
+      .select(col(oid), col(s"${n("_x")}.bin").as(bin), col(s"${n("_x")}.loc").as(loc))
+      .withColumn(n("_rk"), org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(bin))
+          .orderBy(expr(s"aggregate(`$loc`, CAST(NULL AS BIGINT), (acc, x) -> " +
+            "CASE WHEN acc IS NULL OR x.s < acc THEN x.s ELSE acc END)"), col(oid))))
+      .where(col(n("_rk")) <= cap).drop(n("_rk"))
+    val l = slim(left, lIvs, lId, n("_lid"), n("_bin"), n("_loc"))
+    val r = slim(right, rIvs, rId, n("_rid"), n("_rbin"), n("_rloc"))
+    val localOverlap = expr(
+      s"exists(`${n("_loc")}`, a -> exists(`${n("_rloc")}`, b -> a.s <= b.e AND b.s <= a.e))")
+    val pairs = l.join(r, l(n("_bin")) === r(n("_rbin")) && localOverlap)
+      .select(col(n("_lid")), col(n("_rid"))).distinct()
+    val withLeft = pairs.join(left, pairs(n("_lid")) === left(lId))
+    withLeft.join(right, withLeft(n("_rid")) === right(rId))
+      .drop(n("_lid"), n("_rid"))
+  }
+
   /** Whale-bin guard for [[overlapPairsMulti]]: each bin's PER-SIDE
     * membership is capped to the `cap` rows with the earliest minimum
     * interval start (ties by the caller's `lId`/`rId`) — the same

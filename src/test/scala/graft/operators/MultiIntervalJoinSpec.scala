@@ -107,6 +107,21 @@ class MultiIntervalJoinSpec extends AnyFunSuite {
     assert(MultiIntervalJoin.overlapPairsMulti(a, "a_ivs", touch, "b_ivs", 8L).count() == 1)
   }
 
+  test("keyed whale-bin cap: deterministic undercount, monotone, exact when cap covers occupancy") {
+    val a = df("a_id", "a_ivs")
+    val b = df("b_id", "b_ivs")
+    def capped(cap: Int): Set[(Long, Long)] =
+      MultiIntervalJoin.overlapPairsMultiKeyedCapped(a, "a_ivs", "a_id", b, "b_ivs", "b_id", 64L, cap)
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val full = naive
+    val c3 = capped(3)
+    val c12 = capped(12)
+    assert(c3.subsetOf(c12) && c12.subsetOf(full), "cap must be monotone and never invent pairs")
+    assert(c3.size < full.size, "cap=3 must actually drop pairs")
+    assert(capped(rows.size) == full, "cap beyond any bin's occupancy recovers exactness")
+  }
+
   test("interval overlap-count kernel matches the quadratic lambda formulation") {
     graft.plans.VectorExpressions.register(spark)
     // sort right side: the kernel's contract (sort_array build order)
