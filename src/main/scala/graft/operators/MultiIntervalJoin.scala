@@ -89,17 +89,18 @@ object MultiIntervalJoin {
     *     construction, two-long rows, map-side partial dedup; no
     *     attribution arithmetic at all.
     *  3. PAYLOAD re-join of the distinct pairs to both inputs by id.
-    *
-    * `lId`/`rId` must uniquely key their frames. Callers needing the
-    * overlap-pair COUNT compute it post-join — once per TRUE pair, not
-    * per candidate. */
-  def overlapPairsMultiKeyed(left: DataFrame, lIvs: String, lId: String,
-                             right: DataFrame, rIvs: String, rId: String,
-                             binWidth: Long): DataFrame = {
-    val n = RangeJoin.fresh((left.columns ++ right.columns).toSet,
-      Seq("_lid", "_rid", "_bin", "_rbin", "_loc", "_rloc", "_x"))
-    def slim(df: DataFrame, ivs: String, id: String, oid: String, bin: String, loc: String) = df
-      .select(col(id).as(oid),
+    */
+
+  /** Slim detection-side index of an interval-set table: one row per
+    * (id, touched bin) carrying the bin-LOCAL interval subset —
+    * `<prefix>id`, `<prefix>bin`, `<prefix>loc`. Built map-side (no
+    * shuffle); batch joins derive it inline, and serving paths stage it
+    * once per corpus state so a probe stream joins against the persisted
+    * index ([[graft.streaming.EventStreams.overlappingStaysStream]]). */
+  def binIndex(df: DataFrame, ivs: String, id: String,
+               binWidth: Long, prefix: String): DataFrame = {
+    val x = RangeJoin.fresh(df.columns.toSet, Seq("_x"))("_x")
+    df.select(col(id).as(s"${prefix}id"),
         explode(expr(
           s"""transform(
              |  array_distinct(flatten(transform(`$ivs`, iv ->
@@ -107,17 +108,29 @@ object MultiIntervalJoin {
              |  b -> struct(b AS bin,
              |    filter(`$ivs`, iv ->
              |      iv.s div $binWidth <= b AND b <= iv.e div $binWidth) AS loc))""".stripMargin))
-          .as(n("_x")))
-      .select(col(oid), col(s"${n("_x")}.bin").as(bin), col(s"${n("_x")}.loc").as(loc))
-    val l = slim(left, lIvs, lId, n("_lid"), n("_bin"), n("_loc"))
-    val r = slim(right, rIvs, rId, n("_rid"), n("_rbin"), n("_rloc"))
+          .as(x))
+      .select(col(s"${prefix}id"), col(s"$x.bin").as(s"${prefix}bin"), col(s"$x.loc").as(s"${prefix}loc"))
+  }
+
+  /** `lId`/`rId` must uniquely key their frames. Callers needing the
+    * overlap-pair COUNT compute it post-join — once per TRUE pair, not
+    * per candidate. (Full design rationale in the section comment
+    * above [[binIndex]].) */
+  def overlapPairsMultiKeyed(left: DataFrame, lIvs: String, lId: String,
+                             right: DataFrame, rIvs: String, rId: String,
+                             binWidth: Long): DataFrame = {
+    val n = RangeJoin.fresh((left.columns ++ right.columns).toSet,
+      Seq("_l", "_r"))
+    val l = binIndex(left, lIvs, lId, binWidth, n("_l"))
+    val r = binIndex(right, rIvs, rId, binWidth, n("_r"))
+    val (lid, rid) = (s"${n("_l")}id", s"${n("_r")}id")
     val localOverlap = expr(
-      s"exists(`${n("_loc")}`, a -> exists(`${n("_rloc")}`, b -> a.s <= b.e AND b.s <= a.e))")
-    val pairs = l.join(r, l(n("_bin")) === r(n("_rbin")) && localOverlap)
-      .select(col(n("_lid")), col(n("_rid"))).distinct()
-    val withLeft = pairs.join(left, pairs(n("_lid")) === left(lId))
-    withLeft.join(right, withLeft(n("_rid")) === right(rId))
-      .drop(n("_lid"), n("_rid"))
+      s"exists(`${n("_l")}loc`, a -> exists(`${n("_r")}loc`, b -> a.s <= b.e AND b.s <= a.e))")
+    val pairs = l.join(r, l(s"${n("_l")}bin") === r(s"${n("_r")}bin") && localOverlap)
+      .select(col(lid), col(rid)).distinct()
+    val withLeft = pairs.join(left, pairs(lid) === left(lId))
+    withLeft.join(right, withLeft(rid) === right(rId))
+      .drop(lid, rid)
   }
 
   /** Whale-bin guard for [[overlapPairsMultiKeyed]] (§8j(at)): the

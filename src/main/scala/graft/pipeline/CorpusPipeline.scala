@@ -20,7 +20,23 @@ final case class CorpusConfig(
     workDir: String,    // staged outputs (gated/deduped/packed/balanced/skew)
     signalsDir: Path,
     sourcesConfigPath: Option[String] = None,
-    nearDup: Boolean = false)
+    nearDup: Boolean = false,
+    load: Option[ExternalLoad] = None)
+
+/** §8j(aw) — external serving-load hookup: after rebalance, `submit`
+  * triggers the external system's load of the balanced shards and `poll`
+  * reports its status, both driven through [[ExternalTask]]'s bounded
+  * retry/poll (the reference's post-load API step: trigger the after-load
+  * update, poll `update_status` to completion). The completed load's
+  * signal is the external system's content signature, so downstream
+  * consumers — and the no-op-rerun property — extend across the service
+  * boundary. `attemptLog` feeds [[RunReport.land]]'s retry columns. */
+final case class ExternalLoad(
+    submit: () => Unit,
+    poll: () => ExternalTask.PollStatus,
+    policy: ExternalTask.RetryPolicy = ExternalTask.RetryPolicy(),
+    attemptLog: scala.collection.concurrent.TrieMap[String, ExternalTask.Attempts] =
+      new scala.collection.concurrent.TrieMap)
 
 /** The training-data pipeline end-to-end, composed from graft operators
   * under the same [[Dag]] scheduler as the reference-shaped ETL
@@ -172,7 +188,7 @@ object CorpusPipeline {
       if (!cfg.nearDup) "exact"
       else s"neardup:${policy().shingleSize}:${policy().shingleSizeGroups.toSeq.sortBy(_._1)}"
 
-    new Dag(Seq(
+    val core = Seq(
       Task("quality_gate", Nil, run = qualityGate _,
         externalInput = () => s"${sig(cfg.docsDir)}\n${gatePolicySig()}"),
       Task("dedup", Seq("quality_gate"), dedup _,
@@ -182,7 +198,14 @@ object CorpusPipeline {
       Task("skew_report", Seq("rebalance"), skewReport _),
       Task("chunk_index", Seq("dedup"), chunkIndex _),
       Task("tokenize", Seq("dedup"), tokenize _),
-      Task("bpe_train", Seq("dedup"), bpeTrain _)))
+      Task("bpe_train", Seq("dedup"), bpeTrain _))
+    // poll-gated external load of the balanced shards (when configured):
+    // ordinary Dag task, so an unchanged shard set skips the external
+    // trigger entirely and a new corpus vintage re-loads exactly once
+    val loadTask = cfg.load.map(l =>
+      ExternalTask.task("load", Seq("rebalance"), l.submit, l.poll,
+        l.policy, l.attemptLog))
+    new Dag(core ++ loadTask)
   }
 
   /** Run with persistent `.done-<task>` signals under cfg.signalsDir. */

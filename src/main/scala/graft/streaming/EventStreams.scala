@@ -313,6 +313,29 @@ object EventStreams {
         col("v.state").as("state_at"), col("v.version_no").as("version_at"))
   }
 
+  /** §8j(ax) — streaming overlapping-stays: which KNOWN users' stays
+    * overlap an ARRIVING user's stay set. The batch keyed join's
+    * detection phase as a stream-static join: the static side is the
+    * staged [[graft.operators.MultiIntervalJoin.binIndex]] of the
+    * session-list table (built once per corpus state — the ann_*_served
+    * discipline), the stream side derives its own bin index row-locally
+    * (explode + transform, no state), the join keys on the hour bin and
+    * filters on the tiny bin-LOCAL subsets. `dropDuplicates` dedups the
+    * (probe, corpus) pair across shared bins — in a long-running
+    * deployment bound that state with a watermark on the probe's arrival
+    * time; the spec pins batch-mode equality to the batch keyed join. */
+  def overlappingStaysStream(stays: DataFrame, corpusIndex: DataFrame,
+                             binWidth: Long): DataFrame = {
+    val probe = graft.operators.MultiIntervalJoin.binIndex(
+      stays, "ivs", "user_id", binWidth, "p_")
+    val localOverlap = org.apache.spark.sql.functions.expr(
+      "exists(p_loc, a -> exists(c_loc, b -> a.s <= b.e AND b.s <= a.e))")
+    probe.join(corpusIndex, probe("p_bin") === corpusIndex("c_bin") && localOverlap)
+      .where(col("p_id") =!= col("c_id"))
+      .select(col("p_id").as("probe_user"), col("c_id").as("corpus_user"))
+      .dropDuplicates("probe_user", "corpus_user")
+  }
+
   /** One "user went quiet" alarm: last activity and when the silence was
     * established (event time — the watermark instant that proved it). */
   final case class SilenceAlarm(user_id: Long, last_seen: Timestamp, silent_events: Long)

@@ -132,4 +132,29 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val again = CorpusPipeline.run(spark, cfg.copy(nearDup = true))
     assert(again.ran.isEmpty && again.skipped.toSet == allTasks.toSet)
   }
+
+  test("poll-gated external load: runs after rebalance with retries, skips when nothing changed") {
+    import ExternalTask._
+    val cfg0 = freshCfg()
+    var submits = 0
+    var polls = 0
+    val log = new scala.collection.concurrent.TrieMap[String, Attempts]
+    val flaky = ExternalLoad(
+      submit = () => { submits += 1; if (submits == 1) sys.error("503") },
+      poll = () => { polls += 1; if (polls % 2 == 1) PollStatus.Pending else PollStatus.Completed("serving-v1") },
+      policy = RetryPolicy(submitAttempts = 3, maxPolls = 5, delayMs = 1L, sleep = _ => ()),
+      attemptLog = log)
+    val cfg = cfg0.copy(load = Some(flaky))
+    val first = CorpusPipeline.run(spark, cfg)
+    assert(first.ran.contains("load"))
+    assert(first.ran.indexOf("load") > first.ran.indexOf("rebalance"),
+      "load must wait for the balanced shards")
+    assert(log("load") == Attempts(submits = 2, polls = 2))
+    // unchanged corpus + unchanged service signal → the external trigger
+    // is NOT re-fired (the no-op property crosses the service boundary)
+    val before = submits
+    val second = CorpusPipeline.run(spark, cfg)
+    assert(second.ran.isEmpty && second.skipped.contains("load"))
+    assert(submits == before, "a skipped load must not touch the external service")
+  }
 }

@@ -391,4 +391,44 @@ class EventStreamsSpec extends AnyFunSuite {
       .select("user_id", "session_start", "session_end", "n_events").collect().toSeq
     assert(got == want)
   }
+
+  test("streaming overlapping-stays matches the batch keyed join against the staged index") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val HourUs = 3600000000L
+    val sessDf = CsrQueries.eventsSessionize(spark, TestSpark.Sf0001)
+      .select(col("user_id"),
+        struct(unix_micros(col("session_start")).as("s"),
+          unix_micros(col("session_end")).as("e")).as("iv"))
+      .groupBy(col("user_id")).agg(sort_array(collect_list(col("iv"))).as("ivs"))
+    // staged detection index of the KNOWN corpus (serving artifact)
+    val corpusIndex = graft.operators.MultiIntervalJoin
+      .binIndex(sessDf, "ivs", "user_id", HourUs, "c_")
+      .persist()
+    // batch truth: every ordered (probe, corpus) pair with any overlap
+    val a = sessDf.toDF("a_user", "a_ivs")
+    val b = sessDf.toDF("b_user", "b_ivs")
+    val want = graft.operators.MultiIntervalJoin
+      .overlapPairsMultiKeyed(a, "a_ivs", "a_user", b, "b_ivs", "b_user", HourUs)
+      .where(col("a_user") =!= col("b_user"))
+      .select("a_user", "b_user").as[(Long, Long)].collect().toSet
+    // stream the same users' stay sets as probes
+    val stays = sessDf.select(col("user_id"),
+        expr("transform(ivs, x -> struct(x.s AS s, x.e AS e))").as("ivs"))
+      .as[StayRow].collect().toSeq
+    val mem = MemoryStream[StayRow](spark)
+    val q = EventStreams.overlappingStaysStream(mem.toDF(), corpusIndex, HourUs)
+      .writeStream.format("memory").queryName("s_stays").outputMode("append").start()
+    val got =
+      try {
+        mem.addData(stays)
+        q.processAllAvailable()
+        spark.table("s_stays").select("probe_user", "corpus_user")
+          .as[(Long, Long)].collect().toSet
+      } finally { q.stop(); corpusIndex.unpersist() }
+    assert(got == want, "stream-static detection must reproduce the batch pair set")
+  }
 }
+
+/** One stay interval / one probe row for the streaming overlap spec. */
+final case class StayIv(s: Long, e: Long)
+final case class StayRow(user_id: Long, ivs: Seq[StayIv])
