@@ -321,6 +321,62 @@ object DedupQueries {
        |JOIN sets sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** §8j(av) — the same candidate-pair Jaccard verify over SORTED
+    * 60-bit shingle-HASH sets and the two-pointer merge kernel
+    * ([[graft.plans.SortedIntersectCount]]), instead of
+    * `array_intersect`/`array_union` over string arrays (which build a
+    * boxed hash set per pair). Jaccard over hashed sets equals Jaccard
+    * over the shingle sets up to md5-prefix collisions (60 bits ⇒
+    * negligible at any corpus size that fits a cluster); union size
+    * comes free as n + m − inter. Same candidates, same threshold —
+    * the DuckDB oracle recomputes the identical hashed formulation. */
+  def jaccardSorted(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cands = lshCandidates(t)
+    val candDocs = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sets = t.documents
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(col("s"), x => graft.plans.VectorExpressions.hexPrefix(md5(x), 15))))
+        .as("hs"))
+    val inter = graft.plans.VectorExpressions.sortedIntersect(col("hs_a"), col("hs_b"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("inter", inter)
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6)
+          .as("jaccard"))
+      .withColumn("is_near_dup", col("jaccard") >= JaccardThreshold)
+  }
+
+  private val jaccardSortedSql =
+    s"""WITH $minhashCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id,
+       |  list_sort(list_distinct(list_transform(s, x -> ${hexToLongDuck("md5(x)", 15)}))) AS hs
+       |  FROM sh)
+       |SELECT doc_a, doc_b,
+       |  ROUND(LEN(list_intersect(sa.hs, sb.hs))
+       |    / (LEN(sa.hs) + LEN(sb.hs) - LEN(list_intersect(sa.hs, sb.hs))), 6) AS jaccard,
+       |  ROUND(LEN(list_intersect(sa.hs, sb.hs))
+       |    / (LEN(sa.hs) + LEN(sb.hs) - LEN(list_intersect(sa.hs, sb.hs))), 6)
+       |    >= $JaccardThreshold AS is_near_dup
+       |FROM cand
+       |JOIN sets sa ON sa.doc_id = doc_a
+       |JOIN sets sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------- simhash
 
   private def hexToLongDuck(h: String, nChars: Int = 8): String =
@@ -698,6 +754,7 @@ object DedupQueries {
     "dedup_survivors" -> Q(dedupedCorpus _, dedupedCorpusSql, Seq(col("kept_doc_id"))),
     "dedup_quality_survivors" -> Q(qualitySurvivors _, qualitySurvivorsSql, Seq(col("cluster_id"))),
     "dedup_ngram_jaccard" -> Q(ngramJaccard _, ngramJaccardSql, Seq(col("doc_a"), col("doc_b"))),
+    "dedup_jaccard_sorted" -> Q(jaccardSorted _, jaccardSortedSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> Q(simhash _, simhashSql, Seq(col("doc_a"), col("doc_b"))),
   )
 }

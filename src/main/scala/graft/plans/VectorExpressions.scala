@@ -234,6 +234,56 @@ case class IntervalOverlapCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED-ascending `array<long>` SETS (distinct
+  * elements — the `array_sort(array_distinct(...))` build order): a
+  * two-pointer merge walk, O(n + m) per pair inside whole-stage codegen.
+  *
+  * The built-in `array_intersect` builds a hash set per evaluation and
+  * boxes every element; on the dedup verify path (candidate pairs ×
+  * hundreds of shingle hashes each) the merge walk over primitive longs
+  * is the form that survives corpus scale. Jaccard follows in plain SQL:
+  * inter / (n + m − inter). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var cnt = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { cnt += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $cnt++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Idempotent per-session registration; queries call this so the
     * functions exist no matter which session (driver-created included)
@@ -250,6 +300,8 @@ object VectorExpressions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     registry.createOrReplaceTempFunction("graft_interval_overlap_count",
       exprs => IntervalOverlapCount(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_sorted_intersect",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
   }
 
   /** Column-level handles (resolve through the function registry). */
@@ -257,6 +309,8 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def intervalOverlapCount(a: Column, b: Column): Column =
     call_function("graft_interval_overlap_count", a, b)
+  def sortedIntersect(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect", a, b)
   def hexPrefix(c: Column, nChars: Int): Column =
     call_function("graft_hex_prefix", c, org.apache.spark.sql.functions.lit(nChars))
 }

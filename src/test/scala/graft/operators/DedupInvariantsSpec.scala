@@ -57,4 +57,18 @@ class DedupInvariantsSpec extends AnyFunSuite {
     // no vec is dropped twice (one report row per dropped vec)
     assert(rows.map(_._1).distinct.length == rows.length)
   }
+
+  test("hashed-set Jaccard verify (merge kernel) agrees with the string-set verify") {
+    import spark.implicits._
+    def byPair(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "jaccard", "is_near_dup")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    val got = byPair(DedupQueries.jaccardSorted(spark, dir))
+    val want = byPair(DedupQueries.ngramJaccard(spark, dir))
+    assert(got.nonEmpty && got.keySet == want.keySet)
+    // 60-bit hashes: collision-free here, so the hashed Jaccard is the
+    // string-set Jaccard exactly
+    assert(got == want)
+  }
 }

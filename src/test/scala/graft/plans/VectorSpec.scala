@@ -70,4 +70,23 @@ class VectorSpec extends AnyFunSuite {
       .select("probe_id", "rank", "vec_id", "cos").collect().toSeq
     assert(got == want)
   }
+
+  test("SortedIntersectCount matches array_intersect size on sorted distinct sets") {
+    VectorExpressions.register(spark)
+    // deterministic set soup: overlapping ranges, strided gaps, empties
+    val sets = (1L to 40L).map { i =>
+      val a = (0L until 60L).filter(k => (k * i) % 7 != 1).map(k => k * i % 301)
+      val b = (0L until 60L).filter(k => (k * (i + 3)) % 5 != 2).map(k => k * (i + 3) % 301)
+      (i,
+        a.distinct.sorted.toArray,
+        if (i % 13 == 0) Array.empty[Long] else b.distinct.sorted.toArray)
+    }
+    val df = sets.toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+        VectorExpressions.sortedIntersect(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("reference"))
+      .collect()
+    assert(rows.length == 40)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+  }
 }
