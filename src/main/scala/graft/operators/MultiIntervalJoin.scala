@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -248,6 +249,65 @@ object MultiIntervalJoin {
           .as("n_overlap_pairs"))
   }
 
+  /** §8j(au) — as-of over interval SETS: for each probe instant, the
+    * latest interval of the probed key starting at-or-before it — the
+    * point-in-time-enrich shape lifted to session lists. One equi-join
+    * on the key (no range explode at all: the per-row set is bounded, so
+    * the as-of resolution is a single-pass fold over the sorted array,
+    * inside codegen), then `in_stay` says whether the instant falls
+    * INSIDE that stay or in the gap after it. Probes = every 20th event
+    * (deterministic sample, the events_asof_view convention); inner
+    * semantics — probes before their user's first stay drop. */
+  def asofStay(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val stays = CsrQueries.eventsSessionize(spark, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("session_start")).as("s"),
+          unix_micros(col("session_end")).as("e")).as("iv"))
+      .groupBy(col("user_id")).agg(sort_array(collect_list(col("iv"))).as("ivs"))
+    val probes = t.events
+      .where(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    probes.join(stays, Seq("user_id"))
+      .withColumn("stay", expr(
+        """aggregate(ivs, CAST(NULL AS STRUCT<s: BIGINT, e: BIGINT>),
+          |  (acc, iv) -> IF(iv.s <= t AND (acc IS NULL OR iv.s > acc.s), iv, acc))""".stripMargin))
+      .where(col("stay").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("stay.s").as("stay_s"), col("stay.e").as("stay_e"),
+        (col("t") <= col("stay.e")).as("in_stay"))
+  }
+
+  private val asofStaySql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, session_seq,
+      |    epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+      |  FROM numbered GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events WHERE event_id % 20 = 0)
+      |SELECT p.event_id, p.user_id, s.s_us AS stay_s, s.e_us AS stay_e,
+      |  p.t <= s.e_us AS in_stay
+      |FROM probes p JOIN sess s
+      |  ON s.user_id = p.user_id AND s.s_us <= p.t
+      |QUALIFY row_number() OVER (PARTITION BY p.event_id ORDER BY s.s_us DESC) = 1
+      |ORDER BY event_id""".stripMargin
+
   private val HourUs = 3600000000L
 
   private val overlappingStaysSql =
@@ -279,5 +339,6 @@ object MultiIntervalJoin {
   val queries: Map[String, Q] = Map(
     "events_overlapping_stays" -> Q(overlappingStays _, overlappingStaysSql,
       Seq(col("a_user"), col("b_user"))),
+    "events_asof_stay" -> Q(asofStay _, asofStaySql, Seq(col("event_id"))),
   )
 }
