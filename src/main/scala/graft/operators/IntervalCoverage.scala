@@ -46,7 +46,8 @@ object IntervalCoverage {
       .withColumn("block", sum(col("new_block")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(key), col("day"), col("block"))
-      .agg((max(col("ce")) - min(col("cs"))).as("block_us"))
+      .agg(min(col("cs")).as("block_s"), max(col("ce")).as("block_e"),
+        (max(col("ce")) - min(col("cs"))).as("block_us"))
   }
 
   /** Coverage of each event type's activity: typed per-user gap sessions
@@ -57,9 +58,17 @@ object IntervalCoverage {
     * day-grain block. */
   def typeCoverage(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    coverageOf(typedSessions(Tables(dir)), "event_type")
+  }
+
+  /** Typed per-user gap sessions as half-open `[s, e+1)` intervals: a
+    * single-event session covers one micro, so every session contributes
+    * measure and the zero-length degenerate case never reaches the
+    * sweep. */
+  private def typedSessions(t: Tables): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
-    val sessions = Tables(dir).events
+    t.events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
       .withColumn("new_sess",
         when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
@@ -68,11 +77,7 @@ object IntervalCoverage {
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("event_type"), col("session_seq"))
       .agg(min(unix_micros(col("ts"))).as("s_us"),
-        // half-open [s, e+1): a single-event session covers one micro,
-        // so every session contributes measure and the zero-length
-        // degenerate case never reaches the sweep
         (max(unix_micros(col("ts"))) + 1).as("e_us"))
-    coverageOf(sessions, "event_type")
   }
 
   /** Union measure of half-open `[s_us, e_us)` intervals per `key`:
@@ -85,6 +90,32 @@ object IntervalCoverage {
       .agg(sum(col("block_us")).as("covered_us"),
         count(lit(1)).as("n_day_blocks"),
         max(col("block_us")).as("max_block_us"))
+
+  /** The coverage COMPLEMENT (§8j(as), difference/gap-list variant):
+    * uncovered stretches BETWEEN consecutive covered blocks of the same
+    * (key, day) — idle spans inside active days. Day-grain like the
+    * block stats (a quiet stretch crossing midnight reports per day
+    * side), so the statistic stays decomposable and the plan stays
+    * partitioned by (key, day). Keys/days with a single block simply
+    * contribute no gaps (inner semantics). */
+  def gapsOf(iv: DataFrame, key: String): DataFrame = {
+    val w = Window.partitionBy(col(key), col("day")).orderBy(col("block_s"))
+    dayBlocks(iv, key)
+      .withColumn("prev_e", lag(col("block_e"), 1).over(w))
+      .where(col("prev_e").isNotNull)
+      .withColumn("gap_us", col("block_s") - col("prev_e"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("idle_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
+  /** Per-type idle report over the same typed sessions as
+    * [[typeCoverage]]. */
+  def typeGaps(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    gapsOf(typedSessions(Tables(dir)), "event_type")
+  }
 
   private val typeCoverageSql =
     s"""WITH e AS (
@@ -133,7 +164,60 @@ object IntervalCoverage {
        |  COUNT(*) AS n_day_blocks, MAX(block_us) AS max_block_us
        |FROM block_spans GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val typeGapsSql =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT user_id, event_type, ts,
+       |    SUM(new_sess) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM flagged),
+       |sess AS (
+       |  SELECT user_id, event_type, session_seq,
+       |    epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) + 1 AS e_us
+       |  FROM numbered GROUP BY 1, 2, 3),
+       |clipped AS (
+       |  SELECT event_type, d.day,
+       |    GREATEST(s_us, d.day * ${DayUs}) AS cs,
+       |    LEAST(e_us, (d.day + 1) * ${DayUs}) AS ce
+       |  FROM sess, LATERAL (
+       |    SELECT UNNEST(range(s_us // ${DayUs}, e_us // ${DayUs} + 1)) AS day) d
+       |  WHERE GREATEST(s_us, d.day * ${DayUs}) < LEAST(e_us, (d.day + 1) * ${DayUs})),
+       |swept AS (
+       |  SELECT event_type, day, cs, ce,
+       |    CASE WHEN MAX(ce) OVER (PARTITION BY event_type, day ORDER BY cs
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |           OR cs >= MAX(ce) OVER (PARTITION BY event_type, day ORDER BY cs
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |         THEN 1 ELSE 0 END AS new_block
+       |  FROM clipped),
+       |blocks AS (
+       |  SELECT event_type, day,
+       |    SUM(new_block) OVER (PARTITION BY event_type, day ORDER BY cs
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block,
+       |    cs, ce
+       |  FROM swept),
+       |block_spans AS (
+       |  SELECT event_type, day, block, MIN(cs) AS block_s, MAX(ce) AS block_e
+       |  FROM blocks GROUP BY 1, 2, 3),
+       |gaps AS (
+       |  SELECT event_type, day,
+       |    block_s - lag(block_e) OVER (PARTITION BY event_type, day ORDER BY block_s) AS gap_us
+       |  FROM block_spans)
+       |SELECT event_type, COUNT(*) AS n_gaps,
+       |  CAST(SUM(gap_us) AS BIGINT) AS idle_us, MAX(gap_us) AS max_gap_us
+       |FROM gaps WHERE gap_us IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "events_type_coverage" -> Q(typeCoverage _, typeCoverageSql, Seq(col("event_type"))),
+    "events_type_gaps" -> Q(typeGaps _, typeGapsSql, Seq(col("event_type"))),
   )
 }

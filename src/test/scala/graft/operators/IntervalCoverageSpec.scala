@@ -63,6 +63,35 @@ class IntervalCoverageSpec extends AnyFunSuite {
     assert(r == 200L)
   }
 
+  test("gap list complements coverage: per day, blocks + gaps tile the active span") {
+    val data = soup("a", 3) ++ soup("b", 7)
+    val df = data.toDF("k", "s_us", "e_us")
+    val cov = IntervalCoverage.coverageOf(df, "k")
+      .select("k", "covered_us", "n_day_blocks").as[(String, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val gaps = IntervalCoverage.gapsOf(df, "k")
+      .select("k", "n_gaps", "idle_us", "max_gap_us").as[(String, Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    for (k <- cov.keys) {
+      val (covered, nBlocks) = cov(k)
+      val (nGaps, idle, maxGap) = gaps(k)
+      assert(nGaps > 0 && idle > 0 && maxGap >= 1L && maxGap <= idle, s"key $k")
+      // per (key, day): gaps = blocks - 1; idle + covered = span of active days
+      val naive = data.filter(_._1 == k).map(t => (t._2, t._3))
+      val byDay = naive.flatMap { case (s, e) =>
+        (s / Day to (e - 1) / Day).map(d => (d, math.max(s, d * Day), math.min(e, (d + 1) * Day)))
+      }.filter(t => t._2 < t._3).groupBy(_._1)
+      val wantIdle = byDay.values.map { ivs =>
+        val lo = ivs.map(_._2).min; val hi = ivs.map(_._3).max
+        (hi - lo) - naiveUnionOf(ivs.map(t => (t._2, t._3)))
+      }.sum
+      assert(idle == wantIdle, s"key $k: idle must equal active-span minus covered, day-wise")
+      assert(nGaps == nBlocks - byDay.size, s"key $k: gaps = blocks - active days")
+    }
+  }
+
+  private def naiveUnionOf(ivs: Seq[(Long, Long)]): Long = naiveUnion(ivs)
+
   test("registered type-coverage query: sane bounds at sf0.001") {
     val out = IntervalCoverage.typeCoverage(spark, TestSpark.Sf0001)
       .select("event_type", "covered_us", "n_day_blocks", "max_block_us")
