@@ -593,7 +593,177 @@ object AnalyticsQueries {
        |WHERE ${hexBucketDuck("md5(CAST(doc_id AS VARCHAR))")} % 10 = 0
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- GROUPING SETS (§8k)
+
+  /** Explicit GROUPING SETS — the general form CUBE/ROLLUP specialize:
+    * nation×year revenue with per-nation, per-year and grand totals, but
+    * NOT the (year-within-nation) rollup level a full cube would add.
+    * Same cells-first discipline as [[cubeAgg]]: the Expand runs over the
+    * pre-aggregated (nation, year) cells, not the fact table, so the 4×
+    * row expansion touches a few hundred rows at any corpus size. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val base = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+    val cells = base.groupBy("n_name", "yr")
+      .agg(dsum(col("o_totalprice")).as("c_rev"), count(lit(1)).as("c_n"))
+    cells
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("yr")), Seq(col("n_name")), Seq(col("yr")), Seq.empty),
+        col("n_name"), col("yr"))
+      .agg(
+        grouping(col("n_name")).cast("long").as("g_nation"),
+        grouping(col("yr")).cast("long").as("g_year"),
+        fin(sum(col("c_rev"))).as("sum_rev"),
+        sum(col("c_n")).as("n_orders"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+        col("g_nation"), col("g_year"), col("sum_rev"), col("n_orders"))
+  }
+
+  private val groupingSetsSql =
+    """WITH base AS (
+      |  SELECT n_name, YEAR(o_orderdate) AS yr, o_totalprice
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT COALESCE(n_name, 'ALL') AS nation,
+      |  COALESCE(CAST(yr AS VARCHAR), 'ALL') AS yr,
+      |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+      |  CAST(GROUPING(yr) AS BIGINT) AS g_year,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_rev,
+      |  COUNT(*) AS n_orders
+      |FROM base
+      |GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr), ())
+      |ORDER BY g_nation, g_year, nation, yr""".stripMargin
+
+  // ---------------------------------------------------- mode per group
+
+  /** Most frequent order priority per nation, deterministic ties (lowest
+    * priority string wins). Counting first collapses the fact table to
+    * |nations|×|priorities| cells; the argmax window runs over that tiny
+    * cell table — mode never needs a sort of the raw data. */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val counts = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("n_orders").desc, col("o_orderpriority"))
+    counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("n_name"), col("o_orderpriority").as("mode_priority"), col("n_orders"))
+  }
+
+  private val modePerGroupSql =
+    """WITH counts AS (
+      |  SELECT n_name, o_orderpriority, COUNT(*) AS n_orders
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, o_orderpriority AS mode_priority, n_orders
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+      |        ORDER BY n_orders DESC, o_orderpriority) AS rn FROM counts) x
+      |WHERE rn = 1 ORDER BY n_name""".stripMargin
+
+  // -------------------------------------------------- Pareto frontier
+
+  /** 2-D Pareto frontier: orders not dominated on (earlier orderdate,
+    * higher totalprice) — dominance strict in at least one coordinate.
+    * Cells-first makes the classic O(n log n) sweep distributed-cheap:
+    * collapse to per-date max price (one keyed shuffle of bounded
+    * |dates| output), run the running-max sweep over that bounded cell
+    * table (single-partition window over ~2.4k rows, not the corpus),
+    * then join the surviving (date, max) cells back — broadcast — to
+    * recover the frontier orders. Equal-price-later-date is dominated
+    * (strict date); equal everything is kept (no strict coordinate). */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val orders = Tables(dir).orders
+    val cells = orders.groupBy(col("o_orderdate")).agg(max(col("o_totalprice")).as("mx"))
+    val w = Window.orderBy(col("o_orderdate")).rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = cells.withColumn("rm", max(col("mx")).over(w))
+      .where(col("rm").isNull || col("mx") > col("rm"))
+      .select(col("o_orderdate").as("fd"), col("mx"))
+    orders.join(broadcast(frontier),
+        col("o_orderdate") === col("fd") && col("o_totalprice") === col("mx"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+  }
+
+  private val paretoFrontierSql =
+    """WITH cells AS (
+      |  SELECT o_orderdate AS fd, MAX(o_totalprice) AS mx FROM orders GROUP BY 1),
+      |swept AS (
+      |  SELECT fd, mx, MAX(mx) OVER (ORDER BY fd
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm FROM cells),
+      |frontier AS (SELECT fd, mx FROM swept WHERE rm IS NULL OR mx > rm)
+      |SELECT o_orderkey, o_orderdate, o_totalprice
+      |FROM orders JOIN frontier ON o_orderdate = fd AND o_totalprice = mx
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------ IQR outliers
+
+  /** Per-priority Tukey-fence outlier census from EXACT discrete
+    * quartiles (value at rank ⌈n/4⌉ / ⌈3n/4⌉). Fences are compared
+    * multiplied-through (2·price vs 5·q1−3·q3) so no division enters —
+    * the boundary is decided by exact IEEE products identical on both
+    * engines. The per-group rank is a real per-group sort; that is the
+    * price of EXACT discrete quantiles, and the documented scale path is
+    * the rank-error-bounded sketch ([[approxOrderPercentiles]]) — this
+    * query is its exact small-group twin (5 priority groups). */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val orders = Tables(dir).orders
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+    val quart = ranked.groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("rn") === expr("(n + 3) div 4"), col("o_totalprice"))).as("q1"),
+        max(when(col("rn") === expr("(3 * n + 3) div 4"), col("o_totalprice"))).as("q3"))
+    orders.join(broadcast(quart), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        sum(when(col("o_totalprice") * 2 < col("q1") * 5 - col("q3") * 3, 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("o_totalprice") * 2 > col("q3") * 5 - col("q1") * 3, 1L)
+          .otherwise(0L)).as("n_high"))
+  }
+
+  private val iqrOutliersSql =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders),
+      |quart AS (
+      |  SELECT o_orderpriority,
+      |    MAX(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS q1,
+      |    MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN o_totalprice END) AS q3
+      |  FROM ranked GROUP BY 1)
+      |SELECT o.o_orderpriority, MAX(q.q1) AS q1, MAX(q.q3) AS q3,
+      |  CAST(SUM(CASE WHEN o.o_totalprice * 2 < q.q1 * 5 - q.q3 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(SUM(CASE WHEN o.o_totalprice * 2 > q.q3 * 5 - q.q1 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM orders o JOIN quart q ON o.o_orderpriority = q.o_orderpriority
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_grouping_sets" -> Q(groupingSetsAgg _, groupingSetsSql,
+      Seq(col("g_nation"), col("g_year"), col("nation"), col("yr"))),
+    "q_mode_per_group" -> Q(modePerGroup _, modePerGroupSql, Seq(col("n_name"))),
+    "q_pareto_frontier" -> Q(paretoFrontier _, paretoFrontierSql, Seq(col("o_orderkey"))),
+    "q_iqr_outliers" -> Q(iqrOutliers _, iqrOutliersSql, Seq(col("o_orderpriority"))),
     "q_cube_agg" -> Q(cubeAgg _, cubeAggSql, Seq(col("returnflag"), col("linestatus"))),
     "q_monthly_growth" -> Q(monthlyGrowth _, monthlyGrowthSql, Seq(col("month"))),
     "q_customer_ltv" -> Q(customerLtv _, customerLtvSql, Seq(col("c_custkey"))),

@@ -591,7 +591,42 @@ object EventAnalytics {
       |  ROUND((SELECT COUNT(*) FROM c) * 100.0 / (SELECT COUNT(*) FROM v), 4) AS click_pct,
       |  ROUND((SELECT COUNT(*) FROM p) * 100.0 / (SELECT COUNT(*) FROM c), 4) AS purchase_pct""".stripMargin
 
+  // ------------------------------------------------ heavy hitters (§8k)
+
+  /** Exact φ-heavy hitters (φ = 1/128) per event type: users holding more
+    * than 1/128 of the type's events. Two keyed aggregations and a
+    * broadcast of the |types|-row total table; the threshold compares
+    * MULTIPLIED THROUGH (n·128 > total) so no division or float enters.
+    * Output is bounded by construction: at most 128 qualifying users per
+    * type, at any corpus size — this is the exact anchor the mergeable
+    * [[graft.pipeline.TopFreq]] Misra-Gries summary is spec-tied to (a
+    * key with true count above the summary's error ledger is guaranteed
+    * present in the sketch). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val counts = Tables(dir).events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = counts.groupBy(col("event_type")).agg(sum(col("n_events")).as("tot"))
+    counts.join(broadcast(tot), "event_type")
+      .where(col("n_events") * 128 > col("tot"))
+      .select(col("event_type"), col("user_id"), col("n_events"))
+  }
+
+  private val heavyHittersSql =
+    """WITH counts AS (
+      |  SELECT event_type, user_id, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tot
+      |        FROM counts GROUP BY 1)
+      |SELECT c.event_type, c.user_id, c.n_events
+      |FROM counts c JOIN tot t ON c.event_type = t.event_type
+      |WHERE c.n_events * 128 > t.tot
+      |ORDER BY c.event_type, c.user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_heavy_hitters" -> Q(heavyHitters _, heavyHittersSql,
+      Seq(col("event_type"), col("user_id"))),
     "events_funnel_windowed" -> Q(funnelWindowed _, funnelWindowedSql),
     "events_attribution_linear" -> Q(attributionLinear _, attributionLinearSql,
       Seq(col("touch_type"))),

@@ -286,6 +286,173 @@ object GraphQueries {
       .limit(50)
   }
 
+  // ------------------------------------------- Connected components (§8k)
+
+  /** Support threshold for the co-purchase BACKBONE: keep a pair only when
+    * it co-occurs in ≥ MinSupport orders. The full co-purchase graph is one
+    * giant component at every scale (every part links to something), which
+    * makes component analysis vacuous; the backbone is the graph analysts
+    * actually cluster on, and it fragments into real components. */
+  private val MinSupport = 2
+
+  /** Backbone edges (pa < pb, co-occurrence count ≥ MinSupport). Same
+    * single-shuffle array-pair build as [[edges]], then a pair-keyed count —
+    * per-order pair explosion stays map-side; the only shuffles are the
+    * per-order set build and the pair count. */
+  private def backbone(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(sortedPairs("ps", "pa", "pb").as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= MinSupport)
+      .select(col("pa").as("u"), col("pb").as("v"))
+
+  /** One large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): every node connects its LARGER
+    * neighbors to the minimum of its closed neighborhood. The min table is
+    * |V| rows (broadcastable); the only |E|-sized shuffle is the
+    * neighborhood groupBy. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(m, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v")).distinct()
+  }
+
+  /** One small-star round: input edges are oriented high→low (largeStar
+    * only emits (v, m) with v > m), so each node's neighbors are all
+    * smaller; connect them (and itself) to the minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy("u").agg(min(col("v")).as("m"))
+    e.join(m, "u").filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(m.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** §8k(ay) — connected components of the support-[[MinSupport]] backbone
+    * by alternating large-star/small-star contraction. Converges in
+    * O(log²) rounds INDEPENDENT of graph diameter — the property that
+    * matters at 100 TB, where min-label flooding pays one round per
+    * diameter hop but star contraction squares the stars each round.
+    * Convergence is checked semantically (a star forest has no node that
+    * is both a parent and a child), one bounded semi-join per round; every
+    * label move is monotone decreasing, so the check is also a fixpoint
+    * proof. Output: one row per component (id = min member, size).
+    *
+    * Reference anchor: the CSR entity-graph integrity checks
+    * (`csr2transmart` relation validation) stop at direct references;
+    * components are the transitive closure of the same relation graph. */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    // Each round's plan references the previous round's frame several
+    // times (sym union + min-table joins), so carrying lineage across
+    // rounds grows the LOGICAL PLAN ~9× per round — an exponential
+    // driver-side explosion long before any executor works hard. The
+    // iterative-algorithm discipline is lineage TRUNCATION per round:
+    // localCheckpoint materializes the round and replans from a leaf.
+    // (On a real cluster a reliable checkpoint dir gives the same cut
+    // with fault tolerance; the algorithm is unchanged.)
+    var cur = backbone(Tables(dir)).localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 30) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // star forest ⇔ no parent also appears as a child
+      done = next.alias("a")
+        .join(next.alias("b"), col("a.v") === col("b.u"), "left_semi")
+        .isEmpty
+      cur = next
+      rounds += 1
+    }
+    require(done, s"star contraction did not converge in $rounds rounds")
+    val centers = cur.select(col("v").as("node"), col("v").as("comp_id"))
+    cur.select(col("u").as("node"), col("v").as("comp_id"))
+      .unionByName(centers).distinct()
+      .groupBy("comp_id").agg(count(lit(1)).as("n_parts"))
+  }
+
+  /** Oracle: min-label flooding as a recursive CTE — labels only travel
+    * "upward" (lbl < next node), so the walk is finite and MIN(lbl) per
+    * node is the component minimum. Deliberately a DIFFERENT algorithm
+    * from the engine's star contraction: agreement is evidence about the
+    * result, not the formulation. */
+  private val componentsSql =
+    s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport),
+       |sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+       |nodes AS (SELECT DISTINCT pa AS node FROM e UNION SELECT DISTINCT pb FROM e),
+       |walk(node, lbl) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node WHERE w.lbl < s.dst),
+       |comp AS (SELECT node, MIN(lbl) AS comp_id FROM walk GROUP BY node)
+       |SELECT comp_id, COUNT(*) AS n_parts FROM comp GROUP BY comp_id
+       |ORDER BY n_parts DESC, comp_id""".stripMargin
+
+  // --------------------------------------------------- BFS hop profile
+
+  private val BfsBrand = "Brand#11"
+  private val BfsMaxHop = 3
+
+  /** §8k(az) — BFS hop profile: how many parts are first reached at hop
+    * 1, 2, 3 from the seed set (one brand's parts) over the FULL
+    * co-purchase graph. Frontier expansion is the scale shape: each hop
+    * joins the persisted symmetric edge list against the current frontier
+    * (AQE broadcasts it while it fits — frontiers are ≤|V| rows; beyond
+    * that the join runs shuffled on the co-partitioned edge list), then
+    * anti-joins the visited set. K joins for K hops; the edge list is
+    * scanned, never re-derived, per hop. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val e = edges(t)
+    val sym = Cached.track(
+      e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val seeds = t.part.filter(col("p_brand") === BfsBrand)
+      .select(col("p_partkey").as("node"))
+      .join(nodes, Seq("node"), "left_semi")
+    // same per-round lineage truncation as [[components]]
+    var visited = seeds.select(col("node"), lit(0).as("hop")).localCheckpoint(true)
+    var frontier = visited.select("node")
+    for (k <- 1 to BfsMaxHop) {
+      val next = sym.join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(next.select(col("node"), lit(k).as("hop")))
+        .localCheckpoint(true)
+      frontier = next
+    }
+    visited.groupBy("hop").agg(count(lit(1)).as("n_parts"))
+  }
+
+  private val bfsHopsSql = {
+    def level(k: Int) =
+      s"""n$k AS (SELECT DISTINCT s.dst AS node FROM sym s JOIN f${k - 1} f ON s.src = f.node),
+         |f$k AS (SELECT node FROM n$k EXCEPT SELECT node FROM v${k - 1}),
+         |v$k AS (SELECT node FROM v${k - 1} UNION SELECT node FROM f$k)"""
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+       |nodes AS (SELECT DISTINCT pa AS node FROM e UNION SELECT DISTINCT pb FROM e),
+       |f0 AS (SELECT DISTINCT p.p_partkey AS node FROM part p
+       |       JOIN nodes n ON n.node = p.p_partkey WHERE p.p_brand = '$BfsBrand'),
+       |v0 AS (SELECT node FROM f0),
+       |${(1 to BfsMaxHop).map(level).mkString(",\n")},
+       |hops AS (${(0 to BfsMaxHop).map(k => s"SELECT $k AS hop, node FROM f$k").mkString(" UNION ALL ")})
+       |SELECT hop, COUNT(*) AS n_parts FROM hops GROUP BY hop ORDER BY hop""".stripMargin
+  }
+
   private val pagerankSql = {
     def iter(prev: String, cur: String) =
       s"""$cur AS (
@@ -315,5 +482,8 @@ object GraphQueries {
       Seq(col("rank_scaled").desc, col("p_partkey"))),
     "graph_pagerank_served" -> Q(pagerankServed _, pagerankSql,
       Seq(col("rank_scaled").desc, col("p_partkey"))),
+    "graph_components" -> Q(components _, componentsSql,
+      Seq(col("n_parts").desc, col("comp_id"))),
+    "graph_bfs_hops" -> Q(bfsHops _, bfsHopsSql, Seq(col("hop"))),
   )
 }

@@ -150,7 +150,76 @@ object TextIndexQueries {
        |ORDER BY n_pair DESC, a, b LIMIT 25""".stripMargin
   }
 
+  // ---------------------------------------------- bigram LM scoring (§8k)
+
+  /** In-engine bigram language-model quality signal — the KenLM-shaped
+    * filter of LLM data pipelines, made engine-exact: train bigram/context
+    * counts over the corpus, score every document by its mean conditional
+    * predictability floor(c(w1,w2)·10⁶ / c(w1·)), report per (lang,
+    * source). All arithmetic is integer (scaled ratios, truncating div) —
+    * no logs, no floats — so a 1000-executor run and the single-node
+    * oracle agree to the bit; ranking behavior matches a unigram-backoff
+    * LM's for filtering purposes (machine-translationese and boilerplate
+    * score HIGH, incoherent token soup scores LOW).
+    *
+    * Scale shape: bigrams explode map-side; the count tables aggregate on
+    * (w1,w2)/(w1) — vocabulary-keyed, uniform; the score join hits the
+    * per-doc COLLAPSED bigram table (doc_id,w1,w2,k), co-keyed with c2 on
+    * (w1,w2), so the corpus token stream is never joined row-per-token.
+    * Docs with <2 tokens carry no signal and are excluded (both engines,
+    * by construction). */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = Tables(dir).documents
+    val toks = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+    val bg = toks.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val docBg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    val c2 = docBg.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val perDoc = docBg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("pred", expr("(c2 * 1000000) div c1"))
+      .groupBy("doc_id")
+      .agg(expr("sum(k * pred) div sum(k)").as("doc_pred"))
+    perDoc.join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(doc_pred) div count(1)").as("mean_pred"),
+        min(col("doc_pred")).as("min_pred"),
+        max(col("doc_pred")).as("max_pred"))
+  }
+
+  private val bigramLmSql = {
+    val w = DuckSql.wordsOf("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $w AS w FROM documents WHERE LEN($w) >= 2),
+       |bg AS (
+       |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       |  FROM toks, UNNEST(generate_series(1, LEN(w) - 1)) AS g(i)),
+       |docbg AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM bg GROUP BY 1, 2, 3),
+       |c2 AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c2 FROM docbg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |perdoc AS (
+       |  SELECT d.doc_id,
+       |    CAST(SUM(d.k * ((c2.c2 * 1000000) // c1.c1)) AS BIGINT)
+       |      // CAST(SUM(d.k) AS BIGINT) AS doc_pred
+       |  FROM docbg d
+       |  JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+       |  JOIN c1 ON d.w1 = c1.w1
+       |  GROUP BY d.doc_id)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_pred) AS BIGINT) // COUNT(*) AS mean_pred,
+       |  MIN(doc_pred) AS min_pred, MAX(doc_pred) AS max_pred
+       |FROM perdoc JOIN documents USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bigram_lm" -> Q(bigramLm _, bigramLmSql, Seq(col("lang"), col("source"))),
     "text_zipf_profile" -> Q(zipfProfile _, zipfSql, Seq(col("rank"))),
     "text_inverted_index" -> Q(invertedIndex _, invertedIndexSql, Seq(col("term"))),
     "text_collocations" -> Q(collocations _, collocationsSql,

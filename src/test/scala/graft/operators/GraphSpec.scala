@@ -18,6 +18,52 @@ class GraphSpec extends AnyFunSuite {
     exact.foreach { case (k, v) => assert(full(k) == v, s"part $k") }
   }
 
+  /** Per-order co-purchase pair counts, computed independently in plain
+    * Scala from the collected lineitem (200 parts at sf0.001). */
+  private lazy val pairCounts: Map[(Long, Long), Int] = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values.flatMap { rows =>
+      val s = rows.map(_._2).distinct.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+  }
+
+  test("star-contraction components match a driver union-find") {
+    val es = pairCounts.filter(_._2 >= 2).keys.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val groups = parent.keys.toSeq.groupBy(find)
+    val expect = groups.values.map(g => g.min -> g.size.toLong).toMap
+    val got = GraphQueries.components(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("bfs hop profile matches a driver BFS") {
+    val adj = pairCounts.keys.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val brandParts = spark.read.parquet(s"$dir/part.parquet")
+      .where("p_brand = 'Brand#11'").select("p_partkey")
+      .collect().map(_.getLong(0)).toSet
+    var frontier = brandParts.intersect(adj.keySet)
+    var visited = frontier
+    val hist = scala.collection.mutable.Map(0 -> frontier.size.toLong)
+    for (k <- 1 to 3) {
+      val next = frontier.flatMap(adj(_)) -- visited
+      if (next.nonEmpty) hist(k) = next.size.toLong
+      visited ++= next; frontier = next
+    }
+    val got = GraphQueries.bfsHops(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == hist.toMap)
+  }
+
   test("whale cap only ever undercounts, and monotonically in the cap") {
     val full = counts(GraphQueries.trianglesCapped(spark, dir, Int.MaxValue))
     val c8 = counts(GraphQueries.trianglesCapped(spark, dir, 8))
