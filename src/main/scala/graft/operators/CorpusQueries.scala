@@ -1275,7 +1275,58 @@ object CorpusQueries {
        |  CAST(ROW_NUMBER() OVER (ORDER BY phase, rn, source, doc_id) AS BIGINT) AS step
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- weighted (PPS) sampling (§8k)
+
+  private val PpsK = 100
+
+  /** §8k — probability-proportional-to-size sampling, SYSTEMATIC form:
+    * lay K evenly spaced grid points over the cumulative-weight axis
+    * (weight = n_chars, the token-mass proxy) and keep the doc whose
+    * cumulative interval each point lands in. The classic A-Res/A-ExpJ
+    * reservoir needs log/pow per row; systematic PPS needs NO
+    * transcendentals — membership is the integer predicate
+    * 2K·lo ≤ (2i+1)·W < 2K·hi, so both engines select the identical docs
+    * (and big docs can be drawn multiple times, which is exactly PPS
+    * semantics — `n_draws` reports multiplicity).
+    *
+    * Scale shape: the cumulative sum is the running-revenue shape (at
+    * cluster scale: per-partition subtotals + broadcast offsets; here the
+    * single bounded window). The K-row grid is a broadcast literal; the
+    * membership test is a map-side range join against it. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = Tables(dir).documents
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("hi", sum(col("n_chars")).over(w))
+      .withColumn("lo", col("hi") - col("n_chars"))
+    val tot = docs.agg(sum(col("n_chars")).cast("long").as("W"))
+    val grid = spark.range(PpsK).select(col("id").as("i"))
+    cum.crossJoin(broadcast(tot))
+      .join(broadcast(grid),
+        (col("i") * 2 + 1) * col("W") >= col("lo") * (2 * PpsK) &&
+          (col("i") * 2 + 1) * col("W") < col("hi") * (2 * PpsK))
+      .groupBy(col("doc_id"), col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("n_draws"), min(col("i")).as("first_rank"))
+  }
+
+  private val weightedSampleSql =
+    s"""WITH cum AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    SUM(n_chars) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+       |  FROM documents),
+       |tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS W FROM documents),
+       |grid AS (SELECT CAST(i AS BIGINT) AS i FROM UNNEST(generate_series(0, ${PpsK - 1})) AS g(i))
+       |SELECT doc_id, lang, n_chars, COUNT(*) AS n_draws, MIN(i) AS first_rank
+       |FROM cum, tot, grid
+       |WHERE (i * 2 + 1) * W >= (hi - n_chars) * ${2 * PpsK}
+       |  AND (i * 2 + 1) * W < hi * ${2 * PpsK}
+       |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "docs_weighted_sample" -> Q(weightedSample _, weightedSampleSql, Seq(col("doc_id"))),
     "docs_curriculum" -> Q(curriculum _, curriculumSql, Seq(col("doc_id"))),
     "docs_token_budget" -> Q(tokenBudget _, tokenBudgetSql, Seq(col("doc_id"))),
     "docs_jsonl_ingest" -> Q(jsonlIngest _, jsonlIngestSql, Seq(col("doc_id"))),

@@ -49,4 +49,17 @@ object CountMin {
       .join(merged, Seq("row", "cell"), "left")
       .groupBy(col("key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Equi-join SIZE estimate from two merged sketches (AMS/count-min inner
+    * product): per depth row, Σ_cell cntA·cntB; the estimate is the min
+    * over rows. Never UNDER the true |A ⋈ B| (collisions only add), over
+    * by at most ε·|A|·|B| per the count-min bound — the shuffle-sizing
+    * primitive: two sketch tables join on (row, cell) — depth×width rows
+    * each, broadcast-sized regardless of input scale — and answer "how
+    * big is this join" without touching either input again. */
+  def joinSize(ma: DataFrame, mb: DataFrame): DataFrame =
+    ma.select(col("row"), col("cell"), col("cnt").as("ca"))
+      .join(mb.select(col("row"), col("cell"), col("cnt").as("cb")), Seq("row", "cell"))
+      .groupBy(col("row")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est"))
 }

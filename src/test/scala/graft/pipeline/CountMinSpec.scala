@@ -59,4 +59,25 @@ class CountMinSpec extends AnyFunSuite {
       .select("key").as[String].collect().toSet
     assert(top10.subsetOf(estTop15), s"missing hitters: ${top10 -- estTop15}")
   }
+
+  test("join-size estimate never undercounts and tightens with width") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = graft.sources.Tables(TestSpark.Sf0001).documents
+    // two overlapping key streams: doc langs of two disjoint source halves
+    val a = docs.where(col("source") <= "src12").select(col("lang").as("k"))
+    val b = docs.where(col("source") > "src12").select(col("lang").as("k"))
+    val exact = a.join(b, "k").count()
+    def est(width: Int): Long = {
+      val c = CountMin.Config(depth = 4, width = width)
+      CountMin.joinSize(
+        CountMin.merge(CountMin.build(a, col("k"), lit(0), c)),
+        CountMin.merge(CountMin.build(b, col("k"), lit(0), c)))
+        .collect().head.getLong(0)
+    }
+    val (narrow, wide) = (est(8), est(4096))
+    assert(narrow >= exact && wide >= exact)
+    assert(wide <= narrow)
+    // width far beyond the key cardinality (|langs| ≈ 4): exact inner product
+    assert(wide == exact)
+  }
 }
