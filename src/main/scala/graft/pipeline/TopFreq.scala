@@ -23,23 +23,52 @@ import org.apache.spark.sql.functions._
   */
 object TopFreq {
 
-  /** Per-grain capacity-k summary: (grain, key, cnt, err) with `err`
-    * constant within a grain. The top-k window sorts only the per-grain
-    * COUNT table (distinct keys per grain), not the raw stream, and
-    * Spark plans the rank filter with partial WindowGroupLimit (map-side
-    * top-k cap). */
-  def build(df: DataFrame, key: Column, grain: Column, k: Int): DataFrame = {
-    val counts = df.select(grain.as("grain"), key.as("key"))
+  private def countsOf(df: DataFrame, key: Column, grain: Column): DataFrame =
+    df.select(grain.as("grain"), key.as("key"))
       .groupBy("grain", "key").agg(count(lit(1)).as("cnt"))
+
+  /** Per-grain capacity-k compression of a (grain, key, cnt) table:
+    * keep top-k, decrement by the (k+1)-th count, fold `priorErr`
+    * (grain → e0) into the error ledger. The top-k window sorts only the
+    * count table (distinct keys per grain), not the raw stream, and Spark
+    * plans the rank filter with partial WindowGroupLimit (map-side cap). */
+  private def compress(counts: DataFrame, priorErr: Option[DataFrame], k: Int): DataFrame = {
     val w = Window.partitionBy(col("grain")).orderBy(col("cnt").desc, col("key"))
     val ranked = counts.withColumn("rn", row_number().over(w))
     val dec = ranked.groupBy("grain")
-      .agg(coalesce(max(when(col("rn") === k + 1, col("cnt"))), lit(0L)).as("err"))
-    ranked.where(col("rn") <= k)
-      .join(dec, "grain")
+      .agg(coalesce(max(when(col("rn") === k + 1, col("cnt"))), lit(0L)).as("dec"))
+    val kept = ranked.where(col("rn") <= k).join(dec, "grain")
+    val withErr = priorErr match {
+      case Some(e) => kept.join(e, Seq("grain"), "left")
+        .withColumn("err", coalesce(col("e0"), lit(0L)) + col("dec"))
+      case None => kept.withColumn("err", col("dec"))
+    }
+    withErr
       .select(col("grain"), col("key"),
-        greatest(col("cnt") - col("err"), lit(0L)).as("cnt"), col("err"))
+        greatest(col("cnt") - col("dec"), lit(0L)).as("cnt"), col("err"))
       .where(col("cnt") > 0)
+  }
+
+  /** Per-grain capacity-k summary: (grain, key, cnt, err) with `err`
+    * constant within a grain. */
+  def build(df: DataFrame, key: Column, grain: Column, k: Int): DataFrame =
+    compress(countsOf(df, key, grain), None, k)
+
+  /** Fold a new micro-batch of RAW rows into a prior summary (None at
+    * bootstrap) — the mergeable-summaries property doing streaming's
+    * work: a batch's exact counts are an err-0 summary, so absorbing is
+    * counter-sum + one re-compression, and the per-grain error ledger
+    * keeps its bound across any number of batches and any split of a
+    * grain's rows between them. */
+  def absorb(prior: Option[DataFrame], df: DataFrame, key: Column, grain: Column,
+             k: Int): DataFrame = prior match {
+    case None => build(df, key, grain, k)
+    case Some(p) =>
+      val e0 = p.groupBy("grain").agg(max(col("err")).as("e0"))
+      val summed = p.select("grain", "key", "cnt")
+        .unionByName(countsOf(df, key, grain))
+        .groupBy("grain", "key").agg(sum(col("cnt")).as("cnt"))
+      compress(summed, Some(e0), k)
   }
 
   /** Collapse per-grain summaries into one capacity-k summary
