@@ -624,7 +624,75 @@ object EventAnalytics {
       |WHERE c.n_events * 128 > t.tot
       |ORDER BY c.event_type, c.user_id""".stripMargin
 
+  // ---------------------------------------------- path trigrams (§8k)
+
+  private val TrigramGapUs = 30L * 60 * 1000 * 1000
+
+  /** Top-20 in-session event-type TRIGRAMS — the sequential-pattern view
+    * one step past the Markov pair matrix (`events_transitions`): three
+    * consecutive events of one user with both gaps inside the session
+    * threshold. Two LEADs over the one per-user shuffle every session
+    * operator shares; trigram formation is map-side after that sort, and
+    * the count table is |types|³-bounded. */
+  def pathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("ts2", lead(col("ts"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .withColumn("ts3", lead(col("ts"), 2).over(w))
+      .where(col("t3").isNotNull
+        && unix_micros(col("ts2")) - unix_micros(col("ts")) <= TrigramGapUs
+        && unix_micros(col("ts3")) - unix_micros(col("ts2")) <= TrigramGapUs)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  private val pathTrigramsSql =
+    s"""WITH seq AS (
+       |  SELECT event_type AS t1,
+       |    LEAD(event_type, 1) OVER w AS t2,
+       |    LEAD(ts, 1) OVER w AS ts2,
+       |    LEAD(event_type, 2) OVER w AS t3,
+       |    LEAD(ts, 2) OVER w AS ts3,
+       |    ts
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT t1, t2, t3, COUNT(*) AS n
+       |FROM seq
+       |WHERE t3 IS NOT NULL
+       |  AND epoch_us(ts2) - epoch_us(ts) <= $TrigramGapUs
+       |  AND epoch_us(ts3) - epoch_us(ts2) <= $TrigramGapUs
+       |GROUP BY 1, 2, 3
+       |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- seasonality (§8k)
+
+  /** Day-of-week × hour-of-day activity matrix (ISO weekday 1–7) with
+    * exact decimal value totals — one hash aggregate into a 7×24-bounded
+    * cell table, the calendar profile behind load forecasting. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).events
+      .groupBy((weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Num.fin(graft.functions.Num.dsum(col("value"))).as("total_value"))
+  }
+
+  private val seasonalitySql =
+    """SELECT CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hod,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_path_trigrams" -> Q(pathTrigrams _, pathTrigramsSql,
+      Seq(col("n").desc, col("t1"), col("t2"), col("t3"))),
+    "events_seasonality" -> Q(seasonality _, seasonalitySql, Seq(col("dow"), col("hod"))),
     "events_heavy_hitters" -> Q(heavyHitters _, heavyHittersSql,
       Seq(col("event_type"), col("user_id"))),
     "events_funnel_windowed" -> Q(funnelWindowed _, funnelWindowedSql),

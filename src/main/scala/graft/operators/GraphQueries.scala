@@ -315,7 +315,7 @@ object GraphQueries {
       .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
       .filter(col("n") >= MinSupport)
-      .select(col("pa").as("u"), col("pb").as("v"))
+      .select(col("pa").as("u"), col("pb").as("v"), col("n"))
 
   /** One large-star round (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14): every node connects its LARGER
@@ -359,7 +359,10 @@ object GraphQueries {
     * per corpus state). */
   private def stagedBackbone(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val path = s"/tmp/graft_backbone_${new java.io.File(dir).getName}"
+    // "w" suffix: the artifact gained the support column (n) — a new path
+    // name, because Stage signatures track the SOURCE, not the builder,
+    // and a schema change must not serve a stale artifact
+    val path = s"/tmp/graft_backbonew_${new java.io.File(dir).getName}"
     Stage.ensure(path, s"$dir/lineitem.parquet") {
       backbone(Tables(dir)).write.mode("overwrite").parquet(path)
     }
@@ -376,7 +379,7 @@ object GraphQueries {
     // localCheckpoint materializes the round and replans from a leaf.
     // (On a real cluster a reliable checkpoint dir gives the same cut
     // with fault tolerance; the algorithm is unchanged.)
-    var cur = stagedBackbone(spark, dir).localCheckpoint(true)
+    var cur = stagedBackbone(spark, dir).select("u", "v").localCheckpoint(true)
     var rounds = 0
     var done = false
     while (!done && rounds < 30) {
@@ -414,6 +417,58 @@ object GraphQueries {
        |comp AS (SELECT node, MIN(lbl) AS comp_id FROM walk GROUP BY node)
        |SELECT comp_id, COUNT(*) AS n_parts FROM comp GROUP BY comp_id
        |ORDER BY n_parts DESC, comp_id""".stripMargin
+
+  // ------------------------------------------- bounded weighted SSSP
+
+  private val SsspRounds = 4
+
+  /** §8k — hop-bounded single-source CHEAPEST paths (Bellman-Ford by
+    * join): edge cost = 10⁶ div support (frequent co-purchases are
+    * cheap), source = the backbone's minimum part id, exactly
+    * [[SsspRounds]] relaxation rounds. Each round is one join of the
+    * |V|-bounded distance frame against the persisted symmetric edge
+    * list plus a min-aggregate — the weighted twin of [[bfsHops]]'
+    * frontier expansion, and the shape that scales: distances re-shuffle
+    * per round, edges are scanned in place, costs are integers so every
+    * engine and executor count agrees on ties. Unrolled to the same
+    * fixed round count as the oracle CTE chain (a convergence check
+    * would make oracle parity depend on the graph's diameter). */
+  def ssspBounded(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val bb = stagedBackbone(spark, dir)
+    val sym = bb.select(col("u").as("src"), col("v").as("dst"), expr("1000000 div n").as("w"))
+      .unionByName(bb.select(col("v").as("src"), col("u").as("dst"), expr("1000000 div n").as("w")))
+      .localCheckpoint(true)
+    var dist = bb.agg(min(col("u")).as("node")).select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to SsspRounds) {
+      dist = dist
+        .unionByName(sym.join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  private val ssspSql = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT s.dst, d.dist + s.w FROM $prev d JOIN sym s ON s.src = d.node) x
+         |  GROUP BY node)"""
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport),
+       |sym AS (
+       |  SELECT pa AS src, pb AS dst, 1000000 // n AS w FROM e
+       |  UNION ALL SELECT pb, pa, 1000000 // n FROM e),
+       |d0 AS (SELECT MIN(pa) AS node, CAST(0 AS BIGINT) AS dist FROM e),
+       |${(1 to SsspRounds).map(i => iter(s"d${i - 1}", s"d$i")).mkString(",\n")}
+       |SELECT node, dist FROM d$SsspRounds ORDER BY node""".stripMargin
+  }
 
   // --------------------------------------------------- BFS hop profile
 
@@ -505,5 +560,6 @@ object GraphQueries {
     "graph_components" -> Q(components _, componentsSql,
       Seq(col("n_parts").desc, col("comp_id"))),
     "graph_bfs_hops" -> Q(bfsHops _, bfsHopsSql, Seq(col("hop"))),
+    "graph_sssp_bounded" -> Q(ssspBounded _, ssspSql, Seq(col("node"))),
   )
 }

@@ -45,6 +45,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("bounded sssp matches a driver Bellman-Ford") {
+    val wEdges = pairCounts.filter(_._2 >= 2).toSeq.flatMap { case ((a, b), n) =>
+      val w = 1000000L / n
+      Seq((a, b, w), (b, a, w))
+    }
+    val source = wEdges.map(_._1).min
+    var dist = Map(source -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = wEdges.flatMap { case (u, v, w) => dist.get(u).map(d => v -> (d + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    }
+    val got = GraphQueries.ssspBounded(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist && dist.size > 1)
+  }
+
   test("bfs hop profile matches a driver BFS") {
     val adj = pairCounts.keys.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
