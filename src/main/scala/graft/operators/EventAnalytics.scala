@@ -604,9 +604,12 @@ object EventAnalytics {
     * present in the sketch). */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val counts = Tables(dir).events
+    // persisted: the totals re-aggregate the count table; without
+    // materialization both consumers re-scan the raw event stream
+    val counts = Cached.track(Tables(dir).events
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val tot = counts.groupBy(col("event_type")).agg(sum(col("n_events")).as("tot"))
     counts.join(broadcast(tot), "event_type")
       .where(col("n_events") * 128 > col("tot"))

@@ -176,7 +176,12 @@ object TextIndexQueries {
     val bg = toks.select(col("doc_id"),
         explode(expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val docBg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    // persisted: c2, c1 and the score join all consume docBg — without
+    // materialization the plan re-derives it per consumer, i.e. THREE
+    // corpus explodes instead of one (caught in the plan audit)
+    val docBg = graft.operators.Cached.track(
+      bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val c2 = docBg.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val perDoc = docBg
