@@ -160,6 +160,23 @@ object CorpusPipeline {
       sig(s"${cfg.workDir}/bpe_merges")
     }
 
+    /** §8k — term-frequency governance profile: the capacity-32
+      * Misra-Gries summary per SOURCE over the deduped corpus
+      * ([[TopFreq]]) — the bounded-size "what dominates each source"
+      * artifact a mixture designer reads before setting rates, with the
+      * undercount ledger carried as data. k rows per source no matter
+      * the corpus size; derived after dedup so duplicated boilerplate
+      * cannot vote. */
+    def freqProfile(): String = {
+      val deduped = spark.read.parquet(s"${cfg.workDir}/deduped")
+      val toks = deduped.select(col("source"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("tok"))
+      TopFreq.build(toks, col("tok"), col("source"), 32)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${cfg.workDir}/freq")
+      sig(s"${cfg.workDir}/freq")
+    }
+
     def skewReport(): String = {
       val balanced = spark.read.parquet(s"${cfg.workDir}/balanced")
       val loads = balanced.groupBy(col("shard"))
@@ -198,7 +215,8 @@ object CorpusPipeline {
       Task("skew_report", Seq("rebalance"), skewReport _),
       Task("chunk_index", Seq("dedup"), chunkIndex _),
       Task("tokenize", Seq("dedup"), tokenize _),
-      Task("bpe_train", Seq("dedup"), bpeTrain _))
+      Task("bpe_train", Seq("dedup"), bpeTrain _),
+      Task("freq_profile", Seq("dedup"), freqProfile _))
     // poll-gated external load of the balanced shards (when configured):
     // ordinary Dag task, so an unchanged shard set skips the external
     // trigger entirely and a new corpus vintage re-loads exactly once

@@ -53,6 +53,19 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(bpe.count() == graft.operators.CorpusQueries.BpeMergeRounds)
     assert(bpe.select("rank").collect().map(_.getInt(0)).sorted.toSeq ==
       (1 to graft.operators.CorpusQueries.BpeMergeRounds))
+    // freq governance profile: ≤32 rows per source, MG bound vs the
+    // deduped corpus's exact per-source term counts
+    val freq = spark.read.parquet(s"${cfg.workDir}/freq")
+    val perSource = freq.groupBy("grain").count().collect().map(_.getLong(1))
+    assert(perSource.nonEmpty && perSource.forall(_ <= 32))
+    val exactTok = deduped.select(col("source"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("tok"))
+      .groupBy("source", "tok").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    freq.collect().foreach { r =>
+      val (g, k, cnt, err) = (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(cnt <= exactTok((g, k)) && cnt >= exactTok((g, k)) - err, s"$g/$k")
+    }
 
     // unchanged input → complete no-op
     val second = CorpusPipeline.run(spark, cfg)
@@ -69,9 +82,9 @@ class CorpusPipelineSpec extends AnyFunSuite {
   }
 
   private val allTasks = Seq("quality_gate", "dedup", "pack", "rebalance", "skew_report",
-    "chunk_index", "tokenize", "bpe_train")
+    "chunk_index", "tokenize", "bpe_train", "freq_profile")
   private val dedupCone = Seq("dedup", "pack", "rebalance", "skew_report",
-    "chunk_index", "tokenize", "bpe_train")
+    "chunk_index", "tokenize", "bpe_train", "freq_profile")
 
   test("§8f(v): policy file drives the gate; a config edit re-runs the cone") {
     val cfg0 = freshCfg()
