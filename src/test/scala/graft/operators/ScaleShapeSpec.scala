@@ -138,4 +138,28 @@ class ScaleShapeSpec extends AnyFunSuite {
       assert(math.abs(g._3 - w._3) < 1e-6) // double sum assoc tolerance
     }
   }
+
+  test("round-7b plan-shape invariants hold") {
+    // bigram LM: the collapsed doc-bigram table is MATERIALIZED and every
+    // consumer (score join, c2, c1) reads the cache — three
+    // InMemoryTableScans, not three corpus explodes
+    val lm = planOf("text_bigram_lm")
+    assert("InMemoryTableScan".r.findAllIn(lm).size >= 3, lm)
+    // heavy hitters: count table cached (totals re-aggregate the cache),
+    // totals broadcast back with the multiplied-through threshold
+    val hh = planOf("events_heavy_hitters")
+    assert("InMemoryTableScan".r.findAllIn(hh).size >= 2, hh)
+    assert(hh.contains("BroadcastHashJoin"), hh)
+    // grouping sets: Expand sits above the pre-aggregated cells, never
+    // the raw fact scan (the cube pin, for the general form)
+    val gs = planOf("q_grouping_sets")
+    assert(gs.indexOf("Expand") < gs.indexOf("FileScan"), gs)
+    // Pareto frontier: the sweep window consumes the per-date cell
+    // AGGREGATE (cells-first — an aggregate sits below the window in the
+    // broadcast subtree), and the surviving cells re-enter broadcast
+    val pf = planOf("q_pareto_frontier")
+    assert(pf.contains("BroadcastHashJoin"), pf)
+    val win = pf.indexOf("Window")
+    assert(win >= 0 && pf.substring(win).contains("HashAggregate"), pf)
+  }
 }
