@@ -708,6 +708,65 @@ object AnalyticsQueries {
       |FROM orders JOIN frontier ON o_orderdate = fd AND o_totalprice = mx
       |ORDER BY o_orderkey""".stripMargin
 
+  // ----------------------------------------------------- OLS trend (§8k)
+
+  /** Per-nation revenue TREND: ordinary-least-squares slope/intercept of
+    * monthly revenue against the month index, from the closed form
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²). Every sum is exact (decimal
+    * for revenue products, integer for the index moments), aggregated
+    * distributed with map-side partials; the ONLY floating-point steps
+    * are the two final divisions of identical exact operands — IEEE-
+    * deterministic, so both engines emit the same rounded digits. The
+    * monthly cells (|nations|×|months|) are the regression input — the
+    * fact table is touched once by the cell aggregation. */
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val monthly = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1).as("x"))
+      .agg(dsum(col("o_totalprice")).as("y"))
+    monthly.groupBy("n_name")
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"),
+        sum(expr("CAST(x AS BIGINT) * x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"))
+      .withColumn("slope", round(
+        (col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+      .withColumn("intercept", round(
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n_months").cast("double"), 4))
+      .select(col("n_name"), col("n_months"), col("slope"), col("intercept"))
+  }
+
+  private val revenueTrendSql =
+    """WITH monthly AS (
+      |  SELECT n_name,
+      |    (YEAR(o_orderdate) - 1992) * 12 + MONTH(o_orderdate) - 1 AS x,
+      |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS y
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT n_name, COUNT(*) AS n_months,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    SUM(y) AS sy, SUM(x * y) AS sxy
+      |  FROM monthly GROUP BY 1),
+      |sloped AS (
+      |  SELECT n_name, n_months, sx, sy,
+      |    ROUND(CAST(n_months * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n_months * sxx - sx * sx AS DOUBLE), 6) AS slope
+      |  FROM agg)
+      |SELECT n_name, n_months, slope,
+      |  ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+      |    / CAST(n_months AS DOUBLE), 4) AS intercept
+      |FROM sloped ORDER BY n_name""".stripMargin
+
   // ------------------------------------------------------ IQR outliers
 
   /** Per-priority Tukey-fence outlier census from EXACT discrete
@@ -759,6 +818,7 @@ object AnalyticsQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q_revenue_trend" -> Q(revenueTrend _, revenueTrendSql, Seq(col("n_name"))),
     "q_grouping_sets" -> Q(groupingSetsAgg _, groupingSetsSql,
       Seq(col("g_nation"), col("g_year"), col("nation"), col("yr"))),
     "q_mode_per_group" -> Q(modePerGroup _, modePerGroupSql, Seq(col("n_name"))),

@@ -223,7 +223,70 @@ object TextIndexQueries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------- BM25 retrieval (§8k)
+
+  private val Bm25Terms = Seq("window", "merge", "stream")
+
+  /** Full-text BM25 retrieval, engine-exact: top-20 documents for a fixed
+    * conjunctive term set, scored with Robertson k1=6/5, b=3/4 — every
+    * factor carried as INTEGERS. The idf is the classic
+    * (N−df+0.5)/(df+0.5) as the rational (2N−2df+1)/(2df+1) (the
+    * log-free surrogate, rank-equivalent per term — the collocation
+    * query's lift-over-PMI trade); the length normalization runs on
+    * dlr = ⌊10⁴·dl·N/L⌋, so magnitudes stay corpus-size-independent and
+    * the arithmetic never leaves int64 at any scale. No transcendentals,
+    * no floats ⇒ identical ranking on any executor count and in DuckDB.
+    *
+    * Scale shape: the tf table explodes map-side and FILTERS to the query
+    * terms at the scan (pushed predicate); df is a |terms|-row broadcast;
+    * doc lengths join keyed on doc_id; top-20 via TakeOrdered. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = Tables(dir).documents
+    val dls = docs.select(col("doc_id"), size(words(col("text"))).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .where(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfx), "term")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("dlr", expr("(10000 * dl * n_docs) div l_tot"))
+      .withColumn("idf_s", expr("(10000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"))
+      .withColumn("bm_s", expr("(tf * 4400000000) div (200000 * tf + 60000 + 18 * dlr)"))
+      .withColumn("s_term", expr("(idf_s * bm_s) div 10000"))
+      .groupBy("doc_id")
+      .agg(sum(col("s_term")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  private val bm25Sql = {
+    val w = DuckSql.wordsOf("text")
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dls AS (SELECT doc_id, CAST(LEN($w) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS l_tot FROM dls),
+       |toks AS (
+       |  SELECT doc_id, t.term FROM documents, UNNEST($w) AS t(term)
+       |  WHERE t.term IN ($terms)),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.tf, dfx.df, dls.dl, stats.n_docs, stats.l_tot,
+       |    (10000 * dls.dl * stats.n_docs) // stats.l_tot AS dlr
+       |  FROM tf JOIN dfx USING (term) JOIN dls ON tf.doc_id = dls.doc_id, stats),
+       |terms_scored AS (
+       |  SELECT doc_id,
+       |    (((10000 * (2 * n_docs - 2 * df + 1)) // (2 * df + 1))
+       |      * ((tf * 4400000000) // (200000 * tf + 60000 + 18 * dlr))) // 10000 AS s_term
+       |  FROM scored)
+       |SELECT doc_id, CAST(SUM(s_term) AS BIGINT) AS score, COUNT(*) AS n_terms
+       |FROM terms_scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bm25_topk" -> Q(bm25TopK _, bm25Sql, Seq(col("score").desc, col("doc_id"))),
     "text_bigram_lm" -> Q(bigramLm _, bigramLmSql, Seq(col("lang"), col("source"))),
     "text_zipf_profile" -> Q(zipfProfile _, zipfSql, Seq(col("rank"))),
     "text_inverted_index" -> Q(invertedIndex _, invertedIndexSql, Seq(col("term"))),
