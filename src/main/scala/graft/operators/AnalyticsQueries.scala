@@ -767,6 +767,44 @@ object AnalyticsQueries {
       |    / CAST(n_months AS DOUBLE), 4) AS intercept
       |FROM sloped ORDER BY n_name""".stripMargin
 
+  // ------------------------------------------------ weighted median (§8k)
+
+  /** Quantity-weighted median price per return flag: the smallest price
+    * whose cumulative weight reaches half the group total. Weights
+    * accumulate as exact decimals and the boundary test is multiplied
+    * through (2·cumw ≥ W) — no division, no float compare. Same
+    * per-group-sort caveat and sketch-path note as the IQR fences. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.types.DecimalType
+    val li = Tables(dir).lineitem
+    val ord = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val grp = Window.partitionBy(col("l_returnflag"))
+    li.withColumn("qd", col("l_quantity").cast(DecimalType(28, 6)))
+      .withColumn("cumw", sum(col("qd")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("qd")).over(grp))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cumw") * 2 >= col("tot"), col("l_extendedprice"))).as("w_median"),
+        fin(max(col("tot"))).as("total_qty"))
+  }
+
+  private val weightedMedianSql =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+      |      PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+      |      PARTITION BY l_returnflag) AS tot
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  MIN(CASE WHEN cumw * 2 >= tot THEN l_extendedprice END) AS w_median,
+      |  CAST(ROUND(MAX(tot), 2) AS DOUBLE) AS total_qty
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ IQR outliers
 
   /** Per-priority Tukey-fence outlier census from EXACT discrete
@@ -819,6 +857,7 @@ object AnalyticsQueries {
 
   val queries: Map[String, Q] = Map(
     "q_revenue_trend" -> Q(revenueTrend _, revenueTrendSql, Seq(col("n_name"))),
+    "q_weighted_median" -> Q(weightedMedian _, weightedMedianSql, Seq(col("l_returnflag"))),
     "q_grouping_sets" -> Q(groupingSetsAgg _, groupingSetsSql,
       Seq(col("g_nation"), col("g_year"), col("nation"), col("yr"))),
     "q_mode_per_group" -> Q(modePerGroup _, modePerGroupSql, Seq(col("n_name"))),

@@ -692,7 +692,38 @@ object EventAnalytics {
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- segment algebra (§8k)
+
+  /** Audience segment algebra — how many users fall in every
+    * did-view × did-purchase × did-error combination. One per-user flag
+    * aggregation (map-side partials collapse the stream to |users| rows)
+    * and an 8-cell rollup: the set-algebra answer ("X AND Y BUT NOT Z")
+    * for every segment at once, no per-segment passes. */
+  def segmentAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val flags = Tables(dir).events.groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("has_view"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"),
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("has_error"))
+    flags.groupBy(col("has_view"), col("has_purchase"), col("has_error"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val segmentAlgebraSql =
+    """WITH flags AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+      |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error
+      |  FROM events GROUP BY 1)
+      |SELECT has_view, has_purchase, has_error, COUNT(*) AS n_users
+      |FROM flags GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_segment_algebra" -> Q(segmentAlgebra _, segmentAlgebraSql,
+      Seq(col("has_view"), col("has_purchase"), col("has_error"))),
     "events_path_trigrams" -> Q(pathTrigrams _, pathTrigramsSql,
       Seq(col("n").desc, col("t1"), col("t2"), col("t3"))),
     "events_seasonality" -> Q(seasonality _, seasonalitySql, Seq(col("dow"), col("hod"))),

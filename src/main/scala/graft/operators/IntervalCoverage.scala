@@ -216,8 +216,101 @@ object IntervalCoverage {
        |FROM gaps WHERE gap_us IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** §8k — interval-set INTERSECTION measure per key: wall-clock micros
+    * where set A and set B are simultaneously covered. Both sides run
+    * through the same (key, day) block machinery (so arbitrary internal
+    * overlaps are union-merged first), then blocks join per (key, day) —
+    * per-day block counts are bounded, so the pair join is bin-local, the
+    * same economics as the multi-interval range join. Completes the
+    * interval algebra: union ([[coverageOf]]), difference ([[gapsOf]]),
+    * intersection (here) — and inclusion–exclusion ties all three
+    * (spec-pinned: |A|+|B|−|A∪B| = |A∩B|). */
+  def intersectionOf(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val ba = dayBlocks(a, key)
+      .select(col(key), col("day"), col("block_s").as("a_s"), col("block_e").as("a_e"))
+    val bb = dayBlocks(b, key)
+      .select(col(key), col("day"), col("block_s").as("b_s"), col("block_e").as("b_e"))
+    ba.join(bb, Seq(key, "day"))
+      .withColumn("ov", least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+      .where(col("ov") > 0)
+      .groupBy(col(key))
+      .agg(sum(col("ov")).as("both_us"))
+  }
+
+  private val PadUs = 900000000L // ±15 min attention envelope
+
+  /** Per user: time where the view ATTENTION WINDOW and the click
+    * attention window were both active (each typed gap session padded
+    * ±15 min — raw sessions are mostly single-event instants, which
+    * never measurably intersect; the envelope is the standard dwell
+    * model). The padding can make a user's windows overlap EACH OTHER,
+    * which is exactly what the block machinery union-merges before
+    * intersecting. Oracle: a deliberately different formulation — merge
+    * each side's padded windows with a sweep, then the quadratic pair
+    * overlap; agreement checks the day-decomposition pipeline against
+    * first principles. */
+  def viewClickOverlap(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val sess = typedSessions(Tables(dir))
+      .select(col("user_id"), col("event_type"),
+        (col("s_us") - PadUs).as("s_us"), (col("e_us") + PadUs).as("e_us"))
+    val a = sess.where(col("event_type") === "view").select(col("user_id"), col("s_us"), col("e_us"))
+    val b = sess.where(col("event_type") === "click").select(col("user_id"), col("s_us"), col("e_us"))
+    intersectionOf(a, b, "user_id")
+  }
+
+  private val viewClickOverlapSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+      |numbered AS (
+      |  SELECT user_id, event_type, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, event_type, session_seq,
+      |    epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) + 1 AS e_us
+      |  FROM numbered GROUP BY 1, 2, 3),
+      |padded AS (
+      |  SELECT user_id, event_type,
+      |    s_us - 900000000 AS s_us, e_us + 900000000 AS e_us
+      |  FROM sess WHERE event_type IN ('view', 'click')),
+      |swept AS (
+      |  SELECT user_id, event_type, s_us, e_us,
+      |    CASE WHEN MAX(e_us) OVER (PARTITION BY user_id, event_type ORDER BY s_us, e_us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR s_us >= MAX(e_us) OVER (PARTITION BY user_id, event_type ORDER BY s_us, e_us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS nb
+      |  FROM padded),
+      |blocks AS (
+      |  SELECT user_id, event_type,
+      |    MIN(s_us) AS s_us, MAX(e_us) AS e_us
+      |  FROM (SELECT *, SUM(nb) OVER (PARTITION BY user_id, event_type
+      |          ORDER BY s_us, e_us
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk FROM swept) x
+      |  GROUP BY user_id, event_type, blk),
+      |a AS (SELECT user_id, s_us, e_us FROM blocks WHERE event_type = 'view'),
+      |b AS (SELECT user_id, s_us, e_us FROM blocks WHERE event_type = 'click'),
+      |ov AS (
+      |  SELECT a.user_id,
+      |    LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS ov
+      |  FROM a JOIN b ON a.user_id = b.user_id
+      |  WHERE LEAST(a.e_us, b.e_us) > GREATEST(a.s_us, b.s_us))
+      |SELECT user_id, CAST(SUM(ov) AS BIGINT) AS both_us
+      |FROM ov GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "events_type_coverage" -> Q(typeCoverage _, typeCoverageSql, Seq(col("event_type"))),
     "events_type_gaps" -> Q(typeGaps _, typeGapsSql, Seq(col("event_type"))),
+    "events_view_click_overlap" -> Q(viewClickOverlap _, viewClickOverlapSql,
+      Seq(col("user_id"))),
   )
 }

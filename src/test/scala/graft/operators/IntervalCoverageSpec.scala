@@ -92,6 +92,25 @@ class IntervalCoverageSpec extends AnyFunSuite {
 
   private def naiveUnionOf(ivs: Seq[(Long, Long)]): Long = naiveUnion(ivs)
 
+  test("intersection closes the algebra: |A|+|B|-|A∪B| = |A∩B| on interval soup") {
+    val a = soup("a", 3) ++ soup("b", 7)
+    val b = soup("a", 13) ++ soup("b", 17)
+    val dfA = a.toDF("k", "s_us", "e_us")
+    val dfB = b.toDF("k", "s_us", "e_us")
+    val mA = IntervalCoverage.coverageOf(dfA, "k")
+      .select("k", "covered_us").as[(String, Long)].collect().toMap
+    val mB = IntervalCoverage.coverageOf(dfB, "k")
+      .select("k", "covered_us").as[(String, Long)].collect().toMap
+    val mU = IntervalCoverage.coverageOf(dfA.unionByName(dfB), "k")
+      .select("k", "covered_us").as[(String, Long)].collect().toMap
+    val mI = IntervalCoverage.intersectionOf(dfA, dfB, "k")
+      .select("k", "both_us").as[(String, Long)].collect().toMap
+    Seq("a", "b").foreach { k =>
+      assert(mI(k) == mA(k) + mB(k) - mU(k), s"inclusion-exclusion broke on $k")
+      assert(mI(k) > 0, s"soup keys should genuinely intersect ($k)")
+    }
+  }
+
   test("registered type-coverage query: sane bounds at sf0.001") {
     val out = IntervalCoverage.typeCoverage(spark, TestSpark.Sf0001)
       .select("event_type", "covered_us", "n_day_blocks", "max_block_us")
