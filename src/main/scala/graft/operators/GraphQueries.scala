@@ -369,17 +369,21 @@ object GraphQueries {
     spark.read.parquet(path)
   }
 
-  def components(spark: SparkSession, dir: String): DataFrame = {
-    implicit val s: SparkSession = spark
-    // Each round's plan references the previous round's frame several
-    // times (sym union + min-table joins), so carrying lineage across
-    // rounds grows the LOGICAL PLAN ~9× per round — an exponential
-    // driver-side explosion long before any executor works hard. The
-    // iterative-algorithm discipline is lineage TRUNCATION per round:
-    // localCheckpoint materializes the round and replans from a leaf.
-    // (On a real cluster a reliable checkpoint dir gives the same cut
-    // with fault tolerance; the algorithm is unchanged.)
-    var cur = stagedBackbone(spark, dir).select("u", "v").localCheckpoint(true)
+  /** The contraction loop on any (u, v) edge frame → the converged star
+    * mapping (child, root). Factored out so INCREMENTAL maintenance can
+    * re-enter it: a star forest plus a few new edges is already near the
+    * fixpoint, so [[absorbComponents]] converges in O(1) rounds.
+    *
+    * Each round's plan references the previous round's frame several
+    * times (sym union + min-table joins), so carrying lineage across
+    * rounds grows the LOGICAL PLAN ~9× per round — an exponential
+    * driver-side explosion long before any executor works hard. The
+    * iterative-algorithm discipline is lineage TRUNCATION per round:
+    * localCheckpoint materializes the round and replans from a leaf.
+    * (On a real cluster a reliable checkpoint dir gives the same cut
+    * with fault tolerance; the algorithm is unchanged.) */
+  private def contract(edges: DataFrame): DataFrame = {
+    var cur = edges.select("u", "v").localCheckpoint(true)
     var rounds = 0
     var done = false
     while (!done && rounds < 30) {
@@ -392,11 +396,32 @@ object GraphQueries {
       rounds += 1
     }
     require(done, s"star contraction did not converge in $rounds rounds")
-    val centers = cur.select(col("v").as("node"), col("v").as("comp_id"))
-    cur.select(col("u").as("node"), col("v").as("comp_id"))
+    cur
+  }
+
+  private def componentSizes(mapping: DataFrame): DataFrame = {
+    val centers = mapping.select(col("v").as("node"), col("v").as("comp_id"))
+    mapping.select(col("u").as("node"), col("v").as("comp_id"))
       .unionByName(centers).distinct()
       .groupBy("comp_id").agg(count(lit(1)).as("n_parts"))
   }
+
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    componentSizes(contract(stagedBackbone(spark, dir)))
+  }
+
+  /** §8k — INCREMENTAL component maintenance: fold a batch of new edges
+    * into an existing star mapping without recontracting the full graph.
+    * The mapping is itself a valid edge set (u—root ⇔ connectivity
+    * preserved), so contraction over mapping ∪ new edges computes the
+    * merged components — but starts from a near-fixpoint, converging in
+    * a round or two instead of O(log²|V|). The 100 TB shape: the
+    * mapping artifact is |V| rows; a day's new edges touch it, not the
+    * full history of pair counts. Returns the new mapping (child, root);
+    * spec pins absorb == full recompute. */
+  def absorbComponents(mapping: DataFrame, newEdges: DataFrame): DataFrame =
+    contract(mapping.select("u", "v").unionByName(newEdges.select("u", "v")))
 
   /** Oracle: min-label flooding as a recursive CTE — labels only travel
     * "upward" (lbl < next node), so the walk is finite and MIN(lbl) per
@@ -417,6 +442,66 @@ object GraphQueries {
        |comp AS (SELECT node, MIN(lbl) AS comp_id FROM walk GROUP BY node)
        |SELECT comp_id, COUNT(*) AS n_parts FROM comp GROUP BY comp_id
        |ORDER BY n_parts DESC, comp_id""".stripMargin
+
+  // -------------------------------------------------- weighted PageRank
+
+  /** §8k — SUPPORT-WEIGHTED PageRank over the backbone: contributions
+    * split proportionally to co-purchase support instead of equally —
+    * the rank flows where the relationship is strong. Same integer
+    * discipline as [[pagerank]] (scaled bigints, truncating div,
+    * damping multiplied through): per-edge contribution is
+    * (r div wsum) · w against the node's total incident support —
+    * divide-then-scale keeps every product far from int64's edge even
+    * under rank concentration (the truncation error is ≤ w per edge,
+    * identical in both engines) — so
+    * every executor count and the oracle's CTE chain agree to the bit.
+    * Shuffle ledger identical to the unweighted form — the weight rides
+    * the persisted edge list, costing nothing extra per iteration. */
+  def pagerankWeighted(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val bb = stagedBackbone(spark, dir)
+    val sym = bb.select(col("u").as("src"), col("v").as("dst"), col("n").as("w"))
+      .unionByName(bb.select(col("v").as("src"), col("u").as("dst"), col("n").as("w")))
+    val wsum = sym.groupBy("src").agg(sum(col("w")).as("wsum"))
+    val symW = Cached.track(sym.join(wsum, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val teleport = PrScale * 15L / 100L
+    var ranks = wsum.select(col("src").as("node"), lit(PrScale).as("r"))
+    for (_ <- 1 to PrIters) {
+      ranks = symW
+        .join(ranks, symW("src") === ranks("node"))
+        .select(col("dst"), expr("(r div wsum) * w").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("insum"))
+        .select(col("dst").as("node"),
+          (lit(teleport) + expr("(85 * insum) div 100")).as("r"))
+    }
+    ranks
+      .select(col("node").as("p_partkey"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("p_partkey"))
+      .limit(50)
+  }
+
+  private val pagerankWeightedSql = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT sd.dst AS node,
+         |    CAST(${PrScale * 15L / 100L} + (85 * SUM((r // wsum) * w)) // 100 AS BIGINT) AS r
+         |  FROM sd JOIN $prev p ON sd.src = p.node GROUP BY sd.dst)"""
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport),
+       |sym AS (SELECT pa AS src, pb AS dst, n AS w FROM e
+       |        UNION ALL SELECT pb, pa, n FROM e),
+       |ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM sym GROUP BY src),
+       |sd AS (SELECT s.src, s.dst, s.w, d.wsum FROM sym s JOIN ws d ON s.src = d.src),
+       |r0 AS (SELECT src AS node, CAST($PrScale AS BIGINT) AS r FROM ws),
+       |${(1 to PrIters).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")}
+       |SELECT node AS p_partkey, r AS rank_scaled
+       |FROM r$PrIters
+       |ORDER BY rank_scaled DESC, p_partkey LIMIT 50""".stripMargin
+  }
 
   // ------------------------------------------- bounded weighted SSSP
 
@@ -561,5 +646,7 @@ object GraphQueries {
       Seq(col("n_parts").desc, col("comp_id"))),
     "graph_bfs_hops" -> Q(bfsHops _, bfsHopsSql, Seq(col("hop"))),
     "graph_sssp_bounded" -> Q(ssspBounded _, ssspSql, Seq(col("node"))),
+    "graph_pagerank_weighted" -> Q(pagerankWeighted _, pagerankWeightedSql,
+      Seq(col("rank_scaled").desc, col("p_partkey"))),
   )
 }

@@ -163,7 +163,11 @@ object TextQueries {
           .otherwise("fr"))
   }
 
-  private val langIdSql = {
+  /** Shared scoring CTEs: `scored` carries (doc features, pred_lang) —
+    * the registered per-doc view and the confusion matrix both read it,
+    * so the classifier cannot drift between its own evaluation and its
+    * output. */
+  private val langIdCtes = {
     val scoreExprs = markers.map { case (lang, ms) =>
       s"""CAST(LEN(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0),
          |      w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS BIGINT) AS s_$lang""".stripMargin
@@ -172,15 +176,38 @@ object TextQueries {
       |  SELECT doc_id, lang AS actual_lang,
       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '$CjkClass', '', 'g')) AS BIGINT) AS s_cjk,
       |    $scoreExprs
-      |  FROM documents)
-      |SELECT doc_id, actual_lang, s_cjk, s_en, s_de, s_es, s_fr,
-      |  CASE WHEN s_cjk * 5 >= s_en + s_de + s_es + s_fr + 1 THEN 'zh'
-      |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-      |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-      |       WHEN s_es >= s_fr THEN 'es'
-      |       ELSE 'fr' END AS pred_lang
-      |FROM x ORDER BY doc_id""".stripMargin
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, actual_lang, s_cjk, s_en, s_de, s_es, s_fr,
+      |    CASE WHEN s_cjk * 5 >= s_en + s_de + s_es + s_fr + 1 THEN 'zh'
+      |         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |         WHEN s_es >= s_fr THEN 'es'
+      |         ELSE 'fr' END AS pred_lang
+      |  FROM x)""".stripMargin
   }
+
+  private val langIdSql =
+    s"""$langIdCtes
+      |SELECT doc_id, actual_lang, s_cjk, s_en, s_de, s_es, s_fr, pred_lang
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** §8k — language-ID CONFUSION MATRIX: predicted vs labeled language
+    * counts, the evaluation view of the classifier (on the synthetic
+    * word-salad corpus it measures label-vs-heuristic disagreement
+    * structure; on real text it is the accuracy report). One map-side
+    * scoring pass and a |langs|²-bounded aggregate. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    langIdFor(Tables(dir).documents)
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val langConfusionSql =
+    s"""$langIdCtes
+      |SELECT actual_lang, pred_lang, COUNT(*) AS n_docs
+      |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** §34 — document fingerprint: min-of-shingle-md5s (winnowing-style). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -205,6 +232,8 @@ object TextQueries {
     "text_quality_score" -> Q(qualityScore _, qualityScoreSql, Seq(col("doc_id"))),
     "text_quality_buckets" -> Q(qualityBuckets _, qualityBucketsSql, Seq(col("doc_id"))),
     "text_lang_id" -> Q(langId _, langIdSql, Seq(col("doc_id"))),
+    "text_langid_confusion" -> Q(langConfusion _, langConfusionSql,
+      Seq(col("actual_lang"), col("pred_lang"))),
     "text_fingerprint" -> Q(docFingerprint _, docFingerprintSql, Seq(col("doc_id"))),
   )
 }

@@ -45,6 +45,27 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("incremental absorb equals full recontraction") {
+    import spark.implicits._
+    val all = pairCounts.filter(_._2 >= 2).keys.toSeq.sorted
+    assert(all.size >= 4, "need enough backbone edges to split")
+    val (h1, h2) = all.splitAt(all.size / 2)
+    val df1 = h1.toDF("u", "v")
+    val df2 = h2.toDF("u", "v")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    def sizes(m: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val centers = m.select(col("v").as("node"), col("v").as("comp_id"))
+      m.select(col("u").as("node"), col("v").as("comp_id"))
+        .unionByName(centers).distinct()
+        .groupBy("comp_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val full = sizes(GraphQueries.absorbComponents(df1.limit(0), df1.unionByName(df2)))
+    val incr = sizes(GraphQueries.absorbComponents(
+      GraphQueries.absorbComponents(df1.limit(0), df1), df2))
+    assert(incr == full && full.nonEmpty)
+  }
+
   test("bounded sssp matches a driver Bellman-Ford") {
     val wEdges = pairCounts.filter(_._2 >= 2).toSeq.flatMap { case ((a, b), n) =>
       val w = 1000000L / n
