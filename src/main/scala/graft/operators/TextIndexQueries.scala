@@ -225,7 +225,7 @@ object TextIndexQueries {
 
   // ------------------------------------------------- BM25 retrieval (§8k)
 
-  private val Bm25Terms = Seq("window", "merge", "stream")
+  val Bm25Terms = Seq("window", "merge", "stream")
 
   /** Full-text BM25 retrieval, engine-exact: top-20 documents for a fixed
     * conjunctive term set, scored with Robertson k1=6/5, b=3/4 — every
@@ -240,7 +240,10 @@ object TextIndexQueries {
     * Scale shape: the tf table explodes map-side and FILTERS to the query
     * terms at the scan (pushed predicate); df is a |terms|-row broadcast;
     * doc lengths join keyed on doc_id; top-20 via TakeOrdered. */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Unlimited per-doc BM25 scores (docs matching ≥1 query term) — the
+    * registered top-k query and the streaming serving twin's spec both
+    * read this. */
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val docs = Tables(dir).documents
     val dls = docs.select(col("doc_id"), size(words(col("text"))).cast("long").as("dl"))
@@ -258,8 +261,10 @@ object TextIndexQueries {
       .withColumn("s_term", expr("(idf_s * bm_s) div 10000"))
       .groupBy("doc_id")
       .agg(sum(col("s_term")).as("score"), count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col("doc_id")).limit(20)
   }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir).orderBy(col("score").desc, col("doc_id")).limit(20)
 
   private val bm25Sql = {
     val w = DuckSql.wordsOf("text")

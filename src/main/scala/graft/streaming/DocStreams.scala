@@ -310,6 +310,40 @@ object DocStreams {
     * event-time horizon; a deployment that can tolerate re-admitting old
     * content after a horizon switches to `dropDuplicatesWithinWatermark`
     * on an ingest-time column, same plan shape. */
+  /** §8k — streaming BM25 scoring: the retrieval SERVING twin of the
+    * batch `text_bm25_topk`. Corpus statistics (per-term df, doc count,
+    * total length) come from the offline index — small and FROZEN
+    * between index rebuilds — and bake into the plan as constants; the
+    * per-term idf is even folded driver-side, since it depends only on
+    * them. Each arriving document scores row-locally (tf from its own
+    * token array) — zero state, zero shuffles, the tokenizeStream
+    * discipline. Integer arithmetic identical to the batch query, so
+    * scores are bit-equal (spec-pinned). A global top-k is not a
+    * streaming-legal append operator; serving ranks within whatever
+    * window the consumer holds. */
+  def bm25Stream(docs: DataFrame, dfs: Map[String, Long], nDocs: Long, lTot: Long): DataFrame = {
+    val terms = graft.operators.TextIndexQueries.Bm25Terms.filter(dfs.contains)
+    val scored = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+      .withColumn("dlr", expr(s"(10000 * dl * ${nDocs}) div ${lTot}"))
+    val sTerms = terms.map { t =>
+      val d = dfs(t)
+      val idfS = (10000L * (2 * nDocs - 2 * d + 1)) / (2 * d + 1)
+      val tf = s"CAST(size(filter(w, x -> x = '$t')) AS BIGINT)"
+      expr(s"""CASE WHEN $tf > 0
+              |THEN ($idfS * (($tf * 4400000000) div (200000 * $tf + 60000 + 18 * dlr))) div 10000
+              |END""".stripMargin)
+    }
+    scored
+      .withColumn("s_terms", array(sTerms: _*))
+      .withColumn("matched", filter(col("s_terms"), x => x.isNotNull))
+      .where(size(col("matched")) > 0)
+      .select(col("doc_id"),
+        aggregate(col("matched"), lit(0L), (acc, x) => acc + x).as("score"),
+        size(col("matched")).cast("long").as("n_terms"))
+  }
+
   def dedupByContent(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
       .dropDuplicates("content_hash")

@@ -220,4 +220,25 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got.count() == batchHashes)
     assert(got.select("content_hash").distinct().count() == batchHashes)
   }
+
+  test("streaming bm25 with frozen index stats emits exactly the batch scores") {
+    implicit val sess: org.apache.spark.sql.SparkSession = spark
+    import graft.functions.TextFunctions.words
+    val terms = graft.operators.TextIndexQueries.Bm25Terms
+    val full = Tables(TestSpark.Sf0001).documents
+    // offline index statistics, computed once (the artifact the stream freezes)
+    val nDocs = full.count()
+    val lTot = full.select(size(words(col("text"))).cast("long").as("dl"))
+      .agg(sum("dl")).head.getLong(0)
+    val dfs = full.select(col("doc_id"), explode(words(col("text"))).as("t"))
+      .where(col("t").isin(terms: _*)).distinct()
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = runStream("s_bm25", docs.grouped(150).toSeq)(
+        DocStreams.bm25Stream(_, dfs, nDocs, lTot))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.operators.TextIndexQueries.bm25Scores(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && want.nonEmpty)
+  }
 }
