@@ -32,6 +32,8 @@ object SparkEntry {
     operators.MultiIntervalJoin.queries,
     operators.IntervalCoverage.queries,
     operators.NgsQueries.queries,
+    operators.SplitQueries.queries,
+    operators.PrefixJoin.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort). */

@@ -135,8 +135,10 @@ object DedupQueries {
     lshCandidates(Tables(dir))
   }
 
-  /** DuckDB mirror of words→shingles→minhash→bands (1-based list indexing). */
-  private def minhashCtes: String = {
+  /** DuckDB mirror of words→shingles→minhash→bands (1-based list indexing).
+    * Shared with [[SplitQueries]] — the split-leakage oracle reruns the
+    * SAME candidate generation so its pair set is bit-identical. */
+  private[operators] def minhashCtes: String = {
     val mh = (0 until K)
       .map(i => s"list_aggregate(list_transform(hs, h -> (${mixA(i)} * h + ${mixB(i)}) % $P), 'min')")
       .mkString(",\n    ")
@@ -379,7 +381,7 @@ object DedupQueries {
 
   // ------------------------------------------------------------- simhash
 
-  private def hexToLongDuck(h: String, nChars: Int = 8): String =
+  private[operators] def hexToLongDuck(h: String, nChars: Int = 8): String =
     (0 until nChars).map { p =>
       s"(strpos('0123456789abcdef', substring($h, ${p + 1}, 1)) - 1) * CAST(${1L << (4 * (nChars - 1 - p))} AS BIGINT)"
     }.mkString("(", " + ", ")")

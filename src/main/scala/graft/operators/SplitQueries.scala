@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.Q
+import graft.plans.VectorExpressions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset split family: deterministic train/val/test assignment, split
+  * composition auditing, and near-duplicate LEAKAGE detection/scrubbing
+  * across the split boundary.
+  *
+  * The one thing a training-data pipeline must never do is let an eval
+  * document (or a near-copy of one) into the training set. Three layers:
+  *
+  *  1. Assignment is keyed on the CONTENT hash, not the row id — two
+  *     byte-identical documents can never straddle the boundary no matter
+  *     how their ids were assigned, and re-ingesting a document under a
+  *     new id cannot move it between splits.
+  *  2. Exact co-assignment still misses near-duplicates, so
+  *     [[splitLeakage]] reruns the corpus's LSH candidate generation
+  *     ([[DedupQueries.lshPairsOf]] — the same bands, so the same pair
+  *     set as the dedup family) and reports the pair-count matrix by
+  *     (split_a, split_b); off-diagonal train↔eval cells are leaks.
+  *  3. [[splitScrub]] is the corrective action: drop from train every
+  *     document with a candidate near-dup in val or test (drop from
+  *     TRAIN, never from eval — eval sets must stay fixed or results
+  *     aren't comparable across runs).
+  *
+  * Scale shape: assignment is pure map-side (md5 + integer mix, no
+  * shuffle — at 100 TB it is recomputed where needed rather than joined
+  * from a materialized table). Leakage adds the banded-bucket exchange
+  * from the LSH pipeline plus two doc_id-keyed joins of the (small)
+  * candidate-pair set back to the assignment — the standard
+  * candidate-verify shape shared with `dedup_ngram_jaccard`.
+  *
+  * Reference anchor: sources2csr derives per-entity outputs from config,
+  * not hardcoded ids (`/root/reference/csr2transmart` semantics of
+  * stable keying); the split discipline itself is brief-mandated
+  * LLM-pipeline surface.
+  *
+  * Relation to `docs_split_sample` ([[AnalyticsQueries]]): that earlier
+  * query is the split-COUNT summary keyed on doc_id (the quick sanity
+  * view). This family is the full discipline: content-keyed assignment
+  * (id-keyed deals break when ids are reassigned between ingests),
+  * per-stratum composition audit, and the near-dup leakage layer that id
+  * or content keying alone cannot give.
+  */
+object SplitQueries {
+
+  /** Version salt: bump to re-deal every document deterministically. */
+  private val Salt = "graft-split-v1"
+
+  /** Per-mille boundaries: [0,800) train, [800,900) val, [900,1000) test. */
+  private val TrainPm = 800
+  private val ValPm = 900
+
+  /** bucket ∈ [0,1000): first 8 hex nibbles of md5(salt || content-md5)
+    * as a long, mod 1000. Uniform by md5's avalanche; salt isolates this
+    * deal from every other md5-derived key in the engine. */
+  private def bucketCol = pmod(
+    VectorExpressions.hexPrefix(md5(concat(lit(Salt), md5(col("text")))), 8), lit(1000L))
+
+  private def splitOf(bucket: org.apache.spark.sql.Column) =
+    when(bucket < TrainPm, "train").when(bucket < ValPm, "val").otherwise("test")
+
+  /** The assignment as a reusable frame: (doc_id, lang, source, bucket, split).
+    * Map-side only — no shuffle, no state. */
+  private[operators] def assigned(t: Tables): DataFrame =
+    t.documents
+      .withColumn("bucket", bucketCol)
+      .withColumn("split", splitOf(col("bucket")))
+      .select("doc_id", "lang", "source", "bucket", "split")
+
+  /** Registered: the full assignment listing. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    assigned(Tables(dir)).select("doc_id", "bucket", "split")
+  }
+
+  /** DuckDB mirror of the bucket expression over any hex column. */
+  private def bucketDuck: String =
+    s"(${DedupQueries.hexToLongDuck(s"md5('$Salt' || md5(text))", 8)}) % 1000"
+
+  private val splitCase =
+    s"CASE WHEN bucket < $TrainPm THEN 'train' WHEN bucket < $ValPm THEN 'val' ELSE 'test' END"
+
+  private val splitAssignSql =
+    s"""WITH b AS (SELECT doc_id, $bucketDuck AS bucket FROM documents)
+       |SELECT doc_id, bucket, $splitCase AS split FROM b ORDER BY doc_id""".stripMargin
+
+  /** Oracle-shared CTE: the assignment with lang/source carried. */
+  private val assignedCte =
+    s"""asg AS (
+       |  SELECT doc_id, lang, source, bucket, $splitCase AS split
+       |  FROM (SELECT doc_id, lang, source, $bucketDuck AS bucket FROM documents))""".stripMargin
+
+  /** Stratification audit: per (split, lang) document count, char volume,
+    * and the per-mille share of the split's documents that lang holds —
+    * integer arithmetic only (n*1000 div split_total), so the compare is
+    * exact. A healthy hash split shows each lang's per-mille roughly
+    * constant across splits. One shuffle (the groupBy); the share join is
+    * a broadcast of ≤3 rows. */
+  def splitStats(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val a = assigned(Tables(dir)).join(
+      Tables(dir).documents.select("doc_id", "n_chars"), Seq("doc_id"))
+    val cells = a.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val totals = a.groupBy("split").agg(count(lit(1)).as("split_total"))
+    cells.join(broadcast(totals), Seq("split"))
+      .withColumn("share_pm", expr("n_docs * 1000 div split_total"))
+      .select("split", "lang", "n_docs", "n_chars", "share_pm")
+  }
+
+  private val splitStatsSql =
+    s"""WITH $assignedCte,
+       |j AS (SELECT a.split, a.lang, d.n_chars FROM asg a JOIN documents d USING (doc_id)),
+       |cells AS (SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |          FROM j GROUP BY 1, 2),
+       |tot AS (SELECT split, COUNT(*) AS split_total FROM j GROUP BY 1)
+       |SELECT c.split, c.lang, c.n_docs, c.n_chars,
+       |       c.n_docs * 1000 // t.split_total AS share_pm
+       |FROM cells c JOIN tot t ON c.split = t.split
+       |ORDER BY c.split, c.lang""".stripMargin
+
+  /** Near-dup leakage matrix: LSH candidate pairs bucketed by the two
+    * sides' splits. `is_leak` marks train↔eval cells (the pairs a scrub
+    * must act on); val↔test crossings are reported but not leaks of
+    * train. Pair generation is EXACTLY the dedup family's (same bands),
+    * so this matrix is the split-conditional marginal of
+    * `dedup_minhash_lsh`. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val pairs = DedupQueries.lshPairsOf(t.documents)
+    val asg = assigned(t).select("doc_id", "split")
+    pairs
+      .join(asg.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "split_a"), Seq("doc_a"))
+      .join(asg.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "split_b"), Seq("doc_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak",
+        (col("split_a") =!= col("split_b")) &&
+          (col("split_a") === "train" || col("split_b") === "train"))
+  }
+
+  private val splitLeakageSql =
+    s"""WITH ${DedupQueries.minhashCtes},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |              AND a.doc_id < b.doc_id),
+       |$assignedCte
+       |SELECT sa.split AS split_a, sb.split AS split_b, COUNT(*) AS n_pairs,
+       |       (sa.split <> sb.split AND (sa.split = 'train' OR sb.split = 'train')) AS is_leak
+       |FROM cand
+       |JOIN asg sa ON sa.doc_id = doc_a
+       |JOIN asg sb ON sb.doc_id = doc_b
+       |GROUP BY 1, 2, 4
+       |ORDER BY split_a, split_b""".stripMargin
+
+  /** Decontaminated train set: every train document with an LSH candidate
+    * near-dup in val or test is dropped (left-anti join against the leak
+    * side projection); eval splits are untouched by construction. Output
+    * is the surviving train listing. */
+  def splitScrub(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val asg = assigned(t).select("doc_id", "split")
+    val pairs = DedupQueries.lshPairsOf(t.documents)
+      .join(asg.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "split_a"), Seq("doc_a"))
+      .join(asg.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "split_b"), Seq("doc_b"))
+    // the train-side member of every train↔eval pair, from either column
+    val leakTrain = pairs.where(col("split_a") === "train" && col("split_b") =!= "train")
+      .select(col("doc_a").as("doc_id"))
+      .union(pairs.where(col("split_b") === "train" && col("split_a") =!= "train")
+        .select(col("doc_b").as("doc_id")))
+      .distinct()
+    asg.where(col("split") === "train")
+      .join(leakTrain, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+  }
+
+  private val splitScrubSql =
+    s"""WITH ${DedupQueries.minhashCtes},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |              AND a.doc_id < b.doc_id),
+       |$assignedCte,
+       |leak AS (
+       |  SELECT sa.doc_id FROM cand
+       |    JOIN asg sa ON sa.doc_id = doc_a JOIN asg sb ON sb.doc_id = doc_b
+       |    WHERE sa.split = 'train' AND sb.split <> 'train'
+       |  UNION
+       |  SELECT sb.doc_id FROM cand
+       |    JOIN asg sa ON sa.doc_id = doc_a JOIN asg sb ON sb.doc_id = doc_b
+       |    WHERE sb.split = 'train' AND sa.split <> 'train')
+       |SELECT doc_id FROM asg
+       |WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM leak)
+       |ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "docs_split_assign" -> Q(splitAssign _, splitAssignSql, Seq(col("doc_id"))),
+    "docs_split_stats" -> Q(splitStats _, splitStatsSql, Seq(col("split"), col("lang"))),
+    "docs_split_leakage" -> Q(splitLeakage _, splitLeakageSql, Seq(col("split_a"), col("split_b"))),
+    "docs_split_scrub" -> Q(splitScrub _, splitScrubSql, Seq(col("doc_id"))),
+  )
+}

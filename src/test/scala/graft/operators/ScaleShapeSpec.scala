@@ -162,4 +162,21 @@ class ScaleShapeSpec extends AnyFunSuite {
     val win = pf.indexOf("Window")
     assert(win >= 0 && pf.substring(win).contains("HashAggregate"), pf)
   }
+
+  test("round-7c plan-shape invariants hold") {
+    // split assignment is pure map-side: a single stage, no exchange of
+    // any kind (content hash + integer mix per row)
+    val asg = planOf("docs_split_assign")
+    assert(!asg.contains("Exchange"), asg)
+    // exact all-pairs join: candidates come from the custom
+    // bucket-clustered operator, never a token self-join; the shingle
+    // table is materialized once and both branches read the cache
+    val ap = planOf("dedup_allpairs_jaccard")
+    assert(ap.contains("BandedPairs"), ap)
+    assert(!ap.contains("SortMergeJoin ["), ap)
+    assert("InMemoryTableScan".r.findAllIn(ap).size >= 2, ap)
+    // leakage reuses the LSH band operator (same candidate set as dedup)
+    val lk = planOf("docs_split_leakage")
+    assert(lk.contains("BandedPairs"), lk)
+  }
 }
