@@ -745,7 +745,45 @@ object DedupQueries {
        |ORDER BY source""".stripMargin
   }
 
+  /** Cross-SOURCE duplication flow: the LSH candidate-pair set bucketed by
+    * the unordered source pair it straddles. `dedup_source_report` audits
+    * duplication WITHIN each source; this matrix shows which source pairs
+    * feed near-identical content to each other — the view that decides
+    * which upstream feed to drop when two crawls overlap. least/greatest
+    * collapse the symmetric cells so (src0,src3) and (src3,src0) are one
+    * row. Same scale shape as the leakage matrix: banded candidate
+    * exchange + two doc-keyed joins of the bounded pair set. */
+  def crossSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val src = t.documents.select(col("doc_id"), col("source"))
+    lshPairsOf(t.documents)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .groupBy(
+        least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val crossSourceMatrixSql =
+    s"""WITH $minhashCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |              AND a.doc_id < b.doc_id)
+       |SELECT LEAST(da.source, db.source) AS source_lo,
+       |       GREATEST(da.source, db.source) AS source_hi,
+       |       COUNT(*) AS n_pairs
+       |FROM cand
+       |JOIN documents da ON da.doc_id = doc_a
+       |JOIN documents db ON db.doc_id = doc_b
+       |GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_cross_source" -> Q(crossSourceMatrix _, crossSourceMatrixSql,
+      Seq(col("source_lo"), col("source_hi"))),
     "dedup_source_report" -> Q(sourceReport _, sourceReportSql, Seq(col("source"))),
     "dedup_exact_docs" -> Q(exactDocs _, exactDocsSql, Seq(col("keep_doc_id"))),
     "dedup_incremental" -> Q(incrementalDedup _, incrementalDedupSql,

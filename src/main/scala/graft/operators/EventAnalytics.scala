@@ -251,6 +251,62 @@ object EventAnalytics {
     * pattern q_stats_moments established — with the double arithmetic in
     * one fixed expression order. One shuffle: the same per-user window
     * partitioning every behavioral operator here shares. */
+  /** Robust per-type outliers via Median Absolute Deviation — the
+    * breakdown-resistant twin of [[valueOutliers]]'s rolling z-score (one
+    * wild value corrupts a mean/stddev gate; the median tolerates up to
+    * half the data being garbage). Everything is EXACT: values go through
+    * DECIMAL(28,6), the median is the LOWER median (the ⌈n/2⌉-th smallest
+    * element — an actual data value, no interpolation, no float), and the
+    * gate |v − med| > 5·mad multiplies through in decimals. Plan shape:
+    * two per-type sort windows over the events table (rank → pick the
+    * median element) with the per-type medians re-entering as ≤|types|-row
+    * broadcasts; at 100 TB the windows are per-type range partitions, and
+    * the sketch alternative (approx quantiles) is the documented
+    * approximate twin (`q_approx_quantiles` family). */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val e = Tables(dir).events
+      .select(col("event_id"), col("event_type"), col("value").cast(dec).as("v"))
+    def lowerMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val byType = Window.partitionBy(col("event_type"))
+      val w = byType.orderBy(col(valueCol).asc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(byType))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(outCol))
+    }
+    val med = lowerMedian(e, "v", "med")
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("dev").as("v")), "v", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .where(col("dev") > col("mad") * 5)
+      .select(col("event_id"), col("event_type"),
+        col("v").cast("double").as("value"),
+        col("med").cast("double").as("med"),
+        col("mad").cast("double").as("mad"))
+  }
+
+  private val madOutliersSql =
+    """WITH e AS (
+      |  SELECT event_id, event_type, CAST(value AS DECIMAL(28,6)) AS v FROM events),
+      |r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+      |              COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+      |med AS (SELECT event_type, v AS med FROM r1 WHERE rn = (n + 1) // 2),
+      |d AS (SELECT e.event_id, e.event_type, e.v, m.med, ABS(e.v - m.med) AS dev
+      |      FROM e JOIN med m USING (event_type)),
+      |r2 AS (SELECT event_type, dev,
+      |              row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+      |              COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+      |mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+      |SELECT d.event_id, d.event_type,
+      |  CAST(d.v AS DOUBLE) AS value, CAST(d.med AS DOUBLE) AS med,
+      |  CAST(mad.mad AS DOUBLE) AS mad
+      |FROM d JOIN mad USING (event_type)
+      |WHERE d.dev > mad.mad * 5
+      |ORDER BY event_id""".stripMargin
+
   def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -740,6 +796,7 @@ object EventAnalytics {
     "events_time_to_convert" -> Q(timeToConvert _, timeToConvertSql, Seq(col("bucket_min"))),
     "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
     "events_value_outliers" -> Q(valueOutliers _, valueOutliersSql, Seq(col("user_id"), col("event_id"))),
+    "events_mad_outliers" -> Q(madOutliers _, madOutliersSql, Seq(col("event_id"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),
     "events_dau_wau" -> Q(dauWau _, dauWauSql, Seq(col("day"))),
     "events_session_stats" -> Q(sessionStats _, sessionStatsSql, Seq(col("user_id"))),

@@ -64,13 +64,19 @@ object SplitQueries {
   private def splitOf(bucket: org.apache.spark.sql.Column) =
     when(bucket < TrainPm, "train").when(bucket < ValPm, "val").otherwise("test")
 
+  /** Append (bucket, split) to any frame with a `text` column — pure
+    * row-local expressions, so the SAME columns run on batch and
+    * streaming frames (the [[graft.streaming.DocStreams.splitAdmitGate]]
+    * twin applies this verbatim; spec-pinned bit-equal). Requires
+    * [[VectorExpressions.register]] on the session. */
+  def withSplit(docs: DataFrame): DataFrame =
+    docs.withColumn("bucket", bucketCol)
+      .withColumn("split", splitOf(col("bucket")))
+
   /** The assignment as a reusable frame: (doc_id, lang, source, bucket, split).
     * Map-side only — no shuffle, no state. */
   private[operators] def assigned(t: Tables): DataFrame =
-    t.documents
-      .withColumn("bucket", bucketCol)
-      .withColumn("split", splitOf(col("bucket")))
-      .select("doc_id", "lang", "source", "bucket", "split")
+    withSplit(t.documents).select("doc_id", "lang", "source", "bucket", "split")
 
   /** Registered: the full assignment listing. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
@@ -205,8 +211,39 @@ object SplitQueries {
        |WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM leak)
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified k-per-stratum sample: within each lang,
+    * keep the K documents with the smallest salted content-hash key
+    * (ties by doc_id). No RNG — the "random" order is the md5 hex string,
+    * identical on every engine and every run; adding documents to a
+    * stratum can only displace the largest keys, so samples are stable
+    * under corpus growth (bounded churn, the reservoir property without
+    * reservoir state). One keyed shuffle (the per-lang window); the
+    * partial WindowGroupLimit caps each stratum map-side before the
+    * sort, so at 100 TB no stratum's full membership is ever sorted. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val k = 10
+    val key = md5(concat(lit("graft-strat-v1"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(key.asc, col("doc_id").asc)
+    Tables(dir).documents
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"))
+  }
+
+  private val stratifiedSampleSql =
+    """WITH r AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('graft-strat-v1' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, rk, doc_id FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "docs_split_assign" -> Q(splitAssign _, splitAssignSql, Seq(col("doc_id"))),
+    "docs_stratified_sample" -> Q(stratifiedSample _, stratifiedSampleSql,
+      Seq(col("lang"), col("rk"))),
     "docs_split_stats" -> Q(splitStats _, splitStatsSql, Seq(col("split"), col("lang"))),
     "docs_split_leakage" -> Q(splitLeakage _, splitLeakageSql, Seq(col("split_a"), col("split_b"))),
     "docs_split_scrub" -> Q(splitScrub _, splitScrubSql, Seq(col("doc_id"))),

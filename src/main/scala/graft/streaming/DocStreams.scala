@@ -79,6 +79,19 @@ object DocStreams {
   def qualityGate(docs: DataFrame): DataFrame =
     scored(docs).where(col("keep")).drop("keep")
 
+  /** Streaming split-admit gate: arriving documents get their train/val/
+    * test assignment row-locally (the SAME content-keyed columns as the
+    * batch `docs_split_assign` — [[graft.operators.SplitQueries.withSplit]]
+    * verbatim, spec-pinned bit-equal) and only `admit` splits pass. A
+    * training-ingest stream admits "train"; an eval-freezer admits
+    * "val"/"test". Stateless — no watermark, no state store; scales with
+    * ingest bandwidth like [[qualityGate]]. */
+  def splitAdmitGate(docs: DataFrame, admit: Set[String] = Set("train")): DataFrame = {
+    graft.plans.VectorExpressions.register(docs.sparkSession)
+    graft.operators.SplitQueries.withSplit(docs)
+      .where(col("split").isin(admit.toSeq: _*))
+  }
+
   /** One admitted document of the streaming token-budget gate. */
   final case class BudgetAdmit(source: String, doc_id: Long, n_tokens: Long, cum_tokens: Long)
   /** Incoming doc shape for [[tokenBudgetGate]]. */

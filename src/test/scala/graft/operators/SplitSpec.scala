@@ -69,6 +69,22 @@ class SplitSpec extends AnyFunSuite {
     assert(survivors == train -- leakTrain)
   }
 
+  test("stratified sample takes exactly min(10, |stratum|) smallest-keyed docs per lang") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val byLang = graft.sources.Tables(sf)(spark).documents
+      .select("doc_id", "lang").as[(Long, String)].collect().groupBy(_._2)
+    val expected = byLang.flatMap { case (lang, rows) =>
+      rows.map(_._1).sortBy(id => (md5hex("graft-strat-v1" + id), id)).take(10)
+        .zipWithIndex.map { case (id, i) => (lang, i + 1, id) }.toSeq
+    }.toSet
+    val got = SplitQueries.queries("docs_stratified_sample").fn(spark, sf)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("leakage matrix totals equal the candidate pair count") {
     import spark.implicits._
     graft.plans.VectorExpressions.register(spark)

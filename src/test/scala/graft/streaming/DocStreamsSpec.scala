@@ -42,6 +42,22 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming splitAdmitGate admits exactly the batch train split") {
+    val got = runStream("s_split", docs.grouped(200).toSeq)(
+      df => DocStreams.splitAdmitGate(df))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val want = graft.operators.SplitQueries.queries("docs_split_assign")
+      .fn(spark, TestSpark.Sf0001)
+      .where(col("split") === "train").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // the eval-freezer view is the exact complement
+    val eval = runStream("s_split_eval", docs.grouped(200).toSeq)(
+      df => DocStreams.splitAdmitGate(df, Set("val", "test")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((got ++ eval).size == docs.size && (got & eval).isEmpty)
+  }
+
   test("streaming decontaminate gate admits exactly the batch kept set") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     graft.plans.VectorExpressions.register(spark)
