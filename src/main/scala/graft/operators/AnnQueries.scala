@@ -227,6 +227,60 @@ object AnnQueries {
        |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
        |ORDER BY probe_id, rank""".stripMargin
 
+  // ------------------------------------------------------------ knn label
+
+  /** k-NN majority-vote labeling — the auto-labeling step of a training
+    * pipeline: each probe vector is assigned the majority label of its
+    * TopKK exact nearest neighbors (cosine; self excluded), ties broken
+    * toward the smallest label. The probe's own stored label rides along
+    * with a `correct` flag, so the query doubles as the k-NN accuracy
+    * audit of the embedding space. Plan: the brute-force scored pairs
+    * (probe broadcast over one corpus scan) → bounded-heap TopKPerKey →
+    * one |probes×labels| vote aggregate — the expensive part is the
+    * same exact-scoring pass the top-k baseline already pays, and at
+    * deployment scale the IVF front substitutes for the scan exactly as
+    * in `ann_ivf_topk`. */
+  def knnLabel(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val topk = TopK.perKeyExec(scoredProbes(t), "probe_id", "cos", "vec_id", TopKK)
+    val labels = t.embeddings.select(col("vec_id"), col("label"))
+    val votes = topk.join(labels, Seq("vec_id"))
+      .groupBy(col("probe_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .join(labels.select(col("vec_id").as("probe_id"), col("label").as("true_label")),
+        Seq("probe_id"))
+      .select(col("probe_id"), col("label").as("pred_label"), col("votes"),
+        col("true_label"), (col("label") === col("true_label")).as("correct"))
+  }
+
+  private val knnLabelSql =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id % $ProbeMod = 0),
+       |scored AS (
+       |  SELECT probe_id, e.vec_id, ROUND(${cosChainDuck("e.embedding", "p")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN probes WHERE e.vec_id <> probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored),
+       |votes AS (
+       |  SELECT probe_id, l.label, COUNT(*) AS votes
+       |  FROM ranked JOIN embeddings l USING (vec_id)
+       |  WHERE rank <= $TopKK GROUP BY 1, 2),
+       |pick AS (
+       |  SELECT probe_id, label, votes,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS rn
+       |  FROM votes)
+       |SELECT pk.probe_id, pk.label AS pred_label, pk.votes,
+       |  t.label AS true_label, pk.label = t.label AS correct
+       |FROM pick pk JOIN embeddings t ON t.vec_id = pk.probe_id
+       |WHERE pk.rn = 1 ORDER BY probe_id""".stripMargin
+
   // ------------------------------------------------------------------ IVF
 
   /** Literal centroid vectors — the bounded driver-side structure (id asc). */
@@ -1645,6 +1699,7 @@ object AnnQueries {
     "ann_lsh_cosine" -> Q(lshCosine _, lshCosineSql, Seq(col("id_a"), col("id_b"))),
     "ann_lsh_multiprobe" -> Q(lshMultiprobe _, lshMultiprobeSql, Seq(col("id_a"), col("id_b"))),
     "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),
+    "ann_knn_label" -> Q(knnLabel _, knnLabelSql, Seq(col("probe_id"))),
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined" -> Q(ivfRefinedTopK _, ivfRefinedSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined2" -> Q(ivfRefined2TopK _, ivfRefined2Sql, Seq(col("probe_id"), col("rank"))),

@@ -251,6 +251,60 @@ object EventAnalytics {
     * pattern q_stats_moments established — with the double arithmetic in
     * one fixed expression order. One shuffle: the same per-user window
     * partitioning every behavioral operator here shares. */
+  /** Per-type mergeable quantile histogram ([[graft.pipeline.QuantHist]]):
+    * values scaled to integer cents, HDR-layout bins, one keyed shuffle
+    * with map-side partial collapse. The landed table answers any later
+    * quantile without re-touching events — and because the binning is
+    * pure integer arithmetic, the WHOLE sketch is DuckDB-oracled, bin ids
+    * and all. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cents = floor(col("value") * 100).cast("long")
+    graft.pipeline.QuantHist.build(Tables(dir).events, cents, col("event_type"))
+      .select(col("grain").as("event_type"), col("bin"),
+        graft.pipeline.QuantHist.loOf("bin").as("lo"),
+        graft.pipeline.QuantHist.hiOf("bin").as("hi"), col("cnt"))
+  }
+
+  private val quantileSketchSql = {
+    import graft.pipeline.QuantHist.{binSql, hiSql, loSql}
+    s"""WITH c AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+       |b AS (SELECT event_type, ${binSql("v")} AS bin FROM c)
+       |SELECT event_type, bin, ${loSql("bin")} AS lo, ${hiSql("bin")} AS hi,
+       |       COUNT(*) AS cnt
+       |FROM b GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+  }
+
+  /** p50/p90/p99 per type READ FROM THE SKETCH: the covering bin of the
+    * ⌈q·n⌉-th smallest cents value — guaranteed to contain the true
+    * quantile, width ≤ lo/16. The read touches only the bounded bin
+    * table (cum-sum window over ≤ ~1000 bins per type). */
+  def quantilesFromSketch(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cents = floor(col("value") * 100).cast("long")
+    val summary = graft.pipeline.QuantHist.build(Tables(dir).events, cents, col("event_type"))
+    graft.pipeline.QuantHist.quantiles(summary, Seq(500, 900, 990))
+      .withColumnRenamed("grain", "event_type")
+  }
+
+  private val quantilesFromSketchSql = {
+    import graft.pipeline.QuantHist.{binSql, hiSql, loSql}
+    s"""WITH c AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+       |h AS (SELECT event_type, ${binSql("v")} AS bin, COUNT(*) AS cnt
+       |      FROM c GROUP BY 1, 2),
+       |cum AS (SELECT event_type, bin, cnt,
+       |          SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+       |          SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |        FROM h),
+       |q AS (SELECT * FROM cum CROSS JOIN (VALUES (500), (900), (990)) AS t(q_pm)),
+       |hit AS (SELECT *, (n * q_pm + 999) // 1000 AS r FROM q
+       |        WHERE cum >= (n * q_pm + 999) // 1000
+       |          AND cum - cnt < (n * q_pm + 999) // 1000)
+       |SELECT event_type, q_pm, bin, ${loSql("bin")} AS lo, ${hiSql("bin")} AS hi,
+       |       CAST(n AS BIGINT) AS n
+       |FROM hit ORDER BY event_type, q_pm""".stripMargin
+  }
+
   /** Robust per-type outliers via Median Absolute Deviation — the
     * breakdown-resistant twin of [[valueOutliers]]'s rolling z-score (one
     * wild value corrupts a mean/stddev gate; the median tolerates up to
@@ -797,6 +851,10 @@ object EventAnalytics {
     "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
     "events_value_outliers" -> Q(valueOutliers _, valueOutliersSql, Seq(col("user_id"), col("event_id"))),
     "events_mad_outliers" -> Q(madOutliers _, madOutliersSql, Seq(col("event_id"))),
+    "events_quantile_sketch" -> Q(quantileSketch _, quantileSketchSql,
+      Seq(col("event_type"), col("bin"))),
+    "events_quantiles_sketch" -> Q(quantilesFromSketch _, quantilesFromSketchSql,
+      Seq(col("event_type"), col("q_pm"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),
     "events_dau_wau" -> Q(dauWau _, dauWauSql, Seq(col("day"))),
     "events_session_stats" -> Q(sessionStats _, sessionStatsSql, Seq(col("user_id"))),
