@@ -121,6 +121,158 @@ object PrefixJoin {
         (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
   }
 
+  // --------------------------------------------------- incremental exact
+
+  /** Per-doc probing prefixes under a GIVEN global token order
+    * (df-ascending, ties by token; tokens absent from `freq` count as
+    * df = 0, i.e. rarest). Any single total order is sufficient for
+    * prefix-filter completeness — the frequency part only optimizes
+    * bucket occupancy — which is what lets the archive FREEZE its order
+    * at index-build time and batches reuse it unchanged. */
+  private def prefixesWith(ws: DataFrame, freq: DataFrame): DataFrame =
+    ws.select(col("doc_id"), explode(col("w")).as("token"))
+      .join(freq, Seq("token"), "left")
+      .withColumn("df0", coalesce(col("df"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df0"), col("token")))).as("st"))
+      .select(
+        col("doc_id"),
+        expr(s"transform(slice(st, 1, cast(size(st) - ((size(st) * $TauNum + $TauDen - 1) div $TauDen) + 1 as int)), x -> x.token)")
+          .as("pre"))
+
+  /** Exact batch-vs-archive similarity join: EVERY (batch, archive) pair
+    * with shingle-set Jaccard ≥ τ — the deterministic mirror of
+    * `dedup_incremental`, with the same membership split (md5-bucket
+    * < 80 = archive, ≥ 80 = today's batch) and the same
+    * never-pair-the-archive-with-itself shape: candidates are strictly
+    * batch-prefix × archive-prefix on the shared token, archive-internal
+    * pairs never form. The token order is the ARCHIVE's frequency table
+    * (frozen at index time — see [[prefixesWith]]), so the staged
+    * catalog variant below produces identical results. */
+  def allPairsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val bucket = VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val ws = Cached.track(wordSets(t)
+      .join(t.documents.select(col("doc_id"), (bucket < 80).as("in_index")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val archive = ws.where(col("in_index")).select("doc_id", "w")
+    val batch = ws.where(!col("in_index")).select("doc_id", "w")
+    val freq = archive.select(explode(col("w")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    def pre(side: DataFrame) = prefixesWith(side, freq)
+      .select(col("doc_id"), explode(col("pre")).as("token"))
+    val cand = pre(batch).select(col("doc_id").as("batch_doc"), col("token"))
+      .join(pre(archive).select(col("doc_id").as("index_doc"), col("token")), Seq("token"))
+      .select("batch_doc", "index_doc").distinct()
+    val setsB = hashedSets(batch)
+    val setsA = hashedSets(archive)
+    val inter = VectorExpressions.sortedIntersect(col("hs_a"), col("hs_b"))
+    cand
+      .join(setsB.select(col("doc_id").as("batch_doc"), col("hs").as("hs_a"), col("n").as("n_a")), Seq("batch_doc"))
+      .join(setsA.select(col("doc_id").as("index_doc"), col("hs").as("hs_b"), col("n").as("n_b")), Seq("index_doc"))
+      .withColumn("n_inter", inter)
+      .where(col("n_inter") * (TauDen + TauNum) >= (col("n_a") + col("n_b")) * TauNum)
+      .select(col("batch_doc"), col("index_doc"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+  }
+
+  private val allPairsIncrementalSql = {
+    val h = DedupQueries.hexToLongDuck("md5(token)", 15)
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |                             x -> LEN(x) > 0) AS w
+       |  FROM documents),
+       |shl AS (SELECT doc_id, CASE WHEN LEN(w) >= 3
+       |    THEN list_transform(generate_series(1, LEN(w) - 2),
+       |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [array_to_string(w, ' ')] END AS s FROM ws),
+       |hs AS (SELECT doc_id, $h AS hv
+       |       FROM (SELECT doc_id, UNNEST(list_distinct(s)) AS token FROM shl)),
+       |hsd AS (SELECT DISTINCT doc_id, hv FROM hs),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM hsd GROUP BY 1),
+       |bk AS (SELECT doc_id, ${graft.functions.DuckSql.docBucket} AS bucket FROM documents),
+       |ip AS (SELECT b.doc_id AS batch_doc, a.doc_id AS index_doc, COUNT(*) AS n_inter
+       |       FROM hsd a JOIN hsd b ON a.hv = b.hv
+       |       JOIN bk ka ON ka.doc_id = a.doc_id
+       |       JOIN bk kb ON kb.doc_id = b.doc_id
+       |       WHERE ka.bucket < 80 AND kb.bucket >= 80
+       |       GROUP BY 1, 2)
+       |SELECT batch_doc, index_doc, n_inter, sa.n + sb.n - n_inter AS n_union
+       |FROM ip JOIN sz sa ON sa.doc_id = batch_doc JOIN sz sb ON sb.doc_id = index_doc
+       |WHERE n_inter * ${TauDen + TauNum} >= (sa.n + sb.n) * $TauNum
+       |ORDER BY batch_doc, index_doc""".stripMargin
+  }
+
+  /** Stage the archive side of the exact incremental join as bucketed
+    * catalog tables: probing-prefix postings on the candidate join key
+    * (token), hashed sets on the verify key (doc_id), and the frozen
+    * token-frequency order. Later cycles shuffle ONLY the new batch —
+    * the archive reads straight from its buckets
+    * ([[PrefixIndexSpec]] pins zero Exchange above the index scans). */
+  def persistPrefixIndexBucketed(spark: SparkSession, dir: String, path: String,
+                                 buckets: Int = 8, prefix: String = "allpairs_idx"): Unit = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val bucket = VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val archive = wordSets(t)
+      .join(t.documents.select(col("doc_id"), (bucket < 80).as("in_index")), Seq("doc_id"))
+      .where(col("in_index")).select("doc_id", "w")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val freq = archive.select(explode(col("w")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_freq")
+      freq.write.format("parquet")
+        .bucketBy(buckets, "token").sortBy("token")
+        .option("path", s"$path/freq").saveAsTable(s"${prefix}_freq")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_prefix")
+      prefixesWith(archive, freq)
+        .select(col("doc_id"), explode(col("pre")).as("token"))
+        .write.format("parquet")
+        .bucketBy(buckets, "token").sortBy("token")
+        .option("path", s"$path/prefix").saveAsTable(s"${prefix}_prefix")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_sets")
+      hashedSets(archive)
+        .write.format("parquet")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .option("path", s"$path/sets").saveAsTable(s"${prefix}_sets")
+    } finally archive.unpersist()
+  }
+
+  /** The exact incremental join served from the staged catalog index:
+    * same result as [[allPairsIncremental]] (spec-pinned), but the
+    * archive is never re-shingled and never re-shuffled. */
+  def allPairsIncrementalFromCatalog(spark: SparkSession, dir: String,
+                                     prefix: String = "allpairs_idx"): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val bucket = VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val batch = Cached.track(wordSets(t)
+      .join(t.documents.select(col("doc_id"), (bucket < 80).as("in_index")), Seq("doc_id"))
+      .where(!col("in_index")).select("doc_id", "w")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val freq = spark.table(s"${prefix}_freq")
+    val cand = prefixesWith(batch, freq)
+      .select(col("doc_id").as("batch_doc"), explode(col("pre")).as("token"))
+      .join(spark.table(s"${prefix}_prefix").select(col("doc_id").as("index_doc"), col("token")),
+        Seq("token"))
+      .select("batch_doc", "index_doc").distinct()
+    val setsB = hashedSets(batch)
+    val inter = VectorExpressions.sortedIntersect(col("hs_a"), col("hs_b"))
+    cand
+      .join(setsB.select(col("doc_id").as("batch_doc"), col("hs").as("hs_a"), col("n").as("n_a")), Seq("batch_doc"))
+      .join(spark.table(s"${prefix}_sets")
+        .select(col("doc_id").as("index_doc"), col("hs").as("hs_b"), col("n").as("n_b")), Seq("index_doc"))
+      .withColumn("n_inter", inter)
+      .where(col("n_inter") * (TauDen + TauNum) >= (col("n_a") + col("n_b")) * TauNum)
+      .select(col("batch_doc"), col("index_doc"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+  }
+
   /** Naive all-pairs oracle: no prefix filter — every pair the engine's
     * pruning could possibly lose is present here. */
   private val allPairsJaccardSql = {
@@ -149,5 +301,7 @@ object PrefixJoin {
   def queries: Map[String, Q] = Map(
     "dedup_allpairs_jaccard" -> Q(allPairsJaccard _, allPairsJaccardSql,
       Seq(col("doc_a"), col("doc_b"))),
+    "dedup_allpairs_incremental" -> Q(allPairsIncremental _, allPairsIncrementalSql,
+      Seq(col("batch_doc"), col("index_doc"))),
   )
 }
