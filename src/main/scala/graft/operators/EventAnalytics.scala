@@ -251,6 +251,58 @@ object EventAnalytics {
     * pattern q_stats_moments established — with the double arithmetic in
     * one fixed expression order. One shuffle: the same per-user window
     * partitioning every behavioral operator here shares. */
+  /** Per-type Spearman rank correlation between event VALUE and time of
+    * day (seconds since midnight) — the rank-based dependence measure, the
+    * correlation-side sibling of the MAD gate (both survive wild values
+    * that wreck their moment-based twins; `q_revenue_trend`'s OLS slope
+    * is the moment-based counterpart). Ranks use row_number with a
+    * deterministic event_id tie-break, making ρ a pure permutation
+    * statistic: Σd² is an exact integer, and
+    * ρ = 1 − 6Σd²/(n(n²−1)) divides two exact integers once at the end.
+    * Plan: two per-type rank windows over the same shuffle, one
+    * aggregate. */
+  def rankCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val byType = Window.partitionBy(col("event_type"))
+    val sod = (hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts"))).cast("long")
+    val e = Tables(dir).events
+      .select(col("event_id"), col("event_type"), col("value"), sod.as("sod"))
+      .withColumn("rv", row_number().over(byType.orderBy(col("value").asc, col("event_id").asc)))
+      .withColumn("rt", row_number().over(byType.orderBy(col("sod").asc, col("event_id").asc)))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("rv") - col("rt")).cast("long") * (col("rv") - col("rt")).cast("long"))
+          .as("sum_d2"))
+      .where(col("n") > 1)
+      // denominator in double: n³ would overflow BIGINT around n ≈ 2×10⁶
+      // and the quotient is float anyway (IEEE-identical across engines)
+      .select(col("event_type"), col("n"), col("sum_d2"),
+        round(lit(1.0) - (lit(6.0) * col("sum_d2"))
+          / (col("n").cast("double") * (col("n").cast("double") * col("n").cast("double") - 1)), 6)
+          .as("rho"))
+  }
+
+  private val rankCorrelationSql =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) * 3600
+      |       + EXTRACT(minute FROM CAST(ts AS TIMESTAMP)) * 60
+      |       + EXTRACT(second FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS sod
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY sod, event_id) AS rt
+      |  FROM e),
+      |agg AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM((rv - rt) * (rv - rt)) AS BIGINT) AS sum_d2
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, n, sum_d2,
+      |  ROUND(1.0 - (6.0 * sum_d2)
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1)), 6) AS rho
+      |FROM agg WHERE n > 1 ORDER BY event_type""".stripMargin
+
   /** Per-type mergeable quantile histogram ([[graft.pipeline.QuantHist]]):
     * values scaled to integer cents, HDR-layout bins, one keyed shuffle
     * with map-side partial collapse. The landed table answers any later
@@ -855,6 +907,7 @@ object EventAnalytics {
       Seq(col("event_type"), col("bin"))),
     "events_quantiles_sketch" -> Q(quantilesFromSketch _, quantilesFromSketchSql,
       Seq(col("event_type"), col("q_pm"))),
+    "events_rank_corr" -> Q(rankCorrelation _, rankCorrelationSql, Seq(col("event_type"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),
     "events_dau_wau" -> Q(dauWau _, dauWauSql, Seq(col("day"))),
     "events_session_stats" -> Q(sessionStats _, sessionStatsSql, Seq(col("user_id"))),

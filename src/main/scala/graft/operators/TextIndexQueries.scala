@@ -98,6 +98,56 @@ object TextIndexQueries {
        |FROM terms GROUP BY term ORDER BY term""".stripMargin
   }
 
+  /** Positional phrase search — the retrieval layer's exact-phrase query
+    * served the inverted-index way: per-(doc, term) SORTED position lists
+    * for just the phrase's terms, then the phrase-match count is a pure
+    * set computation, |P₀ ∩ (P₁−1) ∩ (P₂−2)| (shift each term's
+    * positions back by its offset; what survives the intersection is a
+    * phrase start). No text re-scan per query, no regex: the postings
+    * build shuffles ONLY the phrase terms' occurrences (the term filter
+    * sits below the exchange), and at serving scale the position lists
+    * come from a staged postings table bucketed by term — this query is
+    * the plan-shape anchor for that layer. Phrase fixed to
+    * "join part filter", a trigram present at every testdata scale. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val phrase = PhraseTerms
+    val pos = Tables(dir).documents
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "term")))
+      .where(col("term").isin(phrase.distinct: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    def side(i: Int) = pos.where(col("term") === phrase(i))
+      .select(col("doc_id"), col("ps").as(s"ps$i"))
+    side(0).join(side(1), Seq("doc_id")).join(side(2), Seq("doc_id"))
+      .select(col("doc_id"),
+        size(array_intersect(
+          array_intersect(col("ps0"), transform(col("ps1"), p => p - 1)),
+          transform(col("ps2"), p => p - 2))).as("n_matches"))
+      .where(col("n_matches") > 0)
+  }
+
+  private val PhraseTerms = Seq("join", "part", "filter")
+
+  private val phraseSearchSql = {
+    val w = DuckSql.wordsOf("text")
+    def side(i: Int, name: String) =
+      s"$name AS (SELECT doc_id, list_sort(list(pos)) AS ps FROM pos WHERE term = '${PhraseTerms(i)}' GROUP BY 1)"
+    s"""WITH ws AS (SELECT doc_id, $w AS w FROM documents),
+       |pos AS (SELECT doc_id, w[i] AS term, i AS pos
+       |        FROM ws, UNNEST(generate_series(1, LEN(w))) AS g(i)),
+       |${side(0, "p0")},
+       |${side(1, "p1")},
+       |${side(2, "p2")}
+       |SELECT doc_id,
+       |  LEN(list_intersect(list_intersect(p0.ps, list_transform(p1.ps, p -> p - 1)),
+       |                     list_transform(p2.ps, p -> p - 2))) AS n_matches
+       |FROM p0 JOIN p1 USING (doc_id) JOIN p2 USING (doc_id)
+       |WHERE LEN(list_intersect(list_intersect(p0.ps, list_transform(p1.ps, p -> p - 1)),
+       |                         list_transform(p2.ps, p -> p - 2))) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Collocation scoring — the BPE/WordPiece merge-candidate view: every
     * adjacent token pair with its count and lift (observed pair rate over
     * the independence expectation), top-25 by pair count. Lift replaces
@@ -295,6 +345,7 @@ object TextIndexQueries {
     "text_bigram_lm" -> Q(bigramLm _, bigramLmSql, Seq(col("lang"), col("source"))),
     "text_zipf_profile" -> Q(zipfProfile _, zipfSql, Seq(col("rank"))),
     "text_inverted_index" -> Q(invertedIndex _, invertedIndexSql, Seq(col("term"))),
+    "text_phrase_search" -> Q(phraseSearch _, phraseSearchSql, Seq(col("doc_id"))),
     "text_collocations" -> Q(collocations _, collocationsSql,
       Seq(col("n_pair").desc, col("a"), col("b"))),
   )

@@ -381,6 +381,42 @@ object DocStreams {
     * Emits (batch_doc, index_doc, jaccard) for verified near-dups — the
     * stream twin of the batch `dedup_incremental` result restricted to
     * the streamed documents (spec-pinned). */
+  /** Streaming twin of the EXACT incremental similarity join
+    * ([[graft.operators.PrefixJoin.allPairsIncremental]]): arriving
+    * documents check against the staged archive prefix index with ZERO
+    * missed pairs. The stream side indexes ALL its shingles rather than
+    * a probing prefix — prefix-filter completeness needs a shared token
+    * in both sides' prefixes, so widening one side to the full set only
+    * ADDS candidates (and needs no frozen-frequency literal on the
+    * stream); the integer verify then keeps exactly the τ-qualifying
+    * pairs. Stream-static joins against the bucketed index tables; the
+    * candidate dropDuplicates is the same bounded state as the LSH twin
+    * ([[incrementalDedup]]). */
+  def exactIncrementalDedup(stream: DataFrame, indexPrefix: DataFrame,
+                            indexSets: DataFrame): DataFrame = {
+    import graft.plans.VectorExpressions
+    val sh = stream
+      .withColumn("ww", words(col("text")))
+      .withColumn("w", array_distinct(shingles("ww")))
+      .withColumn("hs", array_sort(array_distinct(
+        transform(col("w"), x => VectorExpressions.hexPrefix(md5(x), 15)))))
+      .withColumn("n", size(col("hs")))
+      .select("doc_id", "w", "hs", "n")
+    val cand = sh
+      .select(col("doc_id"), col("hs"), col("n"), explode(col("w")).as("token"))
+      .join(indexPrefix.select(col("doc_id").as("index_doc"), col("token")), Seq("token"))
+      .select(col("doc_id").as("batch_doc"), col("index_doc"),
+        col("hs").as("hs_a"), col("n").as("n_a"))
+      .dropDuplicates("batch_doc", "index_doc")
+    cand
+      .join(indexSets.select(col("doc_id").as("index_doc"), col("hs").as("hs_b"), col("n").as("n_b")),
+        Seq("index_doc"))
+      .withColumn("n_inter", VectorExpressions.sortedIntersect(col("hs_a"), col("hs_b")))
+      .where(col("n_inter") * 3 >= (col("n_a") + col("n_b")))
+      .select(col("batch_doc"), col("index_doc"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+  }
+
   def incrementalDedup(stream: DataFrame, indexSigs: DataFrame,
                        indexShingles: DataFrame): DataFrame = {
     val sh = stream

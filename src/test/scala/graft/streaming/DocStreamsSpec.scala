@@ -42,6 +42,27 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming exact incremental dedup against the staged prefix index matches the batch twin") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    graft.plans.VectorExpressions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft-apidx-stream").toString
+    graft.operators.PrefixJoin.persistPrefixIndexBucketed(
+      spark, TestSpark.Sf0001, path, buckets = 4, prefix = "apidx_stream")
+    val bucketOf = Tables(TestSpark.Sf0001).documents
+      .select(col("doc_id"),
+        (graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchDocs = docs.filter(d => bucketOf(d.doc_id) >= 80)
+    val got = runStream("s_exact_inc", batchDocs.grouped(40).toSeq)(df =>
+        DocStreams.exactIncrementalDedup(df,
+          spark.table("apidx_stream_prefix"), spark.table("apidx_stream_sets")))
+      .select("batch_doc", "index_doc", "n_inter", "n_union")
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.PrefixJoin.allPairsIncremental(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming splitAdmitGate admits exactly the batch train split") {
     val got = runStream("s_split", docs.grouped(200).toSeq)(
       df => DocStreams.splitAdmitGate(df))
