@@ -251,6 +251,66 @@ object EventAnalytics {
     * pattern q_stats_moments established — with the double arithmetic in
     * one fixed expression order. One shuffle: the same per-user window
     * partitioning every behavioral operator here shares. */
+  /** Per-type HLL register table ([[graft.pipeline.HllTable]]): the
+    * distinct-user sketch as a landed, mergeable, AUDITABLE dataset —
+    * and unlike any RNG-seeded sketch, fully DuckDB-oracled (md5-keyed
+    * register/rho assignment is deterministic hex arithmetic). */
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    graft.pipeline.HllTable.build(Tables(dir).events, col("user_id"), col("event_type"))
+      .withColumnRenamed("grain", "event_type")
+  }
+
+  private val distinctSketchSql = {
+    import graft.pipeline.HllTable.{regSql, rhoSql}
+    s"""WITH h AS (SELECT event_type, ${regSql("user_id")} AS reg,
+       |                  ${rhoSql("user_id")} AS rho FROM events)
+       |SELECT event_type, reg, MAX(rho) AS max_rho
+       |FROM h GROUP BY 1, 2 ORDER BY event_type, reg""".stripMargin
+  }
+
+  /** The raw HLL estimate per type read off the register table, with the
+    * exact COUNT(DISTINCT) riding along — the in-data accuracy audit
+    * (standard error 6.5% at 256 registers). The harmonic sum is the
+    * exact integer Σ2^(53−ρ), so the estimate is bit-deterministic. */
+  def distinctEstimate(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val est = graft.pipeline.HllTable.estimate(
+      graft.pipeline.HllTable.build(Tables(dir).events, col("user_id"), col("event_type")))
+      .withColumnRenamed("grain", "event_type")
+    val exact = Tables(dir).events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_regs_hit"), col("zero_regs"),
+        col("harmonic_num"), col("est"), col("exact_distinct"))
+  }
+
+  private val distinctEstimateSql = {
+    import graft.pipeline.HllTable.{regSql, rhoSql}
+    val m = graft.pipeline.HllTable.M
+    s"""WITH h AS (SELECT event_type, ${regSql("user_id")} AS reg,
+       |                  ${rhoSql("user_id")} AS rho FROM events),
+       |regs AS (SELECT event_type, reg, MAX(rho) AS max_rho FROM h GROUP BY 1, 2),
+       |agg AS (SELECT event_type, COUNT(*) AS n_regs_hit,
+       |          CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT) AS hit_num
+       |        FROM regs GROUP BY 1),
+       |est AS (SELECT event_type, n_regs_hit,
+       |          CAST($m - n_regs_hit AS BIGINT) AS zero_regs,
+       |          hit_num + ($m - n_regs_hit) * (CAST(1 AS BIGINT) << 53) AS harmonic_num
+       |        FROM agg),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+       |       FROM events GROUP BY 1)
+       |SELECT est.event_type, n_regs_hit, zero_regs, harmonic_num,
+       |  ROUND(CASE WHEN zero_regs > 0
+       |          AND ${graft.pipeline.HllTable.EstNumerator} / CAST(harmonic_num AS DOUBLE) <= ${2.5 * m}
+       |        THEN $m * ln($m / CAST(zero_regs AS DOUBLE))
+       |        ELSE ${graft.pipeline.HllTable.EstNumerator} / CAST(harmonic_num AS DOUBLE) END, 4) AS est,
+       |  exact_distinct
+       |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
+  }
+
   /** Per-type Spearman rank correlation between event VALUE and time of
     * day (seconds since midnight) — the rank-based dependence measure, the
     * correlation-side sibling of the MAD gate (both survive wild values
@@ -908,6 +968,10 @@ object EventAnalytics {
     "events_quantiles_sketch" -> Q(quantilesFromSketch _, quantilesFromSketchSql,
       Seq(col("event_type"), col("q_pm"))),
     "events_rank_corr" -> Q(rankCorrelation _, rankCorrelationSql, Seq(col("event_type"))),
+    "events_distinct_sketch" -> Q(distinctSketch _, distinctSketchSql,
+      Seq(col("event_type"), col("reg"))),
+    "events_distinct_estimate" -> Q(distinctEstimate _, distinctEstimateSql,
+      Seq(col("event_type"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),
     "events_dau_wau" -> Q(dauWau _, dauWauSql, Seq(col("day"))),
     "events_session_stats" -> Q(sessionStats _, sessionStatsSql, Seq(col("user_id"))),

@@ -192,8 +192,53 @@ object Linkage {
       .agg(count(lit(1)).as("n_parts")))
   }
 
+  /** Entity resolution endgame: connected components over the fuzzy-match
+    * verdict table, collapsing spelling-variant chains into ONE canonical
+    * entity each — the linkage counterpart of `dedup_survivors` (pairs
+    * answer "are these two the same?"; a registry needs "which records
+    * make up each entity?"). Components run on the DISTINCT-NAME graph
+    * (bounded by vocabulary, like the pair step) via the shared
+    * label-propagation core ([[DedupQueries.clustersOf]] — pointer-jumped,
+    * O(log diameter) rounds, converge-or-throw); part rows re-enter only
+    * as the per-variant counts being summed. Canonical = lexicographic
+    * min name, matching the oracle's min-reachable recursive CTE. */
+  def entityClusters(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val names = Tables(dir).part
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    val pairs = fuzzyParts(spark, dir)
+      .select(col("name_a").as("doc_a"), col("name_b").as("doc_b"))
+    val labeled = DedupQueries.clustersOf(
+      names.select(col("p_name").as("doc_id")), pairs)
+    labeled.join(names, labeled("doc_id") === names("p_name"))
+      .groupBy(col("cluster_rep").as("canonical_name"))
+      .agg(count(lit(1)).as("n_variants"), sum(col("n_parts")).as("n_parts"))
+  }
+
+  private val entityClustersSql =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name, COUNT(*) AS n_parts, split_part(p_name, ' ', 2) AS blk
+      |  FROM part GROUP BY 1),
+      |m AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b
+      |  FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+      |  WHERE ABS(LEN(a.p_name) - LEN(b.p_name)) <= 2
+      |    AND levenshtein(a.p_name, b.p_name) <= 2),
+      |edges AS (SELECT name_a AS s, name_b AS d FROM m
+      |          UNION ALL SELECT name_b, name_a FROM m),
+      |reach(id, r) AS (
+      |  SELECT p_name, p_name FROM names
+      |  UNION
+      |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+      |labels AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY 1)
+      |SELECT rep AS canonical_name, COUNT(*) AS n_variants,
+      |  CAST(SUM(n.n_parts) AS BIGINT) AS n_parts
+      |FROM labels JOIN names n ON n.p_name = labels.id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "link_fuzzy_parts" -> Q(fuzzyParts _, fuzzyPartsSql, Seq(col("name_a"), col("name_b"))),
     "link_fuzzy_segments" -> Q(fuzzySegments _, fuzzySegmentsSql, Seq(col("name_a"), col("name_b"))),
+    "link_entity_clusters" -> Q(entityClusters _, entityClustersSql, Seq(col("canonical_name"))),
   )
 }
