@@ -36,8 +36,20 @@ object SparkEntry {
     operators.PrefixJoin.queries,
   )
 
-  /** Full registry (Spark fn + oracle + canonical Verify sort). */
-  lazy val registry: Map[String, Q] = modules.reduce(_ ++ _)
+  /** Full registry (Spark fn + oracle + canonical Verify sort).
+    *
+    * Module key sets must be DISJOINT: a plain `++` would let a later
+    * module silently shadow an earlier query (it happened — a round-7c
+    * `docs_stratified_sample` overwrote the round-7b query of the same
+    * name and the board stayed green while coverage shrank by one), so
+    * any duplicate key is a loud error at first registry touch. */
+  lazy val registry: Map[String, Q] = {
+    val all = modules.flatMap(_.keys)
+    val dups = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate query keys across operator modules: ${dups.mkString(", ")}")
+    modules.reduce(_ ++ _)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The observation pipeline is the reference's defining artifact

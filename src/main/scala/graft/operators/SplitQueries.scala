@@ -211,7 +211,11 @@ object SplitQueries {
        |WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM leak)
        |ORDER BY doc_id""".stripMargin
 
-  /** Deterministic stratified k-per-stratum sample: within each lang,
+  /** Deterministic stratified TOP-K sample — exactly k docs per stratum
+    * (`docs_stratified_sample` in [[AnalyticsQueries]] is the
+    * FRACTION-based cousin: 10% of each stratum by hash slot; this one
+    * answers "give me exactly 10 per lang" for eval-set construction,
+    * which a fraction can't): within each lang,
     * keep the K documents with the smallest salted content-hash key
     * (ties by doc_id). No RNG — the "random" order is the md5 hex string,
     * identical on every engine and every run; adding documents to a
@@ -242,7 +246,7 @@ object SplitQueries {
 
   def queries: Map[String, Q] = Map(
     "docs_split_assign" -> Q(splitAssign _, splitAssignSql, Seq(col("doc_id"))),
-    "docs_stratified_sample" -> Q(stratifiedSample _, stratifiedSampleSql,
+    "docs_stratified_topk" -> Q(stratifiedSample _, stratifiedSampleSql,
       Seq(col("lang"), col("rk"))),
     "docs_split_stats" -> Q(splitStats _, splitStatsSql, Seq(col("split"), col("lang"))),
     "docs_split_leakage" -> Q(splitLeakage _, splitLeakageSql, Seq(col("split_a"), col("split_b"))),

@@ -80,7 +80,7 @@ class SplitSpec extends AnyFunSuite {
       rows.map(_._1).sortBy(id => (md5hex("graft-strat-v1" + id), id)).take(10)
         .zipWithIndex.map { case (id, i) => (lang, i + 1, id) }.toSeq
     }.toSet
-    val got = SplitQueries.queries("docs_stratified_sample").fn(spark, sf)
+    val got = SplitQueries.queries("docs_stratified_topk").fn(spark, sf)
       .as[(String, Int, Long)].collect().toSet
     assert(got == expected)
   }
