@@ -240,12 +240,9 @@ object AnnQueries {
     * same exact-scoring pass the top-k baseline already pays, and at
     * deployment scale the IVF front substitutes for the scan exactly as
     * in `ann_ivf_topk`. */
-  def knnLabel(spark: SparkSession, dir: String): DataFrame = {
-    VectorExpressions.register(spark)
-    implicit val s: SparkSession = spark
-    val t = Tables(dir)
-    val topk = TopK.perKeyExec(scoredProbes(t), "probe_id", "cos", "vec_id", TopKK)
-    val labels = t.embeddings.select(col("vec_id"), col("label"))
+  /** The majority-vote layer over any (probe_id, vec_id) neighbor frame —
+    * shared by the exact and IVF-fronted labelers. */
+  private def voteLabels(topk: DataFrame, labels: DataFrame): DataFrame = {
     val votes = topk.join(labels, Seq("vec_id"))
       .groupBy(col("probe_id"), col("label"))
       .agg(count(lit(1)).as("votes"))
@@ -257,6 +254,41 @@ object AnnQueries {
       .select(col("probe_id"), col("label").as("pred_label"), col("votes"),
         col("true_label"), (col("label") === col("true_label")).as("correct"))
   }
+
+  def knnLabel(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val topk = TopK.perKeyExec(scoredProbes(t), "probe_id", "cos", "vec_id", TopKK)
+    voteLabels(topk, t.embeddings.select(col("vec_id"), col("label")))
+  }
+
+  /** The deployment-scale labeler: the SAME vote layer over the IVF
+    * search's top-k (nprobe centroid buckets instead of a full corpus
+    * scan — per-probe cost falls as the index grows, exactly as in
+    * `ann_ivf_topk`). Recall differences vs the exact labeler are the
+    * IVF family's documented trade, visible here as vote differences. */
+  def ivfKnnLabel(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    voteLabels(ivfTopK(spark, dir), t.embeddings.select(col("vec_id"), col("label")))
+  }
+
+  // def, not val: reads ivfSql, which is declared later in the object
+  private def ivfKnnLabelSql =
+    s"""WITH ivf AS (${ivfSqlNoOrder.replace("\n", "\n     ")}),
+       |votes AS (
+       |  SELECT probe_id, l.label, COUNT(*) AS votes
+       |  FROM ivf JOIN embeddings l USING (vec_id) GROUP BY 1, 2),
+       |pick AS (
+       |  SELECT probe_id, label, votes,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS rn
+       |  FROM votes)
+       |SELECT pk.probe_id, pk.label AS pred_label, pk.votes,
+       |  t.label AS true_label, pk.label = t.label AS correct
+       |FROM pick pk JOIN embeddings t ON t.vec_id = pk.probe_id
+       |WHERE pk.rn = 1 ORDER BY probe_id""".stripMargin
 
   private val knnLabelSql =
     s"""WITH probes AS (
@@ -434,6 +466,11 @@ object AnnQueries {
     val cents = spark.read.parquet(centroidPath)
       .orderBy("cluster").as[(Int, Array[Float])].collect().map(_._2).toSeq
     ivfSearch(Tables(dir), cents)
+  }
+
+  private def ivfSqlNoOrder: String = {
+    val full = ivfSql
+    full.substring(0, full.lastIndexOf("ORDER BY")).trim
   }
 
   private val ivfSql =
@@ -1700,6 +1737,7 @@ object AnnQueries {
     "ann_lsh_multiprobe" -> Q(lshMultiprobe _, lshMultiprobeSql, Seq(col("id_a"), col("id_b"))),
     "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),
     "ann_knn_label" -> Q(knnLabel _, knnLabelSql, Seq(col("probe_id"))),
+    "ann_ivf_knn_label" -> Q(ivfKnnLabel _, ivfKnnLabelSql, Seq(col("probe_id"))),
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined" -> Q(ivfRefinedTopK _, ivfRefinedSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined2" -> Q(ivfRefined2TopK _, ivfRefined2Sql, Seq(col("probe_id"), col("rank"))),
