@@ -313,6 +313,40 @@ object AnnQueries {
        |FROM pick pk JOIN embeddings t ON t.vec_id = pk.probe_id
        |WHERE pk.rn = 1 ORDER BY probe_id""".stripMargin
 
+  /** Recall@k audit of the IVF path against the exact top-k — THE
+    * deployment metric for an approximate index (a 0.95 here is why
+    * `ann_ivf_topk` may run where the flat scan can't). Per probe: how
+    * many of the exact k nearest survive in the IVF answer, as a
+    * per-mille integer (recall_pm = overlap·1000 div k — exact, no
+    * float). Both sides are the already-oracled pipelines, so the audit
+    * itself is oracle-verified too. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val exact = TopK.perKeyExec(scoredProbes(t), "probe_id", "cos", "vec_id", TopKK)
+      .select("probe_id", "vec_id")
+    val ivf = ivfTopK(spark, dir).select("probe_id", "vec_id")
+    val overlap = exact.join(ivf, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+    exact.select("probe_id").distinct()
+      .join(overlap, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_pm", expr(s"n_overlap * 1000 div $TopKK"))
+  }
+
+  // def, not val: embeds ivfSql, which is declared later in the object
+  private def ivfRecallSql =
+    s"""WITH ex AS (SELECT probe_id, vec_id FROM (${bruteForceSql.replace("\n", "\n     ")}) t1),
+       |iv AS (SELECT probe_id, vec_id FROM (${ivfSqlNoOrder.replace("\n", "\n     ")}) t2),
+       |ov AS (SELECT probe_id, COUNT(*) AS n_overlap
+       |       FROM ex JOIN iv USING (probe_id, vec_id) GROUP BY 1)
+       |SELECT p.probe_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  COALESCE(ov.n_overlap, 0) * 1000 // $TopKK AS recall_pm
+       |FROM (SELECT DISTINCT probe_id FROM ex) p
+       |LEFT JOIN ov USING (probe_id) ORDER BY probe_id""".stripMargin
+
   // ------------------------------------------------------------------ IVF
 
   /** Literal centroid vectors — the bounded driver-side structure (id asc). */
@@ -1738,6 +1772,7 @@ object AnnQueries {
     "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),
     "ann_knn_label" -> Q(knnLabel _, knnLabelSql, Seq(col("probe_id"))),
     "ann_ivf_knn_label" -> Q(ivfKnnLabel _, ivfKnnLabelSql, Seq(col("probe_id"))),
+    "ann_ivf_recall" -> Q(ivfRecall _, ivfRecallSql, Seq(col("probe_id"))),
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined" -> Q(ivfRefinedTopK _, ivfRefinedSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined2" -> Q(ivfRefined2TopK _, ivfRefined2Sql, Seq(col("probe_id"), col("rank"))),

@@ -311,6 +311,58 @@ object EventAnalytics {
        |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
   }
 
+  /** Distinct-user rollup FROM REGISTERS — the mergeable-summaries
+    * property doing a cube's work: the raw events are scanned ONCE into a
+    * (type, day) register table, and the per-type, per-day, and grand
+    * totals are all register MERGES of that one build (exact algebra, so
+    * every level is still DuckDB-oracled). At 100 TB this is the only
+    * viable shape for distinct-count rollups: COUNT(DISTINCT) per cell
+    * re-shuffles the fact table once per grouping level, while registers
+    * re-aggregate ≤256 rows per cell. */
+  def uniquesRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val grain = concat(col("event_type"), lit("|"), to_date(col("ts")).cast("string"))
+    // persisted: three rollup levels re-aggregate the one register build
+    val regs = Cached.track(
+      graft.pipeline.HllTable.build(Tables(dir).events, col("user_id"), grain)
+        .withColumn("event_type", split(col("grain"), "\\|").getItem(0))
+        .withColumn("day", split(col("grain"), "\\|").getItem(1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def level(name: String, key: org.apache.spark.sql.Column) =
+      graft.pipeline.HllTable.estimate(
+        regs.groupBy(key.as("grain"), col("reg"))
+          .agg(max(col("max_rho")).as("max_rho")))
+        .select(lit(name).as("level"), col("grain").as("key"), col("est"))
+    level("type", col("event_type"))
+      .unionByName(level("day", col("day")))
+      .unionByName(level("total", lit("all")))
+  }
+
+  private val uniquesRollupSql = {
+    import graft.pipeline.HllTable.{regSql, rhoSql}
+    val m = graft.pipeline.HllTable.M
+    val est =
+      s"""ROUND(CASE WHEN ($m - n_hit) > 0
+         |        AND ${graft.pipeline.HllTable.EstNumerator} / CAST(hit_num + ($m - n_hit) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) <= ${2.5 * m}
+         |      THEN $m * ln($m / CAST($m - n_hit AS DOUBLE))
+         |      ELSE ${graft.pipeline.HllTable.EstNumerator} / CAST(hit_num + ($m - n_hit) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) END, 4)""".stripMargin
+    def level(name: String, key: String) =
+      s"""SELECT '$name' AS level, key, $est AS est FROM (
+         |  SELECT key, COUNT(*) AS n_hit,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT) AS hit_num
+         |  FROM (SELECT $key AS key, reg, MAX(rho) AS max_rho
+         |        FROM h GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH h AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       |                  ${regSql("user_id")} AS reg, ${rhoSql("user_id")} AS rho
+       |           FROM events)
+       |${level("type", "event_type")}
+       |UNION ALL ${level("day", "day")}
+       |UNION ALL ${level("total", "'all'")}
+       |ORDER BY level, key""".stripMargin
+  }
+
   /** Per-type Spearman rank correlation between event VALUE and time of
     * day (seconds since midnight) — the rank-based dependence measure, the
     * correlation-side sibling of the MAD gate (both survive wild values
@@ -972,6 +1024,8 @@ object EventAnalytics {
       Seq(col("event_type"), col("reg"))),
     "events_distinct_estimate" -> Q(distinctEstimate _, distinctEstimateSql,
       Seq(col("event_type"))),
+    "events_uniques_rollup" -> Q(uniquesRollup _, uniquesRollupSql,
+      Seq(col("level"), col("key"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),
     "events_dau_wau" -> Q(dauWau _, dauWauSql, Seq(col("day"))),
     "events_session_stats" -> Q(sessionStats _, sessionStatsSql, Seq(col("user_id"))),
