@@ -34,6 +34,7 @@ object SparkEntry {
     operators.NgsQueries.queries,
     operators.SplitQueries.queries,
     operators.PrefixJoin.queries,
+    operators.PipelineReport.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort).

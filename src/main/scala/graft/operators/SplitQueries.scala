@@ -96,8 +96,9 @@ object SplitQueries {
     s"""WITH b AS (SELECT doc_id, $bucketDuck AS bucket FROM documents)
        |SELECT doc_id, bucket, $splitCase AS split FROM b ORDER BY doc_id""".stripMargin
 
-  /** Oracle-shared CTE: the assignment with lang/source carried. */
-  private val assignedCte =
+  /** Oracle-shared CTE: the assignment with lang/source carried (also
+    * embedded by [[PipelineReport]]'s composite oracle). */
+  private[operators] val assignedCte =
     s"""asg AS (
        |  SELECT doc_id, lang, source, bucket, $splitCase AS split
        |  FROM (SELECT doc_id, lang, source, $bucketDuck AS bucket FROM documents))""".stripMargin
