@@ -593,6 +593,53 @@ object AnalyticsQueries {
        |WHERE ${hexBucketDuck("md5(CAST(doc_id AS VARCHAR))")} % 10 = 0
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- RFM segments
+
+  /** RFM customer segmentation — the classic recency/frequency/monetary
+    * quintile grid: each customer's three metrics are scored 1..5 by
+    * NTILE(5) with a fully deterministic order (metric, then custkey —
+    * both engines give earlier tiles the extra rows, so the cut points
+    * are bit-identical), and the output is the per-cell census a CRM
+    * campaign plans against. Plan: one orders aggregate (customer-keyed
+    * shuffle), three rank windows over the RESULTING customer table —
+    * never the fact table — then one cell aggregate. The unpartitioned
+    * NTILE is exact-but-single-partition (the q_order_deciles trade);
+    * at open-ended customer counts the documented twin is quantile cut
+    * points from the rank-error-bounded sketch
+    * (approxOrderPercentiles), scored map-side. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val per = Tables(dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("monetary"))
+    def score(c: String) = ntile(5).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col(c).asc, col("o_custkey").asc))
+    per
+      .withColumn("r_score", score("last_order"))
+      .withColumn("f_score", score("n_orders"))
+      .withColumn("m_score", score("monetary"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), fin(dsum(col("monetary"))).as("monetary"))
+  }
+
+  private val rfmSegmentsSql =
+    """WITH per AS (
+      |  SELECT o_custkey, MAX(o_orderdate) AS last_order, COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS monetary
+      |  FROM orders GROUP BY 1),
+      |scored AS (
+      |  SELECT o_custkey, monetary,
+      |    NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+      |    NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+      |    NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      |  FROM per)
+      |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+      |  CAST(ROUND(SUM(monetary), 2) AS DOUBLE) AS monetary
+      |FROM scored GROUP BY 1, 2, 3
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
   // ------------------------------------------------- GROUPING SETS (§8k)
 
   /** Explicit GROUPING SETS — the general form CUBE/ROLLUP specialize:
@@ -869,6 +916,8 @@ object AnalyticsQueries {
     "q_price_histogram" -> Q(priceHistogram _, priceHistogramSql, Seq(col("bucket"))),
     "text_tfidf_topk" -> Q(tfidfTopK _, tfidfTopKSql, Seq(col("doc_id"), col("rank"))),
     "docs_stratified_sample" -> Q(stratifiedSample _, stratifiedSampleSql, Seq(col("doc_id"))),
+    "q_rfm_segments" -> Q(rfmSegments _, rfmSegmentsSql,
+      Seq(col("r_score"), col("f_score"), col("m_score"))),
     "q_order_percentiles" -> Q(orderPercentiles _, orderPercentilesSql, Seq(col("o_orderpriority"))),
     "q_stats_moments" -> Q(statsMoments _, statsMomentsSql, Seq(col("l_returnflag"))),
     "text_quality_quantiles" -> Q(qualityQuantiles _, qualityQuantilesSql, Seq(col("lang"))),

@@ -778,6 +778,50 @@ object AnnQueries {
        |SELECT id_a, id_b, cos FROM scored WHERE cos >= $CosineThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Recall audit of the sign-LSH pair search against the EXACT all-pairs
+    * truth at the same threshold — `ann_ivf_recall`'s sibling for the
+    * second approximate family, and the registered/oracled form of the
+    * recall floors AnnLshSpec pins. The exact side is a deliberate
+    * all-pairs product (the thing LSH exists to avoid) — affordable at
+    * audit scale, and exactly what the number means: of every true
+    * τ-pair, how many did the banded search keep. One output row:
+    * (n_exact, n_lsh, n_overlap, recall_pm). */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val emb = Tables(dir).embeddings
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("norm"))
+    val exact = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("norm").as("n_a"))
+      .join(withNorm.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("norm").as("n_b")),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorExpressions.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
+      .where(col("cos") >= CosineThreshold)
+      .select("id_a", "id_b")
+    val lsh = lshSearch(spark, dir, LshBands, LshRows, multiprobe = false)
+      .select("id_a", "id_b")
+    exact.join(lsh.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .select(col("n_exact"), col("n_lsh"), col("n_overlap"),
+        expr("n_overlap * 1000 div greatest(n_exact, 1)").as("recall_pm"))
+  }
+
+  private def lshRecallSql =
+    s"""WITH ex AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE ROUND(${cosChainDuck("a.embedding", "b.embedding")}, 6) >= $CosineThreshold),
+       |lsh AS (SELECT id_a, id_b FROM (${lshCosineSql.replace("\n", "\n     ")}) t),
+       |ov AS (SELECT COUNT(*) AS n_overlap FROM ex JOIN lsh USING (id_a, id_b))
+       |SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+       |       (SELECT COUNT(*) FROM lsh) AS n_lsh,
+       |       n_overlap,
+       |       n_overlap * 1000 // GREATEST((SELECT COUNT(*) FROM ex), 1) AS recall_pm
+       |FROM ov""".stripMargin
+
   // ------------------------------------------------ product quantization
 
   /** PQ geometry: 64 dims = 8 subspaces × 8; 32 codewords per subspace
@@ -1773,6 +1817,7 @@ object AnnQueries {
     "ann_knn_label" -> Q(knnLabel _, knnLabelSql, Seq(col("probe_id"))),
     "ann_ivf_knn_label" -> Q(ivfKnnLabel _, ivfKnnLabelSql, Seq(col("probe_id"))),
     "ann_ivf_recall" -> Q(ivfRecall _, ivfRecallSql, Seq(col("probe_id"))),
+    "ann_lsh_recall" -> Q(lshRecall _, lshRecallSql),
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined" -> Q(ivfRefinedTopK _, ivfRefinedSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined2" -> Q(ivfRefined2TopK _, ivfRefined2Sql, Seq(col("probe_id"), col("rank"))),

@@ -311,6 +311,75 @@ object EventAnalytics {
        |FROM est JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
   }
 
+  /** Hash-split A/B experiment readout: users deal into two arms by the
+    * same salted-md5 machinery as the dataset split (deterministic,
+    * engine-portable, no RNG), conversion = the user produced a purchase
+    * event, and the two-proportion pooled z-statistic decides
+    * significance. The float chain (two divisions, one correctly-rounded
+    * sqrt) is written with IDENTICAL association in the Spark plan and
+    * the oracle, so even z matches bit-for-bit after round-4. Plan: one
+    * per-user aggregate (the only fact-table shuffle), a 2-row arm
+    * aggregate, one closed-form row out. Because the deal is a pure
+    * function of user_id, the same readout runs on any event table
+    * WITHOUT a pre-registered assignment log — the null experiment: on
+    * un-treated data z must hover near 0, which doubles as the
+    * assignment-balance audit. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val arm = when(pmod(graft.plans.VectorExpressions.hexPrefix(
+      md5(concat(lit("graft-ab-v1"), col("user_id").cast("string"))), 8), lit(2L)) === 0, "A")
+      .otherwise("B")
+    // conversion = a high-value purchase (value > 300): selective enough
+    // that neither arm saturates (pooled p = 0 or 1 makes z undefined;
+    // the CASE guard below still covers the degenerate corpus)
+    val perUser = Tables(dir).events
+      .select(col("user_id"), arm.as("arm"),
+        (col("event_type") === "purchase" && col("value") > 300).cast("int").as("pur"))
+      .groupBy("user_id", "arm")
+      .agg(max(col("pur")).as("converted"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).cast("long").as("n_conv"))
+    val a = arms.where(col("arm") === "A")
+      .select(col("n_users").as("na"), col("n_conv").as("ca"))
+    val b = arms.where(col("arm") === "B")
+      .select(col("n_users").as("nb"), col("n_conv").as("cb"))
+    a.crossJoin(b)
+      .select(col("na"), col("ca"), col("nb"), col("cb"),
+        expr("round(case when ca + cb = 0 or ca + cb = na + nb then 0.0 else " +
+          "(cast(ca as double) / na - cast(cb as double) / nb) / " +
+          "sqrt((cast(ca + cb as double) / (na + nb)) * (1.0 - cast(ca + cb as double) / (na + nb)) " +
+          "* (1.0 / na + 1.0 / nb)) end, 4)").as("z"))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
+  private val abTestSql = {
+    val armExpr = DedupQueries.hexToLongDuck("md5('graft-ab-v1' || CAST(user_id AS VARCHAR))", 8)
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CASE WHEN ($armExpr) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    MAX(CASE WHEN event_type = 'purchase' AND value > 300 THEN 1 ELSE 0 END) AS converted
+       |  FROM events GROUP BY 1, 2),
+       |arms AS (SELECT arm, COUNT(*) AS n_users,
+       |           CAST(SUM(converted) AS BIGINT) AS n_conv
+       |         FROM pu GROUP BY 1),
+       |ab AS (SELECT
+       |    (SELECT n_users FROM arms WHERE arm = 'A') AS na,
+       |    (SELECT n_conv FROM arms WHERE arm = 'A') AS ca,
+       |    (SELECT n_users FROM arms WHERE arm = 'B') AS nb,
+       |    (SELECT n_conv FROM arms WHERE arm = 'B') AS cb)
+       |SELECT na, ca, nb, cb,
+       |  ROUND(CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN 0.0 ELSE
+       |    (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) /
+       |    sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+       |      * (1.0 / na + 1.0 / nb)) END, 4) AS z,
+       |  ABS(ROUND(CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN 0.0 ELSE
+       |    (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) /
+       |    sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+       |      * (1.0 / na + 1.0 / nb)) END, 4)) > 1.96 AS significant
+       |FROM ab""".stripMargin
+  }
+
   /** Distinct-user rollup FROM REGISTERS — the mergeable-summaries
     * property doing a cube's work: the raw events are scanned ONCE into a
     * (type, day) register table, and the per-type, per-day, and grand
@@ -1026,6 +1095,7 @@ object EventAnalytics {
       Seq(col("event_type"))),
     "events_uniques_rollup" -> Q(uniquesRollup _, uniquesRollupSql,
       Seq(col("level"), col("key"))),
+    "events_ab_test" -> Q(abTest _, abTestSql),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),
     "events_dau_wau" -> Q(dauWau _, dauWauSql, Seq(col("day"))),
     "events_session_stats" -> Q(sessionStats _, sessionStatsSql, Seq(col("user_id"))),
