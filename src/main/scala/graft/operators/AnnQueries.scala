@@ -227,6 +227,52 @@ object AnnQueries {
        |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
        |ORDER BY probe_id, rank""".stripMargin
 
+  // ------------------------------------------------------- filtered search
+
+  /** §8k(bj) — FILTERED vector search: exact cosine top-k restricted to
+    * corpus vectors sharing the probe's label — "nearest neighbors within
+    * a class", the metadata-predicate retrieval every vector deployment
+    * grows (filtered search is the feature that separates a vector
+    * DATABASE from an index). The filter applies BEFORE scoring
+    * (pre-filter): the predicate prunes the candidate set ahead of the
+    * distance kernel, so selectivity s cuts scoring cost to s·|corpus| —
+    * the post-filter alternative scores everything and then discards,
+    * and under-fills k when the filter is selective. Same probe set,
+    * kernel, and TopKPerKey ranking as [[bruteForceTopK]], so the two
+    * results diff directly (the filter's effect on the neighborhood). */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val emb = Tables(dir).embeddings
+    val corpus = emb.select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val probes = emb.where(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("embedding").as("p_emb"),
+        sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("p_norm"))
+    val scored = corpus.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id") && col("label") === col("p_label"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"))
+    TopK.perKeyExec(scored, "probe_id", "cos", "vec_id", TopKK)
+  }
+
+  private val filteredTopKSql =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, label AS p_label, embedding AS p
+       |  FROM embeddings WHERE vec_id % $ProbeMod = 0),
+       |scored AS (
+       |  SELECT probe_id, e.vec_id, ROUND(${cosChainDuck("e.embedding", "p")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN probes
+       |  WHERE e.vec_id <> probe_id AND e.label = p_label),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
+
   // ------------------------------------------------------------ knn label
 
   /** k-NN majority-vote labeling — the auto-labeling step of a training
@@ -1814,6 +1860,7 @@ object AnnQueries {
     "ann_lsh_cosine" -> Q(lshCosine _, lshCosineSql, Seq(col("id_a"), col("id_b"))),
     "ann_lsh_multiprobe" -> Q(lshMultiprobe _, lshMultiprobeSql, Seq(col("id_a"), col("id_b"))),
     "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),
+    "ann_filtered_topk" -> Q(filteredTopK _, filteredTopKSql, Seq(col("probe_id"), col("rank"))),
     "ann_knn_label" -> Q(knnLabel _, knnLabelSql, Seq(col("probe_id"))),
     "ann_ivf_knn_label" -> Q(ivfKnnLabel _, ivfKnnLabelSql, Seq(col("probe_id"))),
     "ann_ivf_recall" -> Q(ivfRecall _, ivfRecallSql, Seq(col("probe_id"))),

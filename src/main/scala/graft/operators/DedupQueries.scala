@@ -89,12 +89,18 @@ object DedupQueries {
     * is row-local (transform/md5/explode, no state), so the SAME columns
     * run on batch and streaming frames. Extra input columns are carried
     * through the explode untouched. */
+  /** Append the K-component minhash signature array `m` to any (doc_id, s)
+    * frame — the shared prefix of [[bandExplode]], factored out so the
+    * signature-accuracy audit ([[minhashEstimate]]) scores the IDENTICAL
+    * signatures the LSH pipeline buckets on. */
+  private[graft] def minhashSigs(sh: DataFrame): DataFrame = sh
+    .withColumn("hx", expr("transform(s, x -> md5(x))"))
+    .withColumn("hs", transform(col("hx"), h => graft.plans.VectorExpressions.hexPrefix(h, 8)))
+    .withColumn("m", array((0 until K).map(i =>
+      expr(s"array_min(transform(hs, h -> (${mixA(i)}L * h + ${mixB(i)}L) % ${P}L))")): _*))
+
   private[graft] def bandExplode(sh: DataFrame): DataFrame = {
-    val mh = sh
-      .withColumn("hx", expr("transform(s, x -> md5(x))"))
-      .withColumn("hs", transform(col("hx"), h => graft.plans.VectorExpressions.hexPrefix(h, 8)))
-      .withColumn("m", array((0 until K).map(i =>
-        expr(s"array_min(transform(hs, h -> (${mixA(i)}L * h + ${mixB(i)}L) % ${P}L))")): _*))
+    val mh = minhashSigs(sh)
     val bandCols = (0 until B).map { b =>
       struct(
         lit(b).as("band_id"),
@@ -322,6 +328,167 @@ object DedupQueries {
        |JOIN sets sa ON sa.doc_id = doc_a
        |JOIN sets sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val CosVerifyThreshold = 0.8
+
+  /** §8k(bb) — WEIGHTED-cosine verify over the same LSH candidate pairs:
+    * each candidate doc becomes a TF-IDF vector over its 3-gram shingles
+    * (tf × the BM25 family's log-free integer idf surrogate
+    * (100·(2N−2df+1)) div (2df+1) — boilerplate shingles shared by half
+    * the corpus score near zero, rare content dominates), and the pair's
+    * exact cosine replaces the unweighted Jaccard. The weighted twin of
+    * [[ngramJaccard]]: two docs sharing lots of template text but
+    * differing in their rare content are near-dups to Jaccard and
+    * distinct to TF-IDF cosine.
+    *
+    * Exactness: dot product and squared norms are pure-integer sums
+    * (DECIMAL lane — shingle weights reach ~4·10¹⁰ at corpus
+    * N ≈ 10⁹, so w² overflows int64 at scale even though every value is
+    * exact); ONE float chain at the end (decimal→double, double·double,
+    * sqrt, divide — each correctly rounded, so both engines emit the
+    * same bits; zero-norm vectors — a doc whose every shingle has
+    * df = N — score 0 by definition rather than NaN).
+    *
+    * Scale shape: the corpus is shingled once for the (term, df) table
+    * (the [[graft.operators.TextIndexQueries]] inverted-index pass); tf
+    * VECTORS are built only for candidate docs (the [[ngramJaccard]]
+    * semi-join discipline), so the verify joins are candidate-bounded —
+    * pair count × doc shingle count, never corpus². */
+  def cosineVerify(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    // both shared frames are consumed by ≥3 plan branches; without
+    // materialization each branch re-runs the whole minhash band pipeline
+    // (resp. the corpus tf/df build) — 35 shuffles in the executed plan
+    // instead of 7
+    val cands = lshCandidates(t)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached.track)
+    val candDocs = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    // two-step select, NOT withColumn chaining: explode plants an implicit
+    // `size(input) > 0` filter, and with the shingle expression still
+    // inline that predicate pushes below the projections and re-derives
+    // the whole words→shingles tree per row AT THE SCAN (9.9 s vs 0.8 s
+    // at sf0.1 — the r07c `where(size(w) > 0)` pathology from the other
+    // direction)
+    val shingleTerms = t.documents.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingles("w")).as("term"))
+    val tfAll = shingleTerms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfx = tfAll.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    val wt = tfAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .join(dfx, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("wgt", expr("tf * ((100 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"))
+      .select("doc_id", "term", "wgt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached.track)
+    val n2 = wt.groupBy("doc_id")
+      .agg(sum(expr("CAST(wgt AS DECIMAL(18,0)) * wgt")).as("n2"))
+    val dots = cands
+      .join(wt.select(col("doc_id").as("doc_a"), col("term"), col("wgt").as("w_a")), Seq("doc_a"))
+      .join(wt.select(col("doc_id").as("doc_b"), col("term"), col("wgt").as("w_b")),
+        Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(expr("CAST(w_a AS DECIMAL(18,0)) * w_b")).as("dot"))
+    cands
+      .join(dots, Seq("doc_a", "doc_b"), "left")
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
+      .withColumn("cos", round(expr(
+        """CASE WHEN n2_a = 0 OR n2_b = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(coalesce(dot, 0) AS DOUBLE) / sqrt(CAST(n2_a AS DOUBLE) * CAST(n2_b AS DOUBLE)) END""".stripMargin), 6))
+      .select(col("doc_a"), col("doc_b"), col("cos"),
+        (col("cos") >= CosVerifyThreshold).as("is_dup"))
+  }
+
+  private val cosineVerifySql =
+    s"""WITH $minhashCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |cdocs AS (SELECT DISTINCT doc_a AS doc_id FROM cand
+       |          UNION SELECT DISTINCT doc_b FROM cand),
+       |tf AS (SELECT doc_id, t.term, COUNT(*) AS tf FROM sh, UNNEST(s) AS t(term) GROUP BY 1, 2),
+       |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |wt AS (
+       |  SELECT doc_id, term, tf * ((100 * (2 * n_docs - 2 * df + 1)) // (2 * df + 1)) AS wgt
+       |  FROM tf JOIN dfx USING (term), n
+       |  WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+       |n2 AS (SELECT doc_id, SUM(CAST(wgt AS HUGEINT) * wgt) AS n2 FROM wt GROUP BY 1),
+       |dots AS (
+       |  SELECT c.doc_a, c.doc_b, SUM(CAST(wa.wgt AS HUGEINT) * wb.wgt) AS dot
+       |  FROM cand c
+       |  JOIN wt wa ON wa.doc_id = c.doc_a
+       |  JOIN wt wb ON wb.doc_id = c.doc_b AND wb.term = wa.term
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    ROUND(CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN CAST(0 AS DOUBLE)
+       |      ELSE CAST(COALESCE(d.dot, 0) AS DOUBLE)
+       |        / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) END, 6) AS cos
+       |  FROM cand c
+       |  LEFT JOIN dots d ON d.doc_a = c.doc_a AND d.doc_b = c.doc_b
+       |  JOIN n2 na ON na.doc_id = c.doc_a
+       |  JOIN n2 nb ON nb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, cos, cos >= $CosVerifyThreshold AS is_dup
+       |FROM scored ORDER BY doc_a, doc_b""".stripMargin
+
+  /** §8k(bh) — minhash signature ACCURACY audit: for every LSH candidate
+    * pair, the Jaccard the K=12 signature components estimate
+    * (matching-component fraction) against the exact shingle-set Jaccard,
+    * with the signed error — all in per-mille INTEGERS, so the audit of a
+    * probabilistic estimator is itself engine-exact. The `ann_ivf_recall`
+    * / `ann_lsh_recall` sibling for the signature layer: recall audits
+    * measure which pairs the index FINDS, this one measures how well the
+    * signatures it finds them with track the true similarity (the
+    * K-vs-accuracy knob's direct evidence).
+    *
+    * Scale shape: signatures and shingle sets are rebuilt only for
+    * candidate docs (the [[ngramJaccard]] semi-join discipline); the
+    * audit joins are candidate-bounded. */
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cands = lshCandidates(t)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached.track)
+    val candDocs = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sigs = minhashSigs(shingled(t).join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("m"), array_distinct(col("s")).as("ss"))
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("m").as("m_a"), col("ss").as("ss_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("m").as("m_b"), col("ss").as("ss_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"size(filter(zip_with(m_a, m_b, (x, y) -> x = y), v -> v)) * 1000 div $K").as("est_pm"),
+        expr("size(array_intersect(ss_a, ss_b)) * 1000 div size(array_distinct(concat(ss_a, ss_b)))").as("exact_pm"))
+      .withColumn("err_pm", col("est_pm") - col("exact_pm"))
+  }
+
+  private val minhashEstimateSql =
+    s"""WITH $minhashCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |sigs AS (SELECT mh.doc_id, mh.m, list_distinct(sh.s) AS ss
+       |         FROM mh JOIN sh ON mh.doc_id = sh.doc_id),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    LEN(list_filter(generate_series(1, $K), i -> sa.m[i] = sb.m[i])) * 1000 // $K AS est_pm,
+       |    LEN(list_intersect(sa.ss, sb.ss)) * 1000
+       |      // LEN(list_distinct(list_concat(sa.ss, sb.ss))) AS exact_pm
+       |  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a JOIN sigs sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, est_pm, exact_pm, est_pm - exact_pm AS err_pm
+       |FROM scored ORDER BY doc_a, doc_b""".stripMargin
 
   /** §8j(av) — the same candidate-pair Jaccard verify over SORTED
     * 60-bit shingle-HASH sets and the two-pointer merge kernel
@@ -794,6 +961,9 @@ object DedupQueries {
     "dedup_survivors" -> Q(dedupedCorpus _, dedupedCorpusSql, Seq(col("kept_doc_id"))),
     "dedup_quality_survivors" -> Q(qualitySurvivors _, qualitySurvivorsSql, Seq(col("cluster_id"))),
     "dedup_ngram_jaccard" -> Q(ngramJaccard _, ngramJaccardSql, Seq(col("doc_a"), col("doc_b"))),
+    "dedup_cosine_verify" -> Q(cosineVerify _, cosineVerifySql, Seq(col("doc_a"), col("doc_b"))),
+    "dedup_minhash_estimate" -> Q(minhashEstimate _, minhashEstimateSql,
+      Seq(col("doc_a"), col("doc_b"))),
     "dedup_jaccard_sorted" -> Q(jaccardSorted _, jaccardSortedSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> Q(simhash _, simhashSql, Seq(col("doc_a"), col("doc_b"))),
   )

@@ -1064,7 +1064,122 @@ object EventAnalytics {
       |FROM flags GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------- dyadic EWMA smoothing
+
+  /** §8k(be) — per-user exponential smoothing of `value`, ENGINE-EXACT:
+    * the classic α=1/2 EWMA truncated to the trailing 8 events, so every
+    * weight is a power of two — 1/2, 1/4, …, 1/128, with the tail weight
+    * doubled to 1/128 so the weights sum to exactly 1. Dividing a double
+    * by a power of two only decrements its exponent (no rounding), and
+    * the 8-term sum is written as the same left-associated chain in both
+    * engines, so the smoothed value is BIT-IDENTICAL everywhere — no
+    * round() hedge needed. Rows without 7 predecessors are skipped (the
+    * full-window semantics; a renormalized warm-up would divide by a
+    * non-power-of-two).
+    *
+    * Scale shape: ONE per-user shuffle + sort, 7 lags over the same
+    * window frame (single Window operator), no joins. The window state is
+    * 8 rows regardless of history length — the streaming-friendly twin of
+    * the unbounded EWMA recursion, which cannot be windowed at all. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    var df = Tables(dir).events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    for (k <- 1 to 7) df = df.withColumn(s"v$k", lag(col("value"), k).over(w))
+    df.where(col("v7").isNotNull)
+      .withColumn("ewma",
+        col("value") / 2 + col("v1") / 4 + col("v2") / 8 + col("v3") / 16 +
+          col("v4") / 32 + col("v5") / 64 + col("v6") / 128 + col("v7") / 128)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("ewma"))
+  }
+
+  private val ewmaSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |l AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    LAG(value, 1) OVER w AS v1, LAG(value, 2) OVER w AS v2,
+      |    LAG(value, 3) OVER w AS v3, LAG(value, 4) OVER w AS v4,
+      |    LAG(value, 5) OVER w AS v5, LAG(value, 6) OVER w AS v6,
+      |    LAG(value, 7) OVER w AS v7
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id, ts, value,
+      |  value / 2 + v1 / 4 + v2 / 8 + v3 / 16 + v4 / 32 + v5 / 64 + v6 / 128 + v7 / 128 AS ewma
+      |FROM l WHERE v7 IS NOT NULL
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------ Kaplan-Meier survival
+
+  /** §8k(bf) — Kaplan-Meier time-to-churn curve over user lifetimes.
+    * A user's lifetime is whole days between their first and last event
+    * (integer µs arithmetic); they CHURNED if their last event precedes
+    * the corpus horizon (global max ts) by more than 1 day (the corpus spans ~30 days, so a day of silence is the churn signal), otherwise
+    * they are right-censored (still active when observation ended) — the
+    * standard KM setup where censored users leave the risk set without
+    * registering a death. Output: one row per death-step t with the risk
+    * set n_risk = |{lifetime ≥ t}|, the deaths at t, and the survival
+    * estimate S(t) = Π_{s≤t} (1 − d_s/n_s).
+    *
+    * Exactness: t / n_risk / deaths are pure integers. S(t) is the one
+    * float chain — Π as exp(Σ ln((n−d)/n)) with the running Σ evaluated
+    * in ascending t order by BOTH engines (incremental window sum), ln
+    * over ≤|steps| distinct small rationals, round-6 output (the
+    * events_drift_alarm ln discipline).
+    *
+    * Scale shape: events collapse ONCE per user (map-side partial
+    * min/max); everything after runs on the ≤|days-span| step table —
+    * the single-partition windows are over dozens of rows, the
+    * q_rfm_segments exact-but-tiny trade. */
+  def survival(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val e = Tables(dir).events.select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val spans = e.groupBy("user_id")
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val horizon = e.agg(max(col("us")).as("h_us"))
+    val users = spans.crossJoin(broadcast(horizon))
+      .withColumn("d", expr("(last_us - first_us) div 86400000000"))
+      .withColumn("churned", (col("last_us") < col("h_us") - lit(86400000000L)).cast("int"))
+    val byD = users.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_at"), sum(col("churned")).as("deaths"))
+    val wRisk = Window.orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSurv = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byD.withColumn("n_risk", sum(col("n_at")).over(wRisk))
+      .where(col("deaths") > 0)
+      .withColumn("lnterm",
+        log((col("n_risk") - col("deaths")).cast("double") / col("n_risk").cast("double")))
+      .withColumn("surv", round(exp(sum(col("lnterm")).over(wSurv)), 6))
+      .select(col("d").as("t_days"), col("n_risk"), col("deaths"), col("surv"))
+  }
+
+  private val survivalSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |spans AS (SELECT user_id, MIN(us) AS first_us, MAX(us) AS last_us FROM e GROUP BY 1),
+      |h AS (SELECT MAX(us) AS h_us FROM e),
+      |users AS (
+      |  SELECT (last_us - first_us) // 86400000000 AS d,
+      |    CASE WHEN last_us < h_us - 86400000000 THEN 1 ELSE 0 END AS churned
+      |  FROM spans, h),
+      |byd AS (SELECT d, COUNT(*) AS n_at, CAST(SUM(churned) AS BIGINT) AS deaths
+      |        FROM users GROUP BY 1),
+      |risk AS (
+      |  SELECT d, n_at, deaths,
+      |    CAST(SUM(n_at) OVER (ORDER BY d DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+      |  FROM byd),
+      |km AS (
+      |  SELECT d, n_risk, deaths,
+      |    ln(CAST(n_risk - deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS lnterm
+      |  FROM risk WHERE deaths > 0)
+      |SELECT d AS t_days, n_risk, deaths,
+      |  ROUND(exp(SUM(lnterm) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS surv
+      |FROM km ORDER BY t_days""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_ewma" -> Q(ewma _, ewmaSql, Seq(col("user_id"), col("event_id"))),
+    "events_survival" -> Q(survival _, survivalSql, Seq(col("t_days"))),
     "events_segment_algebra" -> Q(segmentAlgebra _, segmentAlgebraSql,
       Seq(col("has_view"), col("has_purchase"), col("has_error"))),
     "events_path_trigrams" -> Q(pathTrigrams _, pathTrigramsSql,

@@ -613,6 +613,84 @@ object GraphQueries {
        |SELECT hop, COUNT(*) AS n_parts FROM hops GROUP BY hop ORDER BY hop""".stripMargin
   }
 
+  // ------------------------------------------------ degree distribution
+
+  /** §8k(bi) — degree histogram of the full co-purchase graph: how many
+    * nodes have each degree. THE first diagnostic before any graph
+    * algorithm runs at scale — the histogram's tail is what decides
+    * whether the wedge/pair stages need whale caps ([[trianglesCapped]]'s
+    * cap, the LSH band cap) and what the Σdeg² shuffle will cost. Two
+    * keyed aggregates over the persisted edge list: degrees (|E|-shuffle),
+    * then histogram cells (≤max-degree rows). */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val e = stagedEdges(spark, dir)
+    val sym = e.select(col("pa").as("node"))
+      .unionByName(e.select(col("pb").as("node")))
+    sym.groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  private val degreeHistSql =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sym AS (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e),
+       |deg AS (SELECT node, COUNT(*) AS deg FROM sym GROUP BY 1)
+       |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""".stripMargin
+
+  // ------------------------------------------------ k-core decomposition
+
+  private val KcoreK = 3
+  private val KcoreRounds = 4
+
+  /** §8k(bd) — bounded-round k-core peeling over the support-backbone:
+    * [[KcoreRounds]] rounds of "drop every node with degree < [[KcoreK]],
+    * restrict the edge set to survivors", then report each survivor with
+    * its degree INSIDE the peeled subgraph. The k-core is the standard
+    * cohesion filter before community detection / influence work; bounded
+    * rounds keep oracle parity independent of how fast the peel converges
+    * (the [[ssspBounded]] trade — at sf0.001 four rounds reach the
+    * fixpoint, and `GraphSpec` pins a driver peel at the same rounds).
+    *
+    * Scale shape: each round is one degree aggregate over the surviving
+    * |E| plus two semi-joins of edges against the ≤|V|-row survivor set
+    * (AQE broadcasts survivors while they fit). The edge set SHRINKS
+    * monotonically, so round cost is non-increasing; per-round
+    * `localCheckpoint` truncates the lineage exactly as [[components]]
+    * does, keeping the driver plan linear in rounds. */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val bb = stagedBackbone(spark, dir)
+    var sym = bb.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(bb.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to KcoreRounds) {
+      val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KcoreK).select(col("src").as("node"))
+      sym = sym
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(true)
+    }
+    sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  private val kcoreSql = {
+    def round(prev: String, cur: String) =
+      s"""k$cur AS (SELECT src AS node FROM $prev GROUP BY 1 HAVING COUNT(*) >= $KcoreK),
+         |$cur AS (SELECT s.src, s.dst FROM $prev s
+         |  JOIN k$cur a ON s.src = a.node JOIN k$cur b ON s.dst = b.node)"""
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport),
+       |s0 AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+       |${(1 to KcoreRounds).map(i => round(s"s${i - 1}", s"s$i")).mkString(",\n")}
+       |SELECT src AS node, COUNT(*) AS deg FROM s$KcoreRounds GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   private val pagerankSql = {
     def iter(prev: String, cur: String) =
       s"""$cur AS (
@@ -648,5 +726,7 @@ object GraphQueries {
     "graph_sssp_bounded" -> Q(ssspBounded _, ssspSql, Seq(col("node"))),
     "graph_pagerank_weighted" -> Q(pagerankWeighted _, pagerankWeightedSql,
       Seq(col("rank_scaled").desc, col("p_partkey"))),
+    "graph_kcore" -> Q(kcore _, kcoreSql, Seq(col("node"))),
+    "graph_degree_hist" -> Q(degreeHist _, degreeHistSql, Seq(col("deg"))),
   )
 }

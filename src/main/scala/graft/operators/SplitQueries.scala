@@ -245,8 +245,58 @@ object SplitQueries {
       |  FROM documents)
       |SELECT lang, rk, doc_id FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
 
+  /** §8k(bg) — χ² drift audit of the lang composition across splits: for
+    * every (split, lang) cell, the observed count against the
+    * independence expectation E = lang_total·split_total/N, with the
+    * cell's χ² contribution (O−E)²/E. A content-keyed hash split should
+    * show near-zero cells; a large cell is the drift alarm that a split
+    * is not exchangeable with the corpus (the [[splitStats]] per-mille
+    * table turned into the standard test statistic).
+    *
+    * Exactness: E is reported as exact integer milli-units
+    * (1000·lt·st div N) and the χ² numerator/denominator are built in
+    * DECIMAL before ONE correctly-rounded double division — the deviation
+    * O·N−lt·st is an integer, so both engines divide the same two exact
+    * reals (the BM25 integer-first discipline applied to a float-valued
+    * statistic). Plan: one corpus-scan groupBy for the cells; lang /
+    * split / grand totals are broadcast-size re-aggregates of the cell
+    * table, NOT extra corpus passes. */
+  def splitDrift(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val cells = assigned(Tables(dir)).groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached.track)
+    val byLang = cells.groupBy("lang").agg(sum("n_docs").as("lang_total"))
+    val bySplit = cells.groupBy("split").agg(sum("n_docs").as("split_total"))
+    val n = cells.agg(sum("n_docs").as("n_total"))
+    cells.join(broadcast(byLang), Seq("lang")).join(broadcast(bySplit), Seq("split"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected_milli", expr("1000 * lang_total * split_total div n_total"))
+      .withColumn("dev", expr("CAST(n_docs * n_total - lang_total * split_total AS DECIMAL(19,0))"))
+      .withColumn("den", expr("CAST(CAST(n_total AS DECIMAL(19,0)) * lang_total * split_total AS DECIMAL(38,0))"))
+      .withColumn("chi2_cell", round(expr("CAST(dev * dev AS DOUBLE) / CAST(den AS DOUBLE)"), 6))
+      .select("split", "lang", "n_docs", "expected_milli", "chi2_cell")
+  }
+
+  private val splitDriftSql =
+    s"""WITH $assignedCte,
+       |cells AS (SELECT split, lang, COUNT(*) AS n_docs FROM asg GROUP BY 1, 2),
+       |bl AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total FROM cells GROUP BY 1),
+       |bs AS (SELECT split, CAST(SUM(n_docs) AS BIGINT) AS split_total FROM cells GROUP BY 1),
+       |n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM cells)
+       |SELECT c.split, c.lang, c.n_docs,
+       |  1000 * lang_total * split_total // n_total AS expected_milli,
+       |  ROUND(CAST(CAST(c.n_docs * n_total - lang_total * split_total AS HUGEINT)
+       |        * CAST(c.n_docs * n_total - lang_total * split_total AS HUGEINT) AS DOUBLE)
+       |    / CAST(CAST(n_total AS HUGEINT) * lang_total * split_total AS DOUBLE), 6) AS chi2_cell
+       |FROM cells c JOIN bl USING (lang) JOIN bs USING (split), n
+       |ORDER BY c.split, c.lang""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "docs_split_assign" -> Q(splitAssign _, splitAssignSql, Seq(col("doc_id"))),
+    "docs_split_drift" -> Q(splitDrift _, splitDriftSql, Seq(col("split"), col("lang"))),
     "docs_stratified_topk" -> Q(stratifiedSample _, stratifiedSampleSql,
       Seq(col("lang"), col("rk"))),
     "docs_split_stats" -> Q(splitStats _, splitStatsSql, Seq(col("split"), col("lang"))),

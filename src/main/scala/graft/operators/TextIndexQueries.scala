@@ -316,10 +316,14 @@ object TextIndexQueries {
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     bm25Scores(spark, dir).orderBy(col("score").desc, col("doc_id")).limit(20)
 
-  private val bm25Sql = {
+  /** Oracle-shared CTE chain ending in `lexall(doc_id, score, n_terms)` —
+    * the unlimited BM25 score table ([[bm25Scores]] mirror). Shared by the
+    * top-k oracle and the hybrid-RRF oracle so both rank the IDENTICAL
+    * lexical list. */
+  private def bm25Ctes: String = {
     val w = DuckSql.wordsOf("text")
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH dls AS (SELECT doc_id, CAST(LEN($w) AS BIGINT) AS dl FROM documents),
+    s"""dls AS (SELECT doc_id, CAST(LEN($w) AS BIGINT) AS dl FROM documents),
        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS l_tot FROM dls),
        |toks AS (
        |  SELECT doc_id, t.term FROM documents, UNNEST($w) AS t(term)
@@ -334,14 +338,91 @@ object TextIndexQueries {
        |  SELECT doc_id,
        |    (((10000 * (2 * n_docs - 2 * df + 1)) // (2 * df + 1))
        |      * ((tf * 4400000000) // (200000 * tf + 60000 + 18 * dlr))) // 10000 AS s_term
-       |  FROM scored)
-       |SELECT doc_id, CAST(SUM(s_term) AS BIGINT) AS score, COUNT(*) AS n_terms
-       |FROM terms_scored GROUP BY doc_id
-       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+       |  FROM scored),
+       |lexall AS (
+       |  SELECT doc_id, CAST(SUM(s_term) AS BIGINT) AS score, COUNT(*) AS n_terms
+       |  FROM terms_scored GROUP BY doc_id)""".stripMargin
   }
+
+  private val bm25Sql =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, score, n_terms FROM lexall
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- hybrid RRF retrieval
+
+  private val RrfDepth = 100
+  private val RrfK = 60
+  private val RrfProbeId = 0L
+
+  /** §8k(ba) — HYBRID retrieval: the BM25 lexical ranking and an
+    * embedding-cosine ranking (probe = document [[RrfProbeId]]'s vector)
+    * fused by Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the
+    * standard two-tower serving shape (sparse + dense retriever, one
+    * fused list). Each list contributes 10⁹ div (k + rank) with k = 60
+    * to every doc in its top-[[RrfDepth]]; the integer surrogate of
+    * 1/(k+rank) keeps the fused score engine-exact (ranks are exact —
+    * BM25 scores are integers, cosines are round-6 — so the whole fusion
+    * is integer arithmetic over deterministic ranks).
+    *
+    * Scale shape: both lists are top-N under TakeOrdered (bounded heaps,
+    * no global sort of the corpus); the fusion is a full-outer join of
+    * two ≤[[RrfDepth]]-row frames. At deployment the lexical list serves
+    * from term-bucketed postings ([[invertedIndex]]) and the dense list
+    * from the IVF index (`ann_ivf_topk`) — this query pins the fusion
+    * semantics those serving paths must reproduce. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    import graft.plans.VectorExpressions
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Scores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(RrfDepth)
+      .select(col("doc_id"), row_number().over(wLex).as("rank_lex"))
+    val emb = Tables(dir).embeddings
+    val probe = emb.where(col("vec_id") === RrfProbeId).select(col("embedding").as("p"))
+    val wVec = Window.orderBy(col("cos").desc, col("doc_id"))
+    val vec = emb.crossJoin(broadcast(probe))
+      .where(col("vec_id") =!= RrfProbeId)
+      .select(col("vec_id").as("doc_id"),
+        round(VectorExpressions.dot(col("embedding"), col("p"))
+          / (sqrt(VectorExpressions.dot(col("embedding"), col("embedding")))
+            * sqrt(VectorExpressions.dot(col("p"), col("p")))), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfDepth)
+      .select(col("doc_id"), row_number().over(wVec).as("rank_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .na.fill(0, Seq("rank_lex", "rank_vec"))
+      .withColumn("rrf", expr(
+        s"CASE WHEN rank_lex > 0 THEN 1000000000 div ($RrfK + rank_lex) ELSE 0 END" +
+          s" + CASE WHEN rank_vec > 0 THEN 1000000000 div ($RrfK + rank_vec) ELSE 0 END"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+  }
+
+  private val hybridRrfSql =
+    s"""WITH $bm25Ctes,
+       |lexr AS (
+       |  SELECT doc_id, r AS rank_lex FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+       |    FROM lexall) x WHERE r <= $RrfDepth),
+       |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = $RrfProbeId),
+       |vecall AS (
+       |  SELECT vec_id AS doc_id, ROUND(${AnnQueries.cosChainDuck("e.embedding", "p")}, 6) AS cos
+       |  FROM embeddings e, probe WHERE vec_id <> $RrfProbeId),
+       |vecr AS (
+       |  SELECT doc_id, r AS rank_vec FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+       |    FROM vecall) x WHERE r <= $RrfDepth),
+       |fused AS (
+       |  SELECT doc_id, COALESCE(rank_lex, 0) AS rank_lex, COALESCE(rank_vec, 0) AS rank_vec
+       |  FROM lexr FULL JOIN vecr USING (doc_id))
+       |SELECT doc_id, rank_lex, rank_vec,
+       |  (CASE WHEN rank_lex > 0 THEN 1000000000 // ($RrfK + rank_lex) ELSE 0 END
+       |   + CASE WHEN rank_vec > 0 THEN 1000000000 // ($RrfK + rank_vec) ELSE 0 END) AS rrf
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "text_bm25_topk" -> Q(bm25TopK _, bm25Sql, Seq(col("score").desc, col("doc_id"))),
+    "text_hybrid_rrf" -> Q(hybridRrf _, hybridRrfSql, Seq(col("rrf").desc, col("doc_id"))),
     "text_bigram_lm" -> Q(bigramLm _, bigramLmSql, Seq(col("lang"), col("source"))),
     "text_zipf_profile" -> Q(zipfProfile _, zipfSql, Seq(col("rank"))),
     "text_inverted_index" -> Q(invertedIndex _, invertedIndexSql, Seq(col("term"))),

@@ -101,6 +101,39 @@ class GraphSpec extends AnyFunSuite {
     assert(got == hist.toMap)
   }
 
+  test("degree histogram matches a driver recompute over the full graph") {
+    val deg = pairCounts.keys.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (_, v) => v.size }
+    val expect = deg.groupBy(identity).map { case (d, v) => d.toLong -> v.size.toLong }
+    val got = GraphQueries.degreeHist(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect && expect.nonEmpty)
+    // histogram masses sum to |V|
+    assert(got.values.sum == deg.size)
+  }
+
+  test("bounded k-core peel matches a driver peel at the same rounds") {
+    var sym = pairCounts.filter(_._2 >= 2).keys.toSeq
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    for (_ <- 1 to 4) {
+      val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      sym = sym.filter { case (u, v) => keep(u) && keep(v) }
+    }
+    val expect = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val got = GraphQueries.kcore(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // every survivor of a CONVERGED peel keeps core degree; if the peel
+    // has reached its fixpoint at this scale, all survivors have deg >= k
+    val oneMore = {
+      val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      sym.filter { case (u, v) => keep(u) && keep(v) }
+    }
+    assert(oneMore.toSet == sym.toSet, "peel not converged at 4 rounds at sf0.001")
+  }
+
   test("whale cap only ever undercounts, and monotonically in the cap") {
     val full = counts(GraphQueries.trianglesCapped(spark, dir, Int.MaxValue))
     val c8 = counts(GraphQueries.trianglesCapped(spark, dir, 8))

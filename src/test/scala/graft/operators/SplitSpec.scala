@@ -85,6 +85,34 @@ class SplitSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("drift audit cells recompute exactly from the assignment") {
+    val asg = SplitQueries.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    val langs = graft.sources.Tables(sf)(spark).documents
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = asg.groupBy { case (id, split) => (split, langs(id)) }
+      .map { case (k, v) => k -> v.size.toLong }
+    val n = asg.length.toLong
+    val byLang = asg.groupBy(p => langs(p._1)).map { case (k, v) => k -> v.size.toLong }
+    val bySplit = asg.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val got = SplitQueries.splitDrift(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == cells.keySet && got.nonEmpty)
+    got.foreach { case ((split, lang), (o, em, chi2)) =>
+      assert(o == cells((split, lang)))
+      val (lt, st) = (byLang(lang), bySplit(split))
+      assert(em == 1000L * lt * st / n, s"cell $split/$lang expectation")
+      val dev = (o * n - lt * st).toDouble
+      val expectChi = BigDecimal(dev * dev / (n.toDouble * lt * st))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(chi2 - expectChi) <= 1e-9, s"cell $split/$lang chi2")
+      assert(chi2 >= 0)
+    }
+    // every split×lang cell present — the matrix is total
+    assert(got.keySet.map(_._1) == bySplit.keySet)
+  }
+
   test("leakage matrix totals equal the candidate pair count") {
     import spark.implicits._
     graft.plans.VectorExpressions.register(spark)
