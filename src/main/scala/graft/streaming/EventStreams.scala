@@ -18,6 +18,18 @@ final case class SessionState(start: Long, last: Long, n: Long)
 /** Per-user state: every interval the watermark has not yet sealed. */
 final case class OpenSessions(sessions: Seq[SessionState])
 
+/** One buffered event for the stateful EWMA (epoch-µs + tie-break id). */
+final case class EvRec(tsUs: Long, eventId: Long, value: Double)
+
+/** Per-user EWMA state: the last ≤7 FINALIZED events (the history every
+  * future event's window reaches back into) plus the not-yet-sealed
+  * pending buffer. */
+final case class EwmaState(hist: Seq[EvRec], pending: Seq[EvRec])
+
+/** One smoothed event (the batch `events_ewma` row shape). */
+final case class EwmaPoint(user_id: Long, event_id: Long, ts: Timestamp,
+                           value: Double, ewma: Double)
+
 /** Streaming twins of the batch event operators (SURVEY §2.3 rows 36-37).
   *
   * Same transformations as `events_hourly_agg` / `events_sessionize`, but
@@ -131,6 +143,75 @@ object EventStreams {
             else // batch execution: the group holds ALL data — emit everything
               intervals.sortBy(_.start)
                 .map(s => Session(userId, fromUs(s.start), fromUs(s.last), s.n)).iterator
+          }
+      }
+  }
+
+  /** §8k(be) streaming twin — per-user dyadic EWMA over an unbounded
+    * stream. The batch operator's contract (`events_ewma`: trailing-8
+    * window in (ts, event_id) order, power-of-two weights, bit-identical
+    * doubles) survives out-of-order arrival by FINALIZATION, not by
+    * assuming order: an event's smoothed value depends on the 7 events
+    * immediately before it in the final sequence, so it emits only once
+    * the watermark passes its timestamp — from then on no admissible
+    * arrival can sort before it. State per user is the ≤7-row finalized
+    * tail (the history future windows reach into) plus the pending
+    * buffer the watermark has not sealed — bounded by the watermark
+    * horizon's event count, never by history length (the reason the
+    * TRUNCATED EWMA streams and the unbounded recursion cannot).
+    * Pending re-sorts on every trigger, so arrival order is immaterial
+    * among admissible events; emission order within a trigger is the
+    * final sequence order. Batch execution runs the same code path with
+    * everything final — the spec pins it bit-for-bit to the batch twin. */
+  def ewmaStateful(events: Dataset[Event], watermark: String = "2 hours"): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    val withWm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+
+    // identical association to the batch expression — same bits
+    def dyadic(win: IndexedSeq[Double]): Double = {
+      val v = win.reverse // v(0) = newest
+      v(0) / 2 + v(1) / 4 + v(2) / 8 + v(3) / 16 +
+        v(4) / 32 + v(5) / 64 + v(6) / 128 + v(7) / 128
+    }
+
+    /** Fold `ready` (final-sequence order) into the history, emitting a
+      * point for every event with a full 7-deep window. */
+    def finalizeRun(userId: Long, hist0: Seq[EvRec], ready: Seq[EvRec]): (Seq[EwmaPoint], Seq[EvRec]) = {
+      var hist = hist0
+      val out = Seq.newBuilder[EwmaPoint]
+      ready.foreach { r =>
+        if (hist.size >= 7)
+          out += EwmaPoint(userId, r.eventId, fromUs(r.tsUs), r.value,
+            dyadic((hist.takeRight(7) :+ r).map(_.value).toIndexedSeq))
+        hist = (hist :+ r).takeRight(7)
+      }
+      (out.result(), hist)
+    }
+
+    withWm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          val st = state.getOption.getOrElse(EwmaState(Nil, Nil))
+          val pending = (st.pending ++ batch.map(e => EvRec(toUs(e.ts), e.event_id, e.value)))
+            .sortBy(r => (r.tsUs, r.eventId))
+          if (!eventTimeWatermarkSet(state)) {
+            // batch execution: the group holds ALL data — everything final
+            finalizeRun(userId, st.hist, pending)._1.iterator
+          } else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (ready, open) = pending.partition(_.tsUs < wmUs)
+            val (out, hist) = finalizeRun(userId, st.hist, ready)
+            if (open.nonEmpty) {
+              state.update(EwmaState(hist, open))
+              // ms-truncated timeout strictly past the earliest pending ts
+              state.setTimeoutTimestamp(Math.floorDiv(open.map(_.tsUs).min, 1000L) + 1)
+            } else if (hist.nonEmpty) {
+              // no pending rows: keep only the ≤7-row tail (a returning
+              // user's first windows need it); no timeout — nothing to emit
+              state.update(EwmaState(hist, Nil))
+            } else if (state.exists) state.remove()
+            out.iterator
           }
       }
   }

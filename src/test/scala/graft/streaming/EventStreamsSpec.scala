@@ -427,6 +427,41 @@ class EventStreamsSpec extends AnyFunSuite {
       } finally { q.stop(); corpusIndex.unpersist() }
     assert(got == want, "stream-static detection must reproduce the batch pair set")
   }
+
+  test("stateful ewma matches the batch events_ewma bit-for-bit") {
+    val batch = graft.operators.EventAnalytics.ewma(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    val got = runStream("ewma_stream")(ds => EventStreams.ewmaStateful(ds).toDF())
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(got == batch && batch.nonEmpty)
+  }
+
+  test("stateful ewma sorts an admissible late event into its window") {
+    // user 7: events every 10 min; event #3 arrives LATE (after #4..#9).
+    // Once the sentinel seals everything, the windows must reflect the
+    // (ts, event_id) order, not arrival order.
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def ev(i: Int) = Event(i.toLong, new Timestamp(base + i * 600000L), 7L, "a", i.toDouble)
+    val all = (1 to 9).map(ev)
+    val late = all(2) // event 3
+    val mem = MemoryStream[Event](spark)
+    val q = EventStreams.ewmaStateful(mem.toDS())
+      .toDF().writeStream.format("memory").queryName("ewma_ooo").outputMode("append").start()
+    try {
+      mem.addData(all.filterNot(_ == late): _*); q.processAllAvailable()
+      mem.addData(late); q.processAllAvailable()
+      mem.addData(Event(99L, new Timestamp(base + 12L * 3600 * 1000), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_ooo").where(col("user_id") === 7L)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    def dyadic(v: Seq[Double]) = // v(0) = newest, same association as the operator
+      v(0) / 2 + v(1) / 4 + v(2) / 8 + v(3) / 16 + v(4) / 32 + v(5) / 64 + v(6) / 128 + v(7) / 128
+    val expect = Map(
+      8L -> dyadic((1 to 8).map(_.toDouble).reverse),
+      9L -> dyadic((2 to 9).map(_.toDouble).reverse))
+    assert(got == expect)
+  }
 }
 
 /** One stay interval / one probe row for the streaming overlap spec. */
