@@ -351,9 +351,20 @@ object TextIndexQueries {
 
   // ------------------------------------------------- hybrid RRF retrieval
 
-  private val RrfDepth = 100
-  private val RrfK = 60
-  private val RrfProbeId = 0L
+  private[graft] val RrfDepth = 100
+  private[graft] val RrfK = 60
+  private[graft] val RrfProbeId = 0L
+
+  /** The lexical serving list: BM25 top-`depth` as (doc_id, rank_lex) —
+    * the static side the streaming hybrid server joins per probe
+    * ([[graft.streaming.AnnStream.hybridTopK]]); [[hybridRrf]] consumes
+    * it directly so batch and stream fuse the IDENTICAL list. */
+  def bm25Ranked(spark: SparkSession, dir: String, depth: Int = RrfDepth): DataFrame = {
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(depth)
+      .select(col("doc_id"), row_number().over(wLex).as("rank_lex"))
+  }
 
   /** §8k(ba) — HYBRID retrieval: the BM25 lexical ranking and an
     * embedding-cosine ranking (probe = document [[RrfProbeId]]'s vector)
@@ -375,10 +386,7 @@ object TextIndexQueries {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     import graft.plans.VectorExpressions
-    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
-    val lex = bm25Scores(spark, dir)
-      .orderBy(col("score").desc, col("doc_id")).limit(RrfDepth)
-      .select(col("doc_id"), row_number().over(wLex).as("rank_lex"))
+    val lex = bm25Ranked(spark, dir)
     val emb = Tables(dir).embeddings
     val probe = emb.where(col("vec_id") === RrfProbeId).select(col("embedding").as("p"))
     val wVec = Window.orderBy(col("cos").desc, col("doc_id"))

@@ -25,6 +25,15 @@ final case class AdcCand(probe_id: Long, p_emb: Array[Float], p_norm: Double,
 final case class ShortCand(probe_id: Long, vec_id: Long,
                            p_emb: Array[Float], p_norm: Double)
 
+/** One hybrid candidate (internal shuffle row: dense row with its cosine,
+  * or a lexical-list row with cos = -2 sentinel). */
+final case class HybridCand(probe_id: Long, doc_id: Long, cos: Double, rank_lex: Int)
+
+/** One fused hybrid result (the batch `text_hybrid_rrf` row shape plus
+  * the probe id). */
+final case class HybridHit(probe_id: Long, doc_id: Long, rank_lex: Int,
+                           rank_vec: Int, rrf: Long)
+
 /** Streaming ANN (SURVEY §8 candidate (c)): a probe stream searched
   * against a STATIC corpus-side table via stream-static joins — the
   * corpus never leaves the executors. Two serving shapes:
@@ -116,6 +125,64 @@ object AnnStream {
   /** Per-probe ranked top-k over scored candidates — the streaming
     * counterpart of [[graft.operators.TopK.perKeyExec]], same bounded
     * heap, same (score DESC, vec_id ASC) ranking. */
+  /** §8k(bl) — streaming HYBRID retrieval: each streamed probe is served
+    * the RRF fusion of (a) its dense cosine top-`depth` against the
+    * static corpus and (b) the STATIC lexical list (BM25 top-`depth`,
+    * `(doc_id, rank_lex)` — corpus-derived, probe-independent for the
+    * pinned query terms, broadcast per micro-batch). The two-tower
+    * deployment shape end-to-end: dense candidates stream-static join
+    * the embedding table, the lexical tower rides a broadcast, and ONE
+    * stateless-state group fold per probe does dense ranking (bounded
+    * heap), fusion (the batch `text_hybrid_rrf` integer surrogate
+    * 10⁹ div (rrfK + rank)), and final top-`k` — no second stateful
+    * operator, because the stream-static joins deliver a probe's entire
+    * candidate set inside its one micro-batch.
+    *
+    * Memory per group: the `depth`-bounded heap + the ≤`depth`-row
+    * lexical list — never O(corpus). The spec pins the output
+    * row-for-row to the batch `text_hybrid_rrf` fusion for the same
+    * probe. */
+  def hybridTopK(probes: Dataset[Probe], corpus: DataFrame, lex: DataFrame,
+                 depth: Int = 100, k: Int = 20, rrfK: Int = 60): Dataset[HybridHit] = {
+    val spark = probes.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val corpusN = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val p = probes.toDF().select(col("probe_id"), col("embedding").as("p_emb"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("p_norm"))
+    val dense = p.join(corpusN, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+        round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"),
+        lit(0).as("rank_lex"))
+    // lexical tower: per-probe copy of the ≤depth-row static list
+    // (cos = -2 sentinel sorts below any real cosine and marks lex-only rows)
+    val lexSide = p.select(col("probe_id"))
+      .crossJoin(broadcast(lex.select(col("doc_id"), col("rank_lex"))))
+      .select(col("probe_id"), col("doc_id"), lit(-2.0).as("cos"), col("rank_lex"))
+    def f(r: Int): Long = if (r > 0) 1000000000L / (rrfK + r) else 0L
+    dense.unionByName(lexSide).as[HybridCand]
+      .groupByKey(_.probe_id)
+      .flatMapGroupsWithState[Boolean, HybridHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (pid: Long, rows: Iterator[HybridCand], _: GroupState[Boolean]) =>
+          val lexRanks = mutable.Map.empty[Long, Int]
+          val denseRows = rows.flatMap { r =>
+            if (r.rank_lex > 0) { lexRanks(r.doc_id) = r.rank_lex; None }
+            else Some((r.cos, r.doc_id))
+          }
+          val denseRanks = heapSelect(denseRows, depth)
+            .iterator.zipWithIndex.map { case ((_, id), i) => id -> (i + 1) }.toMap
+          (denseRanks.keySet ++ lexRanks.keySet).toSeq
+            .map { d =>
+              val (rl, rv) = (lexRanks.getOrElse(d, 0), denseRanks.getOrElse(d, 0))
+              HybridHit(pid, d, rl, rv, f(rl) + f(rv))
+            }
+            .sortBy(h => (-h.rrf, h.doc_id)).take(k).iterator
+      }
+  }
+
   private def topKPerProbe(cands: Dataset[Scored], k: Int): Dataset[Hit] = {
     import cands.sparkSession.implicits._
     cands.groupByKey(_.probe_id)

@@ -103,4 +103,30 @@ class AnnStreamSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("streamed hybrid fusion matches the batch text_hybrid_rrf for the same probe") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = TestSpark.Sf0001
+    val emb = graft.sources.Tables(dir).embeddings
+    val lex = graft.operators.TextIndexQueries.bm25Ranked(spark, dir)
+    val probe0 = emb.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("probe_id"), col("embedding")).as[Probe].collect().toSeq
+
+    val mem = MemoryStream[Probe](spark)
+    val q = AnnStream.hybridTopK(mem.toDS(), emb, lex)
+      .toDF().writeStream.format("memory").queryName("s_hybrid").outputMode("append").start()
+    try {
+      mem.addData(probe0)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("s_hybrid").where(col("probe_id") === 0L)
+      .select("doc_id", "rank_lex", "rank_vec", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    val want = graft.operators.TextIndexQueries.hybridRrf(spark, dir)
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(got == want && got.size == 20)
+  }
 }
