@@ -1177,7 +1177,75 @@ object EventAnalytics {
       |  ROUND(exp(SUM(lnterm) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS surv
       |FROM km ORDER BY t_days""".stripMargin
 
+  // ---------------------------------------------------- user feature matrix
+
+  /** §8k(bm) — the per-user FEATURE MATRIX: every behavioral feature a
+    * churn/LTV/segmentation model trains on, assembled in ONE corpus
+    * pass — counts, per-type counts, activity span (tenure/recency in
+    * whole days vs the corpus horizon), distinct active days, and exact
+    * monetary aggregates (DECIMAL sums; the one avg division and the
+    * decimal→double casts are single correctly-rounded float steps).
+    * The feature-store assembly shape: one groupBy over the fact
+    * stream, horizon as a 1-row broadcast, no joins between feature
+    * families — adding a feature adds a column, not a pass. Temporal
+    * correctness for training joins (features as-of a label's time)
+    * lives with `etl_pit_enrich`/`events_asof_view`; this is the
+    * current-snapshot matrix. */
+  def userFeatures(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val e = Tables(dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+    val horizon = e.agg(max(col("us")).as("h_us"))
+    e.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+        countDistinct(expr("us div 86400000000")).as("n_active_days"),
+        sum(col("value").cast(dec)).as("sum_value"),
+        max(col("value")).as("max_value"))
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("n_events"), col("n_purchase"), col("n_view"),
+        col("n_click"),
+        expr("(last_us - first_us) div 86400000000").as("tenure_days"),
+        expr("(h_us - last_us) div 86400000000").as("recency_days"),
+        col("n_active_days"),
+        col("sum_value").cast("double").as("monetary"),
+        round(col("sum_value").cast("double") / col("n_events"), 6).as("avg_value"),
+        col("max_value"))
+  }
+
+  private val userFeaturesSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+      |  FROM events),
+      |h AS (SELECT MAX(us) AS h_us FROM e),
+      |f AS (
+      |  SELECT user_id,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |    MIN(us) AS first_us, MAX(us) AS last_us,
+      |    COUNT(DISTINCT us // 86400000000) AS n_active_days,
+      |    SUM(CAST(value AS DECIMAL(28,6))) AS sum_value,
+      |    MAX(value) AS max_value
+      |  FROM e GROUP BY 1)
+      |SELECT user_id, n_events, n_purchase, n_view, n_click,
+      |  (last_us - first_us) // 86400000000 AS tenure_days,
+      |  (h_us - last_us) // 86400000000 AS recency_days,
+      |  n_active_days,
+      |  CAST(sum_value AS DOUBLE) AS monetary,
+      |  ROUND(CAST(sum_value AS DOUBLE) / n_events, 6) AS avg_value,
+      |  max_value
+      |FROM f, h ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_user_features" -> Q(userFeatures _, userFeaturesSql, Seq(col("user_id"))),
     "events_ewma" -> Q(ewma _, ewmaSql, Seq(col("user_id"), col("event_id"))),
     "events_survival" -> Q(survival _, survivalSql, Seq(col("t_days"))),
     "events_segment_algebra" -> Q(segmentAlgebra _, segmentAlgebraSql,

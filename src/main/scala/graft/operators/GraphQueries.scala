@@ -691,6 +691,68 @@ object GraphQueries {
        |SELECT src AS node, COUNT(*) AS deg FROM s$KcoreRounds GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  // ------------------------------------------------- negative sampling
+
+  private val NegDraws = 4
+
+  /** §8k(bn) — deterministic NEGATIVE sampling over the backbone graph:
+    * for every node, [[NegDraws]] hash-derived candidate part keys that
+    * are graph nodes but NOT neighbors — the (node, negative) pairs a
+    * link-prediction / co-purchase-embedding trainer consumes alongside
+    * the positive edges. Draws are salted-md5 of (node, draw-index), so
+    * the sample is a pure function of the graph (reproducible across
+    * runs, engines, and executor counts — the `docs_split_assign`
+    * philosophy applied to training-pair generation). Candidates that
+    * hash onto the node itself, onto a non-node part key, or onto a real
+    * neighbor are dropped, so output multiplicity varies per node —
+    * that's the documented semantics (fixed draw budget, not fixed
+    * output count; a trainer re-draws with a different salt for more).
+    *
+    * Scale shape: draws explode map-side from the |V|-row node set; the
+    * node-membership check is a semi-join and the not-an-edge check an
+    * anti-join against the symmetric edge list — both co-partitioned
+    * keyed joins, nothing quadratic. */
+  def negativeSamples(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val bb = stagedBackbone(spark, dir)
+    val sym = bb.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(bb.select(col("v").as("src"), col("u").as("dst")))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val maxPart = Tables(dir).part.agg(max(col("p_partkey")).as("max_pk"))
+    val draws = nodes.crossJoin(broadcast(maxPart))
+      .select(col("node"), explode(expr(s"sequence(0, ${NegDraws - 1})")).as("draw"), col("max_pk"))
+      .withColumn("cand",
+        graft.plans.VectorExpressions.hexPrefix(
+          md5(concat(col("node").cast("string"), lit("#"), col("draw").cast("string"))), 8)
+          % (col("max_pk") + 1))
+    draws
+      .join(nodes.select(col("node").as("cand")), Seq("cand"), "left_semi")
+      .where(col("cand") =!= col("node"))
+      .join(sym.select(col("src").as("node"), col("dst").as("cand")),
+        Seq("node", "cand"), "left_anti")
+      .select(col("node"), col("draw"), col("cand").as("neg"))
+  }
+
+  private val negativeSamplesSql = {
+    val h = DedupQueries.hexToLongDuck("md5(CAST(node AS VARCHAR) || '#' || CAST(d.draw AS VARCHAR))", 8)
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport),
+       |sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+       |nodes AS (SELECT DISTINCT src AS node FROM sym),
+       |mx AS (SELECT MAX(p_partkey) AS max_pk FROM part),
+       |draws AS (
+       |  SELECT node, d.draw, ($h) % (max_pk + 1) AS cand
+       |  FROM nodes, mx, (SELECT UNNEST(generate_series(0, ${NegDraws - 1})) AS draw) d)
+       |SELECT dr.node, dr.draw, dr.cand AS neg
+       |FROM draws dr JOIN nodes n2 ON n2.node = dr.cand
+       |WHERE dr.cand <> dr.node
+       |  AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = dr.node AND s.dst = dr.cand)
+       |ORDER BY dr.node, dr.draw""".stripMargin
+  }
+
   private val pagerankSql = {
     def iter(prev: String, cur: String) =
       s"""$cur AS (
@@ -728,5 +790,7 @@ object GraphQueries {
       Seq(col("rank_scaled").desc, col("p_partkey"))),
     "graph_kcore" -> Q(kcore _, kcoreSql, Seq(col("node"))),
     "graph_degree_hist" -> Q(degreeHist _, degreeHistSql, Seq(col("deg"))),
+    "graph_negative_samples" -> Q(negativeSamples _, negativeSamplesSql,
+      Seq(col("node"), col("draw"))),
   )
 }

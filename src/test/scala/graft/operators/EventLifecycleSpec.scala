@@ -37,6 +37,33 @@ class EventLifecycleSpec extends AnyFunSuite {
     expect.foreach { case (id, e) => assert(got(id) == e, s"event $id") }
   }
 
+  test("user feature matrix matches a driver recompute exactly") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.sources.Tables(dir)(spark).events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val horizon = raw.map(_._2).max
+    val dayUs = 86400000000L
+    val expect = raw.groupBy(_._1).map { case (u, rows) =>
+      val us = rows.map(_._2)
+      val sumDec = rows.map(r => BigDecimal(r._4).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum // DECIMAL(28,6) sum — exact, order-free
+      u -> (rows.size.toLong,
+        rows.count(_._3 == "purchase").toLong,
+        (us.max - us.min) / dayUs,
+        (horizon - us.max) / dayUs,
+        us.map(_ / dayUs).distinct.size.toLong,
+        sumDec.toDouble,
+        rows.map(_._4).max)
+    }
+    val got = EventAnalytics.userFeatures(spark, dir).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getDouble(8), r.getDouble(10))
+    }.toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    expect.foreach { case (u, e) => assert(got(u) == e, s"user $u") }
+  }
+
   test("KM survival matches a driver recompute and is a valid survival curve") {
     val dayUs = 86400000000L
     val spans = events.groupBy(_._1).map { case (_, rows) =>

@@ -134,6 +134,25 @@ class GraphSpec extends AnyFunSuite {
     assert(oneMore.toSet == sym.toSet, "peel not converged at 4 rounds at sf0.001")
   }
 
+  test("negative samples match a driver recompute and never collide with edges") {
+    val edges = pairCounts.filter(_._2 >= 2).keys.toSet
+    val symSet = edges.flatMap { case (a, b) => Set((a, b), (b, a)) }
+    val nodes = symSet.map(_._1)
+    val maxPk = spark.read.parquet(s"$dir/part.parquet")
+      .agg(org.apache.spark.sql.functions.max("p_partkey")).head().getLong(0)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (for {
+      u <- nodes.toSeq; i <- 0 until 4
+      cand = java.lang.Long.parseLong(md5hex(s"$u#$i").take(8), 16) % (maxPk + 1)
+      if nodes(cand) && cand != u && !symSet((u, cand))
+    } yield (u, i, cand)).toSet
+    val got = GraphQueries.negativeSamples(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty)
+    got.foreach { case (u, _, w) => assert(!symSet((u, w)) && nodes(w) && w != u) }
+  }
+
   test("whale cap only ever undercounts, and monotonically in the cap") {
     val full = counts(GraphQueries.trianglesCapped(spark, dir, Int.MaxValue))
     val c8 = counts(GraphQueries.trianglesCapped(spark, dir, 8))
