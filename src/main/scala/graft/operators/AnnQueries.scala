@@ -408,7 +408,8 @@ object AnnQueries {
     * oracle's ORDER BY cos DESC, cid when centroids are id-sorted),
     * nprobe-bucket probe search, two-phase top-k. Bucket id = position in
     * `cents` — any consistent id works, membership is what must match. */
-  private def ivfSearch(t: Tables, cents: Seq[Array[Float]]): DataFrame = {
+  private def ivfSearch(t: Tables, cents: Seq[Array[Float]],
+                        labelFiltered: Boolean = false): DataFrame = {
     def centCos(embCol: Column): Seq[Column] =
       cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
 
@@ -416,7 +417,7 @@ object AnnQueries {
     val corpusArr = array(centCos(col("embedding")): _*)
     val corpus = t.embeddings
       .withColumn("cluster", (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int"))
-      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("label"))
 
     // probes: nprobe nearest centroids (cos desc, centroid id asc)
     val probeItems = centCos(col("embedding")).zipWithIndex.map { case (c, i) =>
@@ -425,13 +426,15 @@ object AnnQueries {
     val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
       .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("label").as("p_label"),
         explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
 
-    val scored = corpus
+    val joined = corpus
       .withColumn("c_norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
       .join(broadcast(probes.withColumn("p_norm",
         sqrt(VectorExpressions.dot(col("p_emb"), col("p_emb"))))), Seq("cluster"))
       .where(col("vec_id") =!= col("probe_id"))
+    val scored = (if (labelFiltered) joined.where(col("label") === col("p_label")) else joined)
       .select(col("probe_id"), col("vec_id"),
         round(VectorExpressions.dot(col("embedding"), col("p_emb"))
           / (col("c_norm") * col("p_norm")), 6).as("cos"))
@@ -446,6 +449,52 @@ object AnnQueries {
     val t = Tables(dir)
     ivfSearch(t, centroids(spark, t).toSeq.map(_._2))
   }
+
+  /** §8k(bo) — FILTERED search on the IVF index: [[filteredTopK]]'s label
+    * predicate composed with the nprobe bucket pruning — the deployment
+    * path for predicate retrieval (the flat filtered scan is the recall
+    * baseline, this is what actually runs at corpus scale). The filter
+    * applies INSIDE the probed buckets, after pruning: selectivity s
+    * multiplies the already-pruned candidate set, so per-probe cost is
+    * s · (probed fraction) · corpus. The recall trade is the same as
+    * unfiltered IVF — and one notch sharper: a selective filter thins
+    * each probed bucket toward empty, the known failure mode of
+    * pre-filter-inside-IVF serving (k under-fill), visible directly by
+    * diffing against `ann_filtered_topk`. */
+  def ivfFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    ivfSearch(t, centroids(spark, t).toSeq.map(_._2), labelFiltered = true)
+  }
+
+  private val ivfFilteredSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |cluster AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign) x WHERE rn = 1),
+       |probe_assign AS (
+       |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign WHERE vec_id % $ProbeMod = 0) x WHERE rn <= $NProbeBuckets),
+       |scored AS (
+       |  SELECT probe_id, e.vec_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM probe_assign pa
+       |  JOIN cluster cl ON cl.cluster = pa.cluster
+       |  JOIN embeddings e ON e.vec_id = cl.vec_id
+       |  JOIN embeddings p ON p.vec_id = pa.probe_id
+       |  WHERE e.vec_id <> pa.probe_id AND e.label = p.label),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
 
   /** Means quantization grid: one Lloyd step must stay bit-reproducible in
     * the oracle, and double sums are order-dependent — so components are
@@ -1861,6 +1910,8 @@ object AnnQueries {
     "ann_lsh_multiprobe" -> Q(lshMultiprobe _, lshMultiprobeSql, Seq(col("id_a"), col("id_b"))),
     "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),
     "ann_filtered_topk" -> Q(filteredTopK _, filteredTopKSql, Seq(col("probe_id"), col("rank"))),
+    "ann_ivf_filtered_topk" -> Q(ivfFilteredTopK _, ivfFilteredSql,
+      Seq(col("probe_id"), col("rank"))),
     "ann_knn_label" -> Q(knnLabel _, knnLabelSql, Seq(col("probe_id"))),
     "ann_ivf_knn_label" -> Q(ivfKnnLabel _, ivfKnnLabelSql, Seq(col("probe_id"))),
     "ann_ivf_recall" -> Q(ivfRecall _, ivfRecallSql, Seq(col("probe_id"))),

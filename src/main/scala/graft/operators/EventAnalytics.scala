@@ -1035,6 +1035,56 @@ object EventAnalytics {
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** §8k(bp) — SEASONALLY-ADJUSTED outliers: each event's value scored
+    * against its own (iso-dow × hour) cell's distribution instead of a
+    * global or per-user baseline — Friday-evening spikes are normal on
+    * Friday evenings; the same value on Tuesday 4am is the anomaly. The
+    * [[valueOutliers]] z-gate re-based on the [[seasonality]] cells:
+    * per-cell n/Σv/Σv² as EXACT DECIMAL sums (order-free), one
+    * correctly-rounded float chain for mean/sd/z, cells with n < 30 or
+    * zero variance never flag. Two corpus passes, but the second joins a
+    * BROADCAST of ≤168 cell rows — nothing wide moves. */
+  def seasonalOutliers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val e = Tables(dir).events
+      .withColumn("dow", (weekday(col("ts")) + 1).cast("int"))
+      .withColumn("hod", hour(col("ts")).cast("int"))
+    val cells = e.groupBy("dow", "hod")
+      .agg(count(col("value")).cast("double").as("n"),
+        sum(col("value").cast(dec)).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast(dec)).cast("double").as("sxx"))
+    e.join(broadcast(cells), Seq("dow", "hod"))
+      .withColumn("sd", sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+        / (col("n") * (col("n") - 1))))
+      .where(col("n") >= 30 && col("sd") > 0)
+      .withColumn("z", (col("value") - col("sx") / col("n")) / col("sd"))
+      .where(abs(col("z")) > 3)
+      .select(col("event_id"), col("ts"), col("dow"), col("hod"), col("value"),
+        round(col("z"), 4).as("z"))
+  }
+
+  private val seasonalOutliersSql =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(isodow(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+      |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod, value
+      |  FROM events),
+      |cells AS (
+      |  SELECT dow, hod,
+      |    CAST(COUNT(value) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+      |  FROM e GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT e.event_id, e.ts, e.dow, e.hod, e.value,
+      |    (e.value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS z
+      |  FROM e JOIN cells USING (dow, hod)
+      |  WHERE n >= 30 AND sqrt((n * sxx - sx * sx) / (n * (n - 1))) > 0)
+      |SELECT event_id, ts, dow, hod, value, ROUND(z, 4) AS z
+      |FROM scored WHERE abs(z) > 3
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------- segment algebra (§8k)
 
   /** Audience segment algebra — how many users fall in every
@@ -1246,6 +1296,8 @@ object EventAnalytics {
 
   val queries: Map[String, Q] = Map(
     "events_user_features" -> Q(userFeatures _, userFeaturesSql, Seq(col("user_id"))),
+    "events_seasonal_outliers" -> Q(seasonalOutliers _, seasonalOutliersSql,
+      Seq(col("event_id"))),
     "events_ewma" -> Q(ewma _, ewmaSql, Seq(col("user_id"), col("event_id"))),
     "events_survival" -> Q(survival _, survivalSql, Seq(col("t_days"))),
     "events_segment_algebra" -> Q(segmentAlgebra _, segmentAlgebraSql,

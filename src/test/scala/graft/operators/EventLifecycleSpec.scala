@@ -64,6 +64,34 @@ class EventLifecycleSpec extends AnyFunSuite {
     expect.foreach { case (u, e) => assert(got(u) == e, s"user $u") }
   }
 
+  test("seasonal outliers match a driver recompute at sf0.01 (cells too thin at sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val d01 = "/root/testdata/sf0.01"
+    val rows = graft.sources.Tables(d01)(spark).events
+      .select(col("event_id"), (weekday(col("ts")) + 1).cast("int"),
+        hour(col("ts")).cast("int"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val expect = rows.groupBy(t => (t._2, t._3)).flatMap { case (_, cell) =>
+      val n = cell.size.toDouble
+      // the operator's exact-DECIMAL sums, reproduced with BigDecimal
+      val sx = cell.map(t => BigDecimal(t._4).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val sxx = cell.map(t => BigDecimal(t._4 * t._4).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val sd = math.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+      if (n < 30 || !(sd > 0)) Seq.empty[(Long, Double)]
+      else cell.toSeq.flatMap { t =>
+        val z = (t._4 - sx / n) / sd
+        if (math.abs(z) > 3)
+          Some(t._1 -> BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      }
+    }
+    val got = EventAnalytics.seasonalOutliers(spark, d01)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(got == expect.toMap && got.nonEmpty)
+  }
+
   test("KM survival matches a driver recompute and is a valid survival curve") {
     val dayUs = 86400000000L
     val spans = events.groupBy(_._1).map { case (_, rows) =>

@@ -71,6 +71,24 @@ class RetrievalFusionSpec extends AnyFunSuite {
     got.foreach { case (p, _, v, _) => assert(labels(p) == labels(v), s"probe $p vec $v") }
   }
 
+  test("ivf-filtered search: scores exact, labels honored, recall bounded by the bucket stage") {
+    val exact = AnnQueries.filteredTopK(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ivf = AnnQueries.ivfFilteredTopK(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(ivf.nonEmpty)
+    // scores are true cosines: identical on shared pairs
+    (ivf.keySet & exact.keySet).foreach(k => assert(ivf(k) == exact(k), s"pair $k"))
+    // label contract holds through the bucket stage
+    val emb = graft.sources.Tables(dir)(spark).embeddings
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivf.keys.foreach { case (p, v) => assert(labels(p) == labels(v), s"probe $p vec $v") }
+    // pruning can only lose exact pairs, and not too many of them
+    val recall = (ivf.keySet & exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.3, f"filtered-IVF recall collapsed to $recall%.2f")
+  }
+
   test("minhash estimate audits the exact signatures over the exact candidates") {
     val cands = DedupQueries.minhashLsh(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
