@@ -349,6 +349,80 @@ object TextIndexQueries {
        |SELECT doc_id, score, n_terms FROM lexall
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------------ staged postings index
+
+  /** §8l(bq) — the staged POSTINGS index: one (term, doc) row with tf,
+    * the doc's word length, and the sorted 0-based position list, plus a
+    * 1-row corpus stats table (n_docs, Σdl) — everything BM25 and phrase
+    * queries need, with the corpus tokenized ONCE per content state
+    * ([[graft.operators.Stage]] signature gating, the ANN-index
+    * discipline applied to the lexical tower). Rows are clustered and
+    * sorted by term at write time, so a serving query's `term IN (…)`
+    * predicate prunes row groups at the scan — the local stand-in for a
+    * term-bucketed index table; the serving plans never read `text`. */
+  private[graft] def stagedPostings(spark: SparkSession, dir: String): String = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_postings_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/documents.parquet") {
+      val ws = Tables(dir).documents.select(col("doc_id"), words(col("text")).as("w"))
+      ws.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          posexplode(col("w")).as(Seq("pos", "term")))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
+        .repartition(col("term")).sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$path/postings")
+      ws.select(size(col("w")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    }
+    path
+  }
+
+  /** BM25 top-k SERVED from the staged postings — identical scores to
+    * [[bm25TopK]] (the shared oracle proves it) with the corpus-touching
+    * work (tokenize, dl, Σdl) paid once at index build: the serving plan
+    * reads only the query terms' postings rows (term-pruned scan) and
+    * the 1-row stats table. The per-query economics of a search engine:
+    * cost follows the query's df, not the corpus. */
+  def bm25Served(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = stagedPostings(spark, dir)
+    val tf = spark.read.parquet(s"$path/postings")
+      .where(col("term").isin(Bm25Terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val stats = spark.read.parquet(s"$path/stats")
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfx), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("dlr", expr("(10000 * dl * n_docs) div l_tot"))
+      .withColumn("idf_s", expr("(10000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"))
+      .withColumn("bm_s", expr("(tf * 4400000000) div (200000 * tf + 60000 + 18 * dlr)"))
+      .withColumn("s_term", expr("(idf_s * bm_s) div 10000"))
+      .groupBy("doc_id")
+      .agg(sum(col("s_term")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  /** Phrase search SERVED from the staged position lists — the layer
+    * [[phraseSearch]]'s docstring promises: the query joins only the
+    * phrase terms' postings rows; no tokenization, no text scan. Same
+    * offset-intersection kernel, same oracle. */
+  def phraseServed(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = stagedPostings(spark, dir)
+    val post = spark.read.parquet(s"$path/postings")
+      .where(col("term").isin(PhraseTerms.distinct: _*))
+      .select(col("doc_id"), col("term"), col("positions"))
+    def side(i: Int) = post.where(col("term") === PhraseTerms(i))
+      .select(col("doc_id"), col("positions").as(s"ps$i"))
+    side(0).join(side(1), Seq("doc_id")).join(side(2), Seq("doc_id"))
+      .select(col("doc_id"),
+        size(array_intersect(
+          array_intersect(col("ps0"), transform(col("ps1"), p => p - 1)),
+          transform(col("ps2"), p => p - 2))).as("n_matches"))
+      .where(col("n_matches") > 0)
+  }
+
   // ------------------------------------------------- hybrid RRF retrieval
 
   private[graft] val RrfDepth = 100
@@ -431,6 +505,8 @@ object TextIndexQueries {
   val queries: Map[String, Q] = Map(
     "text_bm25_topk" -> Q(bm25TopK _, bm25Sql, Seq(col("score").desc, col("doc_id"))),
     "text_hybrid_rrf" -> Q(hybridRrf _, hybridRrfSql, Seq(col("rrf").desc, col("doc_id"))),
+    "text_bm25_served" -> Q(bm25Served _, bm25Sql, Seq(col("score").desc, col("doc_id"))),
+    "text_phrase_served" -> Q(phraseServed _, phraseSearchSql, Seq(col("doc_id"))),
     "text_bigram_lm" -> Q(bigramLm _, bigramLmSql, Seq(col("lang"), col("source"))),
     "text_zipf_profile" -> Q(zipfProfile _, zipfSql, Seq(col("rank"))),
     "text_inverted_index" -> Q(invertedIndex _, invertedIndexSql, Seq(col("term"))),

@@ -109,6 +109,26 @@ class RetrievalFusionSpec extends AnyFunSuite {
     }
   }
 
+  test("served BM25/phrase equal their inline twins and never scan the corpus") {
+    val bmInline = TextIndexQueries.bm25TopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bmServed = TextIndexQueries.bm25Served(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bmServed == bmInline && bmInline.nonEmpty)
+    val phInline = TextIndexQueries.phraseSearch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val phServed = TextIndexQueries.phraseServed(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(phServed == phInline && phInline.nonEmpty)
+    // the serving contract: plans read the index, never the corpus
+    Seq(TextIndexQueries.bm25Served(spark, dir), TextIndexQueries.phraseServed(spark, dir))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("documents.parquet"), "served plan scanned the corpus")
+        assert(plan.contains("postings"), "served plan did not read the postings index")
+      }
+  }
+
   test("byte-identical documents in the candidate set score cosine exactly 1") {
     import org.apache.spark.sql.functions._
     val t = graft.sources.Tables(dir)(spark)
