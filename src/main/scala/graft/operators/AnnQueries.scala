@@ -450,6 +450,72 @@ object AnnQueries {
     ivfSearch(t, centroids(spark, t).toSeq.map(_._2))
   }
 
+  /** IVF top-`n` candidate ranking for ONE probe — the dense tower of the
+    * index-served hybrid (`text_hybrid_served`): nprobe bucket pruning,
+    * exact cosine inside the probed buckets, rank by (cos6 desc, vec_id).
+    * Returns (doc_id, rank_vec) like [[TextIndexQueries.bm25Ranked]]'s
+    * lexical shape so the fusion join is symmetric. */
+  private[operators] def ivfRankedForProbe(spark: SparkSession, dir: String,
+                                           probeId: Long, n: Int): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = centroids(spark, t).toSeq.map(_._2)
+    def centCos(embCol: Column): Seq[Column] =
+      cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
+    val corpusArr = array(centCos(col("embedding")): _*)
+    val corpus = t.embeddings
+      .withColumn("cluster", (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int"))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val probeItems = centCos(col("embedding")).zipWithIndex.map { case (c, i) =>
+      struct(c.as("cos"), lit(-i).as("nidx"), lit(i).as("idx"))
+    }
+    val probe = t.embeddings.where(col("vec_id") === probeId)
+      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
+      .select(col("embedding").as("p_emb"),
+        explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("doc_id"))
+    corpus
+      .withColumn("c_norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
+      .join(broadcast(probe.withColumn("p_norm",
+        sqrt(VectorExpressions.dot(col("p_emb"), col("p_emb"))))), Seq("cluster"))
+      .where(col("vec_id") =!= probeId)
+      .select(col("vec_id").as("doc_id"),
+        round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(n)
+      .select(col("doc_id"), row_number().over(w).as("rank_vec"))
+  }
+
+  /** DuckDB CTE chain ending in `vecr(doc_id, rank_vec)` — the
+    * [[ivfRankedForProbe]] mirror, shared into the hybrid-served oracle. */
+  private[operators] def ivfRankedCtes(probeId: Long, n: Int): String =
+    s"""cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |cluster AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign) x WHERE rn = 1),
+       |probe_assign AS (
+       |  SELECT cid AS cluster FROM (
+       |    SELECT cid, ROW_NUMBER() OVER (ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign WHERE vec_id = $probeId) x WHERE rn <= $NProbeBuckets),
+       |vec_scored AS (
+       |  SELECT e.vec_id AS doc_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM probe_assign pa
+       |  JOIN cluster cl ON cl.cluster = pa.cluster
+       |  JOIN embeddings e ON e.vec_id = cl.vec_id
+       |  JOIN embeddings p ON p.vec_id = $probeId
+       |  WHERE e.vec_id <> $probeId),
+       |vecr AS (
+       |  SELECT doc_id, r AS rank_vec FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+       |    FROM vec_scored) x WHERE r <= $n)""".stripMargin
+
   /** §8k(bo) — FILTERED search on the IVF index: [[filteredTopK]]'s label
     * predicate composed with the nprobe bucket pruning — the deployment
     * path for predicate retrieval (the flat filtered scan is the recall

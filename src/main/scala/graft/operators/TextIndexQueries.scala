@@ -384,7 +384,7 @@ object TextIndexQueries {
     * reads only the query terms' postings rows (term-pruned scan) and
     * the 1-row stats table. The per-query economics of a search engine:
     * cost follows the query's df, not the corpus. */
-  def bm25Served(spark: SparkSession, dir: String): DataFrame = {
+  private def bm25ServedScores(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val path = stagedPostings(spark, dir)
     val tf = spark.read.parquet(s"$path/postings")
@@ -400,8 +400,54 @@ object TextIndexQueries {
       .withColumn("s_term", expr("(idf_s * bm_s) div 10000"))
       .groupBy("doc_id")
       .agg(sum(col("s_term")).as("score"), count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col("doc_id")).limit(20)
   }
+
+  def bm25Served(spark: SparkSession, dir: String): DataFrame =
+    bm25ServedScores(spark, dir).orderBy(col("score").desc, col("doc_id")).limit(20)
+
+  /** §8l(br) — the FULLY index-served hybrid: [[hybridRrf]]'s fusion with
+    * BOTH towers answering from their indexes — the lexical list from the
+    * staged postings ([[bm25ServedScores]]) and the dense list from the
+    * IVF index ([[AnnQueries.ivfRankedForProbe]]: nprobe bucket pruning,
+    * exact cosine only inside the probed buckets). This is what actually
+    * runs in a deployment; `text_hybrid_rrf` (exact dense scan) is its
+    * recall baseline, and the two diff exactly where IVF pruning dropped
+    * a dense candidate. Oracled end-to-end — the oracle recomputes the
+    * postings-equivalent scores from raw text and the IVF ranking from
+    * the same centroid rule, proving the SERVED path loses nothing to
+    * staging. */
+  def hybridServed(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25ServedScores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(RrfDepth)
+      .select(col("doc_id"), row_number().over(wLex).as("rank_lex"))
+    val vec = AnnQueries.ivfRankedForProbe(spark, dir, RrfProbeId, RrfDepth)
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .na.fill(0, Seq("rank_lex", "rank_vec"))
+      .withColumn("rrf", expr(
+        s"CASE WHEN rank_lex > 0 THEN 1000000000 div ($RrfK + rank_lex) ELSE 0 END" +
+          s" + CASE WHEN rank_vec > 0 THEN 1000000000 div ($RrfK + rank_vec) ELSE 0 END"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+  }
+
+  // def, not val: this SQL interpolates RrfDepth/RrfK, which are declared
+  // LATER in the object — a val here would capture their pre-init 0s
+  private def hybridServedSql =
+    s"""WITH $bm25Ctes,
+       |lexr AS (
+       |  SELECT doc_id, r AS rank_lex FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+       |    FROM lexall) x WHERE r <= $RrfDepth),
+       |${AnnQueries.ivfRankedCtes(RrfProbeId, RrfDepth)},
+       |fused AS (
+       |  SELECT doc_id, COALESCE(rank_lex, 0) AS rank_lex, COALESCE(rank_vec, 0) AS rank_vec
+       |  FROM lexr FULL JOIN vecr USING (doc_id))
+       |SELECT doc_id, rank_lex, rank_vec,
+       |  (CASE WHEN rank_lex > 0 THEN 1000000000 // ($RrfK + rank_lex) ELSE 0 END
+       |   + CASE WHEN rank_vec > 0 THEN 1000000000 // ($RrfK + rank_vec) ELSE 0 END) AS rrf
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   /** Phrase search SERVED from the staged position lists — the layer
     * [[phraseSearch]]'s docstring promises: the query joins only the
@@ -506,6 +552,8 @@ object TextIndexQueries {
     "text_bm25_topk" -> Q(bm25TopK _, bm25Sql, Seq(col("score").desc, col("doc_id"))),
     "text_hybrid_rrf" -> Q(hybridRrf _, hybridRrfSql, Seq(col("rrf").desc, col("doc_id"))),
     "text_bm25_served" -> Q(bm25Served _, bm25Sql, Seq(col("score").desc, col("doc_id"))),
+    "text_hybrid_served" -> Q(hybridServed _, hybridServedSql,
+      Seq(col("rrf").desc, col("doc_id"))),
     "text_phrase_served" -> Q(phraseServed _, phraseSearchSql, Seq(col("doc_id"))),
     "text_bigram_lm" -> Q(bigramLm _, bigramLmSql, Seq(col("lang"), col("source"))),
     "text_zipf_profile" -> Q(zipfProfile _, zipfSql, Seq(col("rank"))),

