@@ -405,6 +405,80 @@ object TextIndexQueries {
   def bm25Served(spark: SparkSession, dir: String): DataFrame =
     bm25ServedScores(spark, dir).orderBy(col("score").desc, col("doc_id")).limit(20)
 
+  // -------------------------------------------- incremental postings
+
+  /** The ALREADY-INGESTED postings slice: the dedup_incremental corpus
+    * split (salted doc_id hash, bucket < 80 = archive) applied to the
+    * postings layer — base postings + base stats staged once per content
+    * state. */
+  private def stagedBasePostings(spark: SparkSession, dir: String): String = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_postings_base_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/documents.parquet") {
+      val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+      val ws = Tables(dir).documents.where(bucket < 80)
+        .select(col("doc_id"), words(col("text")).as("w"))
+      ws.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          posexplode(col("w")).as(Seq("pos", "term")))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .repartition(col("term")).sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$path/postings")
+      ws.select(size(col("w")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    }
+    path
+  }
+
+  /** §8l(bs) — INCREMENTAL index maintenance for the lexical tower: a
+    * fresh document batch (bucket ≥ 80 — the dedup_incremental split)
+    * joins the staged base postings WITHOUT re-tokenizing the archive.
+    * Everything BM25 needs is mergeable: postings rows UNION (a doc
+    * lives on exactly one side), df = per-term row count of the merged
+    * postings, and the corpus stats are ADDITIVE integers
+    * (n = n_base + n_delta, Σdl likewise) — so scores over base+delta
+    * are BIT-IDENTICAL to a full rebuild, which is exactly what the
+    * shared full-corpus oracle proves. Per-cycle cost is the delta's
+    * tokenization plus the query terms' postings rows; the archive text
+    * is never touched again (the `dedup_allpairs_incremental` economics
+    * on the retrieval side). */
+  def bm25Incremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val path = stagedBasePostings(spark, dir)
+    val basePost = spark.read.parquet(s"$path/postings")
+      .where(col("term").isin(Bm25Terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val baseStats = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs").as("nb"), col("l_tot").as("lb"))
+    val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val deltaWs = Tables(dir).documents.where(bucket >= 80)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val deltaPost = deltaWs
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        posexplode(col("w")).as(Seq("pos", "term")))
+      .where(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val deltaStats = deltaWs.select(size(col("w")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("ld"))
+    val stats = baseStats.crossJoin(deltaStats)
+      .select((col("nb") + col("nd")).as("n_docs"), (col("lb") + col("ld")).as("l_tot"))
+    val tf = basePost.unionByName(deltaPost)
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfx), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("dlr", expr("(10000 * dl * n_docs) div l_tot"))
+      .withColumn("idf_s", expr("(10000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"))
+      .withColumn("bm_s", expr("(tf * 4400000000) div (200000 * tf + 60000 + 18 * dlr)"))
+      .withColumn("s_term", expr("(idf_s * bm_s) div 10000"))
+      .groupBy("doc_id")
+      .agg(sum(col("s_term")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
   /** §8l(br) — the FULLY index-served hybrid: [[hybridRrf]]'s fusion with
     * BOTH towers answering from their indexes — the lexical list from the
     * staged postings ([[bm25ServedScores]]) and the dense list from the
@@ -555,6 +629,8 @@ object TextIndexQueries {
     "text_hybrid_served" -> Q(hybridServed _, hybridServedSql,
       Seq(col("rrf").desc, col("doc_id"))),
     "text_phrase_served" -> Q(phraseServed _, phraseSearchSql, Seq(col("doc_id"))),
+    "text_bm25_incremental" -> Q(bm25Incremental _, bm25Sql,
+      Seq(col("score").desc, col("doc_id"))),
     "text_bigram_lm" -> Q(bigramLm _, bigramLmSql, Seq(col("lang"), col("source"))),
     "text_zipf_profile" -> Q(zipfProfile _, zipfSql, Seq(col("rank"))),
     "text_inverted_index" -> Q(invertedIndex _, invertedIndexSql, Seq(col("term"))),

@@ -156,6 +156,14 @@ class RetrievalFusionSpec extends AnyFunSuite {
     assert(vecRanks.nonEmpty && exactVec.nonEmpty)
   }
 
+  test("incremental BM25 over base index + fresh delta equals the full rebuild") {
+    val full = TextIndexQueries.bm25TopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val incr = TextIndexQueries.bm25Incremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(incr == full && full.nonEmpty)
+  }
+
   test("byte-identical documents in the candidate set score cosine exactly 1") {
     import org.apache.spark.sql.functions._
     val t = graft.sources.Tables(dir)(spark)
