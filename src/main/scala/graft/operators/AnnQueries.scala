@@ -336,6 +336,41 @@ object AnnQueries {
        |FROM pick pk JOIN embeddings t ON t.vec_id = pk.probe_id
        |WHERE pk.rn = 1 ORDER BY probe_id""".stripMargin
 
+  /** §8l(bu) — k-NN vote CALIBRATION: accuracy of [[knnLabel]]'s
+    * prediction as a function of its vote margin — the reliability
+    * diagram of the embedding-space labeler, in exact integers (per
+    * vote-count bucket: probes, correct, per-mille accuracy). A
+    * well-calibrated space shows accuracy rising with votes; a flat
+    * curve means the votes carry no confidence signal and the
+    * auto-labeling threshold must not trust them. */
+  def knnCalibration(spark: SparkSession, dir: String): DataFrame =
+    knnLabel(spark, dir).groupBy(col("votes"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("correct").cast("long")).as("n_correct"))
+      .withColumn("acc_pm", expr("n_correct * 1000 div n_probes"))
+
+  /** The same reliability diagram over the IVF-fronted labeler — the
+    * deployment pair: exact calibration is the truth, this is what the
+    * serving path actually exhibits (bucket pruning shifts votes, and
+    * THIS table says whether the shifted votes still rank confidence). */
+  def ivfKnnCalibration(spark: SparkSession, dir: String): DataFrame =
+    ivfKnnLabel(spark, dir).groupBy(col("votes"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("correct").cast("long")).as("n_correct"))
+      .withColumn("acc_pm", expr("n_correct * 1000 div n_probes"))
+
+  private def calibrationSqlOver(labelSql: String): String = {
+    val noOrder = labelSql.substring(0, labelSql.lastIndexOf("ORDER BY")).trim
+    s"""WITH kl AS (${noOrder.replace("\n", "\n     ")})
+       |SELECT votes, COUNT(*) AS n_probes,
+       |  CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS acc_pm
+       |FROM kl GROUP BY votes ORDER BY votes""".stripMargin
+  }
+
+  private def knnCalibrationSql = calibrationSqlOver(knnLabelSql)
+  private def ivfKnnCalibrationSql = calibrationSqlOver(ivfKnnLabelSql)
+
   private val knnLabelSql =
     s"""WITH probes AS (
        |  SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id % $ProbeMod = 0),
@@ -1979,6 +2014,8 @@ object AnnQueries {
     "ann_ivf_filtered_topk" -> Q(ivfFilteredTopK _, ivfFilteredSql,
       Seq(col("probe_id"), col("rank"))),
     "ann_knn_label" -> Q(knnLabel _, knnLabelSql, Seq(col("probe_id"))),
+    "ann_knn_calibration" -> Q(knnCalibration _, knnCalibrationSql, Seq(col("votes"))),
+    "ann_ivf_knn_calibration" -> Q(ivfKnnCalibration _, ivfKnnCalibrationSql, Seq(col("votes"))),
     "ann_ivf_knn_label" -> Q(ivfKnnLabel _, ivfKnnLabelSql, Seq(col("probe_id"))),
     "ann_ivf_recall" -> Q(ivfRecall _, ivfRecallSql, Seq(col("probe_id"))),
     "ann_lsh_recall" -> Q(lshRecall _, lshRecallSql),

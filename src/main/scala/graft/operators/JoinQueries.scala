@@ -114,7 +114,63 @@ object JoinQueries {
       |SELECT part_a, part_b, n_orders FROM c WHERE n_orders >= 2
       |ORDER BY part_a, part_b""".stripMargin
 
+  /** §8l(bt) — association RULES over the mined pairs: every supported
+    * pair {a,b} yields both directed rules a→b and b→a with exact
+    * integer confidence (per-mille of the antecedent's orders that also
+    * contain the consequent) and lift (ppm of the independence
+    * expectation — >10⁶ means genuinely associated). The market-basket
+    * step after [[copurchasePairs]]: support alone ranks popular pairs,
+    * confidence/lift expose DIRECTION and surprise, which is what a
+    * recommender consumes. All integer div — no floats anywhere.
+    *
+    * Scale shape: the pair mining reuses the order-bucketed
+    * [[Banded.pairsExec]]; item counts are one distinct-collapse
+    * aggregate joined back (vocabulary-sized, hash join on part key);
+    * the grand total rides a 1-row broadcast. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val op = Tables(dir).lineitem.select(col("l_orderkey"), col("l_partkey"))
+    val pairs = Banded.pairsExec(op, Seq("l_orderkey"), "l_partkey")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= 2)
+    val items = op.distinct().groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val totals = op.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders_total"))
+    val directed = pairs
+      .select(col("id_a").as("lhs"), col("id_b").as("rhs"), col("n_pair"))
+      .unionByName(pairs.select(col("id_b").as("lhs"), col("id_a").as("rhs"), col("n_pair")))
+    directed
+      .join(items.select(col("l_partkey").as("lhs"), col("n_item").as("n_lhs")), Seq("lhs"))
+      .join(items.select(col("l_partkey").as("rhs"), col("n_item").as("n_rhs")), Seq("rhs"))
+      .crossJoin(broadcast(totals))
+      .select(col("lhs"), col("rhs"), col("n_pair"),
+        expr("n_pair * 1000 div n_lhs").as("conf_pm"),
+        expr("(n_pair * n_orders_total * 1000000) div (n_lhs * n_rhs)").as("lift_ppm"))
+  }
+
+  private val assocRulesSql =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b, COUNT(*) AS n_pair
+      |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |items AS (SELECT l_partkey, COUNT(*) AS n_item FROM op GROUP BY 1),
+      |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders_total FROM op),
+      |directed AS (
+      |  SELECT id_a AS lhs, id_b AS rhs, n_pair FROM pairs
+      |  UNION ALL SELECT id_b, id_a, n_pair FROM pairs)
+      |SELECT d.lhs, d.rhs, d.n_pair,
+      |  d.n_pair * 1000 // la.n_item AS conf_pm,
+      |  (d.n_pair * t.n_orders_total * 1000000) // (la.n_item * lb.n_item) AS lift_ppm
+      |FROM directed d
+      |JOIN items la ON la.l_partkey = d.lhs
+      |JOIN items lb ON lb.l_partkey = d.rhs
+      |CROSS JOIN tot t
+      |ORDER BY lhs, rhs""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_assoc_rules" -> Q(assocRules _, assocRulesSql, Seq(col("lhs"), col("rhs"))),
     "q_bloom_semi" -> Q(bloomSemi _, bloomSemiSql, Seq(col("l_returnflag"))),
     "q_copurchase_pairs" -> Q(copurchasePairs _, copurchaseSql, Seq(col("part_a"), col("part_b"))),
     "events_burst_pairs" -> Q(burstPairs _, burstPairsSql,

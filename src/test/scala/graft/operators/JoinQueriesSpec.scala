@@ -8,6 +8,30 @@ class JoinQueriesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("association rules recompute exactly from a driver basket count") {
+    val op = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = op.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val pairCount = baskets.values.flatMap { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2).toMap
+    val itemCount = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nOrders = baskets.size.toLong
+    val expect = pairCount.flatMap { case ((a, b), np) =>
+      Seq((a, b, np), (b, a, np)).map { case (l, r, n) =>
+        (l, r) -> (n, n * 1000 / itemCount(l),
+          n * nOrders * 1000000 / (itemCount(l) * itemCount(r)))
+      }
+    }
+    val got = JoinQueries.assocRules(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect && got.nonEmpty)
+    // lift is symmetric, confidence need not be — both rules exist
+    got.keys.foreach { case (l, r) => assert(got.contains((r, l))) }
+  }
+
   test("burstPairs banded join matches the naive range self-join") {
     val got = JoinQueries.burstPairs(spark, TestSpark.Sf0001)
       .orderBy("user_id", "event_a", "event_b")

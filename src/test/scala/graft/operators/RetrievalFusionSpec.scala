@@ -164,6 +164,20 @@ class RetrievalFusionSpec extends AnyFunSuite {
     assert(incr == full && full.nonEmpty)
   }
 
+  test("knn calibration cells recompute exactly from the labeler's output") {
+    val rows = AnnQueries.knnLabel(spark, dir).select("votes", "correct")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val expect = rows.groupBy(_._1).map { case (v, xs) =>
+      v -> (xs.length.toLong, xs.count(_._2).toLong,
+        xs.count(_._2).toLong * 1000 / xs.length)
+    }
+    val got = AnnQueries.knnCalibration(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect && got.nonEmpty)
+    // masses cover every probe exactly once
+    assert(got.values.map(_._1).sum == rows.length)
+  }
+
   test("byte-identical documents in the candidate set score cosine exactly 1") {
     import org.apache.spark.sql.functions._
     val t = graft.sources.Tables(dir)(spark)
