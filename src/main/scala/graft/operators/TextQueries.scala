@@ -227,7 +227,85 @@ object TextQueries {
       |  ELSE md5(array_to_string(w, ' ')) END AS fingerprint
       |FROM ws ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ PII audit scan
+
+  /** §8l(bv) — per-source PII exposure report: how many documents carry
+    * each PII class (email / IP / phone) and the total hits, from the
+    * SAME sequential-redaction counting as the scrub itself
+    * ([[graft.functions.TextFunctions.piiCounts]] — classes never
+    * double-count one substring), so the audit numbers are exactly what
+    * [[graft.functions.TextFunctions.redactPii]] would remove. The
+    * governance table a release review reads before any corpus ships;
+    * one map-side regex pass + one small groupBy. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    piiScanOf(Tables(dir).documents)
+  }
+
+  /** The scan over any (source, text) frame — spec-driven with crafted
+    * PII (the shipped corpus is clean, so the registered query proves
+    * the aggregation and the spec proves the counters). */
+  private[graft] def piiScanOf(docs: DataFrame): DataFrame =
+    docs.withColumn("pii", piiCounts(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pii.email_hits") > 0 || col("pii.ip_hits") > 0 ||
+          col("pii.phone_hits") > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum(col("pii.email_hits").cast("long")).as("email_hits"),
+        sum(col("pii.ip_hits").cast("long")).as("ip_hits"),
+        sum(col("pii.phone_hits").cast("long")).as("phone_hits"))
+
+  private val piiScanSql = {
+    val Seq((emailPat, emailRepl), (ipPat, ipRepl), (phonePat, _)) = piiPatterns
+    // DuckDB string literals are escape-free (standard SQL): the Scala
+    // string's single backslashes pass through verbatim
+    def q(p: String) = p.replace("'", "''")
+    s"""WITH scanned AS (
+       |  SELECT source,
+       |    LEN(regexp_extract_all(text, '${q(emailPat)}')) AS email_hits,
+       |    LEN(regexp_extract_all(regexp_replace(text, '${q(emailPat)}', '$emailRepl', 'g'),
+       |        '${q(ipPat)}')) AS ip_hits,
+       |    LEN(regexp_extract_all(regexp_replace(regexp_replace(text, '${q(emailPat)}', '$emailRepl', 'g'),
+       |        '${q(ipPat)}', '$ipRepl', 'g'), '${q(phonePat)}')) AS phone_hits
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN email_hits > 0 OR ip_hits > 0 OR phone_hits > 0
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       |  CAST(SUM(email_hits) AS BIGINT) AS email_hits,
+       |  CAST(SUM(ip_hits) AS BIGINT) AS ip_hits,
+       |  CAST(SUM(phone_hits) AS BIGINT) AS phone_hits
+       |FROM scanned GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --------------------------------------------------- k-anonymity audit
+
+  private val KanonK = 5
+
+  /** §8l(bw) — k-anonymity audit over the corpus's quasi-identifiers
+    * (lang, source, length-percentile-ish bucket n_chars div 100): every
+    * combination held by fewer than [[KanonK]] documents is a
+    * re-identification risk the release review must see. The standard
+    * privacy table (Sweeney's k-anonymity) as one groupBy + a flag —
+    * paired with [[piiScan]]: that one finds direct identifiers, this
+    * one finds sparse-cohort indirect ones. */
+  def kanonAudit(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .groupBy(col("lang"), col("source"), expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < KanonK)
+  }
+
+  private val kanonAuditSql =
+    s"""SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS n_docs,
+       |  COUNT(*) < $KanonK AS at_risk
+       |FROM documents GROUP BY 1, 2, 3
+       |ORDER BY lang, source, len_bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_pii_scan" -> Q(piiScan _, piiScanSql, Seq(col("source"))),
+    "docs_kanon_audit" -> Q(kanonAudit _, kanonAuditSql,
+      Seq(col("lang"), col("source"), col("len_bucket"))),
     "text_token_stats" -> Q(tokenStats _, tokenStatsSql, Seq(col("doc_id"))),
     "text_quality_score" -> Q(qualityScore _, qualityScoreSql, Seq(col("doc_id"))),
     "text_quality_buckets" -> Q(qualityBuckets _, qualityBucketsSql, Seq(col("doc_id"))),

@@ -91,4 +91,20 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(piiCounts(col("text")).as("c")).head().getStruct(0)
     assert(r.getInt(0) == 1 && r.getInt(1) == 0)
   }
+
+  test("pii scan report aggregates crafted hits per source") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "reach me at x@example.com or y@example.org"),
+      ("a", "server at 10.0.0.1 answered"),
+      ("a", "nothing sensitive here"),
+      ("b", "call 555-123-4567 or 555-987-6543 from 192.168.0.1")
+    ).toDF("source", "text")
+    val got = graft.operators.TextQueries.piiScanOf(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got("a") == ((3L, 2L, 2L, 1L, 0L)))
+    assert(got("b") == ((1L, 1L, 0L, 1L, 2L)))
+  }
 }
