@@ -115,6 +115,15 @@ object BenchGuard {
     * ordering noise. `rerun` is injected so the comparison logic stays
     * pure and spec-testable (a re-run that fails, -1, counts as
     * confirmed — a query that stopped working is never noise). */
+  /** Adjudication re-runs execute in the SWEEP'S OWN JVM: they clear the
+    * Spark-side state (cache, Cached registry) but not JVM-level state —
+    * code-cache pressure, metaspace, GC geometry after 200+ query
+    * compilations. A flag whose isolated re-run stays slow here can
+    * therefore still be late-sweep JVM state, not a plan regression
+    * (r07d: events_overlapping_stays read 4.5 s in-JVM vs 1.1 s in a
+    * fresh JVM, anchor 0.8). REGRESSION-CONFIRMED means "survived
+    * in-process isolation"; the final arbiter for a confirmed flag is a
+    * fresh-JVM single-query run before touching the anchor. */
   def adjudicate(report: Report, rerun: String => Double,
                  relThreshold: Double = 2.0): Seq[Adjudication] =
     report.flagged.map { case (q, anchor, sweepSec, _) =>
