@@ -52,6 +52,51 @@ object EventAnalytics {
       |GROUP BY cohort_week, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** §8m(bx) — cohort LTV matrix: [[retention]]'s cohort × week-offset
+    * grid carrying MONEY — each cell is the purchase revenue that
+    * cohort generated in that week of its life, plus payer counts. The
+    * canonical lifetime-value readout (sum a row = cumulative LTV by
+    * age; compare rows = cohort quality drift). Cohort assignment
+    * reuses retention's first-seen week over ALL events (a user's
+    * cohort is when they arrived, not when they first paid); revenue
+    * sums are exact DECIMAL cast to double once. One distinct-collapse
+    * for cohorts + one purchase-row aggregate — the fact stream is
+    * touched once per side. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val cohorts = Tables(dir).events
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    Tables(dir).events
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("purchase_week"),
+        col("value"))
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("purchase_week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_payers"),
+        count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(dec)).cast("double").as("revenue"))
+  }
+
+  private val cohortLtvSql =
+    """WITH c AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS purchase_week,
+      |    value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.cohort_week,
+      |  CAST(datediff('day', c.cohort_week, p.purchase_week) / 7 AS BIGINT) AS week_offset,
+      |  COUNT(DISTINCT p.user_id) AS n_payers,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM p JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   // --------------------------------------------------------------- funnel
 
   /** Strict-order conversion funnel view → click → purchase: a user counts
@@ -1317,6 +1362,7 @@ object EventAnalytics {
       Seq(col("user_id"), col("purchase_id"), col("touch_id"))),
     "events_time_to_convert" -> Q(timeToConvert _, timeToConvertSql, Seq(col("bucket_min"))),
     "events_retention" -> Q(retention _, retentionSql, Seq(col("cohort_week"), col("week_offset"))),
+    "events_cohort_ltv" -> Q(cohortLtv _, cohortLtvSql, Seq(col("cohort_week"), col("week_offset"))),
     "events_value_outliers" -> Q(valueOutliers _, valueOutliersSql, Seq(col("user_id"), col("event_id"))),
     "events_mad_outliers" -> Q(madOutliers _, madOutliersSql, Seq(col("event_id"))),
     "events_quantile_sketch" -> Q(quantileSketch _, quantileSketchSql,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Q
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the co-purchase graph (parts linked when the same
@@ -691,6 +692,102 @@ object GraphQueries {
        |SELECT src AS node, COUNT(*) AS deg FROM s$KcoreRounds GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  // ------------------------------------------- neighbor-set similarity
+
+  private val JaccTopK = 5
+  private val JaccCenterCap = 24
+
+  /** §8m(by) — neighbor-set Jaccard, served as each node's TOP-[[JaccTopK]]
+    * link-prediction candidates: shared-neighbor counts (a wedge count)
+    * and the Jaccard per-mille (inclusion-exclusion over the FULL
+    * degrees) — pure integers — ranked per node. The supervised partner
+    * of [[negativeSamples]] (score positives and sampled negatives,
+    * threshold between them), in the per-node shape a recommender
+    * serves. Top-k per node, NOT a global threshold: on this dense
+    * synthetic graph every pair is weakly similar (max ≈ 0.12), so no
+    * cut separates — and at any scale the per-node list bounds the
+    * output at k·|V| where a threshold's volume is data-dependent.
+    *
+    * Exact all-pairs common-neighbor counting is inherently Σdeg² (every
+    * shared neighbor must contribute its pair — no orientation trick
+    * applies to the CENTER the way it does for triangles), so the
+    * registered form carries the family's whale cap: each center
+    * contributes pairs from its [[JaccCenterCap]] lowest-id neighbors
+    * ([[trianglesCapped]]'s slice — 44 s → ~1 s at sf0.1 on this dense
+    * graph), a DOCUMENTED deterministic undercount of `common`, exact
+    * when every degree ≤ cap, mirrored verbatim in the oracle and pinned
+    * against the uncapped form at sf0.001 by the spec. Wedge pairs
+    * explode MAP-SIDE from the capped sorted arrays; one pair-keyed
+    * shuffle counts them; the per-node rank is a WindowGroupLimit
+    * window (map-side partial top-k). */
+  def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame =
+    jaccardNeighborsCapped(spark, dir, JaccCenterCap)
+
+  private[operators] def jaccardNeighborsCapped(spark: SparkSession, dir: String,
+                                                cap: Int): DataFrame = {
+    implicit val s: SparkSession = spark
+    val e = stagedEdges(spark, dir)
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val adj = sym.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached.track)
+    val deg = adj.select(col("src").as("node"), size(col("ns")).cast("long").as("deg"))
+    val capped = if (cap == Int.MaxValue) adj
+      else adj.select(col("src"), slice(col("ns"), 1, cap).as("ns"))
+    val pairs = capped.select(sortedPairs("ns", "a", "b").as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    // deg is a |V|-row table — broadcast both lookups; the alternative is
+    // two sort-merge joins of the 2·Σpairs directed stream
+    val directed = pairs
+      .select(col("a").as("node"), col("b").as("cand"), col("common"))
+      .unionByName(pairs.select(col("b").as("node"), col("a").as("cand"), col("common")))
+      .join(broadcast(deg), Seq("node"))
+      .join(broadcast(deg.select(col("node").as("cand"), col("deg").as("dc"))), Seq("cand"))
+      .withColumn("jaccard_pm", expr("common * 1000 div (deg + dc - common)"))
+    // per-node top-k via row_number: Spark's WindowGroupLimit pushes the
+    // rank≤k filter below the final sort (partial per-partition limits),
+    // and on this many-small-groups shape it measured 5× FASTER than the
+    // bounded-heap TopKPerKey exec (whose per-partition key→heap map pays
+    // per-row overhead that the codegen'd sort+limit doesn't)
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("jaccard_pm").desc, col("common").desc, col("cand"))
+    directed.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= JaccTopK)
+      .select(col("node"), col("rank"), col("cand"), col("common"), col("jaccard_pm"))
+  }
+
+  private val jaccardNeighborsSql =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+       |adj AS (SELECT src, list_sort(list(dst))[1:$JaccCenterCap] AS ns FROM sym GROUP BY 1),
+       |wedges AS (
+       |  SELECT ns[i.i] AS a, ns[j.j] AS b
+       |  FROM adj,
+       |    UNNEST(generate_series(1, LEN(ns))) AS i(i),
+       |    UNNEST(generate_series(1, LEN(ns))) AS j(j)
+       |  WHERE i.i < j.j),
+       |pairs AS (SELECT a, b, COUNT(*) AS common FROM wedges GROUP BY 1, 2),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+       |directed AS (
+       |  SELECT a AS node, b AS cand, common FROM pairs
+       |  UNION ALL SELECT b, a, common FROM pairs),
+       |scored AS (
+       |  SELECT d.node, d.cand, d.common,
+       |    d.common * 1000 // (dn.deg + dc.deg - d.common) AS jaccard_pm
+       |  FROM directed d JOIN deg dn ON dn.node = d.node JOIN deg dc ON dc.node = d.cand),
+       |ranked AS (
+       |  SELECT node, cand, common, jaccard_pm,
+       |    ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY jaccard_pm DESC, common DESC, cand) AS rank
+       |  FROM scored)
+       |SELECT node, rank, cand, common, jaccard_pm FROM ranked WHERE rank <= $JaccTopK
+       |ORDER BY node, rank""".stripMargin
+
   // ------------------------------------------------- negative sampling
 
   private val NegDraws = 4
@@ -792,5 +889,7 @@ object GraphQueries {
     "graph_degree_hist" -> Q(degreeHist _, degreeHistSql, Seq(col("deg"))),
     "graph_negative_samples" -> Q(negativeSamples _, negativeSamplesSql,
       Seq(col("node"), col("draw"))),
+    "graph_jaccard_neighbors" -> Q(jaccardNeighbors _, jaccardNeighborsSql,
+      Seq(col("node"), col("rank"))),
   )
 }

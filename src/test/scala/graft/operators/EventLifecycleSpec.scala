@@ -64,6 +64,28 @@ class EventLifecycleSpec extends AnyFunSuite {
     expect.foreach { case (u, e) => assert(got(u) == e, s"user $u") }
   }
 
+  test("cohort LTV matrix matches a driver recompute exactly") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.sources.Tables(dir)(spark).events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("long"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // timestamp.cast(long) = epoch SECONDS in Spark
+    val weekS = 7L * 86400L
+    val cohort = raw.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).min }
+    val expect = raw.filter(_._3 == "purchase").groupBy { t =>
+      (cohort(t._1), (t._2 - cohort(t._1)) / weekS)
+    }.map { case (k, rows) =>
+      val rev = rows.map(r => BigDecimal(r._4).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      k -> (rows.map(_._1).distinct.size.toLong, rows.size.toLong, rev.toDouble)
+    }
+    val got = EventAnalytics.cohortLtv(spark, dir).collect().map { r =>
+      (r.getTimestamp(0).toInstant.getEpochSecond, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("seasonal outliers match a driver recompute at sf0.01 (cells too thin at sf0.001)") {
     import org.apache.spark.sql.functions._
     val d01 = "/root/testdata/sf0.01"

@@ -134,6 +134,38 @@ class GraphSpec extends AnyFunSuite {
     assert(oneMore.toSet == sym.toSet, "peel not converged at 4 rounds at sf0.001")
   }
 
+  /** Driver recompute of the top-k neighbor-jaccard lists with the given
+    * center cap (cap = MaxValue ⇒ exact). */
+  private def driverJaccard(cap: Int): Map[(Long, Long), (Long, Long, Long)] = {
+    val adj = pairCounts.keys.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val common = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    adj.foreach { case (_, ns) =>
+      val capped = ns.toSeq.sorted.take(cap)
+      for (i <- capped.indices; j <- i + 1 until capped.length)
+        common((capped(i), capped(j))) += 1
+    }
+    val directed = common.toSeq.flatMap { case ((a, b), c) => Seq((a, b, c), (b, a, c)) }
+    directed.groupBy(_._1).flatMap { case (n, cands) =>
+      cands.map { case (_, c, com) =>
+        (c, com, com * 1000 / (adj(n).size + adj(c).size - com))
+      }.sortBy { case (c, com, jpm) => (-jpm, -com, c) }
+        .take(5).zipWithIndex
+        .map { case ((c, com, jpm), i) => (n, (i + 1).toLong) -> ((c, com, jpm)) }
+    }.toMap
+  }
+
+  test("top-k neighbor jaccard matches the capped driver recompute; uncapped form exact") {
+    val got = GraphQueries.jaccardNeighbors(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == driverJaccard(24) && got.nonEmpty)
+    val gotExact = GraphQueries.jaccardNeighborsCapped(spark, dir, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(gotExact == driverJaccard(Int.MaxValue))
+  }
+
   test("negative samples match a driver recompute and never collide with edges") {
     val edges = pairCounts.filter(_._2 >= 2).keys.toSet
     val symSet = edges.flatMap { case (a, b) => Set((a, b), (b, a)) }
