@@ -405,8 +405,11 @@ object DedupQueries {
         (col("cos") >= CosVerifyThreshold).as("is_dup"))
   }
 
-  private val cosineVerifySql =
-    s"""WITH $minhashCtes,
+  /** Oracle-shared CTE chain ending in `scored(doc_a, doc_b, cos)` over
+    * the LSH candidates (and `cand` itself) — shared by the verify
+    * oracle and the training-pair miner's. */
+  private def cosineVerifyCtes: String =
+    s"""$minhashCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -435,9 +438,82 @@ object DedupQueries {
        |  FROM cand c
        |  LEFT JOIN dots d ON d.doc_a = c.doc_a AND d.doc_b = c.doc_b
        |  JOIN n2 na ON na.doc_id = c.doc_a
-       |  JOIN n2 nb ON nb.doc_id = c.doc_b)
+       |  JOIN n2 nb ON nb.doc_id = c.doc_b)""".stripMargin
+
+  private def cosineVerifySql =
+    s"""WITH $cosineVerifyCtes
        |SELECT doc_a, doc_b, cos, cos >= $CosVerifyThreshold AS is_dup
        |FROM scored ORDER BY doc_a, doc_b""".stripMargin
+
+  private val PairNegDraws = 2
+
+  /** §8m(cb) — contrastive TRAINING-PAIR mining: for every document with
+    * a VERIFIED near-dup (weighted cosine ≥ the verify threshold), one
+    * positive — its best-scoring partner — and [[PairNegDraws]]
+    * salted-hash negatives from the doc-id domain, dropped if they hash
+    * onto the anchor, its positive, or any LSH candidate partner of the
+    * anchor (a candidate is too plausibly similar to serve as a
+    * negative). The (anchor, positive, negative) triples an
+    * embedding-model trainer consumes — the dedup pipeline's byproduct
+    * turned into supervision, with the negative sampler's determinism
+    * (pure function of the corpus, reproducible anywhere).
+    *
+    * Scale shape: verified pairs are candidate-bounded; best-partner is
+    * one per-anchor max-struct aggregate; negative draws explode
+    * map-side; the false-negative guard is an anti-join against the
+    * symmetrized candidate set. */
+  def trainingPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val verified = cosineVerify(spark, dir).where(col("is_dup"))
+    val directed = verified
+      .select(col("doc_a").as("anchor"), col("doc_b").as("pos"), col("cos"))
+      .unionByName(verified.select(col("doc_b").as("anchor"), col("doc_a").as("pos"), col("cos")))
+    val best = directed.groupBy("anchor")
+      .agg(max(struct(col("cos"), (-col("pos")).as("np"), col("pos"))).as("b"))
+      .select(col("anchor"), col("b.pos").as("pos_id"), col("b.cos").as("cos"))
+    val maxDoc = Tables(dir).documents.agg(max(col("doc_id")).as("max_doc"))
+    val candsSym = lshCandidates(Tables(dir))
+      .select(col("doc_a").as("anchor"), col("doc_b").as("neg"))
+      .unionByName(lshCandidates(Tables(dir))
+        .select(col("doc_b").as("anchor"), col("doc_a").as("neg")))
+    best.crossJoin(broadcast(maxDoc))
+      .select(col("anchor"), col("pos_id"), col("cos"),
+        explode(expr(s"sequence(0, ${PairNegDraws - 1})")).as("draw"), col("max_doc"))
+      .withColumn("neg",
+        graft.plans.VectorExpressions.hexPrefix(
+          md5(concat(lit("d#"), col("anchor").cast("string"), lit("#"), col("draw").cast("string"))), 8)
+          % (col("max_doc") + 1))
+      .where(col("neg") =!= col("anchor") && col("neg") =!= col("pos_id"))
+      .join(candsSym, Seq("anchor", "neg"), "left_anti")
+      .select(col("anchor"), col("pos_id"), col("cos"), col("draw"), col("neg"))
+  }
+
+  private def trainingPairsSql = {
+    val h = hexToLongDuck("md5('d#' || CAST(anchor AS VARCHAR) || '#' || CAST(d.draw AS VARCHAR))", 8)
+    s"""WITH $cosineVerifyCtes,
+       |dup AS (SELECT doc_a, doc_b, cos FROM scored WHERE cos >= $CosVerifyThreshold),
+       |directed AS (
+       |  SELECT doc_a AS anchor, doc_b AS pos, cos FROM dup
+       |  UNION ALL SELECT doc_b, doc_a, cos FROM dup),
+       |best AS (
+       |  SELECT anchor, pos AS pos_id, cos FROM (
+       |    SELECT anchor, pos, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cos DESC, pos) AS rn
+       |    FROM directed) x WHERE rn = 1),
+       |mx AS (SELECT MAX(doc_id) AS max_doc FROM documents),
+       |csym AS (
+       |  SELECT doc_a AS anchor, doc_b AS neg FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |draws AS (
+       |  SELECT b.anchor, b.pos_id, b.cos, d.draw, ($h) % (max_doc + 1) AS neg
+       |  FROM best b, mx, (SELECT UNNEST(generate_series(0, ${PairNegDraws - 1})) AS draw) d)
+       |SELECT anchor, pos_id, cos, draw, neg
+       |FROM draws dr
+       |WHERE dr.neg <> dr.anchor AND dr.neg <> dr.pos_id
+       |  AND NOT EXISTS (SELECT 1 FROM csym c WHERE c.anchor = dr.anchor AND c.neg = dr.neg)
+       |ORDER BY anchor, draw""".stripMargin
+  }
 
   /** §8k(bh) — minhash signature ACCURACY audit: for every LSH candidate
     * pair, the Jaccard the K=12 signature components estimate
@@ -964,6 +1040,8 @@ object DedupQueries {
     "dedup_cosine_verify" -> Q(cosineVerify _, cosineVerifySql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_minhash_estimate" -> Q(minhashEstimate _, minhashEstimateSql,
       Seq(col("doc_a"), col("doc_b"))),
+    "docs_training_pairs" -> Q(trainingPairs _, trainingPairsSql,
+      Seq(col("anchor"), col("draw"))),
     "dedup_jaccard_sorted" -> Q(jaccardSorted _, jaccardSortedSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> Q(simhash _, simhashSql, Seq(col("doc_a"), col("doc_b"))),
   )

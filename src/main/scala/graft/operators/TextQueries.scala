@@ -227,6 +227,40 @@ object TextQueries {
       |  ELSE md5(array_to_string(w, ' ')) END AS fingerprint
       |FROM ws ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- tokenizer fertility
+
+  /** §8m(ca) — tokenizer FERTILITY audit: per language, subword tokens
+    * per whitespace word (per-mille integer) — the standard "how many
+    * pieces does the tokenizer cut a word into" metric that decides
+    * whether a vocabulary underserves a language (fertility ≫ 1000
+    * means words shatter; the multilingual-tokenizer fairness table).
+    * Uses [[tokenStats]]' exact token counters aggregated per lang —
+    * integer sums, integer div, zero floats. */
+  def fertility(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .select(col("lang"),
+        size(words(col("text"))).cast("long").as("ws"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .cast("long").as("sub"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("sub")).as("subword_tokens"))
+      .withColumn("fertility_pm", expr("subword_tokens * 1000 div ws_tokens"))
+  }
+
+  private val fertilitySql =
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(LEN(list_filter(string_split_regex(text, '\s+'), x -> LEN(x) > 0)) AS BIGINT) AS ws,
+      |    CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS sub
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(sub) AS BIGINT) AS subword_tokens,
+      |  CAST(SUM(sub) AS BIGINT) * 1000 // CAST(SUM(ws) AS BIGINT) AS fertility_pm
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------ PII audit scan
 
   /** §8l(bv) — per-source PII exposure report: how many documents carry
@@ -304,6 +338,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "text_pii_scan" -> Q(piiScan _, piiScanSql, Seq(col("source"))),
+    "text_fertility" -> Q(fertility _, fertilitySql, Seq(col("lang"))),
     "docs_kanon_audit" -> Q(kanonAudit _, kanonAuditSql,
       Seq(col("lang"), col("source"), col("len_bucket"))),
     "text_token_stats" -> Q(tokenStats _, tokenStatsSql, Seq(col("doc_id"))),
