@@ -61,15 +61,23 @@ object Bench {
     def jsonMap(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    // Tier split (r06 verdict #6): the flat-scan ANN baselines measure
-    // CONSTRUCTION cost by design — they are the exact-recall reference
-    // points the IVF/PQ deployment paths are judged against, and their
-    // time grows linearly with corpus size (24×/29× at sf1) while the
-    // deployment twins stay sub-linear. Folding them into one total makes
-    // the headline number noise-dominated at larger SFs, so `value`
-    // carries the deployment tier and the baselines report separately —
-    // still run, still timed, still oracled.
-    val flatBaselines = Set("ann_pq_adc", "ann_sq_topk")
+    // Tier split (r06 verdict #6, widened r08 per r07 verdict #3/#4): the
+    // baseline tier holds queries that measure CONSTRUCTION cost by
+    // design — P×C flat-scan exact-truth audits (the recall references
+    // the IVF/PQ deployment paths are judged against; their time grows
+    // linearly with corpus size while the deployment twins stay
+    // sub-linear) and the train-inside-the-query PQ demonstrations
+    // (Lloyd/encode corpus passes the *_served twins prove are one-time
+    // staged artifacts). Folding either into one total makes the headline
+    // number noise-dominated at larger SFs, so `value` carries the
+    // deployment tier and the baselines report separately — still run,
+    // still timed, still oracled, still anchor-guarded.
+    val flatBaselines = Set(
+      // flat-scan exact family (by-construction P×C scans)
+      "ann_pq_adc", "ann_sq_topk", "ann_lsh_recall", "ann_lsh_cosine",
+      "ann_bruteforce_topk", "ann_knn_label", "ann_knn_calibration",
+      // train-inside-the-query PQ demonstrations (deployment twin: *_served)
+      "ann_ivfpq", "ann_ivfpq_trained", "ann_pq_trained")
     val (baseTier, deployTier) = results.partition { case (n, _) => flatBaselines(n) }
     val total = deployTier.map(_._2).filter(_ >= 0).sum
     val baselineSec = baseTier.map(_._2).filter(_ >= 0).sum

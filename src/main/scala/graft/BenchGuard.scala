@@ -114,8 +114,9 @@ object BenchGuard {
     * exceeds `relThreshold ×` its drifted anchor; otherwise it reports as
     * ordering noise. `rerun` is injected so the comparison logic stays
     * pure and spec-testable (a re-run that fails, -1, counts as
-    * confirmed — a query that stopped working is never noise). */
-  /** Adjudication re-runs execute in the SWEEP'S OWN JVM: they clear the
+    * confirmed — a query that stopped working is never noise).
+    *
+    * Adjudication re-runs execute in the SWEEP'S OWN JVM: they clear the
     * Spark-side state (cache, Cached registry) but not JVM-level state —
     * code-cache pressure, metaspace, GC geometry after 200+ query
     * compilations. A flag whose isolated re-run stays slow here can

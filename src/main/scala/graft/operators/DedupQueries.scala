@@ -83,12 +83,6 @@ object DedupQueries {
   private def bandBuckets(t: Tables): DataFrame =
     bandExplode(shingled(t))
 
-  /** The band-signature pipeline over any frame with (doc_id, s) — shared
-    * by the batch operators and the streaming incremental-dedup twin
-    * ([[graft.streaming.DocStreams.incrementalDedup]]): every expression
-    * is row-local (transform/md5/explode, no state), so the SAME columns
-    * run on batch and streaming frames. Extra input columns are carried
-    * through the explode untouched. */
   /** Append the K-component minhash signature array `m` to any (doc_id, s)
     * frame — the shared prefix of [[bandExplode]], factored out so the
     * signature-accuracy audit ([[minhashEstimate]]) scores the IDENTICAL
@@ -99,8 +93,19 @@ object DedupQueries {
     .withColumn("m", array((0 until K).map(i =>
       expr(s"array_min(transform(hs, h -> (${mixA(i)}L * h + ${mixB(i)}L) % ${P}L))")): _*))
 
-  private[graft] def bandExplode(sh: DataFrame): DataFrame = {
-    val mh = minhashSigs(sh)
+  /** The band-signature pipeline over any frame with (doc_id, s) — shared
+    * by the batch operators and the streaming incremental-dedup twin
+    * ([[graft.streaming.DocStreams.incrementalDedup]]): every expression
+    * is row-local (transform/md5/explode, no state), so the SAME columns
+    * run on batch and streaming frames. Extra input columns are carried
+    * through the explode untouched. */
+  private[graft] def bandExplode(sh: DataFrame): DataFrame =
+    bandsFromSigs(minhashSigs(sh)).drop("hx", "hs", "s")
+
+  /** Band rows off an already-built signature frame — factored out so a
+    * consumer that needs BOTH the band and the component view of the same
+    * signatures ([[hardNegatives]]) computes them once. */
+  private def bandsFromSigs(mh: DataFrame): DataFrame = {
     val bandCols = (0 until B).map { b =>
       struct(
         lit(b).as("band_id"),
@@ -109,7 +114,7 @@ object DedupQueries {
     mh.withColumn("bb", explode(array(bandCols: _*)))
       .withColumn("band_id", col("bb.band_id"))
       .withColumn("band_hash", col("bb.band_hash"))
-      .drop("bb", "hx", "hs", "m", "s")
+      .drop("bb", "m")
   }
 
   /** Candidate pairs from the banded self-join (co-partitioned on the
@@ -329,7 +334,7 @@ object DedupQueries {
        |JOIN sets sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  private val CosVerifyThreshold = 0.8
+  private[graft] val CosVerifyThreshold = 0.8
 
   /** §8k(bb) — WEIGHTED-cosine verify over the same LSH candidate pairs:
     * each candidate doc becomes a TF-IDF vector over its 3-gram shingles
@@ -354,7 +359,17 @@ object DedupQueries {
     * VECTORS are built only for candidate docs (the [[ngramJaccard]]
     * semi-join discipline), so the verify joins are candidate-bounded —
     * pair count × doc shingle count, never corpus². */
-  def cosineVerify(spark: SparkSession, dir: String): DataFrame = {
+  def cosineVerify(spark: SparkSession, dir: String): DataFrame =
+    cosineVerifyCore(spark, dir)._2
+
+  /** The verify pipeline with its persisted LSH candidate frame EXPOSED,
+    * so downstream consumers ([[trainingPairs]], [[hardNegatives]]) share
+    * the one materialized frame explicitly instead of rebuilding
+    * `lshCandidates` and relying on CacheManager plan-matching to
+    * substitute the cached subplan (the r07 shape: three fresh
+    * `lshCandidates` constructions whose reuse was an accident of plan
+    * canonicalization). Returns (cands, scored). */
+  private[graft] def cosineVerifyCore(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
@@ -365,20 +380,43 @@ object DedupQueries {
     val cands = lshCandidates(t)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(Cached.track)
-    val candDocs = cands
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
+    (cands, scorePairs(t, cands))
+  }
+
+  /** The corpus term statistics the verify weights derive from: per-doc
+    * term frequencies, document frequencies, and the corpus size — built
+    * ONCE and reusable across several scoring passes (the hard-negative
+    * miner scores two candidate sets; without sharing, each pass re-runs
+    * the corpus shingle+group pipeline). */
+  private def tfParts(t: Tables)(implicit s: SparkSession): (DataFrame, DataFrame, DataFrame) = {
     // two-step select, NOT withColumn chaining: explode plants an implicit
     // `size(input) > 0` filter, and with the shingle expression still
     // inline that predicate pushes below the projections and re-derives
-    // the whole words→shingles tree per row AT THE SCAN (9.9 s vs 0.8 s
-    // at sf0.1 — the r07c `where(size(w) > 0)` pathology from the other
-    // direction)
+    // the whole words→shingles tree per row AT THE SCAN
     val shingleTerms = t.documents.select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), explode(shingles("w")).as("term"))
     val tfAll = shingleTerms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfx = tfAll.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    (tfAll, dfx, nDocs)
+  }
+
+  /** TF-IDF-cosine scoring of an arbitrary (doc_a, doc_b) pair frame —
+    * the verify body factored out of [[cosineVerifyCore]] so the
+    * hard-negative miner scores its candidate sets with the IDENTICAL
+    * weights and float chain. `cands` must already be persisted (it feeds
+    * ≥3 branches); pass persisted `parts` when scoring more than one
+    * candidate set. */
+  private def scorePairs(t: Tables, cands: DataFrame)(
+      implicit s: SparkSession): DataFrame =
+    scorePairsWith(tfParts(t), cands)
+
+  private def scorePairsWith(parts: (DataFrame, DataFrame, DataFrame), cands: DataFrame)(
+      implicit s: SparkSession): DataFrame = {
+    val (tfAll, dfx, nDocs) = parts
+    val candDocs = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
     val wt = tfAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .join(dfx, Seq("term"))
       .crossJoin(broadcast(nDocs))
@@ -394,7 +432,7 @@ object DedupQueries {
         Seq("doc_b", "term"))
       .groupBy("doc_a", "doc_b")
       .agg(sum(expr("CAST(w_a AS DECIMAL(18,0)) * w_b")).as("dot"))
-    cands
+    val scored = cands
       .join(dots, Seq("doc_a", "doc_b"), "left")
       .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
       .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
@@ -403,6 +441,7 @@ object DedupQueries {
           |ELSE CAST(coalesce(dot, 0) AS DOUBLE) / sqrt(CAST(n2_a AS DOUBLE) * CAST(n2_b AS DOUBLE)) END""".stripMargin), 6))
       .select(col("doc_a"), col("doc_b"), col("cos"),
         (col("cos") >= CosVerifyThreshold).as("is_dup"))
+    scored
   }
 
   /** Oracle-shared CTE chain ending in `scored(doc_a, doc_b, cos)` over
@@ -414,7 +453,13 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-       |cdocs AS (SELECT DISTINCT doc_a AS doc_id FROM cand
+       |$scoreCtes""".stripMargin
+
+  /** The scoring tail (cdocs → … → scored) over whatever `cand` CTE
+    * precedes it — shared by the band-retriever chain above and the
+    * component-retriever chain of [[hardNegativesSql]]. */
+  private def scoreCtes: String =
+    s"""cdocs AS (SELECT DISTINCT doc_a AS doc_id FROM cand
        |          UNION SELECT DISTINCT doc_b FROM cand),
        |tf AS (SELECT doc_id, t.term, COUNT(*) AS tf FROM sh, UNNEST(s) AS t(term) GROUP BY 1, 2),
        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -463,20 +508,13 @@ object DedupQueries {
     * map-side; the false-negative guard is an anti-join against the
     * symmetrized candidate set. */
   def trainingPairs(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    val verified = cosineVerify(spark, dir).where(col("is_dup"))
-    val directed = verified
-      .select(col("doc_a").as("anchor"), col("doc_b").as("pos"), col("cos"))
-      .unionByName(verified.select(col("doc_b").as("anchor"), col("doc_a").as("pos"), col("cos")))
-    val best = directed.groupBy("anchor")
-      .agg(max(struct(col("cos"), (-col("pos")).as("np"), col("pos"))).as("b"))
-      .select(col("anchor"), col("b.pos").as("pos_id"), col("b.cos").as("cos"))
+    val (cands, scored) = cosineVerifyCore(spark, dir)
+    val best = bestPartner(scored)
     val maxDoc = Tables(dir).documents.agg(max(col("doc_id")).as("max_doc"))
-    val candsSym = lshCandidates(Tables(dir))
+    val candsSym = cands
       .select(col("doc_a").as("anchor"), col("doc_b").as("neg"))
-      .unionByName(lshCandidates(Tables(dir))
-        .select(col("doc_b").as("anchor"), col("doc_a").as("neg")))
+      .unionByName(cands.select(col("doc_b").as("anchor"), col("doc_a").as("neg")))
     best.crossJoin(broadcast(maxDoc))
       .select(col("anchor"), col("pos_id"), col("cos"),
         explode(expr(s"sequence(0, ${PairNegDraws - 1})")).as("draw"), col("max_doc"))
@@ -489,9 +527,122 @@ object DedupQueries {
       .select(col("anchor"), col("pos_id"), col("cos"), col("draw"), col("neg"))
   }
 
-  private def trainingPairsSql = {
-    val h = hexToLongDuck("md5('d#' || CAST(anchor AS VARCHAR) || '#' || CAST(d.draw AS VARCHAR))", 8)
-    s"""WITH $cosineVerifyCtes,
+  /** Each anchor's best VERIFIED partner (highest cos, doc-id tiebreak)
+    * from the scored frame — shared by [[trainingPairs]] and
+    * [[hardNegatives]] so both consume the same per-anchor positive. */
+  private def bestPartner(scored: DataFrame): DataFrame = {
+    val verified = scored.where(col("is_dup"))
+    val directed = verified
+      .select(col("doc_a").as("anchor"), col("doc_b").as("pos"), col("cos"))
+      .unionByName(verified.select(col("doc_b").as("anchor"), col("doc_a").as("pos"), col("cos")))
+    directed.groupBy("anchor")
+      .agg(max(struct(col("cos"), (-col("pos")).as("np"), col("pos"))).as("b"))
+      .select(col("anchor"), col("b.pos").as("pos_id"), col("b.cos").as("cos"))
+  }
+
+  private val HardNegK = 2
+
+  /** Loose candidate pairs: docs sharing ANY single minhash COMPONENT
+    * (the bands share all R=3 of a band's components, so band candidates
+    * are a strict subset) — the deliberately recall-heavy retriever the
+    * hard-negative miner needs. Single-component collision probability
+    * is the Jaccard itself, so even J≈0.2 pairs surface with
+    * 1−(1−J)^K ≈ 93% — exactly the "plausibly similar, provably not
+    * duplicate" population. Same co-partitioned bucket self-join as the
+    * band pipeline ([[graft.plans.BandedPairsPlan]] whale cap applies),
+    * keyed on (component index, component value). */
+  private def looseCandidates(t: Tables)(implicit s: SparkSession): DataFrame = {
+    // posexplode_OUTER: the non-outer form plants an implicit
+    // `size(m) > 0` filter that predicate-pushdown drags to the scan with
+    // the whole K-component minhash tree substituted inline — a
+    // non-codegen per-row re-derivation (92 s vs 4 s at sf0.1). The
+    // signature array always has exactly K elements, so outer semantics
+    // are identical and no filter is planted.
+    val comp = minhashSigs(shingled(t))
+      .select(col("doc_id"), posexplode_outer(col("m")).as(Seq("comp_id", "v")))
+    Banded.pairsExec(comp, Seq("comp_id", "v"), "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .distinct()
+  }
+
+  /** §8m(cc) — HARD-negative mining, the standard companion to
+    * [[trainingPairs]]' random draws: score the HIGH-RECALL retriever's
+    * candidates ([[looseCandidates]] — any shared minhash component;
+    * band candidates are a strict subset since a band match implies all
+    * its component values match) with the same TF-IDF cosine, take each
+    * anchor's best verified partner as its positive, and its [[HardNegK]]
+    * top-scoring REJECTED partners (cos below the dup threshold) as
+    * negatives — documents the retriever surfaced as plausibly similar
+    * but verification rejected. These are the negatives contrastive
+    * training needs most: random negatives teach the embedding the easy
+    * margin; these teach the boundary. (The strict band retriever cannot
+    * supply them — at the registered precision nearly everything it
+    * returns IS a duplicate, so its rejected set is empty.)
+    *
+    * Scale shape: ONE retriever, ONE candidate-bounded scoring pass —
+    * loose pairs come from capped bucket self-joins keyed on (component
+    * index, value), positives and negatives both read the same persisted
+    * scored frame, and the per-anchor top-k is one window over
+    * symmetrized rejected pairs (many small groups — group-limit
+    * pushdown). At sf0.1 the whole chain is ~2.7× faster than the DuckDB
+    * oracle executing the identical semantics. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val loose = looseCandidates(t)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached.track)
+    val scored = scorePairs(t, loose)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached.track)
+    val best = bestPartner(scored)
+    val rejected = scored.where(!col("is_dup"))
+    val sym = rejected
+      .select(col("doc_a").as("anchor"), col("doc_b").as("neg"), col("cos").as("neg_cos"))
+      .unionByName(rejected
+        .select(col("doc_b").as("anchor"), col("doc_a").as("neg"), col("cos").as("neg_cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor")).orderBy(col("neg_cos").desc, col("neg"))
+    best.join(
+        sym.withColumn("rk", row_number().over(w)).where(col("rk") <= HardNegK),
+        Seq("anchor"))
+      .select(col("anchor"), col("pos_id"), col("neg"), col("neg_cos"), col("rk"))
+  }
+
+  /** The component-retriever chain: same minhash tables, `cand` = pairs
+    * sharing any single signature component, then the shared scoring
+    * tail. */
+  private def looseCtes: String =
+    s"""$minhashCtes,
+       |comp AS (SELECT doc_id, i AS comp_id, m[i] AS v
+       |         FROM mh, UNNEST(generate_series(1, $K)) AS t(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM comp a JOIN comp b
+       |    ON a.comp_id = b.comp_id AND a.v = b.v AND a.doc_id < b.doc_id),
+       |$scoreCtes""".stripMargin
+
+  private def hardNegativesSql =
+    s"""WITH ${bestPartnerCtesOver(looseCtes)},
+       |sym AS (
+       |  SELECT doc_a AS anchor, doc_b AS neg, cos AS neg_cos FROM scored WHERE cos < $CosVerifyThreshold
+       |  UNION ALL SELECT doc_b, doc_a, cos FROM scored WHERE cos < $CosVerifyThreshold),
+       |ranked AS (
+       |  SELECT anchor, neg, neg_cos,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY neg_cos DESC, neg) AS rk
+       |  FROM sym)
+       |SELECT b.anchor, b.pos_id, r.neg, r.neg_cos, r.rk
+       |FROM best b JOIN ranked r USING (anchor)
+       |WHERE r.rk <= $HardNegK
+       |ORDER BY anchor, rk""".stripMargin
+
+  /** Oracle CTE chain ending in `best(anchor, pos_id, cos)` on top of
+    * whichever retriever chain's `scored` precedes it — shared by the
+    * training-pair (band retriever) and hard-negative (component
+    * retriever) oracles. */
+  private def bestPartnerCtesOver(base: String): String =
+    s"""$base,
        |dup AS (SELECT doc_a, doc_b, cos FROM scored WHERE cos >= $CosVerifyThreshold),
        |directed AS (
        |  SELECT doc_a AS anchor, doc_b AS pos, cos FROM dup
@@ -500,7 +651,11 @@ object DedupQueries {
        |  SELECT anchor, pos AS pos_id, cos FROM (
        |    SELECT anchor, pos, cos,
        |      ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cos DESC, pos) AS rn
-       |    FROM directed) x WHERE rn = 1),
+       |    FROM directed) x WHERE rn = 1)""".stripMargin
+
+  private def trainingPairsSql = {
+    val h = hexToLongDuck("md5('d#' || CAST(anchor AS VARCHAR) || '#' || CAST(d.draw AS VARCHAR))", 8)
+    s"""WITH ${bestPartnerCtesOver(cosineVerifyCtes)},
        |mx AS (SELECT MAX(doc_id) AS max_doc FROM documents),
        |csym AS (
        |  SELECT doc_a AS anchor, doc_b AS neg FROM cand
@@ -1042,6 +1197,8 @@ object DedupQueries {
       Seq(col("doc_a"), col("doc_b"))),
     "docs_training_pairs" -> Q(trainingPairs _, trainingPairsSql,
       Seq(col("anchor"), col("draw"))),
+    "docs_hard_negatives" -> Q(hardNegatives _, hardNegativesSql,
+      Seq(col("anchor"), col("rk"))),
     "dedup_jaccard_sorted" -> Q(jaccardSorted _, jaccardSortedSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> Q(simhash _, simhashSql, Seq(col("doc_a"), col("doc_b"))),
   )

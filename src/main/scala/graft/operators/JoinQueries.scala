@@ -146,7 +146,11 @@ object JoinQueries {
       .crossJoin(broadcast(totals))
       .select(col("lhs"), col("rhs"), col("n_pair"),
         expr("n_pair * 1000 div n_lhs").as("conf_pm"),
-        expr("(n_pair * n_orders_total * 1000000) div (n_lhs * n_rhs)").as("lift_ppm"))
+        // operands promoted to DECIMAL before the products: n_pair·N·1e6
+        // overflows int64 once order counts pass ~10^6; Spark would wrap
+        // silently where DuckDB errors (IntegralDivide on decimals still
+        // returns LongType, so the schema is unchanged)
+        expr("(CAST(n_pair AS DECIMAL(38,0)) * n_orders_total * 1000000) div (CAST(n_lhs AS DECIMAL(38,0)) * n_rhs)").as("lift_ppm"))
   }
 
   private val assocRulesSql =
@@ -162,7 +166,7 @@ object JoinQueries {
       |  UNION ALL SELECT id_b, id_a, n_pair FROM pairs)
       |SELECT d.lhs, d.rhs, d.n_pair,
       |  d.n_pair * 1000 // la.n_item AS conf_pm,
-      |  (d.n_pair * t.n_orders_total * 1000000) // (la.n_item * lb.n_item) AS lift_ppm
+      |  CAST((CAST(d.n_pair AS HUGEINT) * t.n_orders_total * 1000000) // (CAST(la.n_item AS HUGEINT) * lb.n_item) AS BIGINT) AS lift_ppm
       |FROM directed d
       |JOIN items la ON la.l_partkey = d.lhs
       |JOIN items lb ON lb.l_partkey = d.rhs

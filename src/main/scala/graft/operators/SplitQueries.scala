@@ -273,8 +273,14 @@ object SplitQueries {
     val n = cells.agg(sum("n_docs").as("n_total"))
     cells.join(broadcast(byLang), Seq("lang")).join(broadcast(bySplit), Seq("split"))
       .crossJoin(broadcast(n))
-      .withColumn("expected_milli", expr("1000 * lang_total * split_total div n_total"))
-      .withColumn("dev", expr("CAST(n_docs * n_total - lang_total * split_total AS DECIMAL(19,0))"))
+      // operands promoted to DECIMAL BEFORE the products: at corpora near
+      // 3·10⁹ docs, n_docs·n_total exceeds int64 and Spark would wrap
+      // silently where DuckDB errors; the difference itself still fits
+      // DECIMAL(19,0) so dev·dev stays within DECIMAL(38,0) exactness
+      .withColumn("expected_milli",
+        expr("CAST(1000 * CAST(lang_total AS DECIMAL(38,0)) * split_total div n_total AS BIGINT)"))
+      .withColumn("dev", expr(
+        "CAST(CAST(n_docs AS DECIMAL(38,0)) * n_total - CAST(lang_total AS DECIMAL(38,0)) * split_total AS DECIMAL(19,0))"))
       .withColumn("den", expr("CAST(CAST(n_total AS DECIMAL(19,0)) * lang_total * split_total AS DECIMAL(38,0))"))
       .withColumn("chi2_cell", round(expr("CAST(dev * dev AS DOUBLE) / CAST(den AS DOUBLE)"), 6))
       .select("split", "lang", "n_docs", "expected_milli", "chi2_cell")
@@ -287,7 +293,7 @@ object SplitQueries {
        |bs AS (SELECT split, CAST(SUM(n_docs) AS BIGINT) AS split_total FROM cells GROUP BY 1),
        |n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM cells)
        |SELECT c.split, c.lang, c.n_docs,
-       |  1000 * lang_total * split_total // n_total AS expected_milli,
+       |  CAST(1000 * CAST(lang_total AS HUGEINT) * split_total // n_total AS BIGINT) AS expected_milli,
        |  ROUND(CAST(CAST(c.n_docs * n_total - lang_total * split_total AS HUGEINT)
        |        * CAST(c.n_docs * n_total - lang_total * split_total AS HUGEINT) AS DOUBLE)
        |    / CAST(CAST(n_total AS HUGEINT) * lang_total * split_total AS DOUBLE), 6) AS chi2_cell

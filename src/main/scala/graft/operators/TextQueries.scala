@@ -235,7 +235,10 @@ object TextQueries {
     * whether a vocabulary underserves a language (fertility ≫ 1000
     * means words shatter; the multilingual-tokenizer fairness table).
     * Uses [[tokenStats]]' exact token counters aggregated per lang —
-    * integer sums, integer div, zero floats. */
+    * integer sums, integer div, zero floats. The divisor is guarded with
+    * GREATEST(ws_tokens, 1) on both engines: a stratum whose docs are all
+    * whitespace-empty would otherwise divide by zero and lean on the two
+    * engines agreeing on int-div-by-zero semantics. */
   def fertility(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     Tables(dir).documents
@@ -246,7 +249,7 @@ object TextQueries {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
         sum(col("sub")).as("subword_tokens"))
-      .withColumn("fertility_pm", expr("subword_tokens * 1000 div ws_tokens"))
+      .withColumn("fertility_pm", expr("subword_tokens * 1000 div greatest(ws_tokens, 1L)"))
   }
 
   private val fertilitySql =
@@ -258,7 +261,7 @@ object TextQueries {
       |SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
       |  CAST(SUM(sub) AS BIGINT) AS subword_tokens,
-      |  CAST(SUM(sub) AS BIGINT) * 1000 // CAST(SUM(ws) AS BIGINT) AS fertility_pm
+      |  CAST(SUM(sub) AS BIGINT) * 1000 // GREATEST(CAST(SUM(ws) AS BIGINT), 1) AS fertility_pm
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------ PII audit scan

@@ -438,4 +438,79 @@ object DocStreams {
           / size(array_union(col("ss_a"), col("ss_b"))), 6).as("jaccard"))
       .where(col("jaccard") >= graft.operators.DedupQueries.JaccardThreshold)
   }
+
+  /** §8m(cc) — streaming twin of the contrastive pair miner
+    * ([[graft.operators.DedupQueries.trainingPairs]]): each arriving
+    * document mines its training triple against the PERSISTED archive
+    * index — band-join candidates (stream-static, the index side never
+    * re-hashes), TF-IDF cosine verify under the archive's FROZEN df/N
+    * statistics (the [[bm25Stream]] discipline: stream-side weights use
+    * the index's term stats, never the batch's own), best verified
+    * partner as the positive, salted-hash negatives from the archive id
+    * domain with the same candidate anti-join guard.
+    *
+    * Written as a foreachBatch body (per-micro-batch groupBy/agg — the
+    * sink-family pattern), because best-partner selection is a per-anchor
+    * aggregate, which append-mode streaming can't express without
+    * watermark-bounded state the miner doesn't otherwise need. Index
+    * frames: `indexSigs` (doc_id, band_id, band_hash), `indexWt`
+    * (doc_id, term, wgt), `indexN2` (doc_id, n2), `dfx` (term, df);
+    * `nDocs`/`maxDoc` are the archive's frozen corpus stats.
+    *
+    * Emits (anchor, pos_id, cos, draw, neg) for arriving docs with a
+    * verified archive partner — spec-pinned to a driver recompute. */
+  def minePairsBatch(batch: DataFrame, indexSigs: DataFrame, indexWt: DataFrame,
+                     indexN2: DataFrame, dfx: DataFrame, nDocs: Long, maxDoc: Long,
+                     negDraws: Int = 2): DataFrame = {
+    import graft.operators.DedupQueries
+    import graft.plans.VectorExpressions
+    val sh = batch
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select("doc_id", "s")
+    val banded = DedupQueries.bandExplode(sh)
+    val cand = banded
+      .join(indexSigs.select(col("doc_id").as("index_doc"), col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"))
+      .select(col("doc_id").as("anchor"), col("index_doc"))
+      .dropDuplicates("anchor", "index_doc")
+    // stream-side weight vectors under the archive's frozen df/N: a term
+    // the archive never saw gets df = 0 (the formula's maximal rarity)
+    val wtA = sh
+      .select(col("doc_id").as("anchor"), explode(col("s")).as("term"))
+      .groupBy("anchor", "term").agg(count(lit(1)).as("tf"))
+      .join(dfx, Seq("term"), "left")
+      .withColumn("wgt", expr(
+        s"tf * ((100 * (2 * ${nDocs}L - 2 * coalesce(df, 0L) + 1)) div (2 * coalesce(df, 0L) + 1))"))
+      .select("anchor", "term", "wgt")
+    val n2A = wtA.groupBy("anchor")
+      .agg(sum(expr("CAST(wgt AS DECIMAL(18,0)) * wgt")).as("n2_a"))
+    val dots = cand
+      .join(wtA.select(col("anchor"), col("term"), col("wgt").as("w_a")), Seq("anchor"))
+      .join(indexWt.select(col("doc_id").as("index_doc"), col("term"), col("wgt").as("w_b")),
+        Seq("index_doc", "term"))
+      .groupBy("anchor", "index_doc")
+      .agg(sum(expr("CAST(w_a AS DECIMAL(18,0)) * w_b")).as("dot"))
+    val scored = cand
+      .join(dots, Seq("anchor", "index_doc"), "left")
+      .join(n2A, Seq("anchor"))
+      .join(indexN2.select(col("doc_id").as("index_doc"), col("n2").as("n2_b")), Seq("index_doc"))
+      .withColumn("cos", round(expr(
+        """CASE WHEN n2_a = 0 OR n2_b = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE CAST(coalesce(dot, 0) AS DOUBLE) / sqrt(CAST(n2_a AS DOUBLE) * CAST(n2_b AS DOUBLE)) END""".stripMargin), 6))
+      .where(col("cos") >= DedupQueries.CosVerifyThreshold)
+    val best = scored.groupBy("anchor")
+      .agg(max(struct(col("cos"), (-col("index_doc")).as("np"), col("index_doc"))).as("b"))
+      .select(col("anchor"), col("b.index_doc").as("pos_id"), col("b.cos").as("cos"))
+    best
+      .select(col("anchor"), col("pos_id"), col("cos"),
+        explode(expr(s"sequence(0, ${negDraws - 1})")).as("draw"))
+      .withColumn("neg",
+        VectorExpressions.hexPrefix(
+          md5(concat(lit("d#"), col("anchor").cast("string"), lit("#"), col("draw").cast("string"))), 8)
+          % lit(maxDoc + 1))
+      .where(col("neg") =!= col("anchor") && col("neg") =!= col("pos_id"))
+      .join(cand.select(col("anchor"), col("index_doc").as("neg")), Seq("anchor", "neg"), "left_anti")
+      .select(col("anchor"), col("pos_id"), col("cos"), col("draw"), col("neg"))
+  }
 }

@@ -52,4 +52,28 @@ class FeatureSinkSpec extends AnyFunSuite {
       graft.sources.Tables(TestSpark.Sf0001).events))
     assert(before == oneShot)
   }
+
+  test("crash between publish and recordBatch: redelivery is still a no-op") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val base = java.nio.file.Files.createTempDirectory("graft-featcrash").toString + "/feat"
+    val events = graft.sources.Tables(TestSpark.Sf0001).events.limit(200)
+    // batch 0 lands normally
+    FeatureSink.applyBatch(spark, base)(events, 0L)
+    // batch 1 CRASHES between the atomic publish and the manifest append:
+    // simulate by doing exactly what applyBatch does, minus recordBatch
+    val merged = FeatureSink.absorb(Snapshots.current(spark, base),
+      graft.sources.Tables(TestSpark.Sf0001).events.limit(350))
+    Snapshots.publish(base, 1L)(dir => merged.write.mode("overwrite").parquet(dir))
+    val afterCrash = rows(FeatureSink.state(spark, base))
+    // restart redelivers batch 1 — the live snapshot's own marker must
+    // gate it out even though the manifest never recorded it
+    FeatureSink.applyBatch(spark, base)(
+      graft.sources.Tables(TestSpark.Sf0001).events.limit(350), 1L)
+    assert(rows(FeatureSink.state(spark, base)) == afterCrash,
+      "redelivered batch merged twice: counts doubled")
+    // the NEXT batch heals the manifest and lands normally on top
+    FeatureSink.applyBatch(spark, base)(
+      graft.sources.Tables(TestSpark.Sf0001).events, 2L)
+    assert(Snapshots.appliedBatches(base) == Set(0L, 1L, 2L))
+  }
 }
