@@ -697,6 +697,20 @@ object GraphQueries {
   private val JaccTopK = 5
   private val JaccCenterCap = 24
 
+  /** Broadcast budget for |V|-row lookup tables (degree maps, node
+    * sets): ~8M rows of (long, long) ≈ 128 MB serialized — inside the
+    * session's adaptive broadcast ceiling with headroom. A node domain
+    * beyond it (a 100× parts catalog) falls back to a keyed join
+    * instead of OOMing the driver; both regimes are plan-shape
+    * spec-pinned. */
+  private[operators] val NodeBroadcastMaxRows: Long = 8L << 20
+
+  /** Broadcast `df` only while the estimated row count fits the budget;
+    * beyond it the planner keeps the keyed (shuffle) join. */
+  private[operators] def gatedBroadcast(df: DataFrame, rows: Long,
+                                        maxRows: Long = NodeBroadcastMaxRows): DataFrame =
+    if (rows <= maxRows) broadcast(df) else df
+
   /** §8m(by) — neighbor-set Jaccard, served as each node's TOP-[[JaccTopK]]
     * link-prediction candidates: shared-neighbor counts (a wedge count)
     * and the Jaccard per-mille (inclusion-exclusion over the FULL
@@ -724,8 +738,12 @@ object GraphQueries {
     jaccardNeighborsCapped(spark, dir, JaccCenterCap)
 
   private[operators] def jaccardNeighborsCapped(spark: SparkSession, dir: String,
-                                                cap: Int): DataFrame = {
+                                                cap: Int,
+                                                broadcastMax: Long = NodeBroadcastMaxRows): DataFrame = {
     implicit val s: SparkSession = spark
+    // node-domain estimate from parquet metadata (a row-count-only scan):
+    // the gate's input, never the data path
+    val nodeDomain = Tables(dir).part.count()
     val e = stagedEdges(spark, dir)
     val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
@@ -739,13 +757,16 @@ object GraphQueries {
     val pairs = capped.select(sortedPairs("ns", "a", "b").as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    // deg is a |V|-row table — broadcast both lookups; the alternative is
-    // two sort-merge joins of the 2·Σpairs directed stream
+    // deg is a |V|-row table — broadcast both lookups while the node
+    // domain fits the budget (the alternative is two sort-merge joins of
+    // the 2·Σpairs directed stream); past the budget the keyed join is
+    // the correct shape, not a bigger driver
     val directed = pairs
       .select(col("a").as("node"), col("b").as("cand"), col("common"))
       .unionByName(pairs.select(col("b").as("node"), col("a").as("cand"), col("common")))
-      .join(broadcast(deg), Seq("node"))
-      .join(broadcast(deg.select(col("node").as("cand"), col("deg").as("dc"))), Seq("cand"))
+      .join(gatedBroadcast(deg, nodeDomain, broadcastMax), Seq("node"))
+      .join(gatedBroadcast(deg.select(col("node").as("cand"), col("deg").as("dc")),
+        nodeDomain, broadcastMax), Seq("cand"))
       .withColumn("jaccard_pm", expr("common * 1000 div (deg + dc - common)"))
     // per-node top-k via row_number: Spark's WindowGroupLimit pushes the
     // rank≤k filter below the final sort (partial per-partition limits),
@@ -809,13 +830,18 @@ object GraphQueries {
     * node-membership check is a semi-join and the not-an-edge check an
     * anti-join against the symmetric edge list — both co-partitioned
     * keyed joins, nothing quadratic. */
-  def negativeSamples(spark: SparkSession, dir: String): DataFrame = {
+  def negativeSamples(spark: SparkSession, dir: String): DataFrame =
+    negativeSamplesGated(spark, dir, NodeBroadcastMaxRows)
+
+  private[operators] def negativeSamplesGated(spark: SparkSession, dir: String,
+                                              broadcastMax: Long): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val bb = stagedBackbone(spark, dir)
     val sym = bb.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(bb.select(col("v").as("src"), col("u").as("dst")))
     val nodes = sym.select(col("src").as("node")).distinct()
+    val nodeDomain = Tables(dir).part.count()
     val maxPart = Tables(dir).part.agg(max(col("p_partkey")).as("max_pk"))
     val draws = nodes.crossJoin(broadcast(maxPart))
       .select(col("node"), explode(expr(s"sequence(0, ${NegDraws - 1})")).as("draw"), col("max_pk"))
@@ -824,7 +850,10 @@ object GraphQueries {
           md5(concat(col("node").cast("string"), lit("#"), col("draw").cast("string"))), 8)
           % (col("max_pk") + 1))
     draws
-      .join(nodes.select(col("node").as("cand")), Seq("cand"), "left_semi")
+      // membership check against the |V|-row node set: broadcast inside
+      // the budget, keyed semi-join beyond it
+      .join(gatedBroadcast(nodes.select(col("node").as("cand")), nodeDomain, broadcastMax),
+        Seq("cand"), "left_semi")
       .where(col("cand") =!= col("node"))
       .join(sym.select(col("src").as("node"), col("dst").as("cand")),
         Seq("node", "cand"), "left_anti")

@@ -185,6 +185,25 @@ class GraphSpec extends AnyFunSuite {
     got.foreach { case (u, _, w) => assert(!symSet((u, w)) && nodes(w) && w != u) }
   }
 
+  test("node-broadcast gate: broadcast inside the budget, keyed join beyond it, rows identical") {
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // inside the budget: the deg lookups broadcast
+    val small = GraphQueries.jaccardNeighborsCapped(spark, dir, 24, broadcastMax = Long.MaxValue)
+    assert(planOf(small).contains("BroadcastHashJoin"))
+    // beyond the budget (forced with a zero budget): no broadcast of the
+    // deg table — the keyed fallback regime
+    val big = GraphQueries.jaccardNeighborsCapped(spark, dir, 24, broadcastMax = 0L)
+    // results must be identical either way
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(small) == rows(big) && rows(small).nonEmpty)
+    // same contract for the negative sampler's node-set membership join
+    val nsSmall = GraphQueries.negativeSamplesGated(spark, dir, Long.MaxValue)
+    val nsBig = GraphQueries.negativeSamplesGated(spark, dir, 0L)
+    assert(rows(nsSmall) == rows(nsBig) && rows(nsSmall).nonEmpty)
+  }
+
   test("whale cap only ever undercounts, and monotonically in the cap") {
     val full = counts(GraphQueries.trianglesCapped(spark, dir, Int.MaxValue))
     val c8 = counts(GraphQueries.trianglesCapped(spark, dir, 8))
