@@ -438,6 +438,57 @@ object AnnQueries {
       .as[(Long, Array[Float])].collect().sortBy(_._1)
   }
 
+  /** §8n(cg) — per-cluster MEDOID prototypes: every vector assigned to
+    * its nearest seed centroid (the `ann_ivf_topk` assignment — same
+    * kernel, same tie rule), then each cluster reports the member most
+    * similar to its centroid, with the membership count — the prototype
+    * table diversity-aware sampling and dataset cartography read (pick
+    * representatives, not random rows; SemDeDup's complement: instead of
+    * dropping near-duplicates within a cluster, surface the row that
+    * best REPRESENTS it). Cosines round-6 before the per-cluster argmax
+    * so the tie-break (lowest vec_id) is identical in both engines.
+    *
+    * Scale shape: assignment is map-side against broadcast centroid
+    * literals; ONE cluster-keyed aggregate (max-struct, partial
+    * map-side) — no window, no join. */
+  def clusterMedoids(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = centroids(spark, t).map(_._2).toSeq
+    val cs = array(cents.map(v => VectorExpressions.cosine(col("embedding"), typedlit(v))): _*)
+    t.embeddings
+      .withColumn("cs", cs)
+      .withColumn("cluster", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("long"))
+      .withColumn("ccos", round(array_max(col("cs")), 6))
+      .groupBy("cluster")
+      .agg(
+        max(struct(col("ccos"), (-col("vec_id")).as("nid"), col("vec_id"))).as("b"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("b.vec_id").as("medoid_id"),
+        col("b.ccos").as("cos"), col("n_members"))
+  }
+
+  private def clusterMedoidsSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e, cents),
+       |memb AS (
+       |  SELECT vec_id, cid AS cluster, ROUND(ccos, 6) AS ccos6 FROM (
+       |    SELECT vec_id, cid, ccos,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign) x WHERE rn = 1),
+       |ranked AS (
+       |  SELECT cluster, vec_id, ccos6,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY ccos6 DESC, vec_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+       |  FROM memb)
+       |SELECT cluster, vec_id AS medoid_id, ccos6 AS cos, n_members
+       |FROM ranked WHERE rk = 1
+       |ORDER BY cluster""".stripMargin
+
   /** IVF search against a given centroid set: map-side nearest-centroid
     * assignment (argmax cosine, first index on ties — equivalent to the
     * oracle's ORDER BY cos DESC, cid when centroids are id-sorted),
@@ -2020,6 +2071,7 @@ object AnnQueries {
     "ann_ivf_recall" -> Q(ivfRecall _, ivfRecallSql, Seq(col("probe_id"))),
     "ann_lsh_recall" -> Q(lshRecall _, lshRecallSql),
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
+    "ann_cluster_medoids" -> Q(clusterMedoids _, clusterMedoidsSql, Seq(col("cluster"))),
     "ann_ivf_refined" -> Q(ivfRefinedTopK _, ivfRefinedSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined2" -> Q(ivfRefined2TopK _, ivfRefined2Sql, Seq(col("probe_id"), col("rank"))),
   )

@@ -1325,7 +1325,113 @@ object CorpusQueries {
        |  AND (i * 2 + 1) * W < hi * ${2 * PpsK}
        |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------ ICT span pairs (§8n(ce))
+
+  private val SpanW = 32
+
+  /** §8n(ce) — Inverse-Cloze-Task span pairs, the self-supervised
+    * retrieval-training recipe (a span is the "query", the rest of its
+    * document the "positive context"): for every document with at least
+    * 2·[[SpanW]] words, ONE deterministically-drawn [[SpanW]]-word span
+    * (salted-md5 of the doc id over the doc's span count — reproducible
+    * anywhere, no RNG state) becomes the query, the document minus that
+    * span the context, plus a salted negative-document draw from the
+    * doc-id domain. Emits content HASHES, not text — the pair identity
+    * is what the compare needs, and at 100 TB the training job reads
+    * the spans by (doc_id, k) from the corpus store rather than
+    * shipping duplicated text through the pipeline.
+    *
+    * Scale shape: entirely map-side (one projection chain per doc, no
+    * join, no shuffle except the 1-row max-doc broadcast). */
+  def spanPairs(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val docs = Tables(dir).documents
+    val maxDoc = docs.agg(max(col("doc_id")).as("max_doc"))
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .where(col("n") >= 2 * SpanW)
+      .withColumn("n_spans", expr(s"n div $SpanW"))
+      .withColumn("k",
+        VectorExpressions.hexPrefix(
+          md5(concat(lit("q#"), col("doc_id").cast("string"))), 8) % col("n_spans"))
+      .crossJoin(broadcast(maxDoc))
+      .withColumn("neg_doc",
+        VectorExpressions.hexPrefix(
+          md5(concat(lit("n#"), col("doc_id").cast("string"))), 8) % (col("max_doc") + 1))
+      .where(col("neg_doc") =!= col("doc_id"))
+      .select(col("doc_id"), col("k"), col("n_spans").cast("long").as("n_spans"),
+        md5(concat_ws(" ", expr(s"slice(w, k * $SpanW + 1, $SpanW)"))).as("q_hash"),
+        md5(concat_ws(" ",
+          concat(expr(s"slice(w, 1, k * $SpanW)"),
+            expr(s"slice(w, k * $SpanW + $SpanW + 1, n)")))).as("ctx_hash"),
+        col("neg_doc"))
+  }
+
+  private def spanPairsSql = {
+    val w = DuckSql.wordsOf("text")
+    val kExpr = graft.operators.DedupQueries.hexToLongDuck(
+      "md5('q#' || CAST(doc_id AS VARCHAR))", 8)
+    val negExpr = graft.operators.DedupQueries.hexToLongDuck(
+      "md5('n#' || CAST(doc_id AS VARCHAR))", 8)
+    s"""WITH ws AS (SELECT doc_id, $w AS w FROM documents),
+       |el AS (SELECT doc_id, w, LEN(w) AS n FROM ws WHERE LEN(w) >= ${2 * SpanW}),
+       |mx AS (SELECT MAX(doc_id) AS max_doc FROM documents),
+       |sp AS (
+       |  SELECT doc_id, w, n, n // $SpanW AS n_spans,
+       |    ($kExpr) % (n // $SpanW) AS k,
+       |    ($negExpr) % (max_doc + 1) AS neg_doc
+       |  FROM el, mx)
+       |SELECT doc_id, k, n_spans,
+       |  md5(array_to_string(w[k * $SpanW + 1 : k * $SpanW + $SpanW], ' ')) AS q_hash,
+       |  md5(array_to_string(list_concat(w[1 : k * $SpanW], w[k * $SpanW + ${SpanW + 1} : n]), ' ')) AS ctx_hash,
+       |  neg_doc
+       |FROM sp WHERE neg_doc <> doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------ temperature-scaled mixing (§8n(cf))
+
+  /** §8n(cf) — temperature-scaled language mixing weights (τ = 2): the
+    * multilingual-training recipe that up-samples low-resource languages
+    * — sampling weight ∝ n_tokens^(1/τ). τ = 2 makes the re-weighting a
+    * SINGLE sqrt per language (correctly rounded in every IEEE engine),
+    * so alongside the exact proportional per-mille share the only float
+    * arithmetic is sqrt → one sum → one divide, round-6. Reported per
+    * language with both shares so the up-sampling factor is read
+    * directly. Scale: one corpus aggregate into |langs| rows. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val perLang = Tables(dir).documents
+      .select(col("lang"), size(words(col("text"))).cast("long").as("ws"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_tokens"))
+    val tot = perLang.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("tot_w"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000 div tot_tokens").as("share_prop_pm"),
+        round(sqrt(col("n_tokens").cast("double")) / col("tot_w"), 6).as("share_temp"))
+  }
+
+  private val temperatureMixSql =
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(LEN(list_filter(string_split_regex(text, '\s+'), x -> LEN(x) > 0)) AS BIGINT) AS ws
+      |  FROM documents),
+      |pl AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS n_tokens
+      |       FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+      |               SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS tot_w FROM pl)
+      |SELECT lang, n_docs, n_tokens,
+      |  n_tokens * 1000 // tot_tokens AS share_prop_pm,
+      |  ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / tot_w, 6) AS share_temp
+      |FROM pl, tot ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "docs_span_pairs" -> Q(spanPairs _, spanPairsSql, Seq(col("doc_id"))),
+    "docs_temperature_mix" -> Q(temperatureMix _, temperatureMixSql, Seq(col("lang"))),
     "docs_weighted_sample" -> Q(weightedSample _, weightedSampleSql, Seq(col("doc_id"))),
     "docs_curriculum" -> Q(curriculum _, curriculumSql, Seq(col("doc_id"))),
     "docs_token_budget" -> Q(tokenBudget _, tokenBudgetSql, Seq(col("doc_id"))),

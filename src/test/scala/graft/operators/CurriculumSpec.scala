@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-recompute pins for the r08 curriculum/data-quality leg:
+  * CCNet perplexity buckets, ICT span pairs, temperature mixing, and
+  * cluster medoids. */
+class CurriculumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  private def md5hex(s: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("ppl buckets: deterministic per-lang tertiles over the doc_pred ranking") {
+    val rows = TextIndexQueries.queries("docs_ppl_buckets").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      // recompute NTILE(3) from the query's own scores with the same
+      // (doc_pred DESC, doc_id) tiebreak
+      val ordered = rs.sortBy { case (id, _, pred, _, _) => (-pred, id) }
+      val n = ordered.length
+      val (q, r) = (n / 3, n % 3)
+      val sizes = (0 until 3).map(i => q + (if (i < r) 1 else 0))
+      val want = ordered.zip(sizes.zipWithIndex.flatMap { case (sz, i) =>
+        Seq.fill(sz)(i + 1L)
+      })
+      want.foreach { case ((id, _, _, tertile, bucket), expect) =>
+        assert(tertile == expect, s"doc $id tertile")
+        assert(bucket == (expect match {
+          case 1 => "head"; case 2 => "middle"; case _ => "tail" }))
+      }
+      // head never scores below tail within a language
+      val headMin = rs.filter(_._5 == "head").map(_._3).min
+      val tailMax = rs.filter(_._5 == "tail").map(_._3).max
+      assert(headMin >= tailMax)
+    }
+  }
+
+  test("span pairs: exact recompute of deterministic span choice and hashes") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = graft.sources.Tables(dir).documents
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val maxDoc = docs.map(_._1).max
+    val W = 32
+    val want = docs.flatMap { case (id, text) =>
+      val w = text.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 2 * W) None
+      else {
+        val nSpans = w.length / W
+        val k = java.lang.Long.parseLong(md5hex(s"q#$id").take(8), 16) % nSpans
+        val neg = java.lang.Long.parseLong(md5hex(s"n#$id").take(8), 16) % (maxDoc + 1)
+        if (neg == id) None
+        else {
+          val q = w.slice((k * W).toInt, (k * W).toInt + W)
+          val ctx = w.take((k * W).toInt) ++ w.drop((k * W).toInt + W)
+          Some((id, k, nSpans.toLong,
+            md5hex(q.mkString(" ")), md5hex(ctx.mkString(" ")), neg))
+        }
+      }
+    }.toSet
+    val got = CorpusQueries.queries("docs_span_pairs").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getLong(5))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("temperature mix: sqrt re-weighting recomputed; up-samples low-resource langs") {
+    val rows = CorpusQueries.queries("docs_temperature_mix").fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val totTokens = rows.map(_._3).sum
+    val totW = rows.map(t => math.sqrt(t._3.toDouble)).sum
+    rows.foreach { case (_, _, nTok, propPm, temp) =>
+      assert(propPm == nTok * 1000 / totTokens)
+      assert(math.abs(temp - math.sqrt(nTok.toDouble) / totW) < 1e-5)
+    }
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4)
+    // the re-weighting flattens: smaller languages gain relative share
+    val bySize = rows.sortBy(_._3)
+    val gain = bySize.map { case (_, _, nTok, _, temp) =>
+      temp / (nTok.toDouble / totTokens) }
+    assert(gain.zip(gain.tail).forall { case (a, b) => a >= b - 1e-9 },
+      "up-sampling factor must be monotone non-increasing in language size")
+  }
+
+  test("cluster medoids: one row per occupied cluster, counts partition the corpus, stable") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val got = AnnQueries.queries("ann_cluster_medoids").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty && got.map(_._1).distinct.length == got.length)
+    val corpus = graft.sources.Tables(dir).embeddings.count()
+    assert(got.map(_._4).sum == corpus)
+    got.foreach { case (_, _, cos, n) => assert(cos <= 1.000001 && n >= 1) }
+    // a seed centroid's own vector (vec_id < 8) scores cos 1.0 with its
+    // centroid, so every seed's cluster must report cos = 1.0
+    got.filter(_._1 < 8).foreach { case (c, _, cos, _) =>
+      assert(cos == 1.0, s"cluster $c medoid should be at the centroid")
+    }
+    val again = AnnQueries.queries("ann_cluster_medoids").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+}
