@@ -428,6 +428,61 @@ object AnnQueries {
        |FROM (SELECT DISTINCT probe_id FROM ex) p
        |LEFT JOIN ov USING (probe_id) ORDER BY probe_id""".stripMargin
 
+  /** Truncated-RBO coefficient per worst-rank m: Σ_{d=m..k} (1/2)^d / d.
+    * Identical DOUBLE LITERALS are embedded in both engines, so the only
+    * runtime float work is summing ≤k of them per probe. p = 1/2 keeps
+    * the geometric weights dyadic; identical top-k lists score
+    * Σ_d (1/2)^d = 1 − 2^{-k} (0.96875 at k=5). */
+  private val RboCoeffs: Seq[Double] =
+    (1 to TopKK).map(m => (m to TopKK).map(d => math.pow(0.5, d) / d).sum)
+
+  /** §8n(ch) — rank-AGREEMENT audit of the IVF path: truncated
+    * rank-biased overlap (RBO, p=1/2) between the exact and the IVF
+    * top-k per probe. [[ivfRecall]] measures which of the true neighbors
+    * the index FINDS (set overlap); this measures whether it returns
+    * them in the right ORDER — the metric that moves when bucket pruning
+    * starts reshuffling ranks before it starts losing neighbors, i.e.
+    * the earlier warning. Each matched vector contributes a precomputed
+    * coefficient keyed by its WORSE rank; per-probe sum + round-6 is the
+    * whole float surface.
+    *
+    * Scale shape: both inputs are the already-oracled top-k pipelines
+    * (k·|probes| rows each); the audit is one co-keyed join + one
+    * aggregate. */
+  def rankOverlap(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val exact = bruteForceTopK(spark, dir)
+      .select(col("probe_id"), col("vec_id"), col("rank").cast("int").as("ra"))
+    val ivf = ivfTopK(spark, dir)
+      .select(col("probe_id"), col("vec_id"), col("rank").cast("int").as("rb"))
+    val matched = exact.join(ivf, Seq("probe_id", "vec_id"))
+      .withColumn("c", element_at(typedlit(RboCoeffs), greatest(col("ra"), col("rb"))))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_common"), round(sum(col("c")), 6).as("rbo"))
+    exact.select("probe_id").distinct()
+      .join(matched, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
+
+  // def, not val: embeds ivfSql, which is declared later in the object
+  private def rankOverlapSql = {
+    val coeffList = RboCoeffs.mkString("[", ", ", "]")
+    s"""WITH ex AS (SELECT probe_id, vec_id, rank AS ra FROM (${bruteForceSql.replace("\n", "\n     ")}) t1),
+       |iv AS (SELECT probe_id, vec_id, rank AS rb FROM (${ivfSqlNoOrder.replace("\n", "\n     ")}) t2),
+       |mm AS (
+       |  SELECT probe_id, CAST($coeffList[GREATEST(ra, rb)] AS DOUBLE) AS c
+       |  FROM ex JOIN iv USING (probe_id, vec_id)),
+       |ag AS (SELECT probe_id, COUNT(*) AS n_common, ROUND(SUM(c), 6) AS rbo
+       |       FROM mm GROUP BY 1)
+       |SELECT p.probe_id, COALESCE(ag.n_common, 0) AS n_common,
+       |  COALESCE(ag.rbo, 0.0) AS rbo
+       |FROM (SELECT DISTINCT probe_id FROM ex) p
+       |LEFT JOIN ag USING (probe_id) ORDER BY probe_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** Literal centroid vectors — the bounded driver-side structure (id asc). */
@@ -2072,6 +2127,7 @@ object AnnQueries {
     "ann_lsh_recall" -> Q(lshRecall _, lshRecallSql),
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
     "ann_cluster_medoids" -> Q(clusterMedoids _, clusterMedoidsSql, Seq(col("cluster"))),
+    "ann_rank_overlap" -> Q(rankOverlap _, rankOverlapSql, Seq(col("probe_id"))),
     "ann_ivf_refined" -> Q(ivfRefinedTopK _, ivfRefinedSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined2" -> Q(ivfRefined2TopK _, ivfRefined2Sql, Seq(col("probe_id"), col("rank"))),
   )

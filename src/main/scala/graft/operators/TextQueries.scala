@@ -339,11 +339,38 @@ object TextQueries {
        |FROM documents GROUP BY 1, 2, 3
        |ORDER BY lang, source, len_bucket""".stripMargin
 
+  private val LDiversityL = 3
+
+  /** §8n(ci) — l-diversity audit, [[kanonAudit]]'s sharper sibling
+    * (Machanavajjhala et al.): a quasi-identifier cohort can be k-large
+    * yet still leak if every member shares the SAME sensitive value.
+    * Quasi-identifiers = (lang, length bucket); sensitive attribute =
+    * source; a cohort with fewer than l = [[LDiversityL]] distinct
+    * sources is flagged. One groupBy with an exact count-distinct —
+    * the cohort table is tiny at any corpus size. */
+  def ldiversityAudit(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .groupBy(col("lang"), expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("at_risk", col("n_sources") < LDiversityL)
+  }
+
+  private val ldiversityAuditSql =
+    s"""SELECT lang, n_chars // 100 AS len_bucket, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT source) AS n_sources,
+       |  COUNT(DISTINCT source) < $LDiversityL AS at_risk
+       |FROM documents GROUP BY 1, 2
+       |ORDER BY lang, len_bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_pii_scan" -> Q(piiScan _, piiScanSql, Seq(col("source"))),
     "text_fertility" -> Q(fertility _, fertilitySql, Seq(col("lang"))),
     "docs_kanon_audit" -> Q(kanonAudit _, kanonAuditSql,
       Seq(col("lang"), col("source"), col("len_bucket"))),
+    "docs_ldiversity_audit" -> Q(ldiversityAudit _, ldiversityAuditSql,
+      Seq(col("lang"), col("len_bucket"))),
     "text_token_stats" -> Q(tokenStats _, tokenStatsSql, Seq(col("doc_id"))),
     "text_quality_score" -> Q(qualityScore _, qualityScoreSql, Seq(col("doc_id"))),
     "text_quality_buckets" -> Q(qualityBuckets _, qualityBucketsSql, Seq(col("doc_id"))),

@@ -439,6 +439,33 @@ object DocStreams {
       .where(col("jaccard") >= graft.operators.DedupQueries.JaccardThreshold)
   }
 
+  /** §8n(cd) — streaming perplexity gate: score arriving documents under
+    * the archive's FROZEN bigram-LM counts (`c2(w1,w2,c2)` /
+    * `c1(w1,c1)` — the [[bm25Stream]] frozen-stats discipline) and admit
+    * those at or above `minPred`. A bigram the archive never saw scores
+    * 0 (maximally surprising — CCNet's unseen handling), so fresh spam
+    * can only LOWER a doc's score, never ride the archive's counts.
+    * Written as a foreachBatch body (per-doc aggregate, the sink-family
+    * pattern). Spec-pinned: with the archive index built from the same
+    * corpus, doc_pred is bit-equal to the batch scoring chain
+    * (`docs_ppl_buckets`' doc_pred column). */
+  def pplGateBatch(batch: DataFrame, c2: DataFrame, c1: DataFrame,
+                   minPred: Long): DataFrame = {
+    val toks = batch.select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+    val docBg = toks.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    docBg
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("pred", coalesce(expr("(c2 * 1000000) div c1"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(expr("sum(k * pred) div sum(k)").as("doc_pred"))
+      .withColumn("admit", col("doc_pred") >= minPred)
+  }
+
   /** §8m(cc) — streaming twin of the contrastive pair miner
     * ([[graft.operators.DedupQueries.trainingPairs]]): each arriving
     * document mines its training triple against the PERSISTED archive

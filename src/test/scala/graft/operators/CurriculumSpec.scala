@@ -87,6 +87,84 @@ class CurriculumSpec extends AnyFunSuite {
       "up-sampling factor must be monotone non-increasing in language size")
   }
 
+  test("rank overlap: RBO recomputed from the two registered top-k rankings") {
+    val k = 5
+    val coeff = (1 to k).map(m => (m to k).map(d => math.pow(0.5, d) / d).sum)
+    val exact = AnnQueries.queries("ann_bruteforce_topk").fn(spark, dir)
+      .select("probe_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivf = AnnQueries.queries("ann_ivf_topk").fn(spark, dir)
+      .select("probe_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val probes = exact.keys.map(_._1).toSeq.distinct
+    val want = probes.map { p =>
+      val matched = exact.keys.filter(_._1 == p).filter(ivf.contains)
+      val rbo = matched.toSeq.map { key =>
+        coeff((math.max(exact(key), ivf(key)) - 1).toInt) }.sum
+      p -> ((matched.size.toLong,
+        BigDecimal(rbo).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = AnnQueries.queries("ann_rank_overlap").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (p, (n, rbo)) =>
+      assert(n == want(p)._1, s"probe $p n_common")
+      assert(math.abs(rbo - want(p)._2) < 2e-6, s"probe $p rbo $rbo vs ${want(p)._2}")
+      // identical top-k lists cap at 1 - 2^-k
+      assert(rbo <= 0.968751)
+    }
+  }
+
+  test("streaming ppl gate scores bit-equal to the batch chain under frozen counts") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.functions.TextFunctions.words
+    val docs = graft.sources.Tables(dir).documents
+    val toks = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+    val bg = toks.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k")).cache()
+    val c2 = bg.groupBy("w1", "w2").agg(sum(col("k")).as("c2")).cache()
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1")).cache()
+    val batchPred = TextIndexQueries.queries("docs_ppl_buckets").fn(spark, dir)
+      .select("doc_id", "doc_pred").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minPred = batchPred.values.toSeq.sorted.apply(batchPred.size / 2)
+    val got = graft.streaming.DocStreams.pplGateBatch(
+        docs.select("doc_id", "text"), c2, c1, minPred)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.nonEmpty && got.map(_._1).toSet == batchPred.keySet)
+    got.foreach { case (id, pred, admit) =>
+      assert(pred == batchPred(id), s"doc $id")
+      assert(admit == (pred >= minPred))
+    }
+    // a wholly-unseen document is maximally surprising: doc_pred = 0
+    import spark.implicits._
+    val novel = Seq((999999L, "zq xv wj kp totally novel gibberish tokens"))
+      .toDF("doc_id", "text")
+    val nv = graft.streaming.DocStreams.pplGateBatch(novel, c2, c1, minPred).collect()
+    assert(nv.length == 1 && nv.head.getLong(1) == 0L && !nv.head.getBoolean(2))
+  }
+
+  test("l-diversity audit matches a driver recompute") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = graft.sources.Tables(dir).documents
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy { case (lang, _, n) => (lang, n / 100) }
+      .map { case ((lang, bucket), rows) =>
+        (lang, bucket) -> ((rows.length.toLong, rows.map(_._2).distinct.length.toLong))
+      }
+    val got = TextQueries.queries("docs_ldiversity_audit").fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (key, (n, ns, risk)) =>
+      assert((n, ns) == want(key))
+      assert(risk == (ns < 3))
+    }
+  }
+
   test("cluster medoids: one row per occupied cluster, counts partition the corpus, stable") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val got = AnnQueries.queries("ann_cluster_medoids").fn(spark, dir)
