@@ -1339,7 +1339,73 @@ object EventAnalytics {
       |  max_value
       |FROM f, h ORDER BY user_id""".stripMargin
 
+  // --------------------------------------- CUSUM change-point (§8n(ck))
+
+  private val CusumSlackMilli = 500L
+  private val CusumThresholdMilli = 5000L
+
+  /** §8n(ck) — CUSUM change-point alarm over the per-type daily count
+    * series (Page's cumulative-sum chart — the sequential detector that
+    * catches a sustained level SHIFT long before any single day trips a
+    * z-gate). The recursion S_d = max(0, S_{d-1} + y_d) is rewritten in
+    * its prefix closed form S_d = P_d − least(0, min_{j≤d} P_j), so the
+    * "sequential" statistic becomes two ordinary cumulative windows —
+    * no recursion, no fold, and every quantity is an exact milli-unit
+    * integer (y_d = 1000·x_d − mean_milli − slack, mean per type by
+    * truncating div). Alarm when the statistic clears
+    * [[CusumThresholdMilli]].
+    *
+    * Scale shape: one corpus groupBy into the (type, day) table, 1-row
+    * per-type stats broadcast, two windows over day-ordered series whose
+    * length is the calendar, not the corpus. */
+  def cusumAlarm(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val daily = Tables(dir).events
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy("event_type")
+      .agg(sum(col("n_events")).as("tot"), count(lit(1)).as("nd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("mean_milli", expr("(1000 * tot) div nd"))
+      .withColumn("y", expr(s"1000 * n_events - mean_milli - $CusumSlackMilli"))
+      .withColumn("p", sum(col("y")).over(w))
+      .withColumn("pmin", min(col("p")).over(w))
+      .withColumn("cusum_milli", expr("p - least(0L, pmin)"))
+      .withColumn("alarm", col("cusum_milli") > CusumThresholdMilli)
+      .select("event_type", "day", "n_events", "cusum_milli", "alarm")
+  }
+
+  private val cusumAlarmSql =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |st AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tot, COUNT(*) AS nd
+       |       FROM daily GROUP BY 1),
+       |y AS (
+       |  SELECT d.event_type, d.day, d.n_events,
+       |    1000 * d.n_events - ((1000 * st.tot) // st.nd) - $CusumSlackMilli AS y
+       |  FROM daily d JOIN st USING (event_type)),
+       |pp AS (
+       |  SELECT event_type, day, n_events,
+       |    SUM(y) OVER (PARTITION BY event_type ORDER BY day
+       |                 ROWS UNBOUNDED PRECEDING) AS p
+       |  FROM y),
+       |pw AS (
+       |  SELECT event_type, day, n_events, p,
+       |    MIN(p) OVER (PARTITION BY event_type ORDER BY day
+       |                 ROWS UNBOUNDED PRECEDING) AS pmin
+       |  FROM pp)
+       |SELECT event_type, day, n_events,
+       |  CAST(p - LEAST(0, pmin) AS BIGINT) AS cusum_milli,
+       |  p - LEAST(0, pmin) > $CusumThresholdMilli AS alarm
+       |FROM pw ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_cusum_alarm" -> Q(cusumAlarm _, cusumAlarmSql,
+      Seq(col("event_type"), col("day"))),
     "events_user_features" -> Q(userFeatures _, userFeaturesSql, Seq(col("user_id"))),
     "events_seasonal_outliers" -> Q(seasonalOutliers _, seasonalOutliersSql,
       Seq(col("event_id"))),

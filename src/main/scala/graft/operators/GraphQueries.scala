@@ -295,6 +295,70 @@ object GraphQueries {
       .limit(50)
   }
 
+  /** §8n(cj) — PERSONALIZED PageRank (PPR): the same integer-exact power
+    * iteration as [[pagerank]], but probability teleports back to a SEED
+    * SET (parts with p_partkey % 100 == 0 — the deterministic-sample
+    * convention) instead of everywhere. The result ranks the graph BY
+    * RELEVANCE TO THE SEEDS — the "customers who bought these also
+    * bought" engine behind item-to-item recommendation, where global
+    * PageRank just re-finds the bestsellers. Identical arithmetic lane:
+    * scaled-integer ranks, truncating div, zero floats — bit-equal on
+    * any executor count. Non-seeds start at 0 and receive no teleport;
+    * mass drains through dangling truncation exactly as the global
+    * variant's, so ranks are comparable across runs.
+    *
+    * Scale shape: the [[pagerank]] iteration economics unchanged — one
+    * partial-agg exchange per round over the persisted degree-annotated
+    * edge list. */
+  def pagerankPersonalized(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val e = edges(Tables(dir))
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val symDeg = Cached.track(sym.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val teleport = PrScale * 15L / 100L
+    var ranks = deg.select(col("src").as("node"),
+      when(col("src") % 100 === 0, lit(PrScale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to PrIters) {
+      ranks = symDeg
+        .join(ranks, symDeg("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("insum"))
+        .select(col("dst").as("node"),
+          (when(col("dst") % 100 === 0, lit(teleport)).otherwise(lit(0L))
+            + expr("(85 * insum) div 100")).as("r"))
+    }
+    ranks
+      .select(col("node").as("p_partkey"), col("r").as("ppr_scaled"))
+      .orderBy(col("ppr_scaled").desc, col("p_partkey"))
+      .limit(50)
+  }
+
+  private val pagerankPersonalizedSql = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT sd.dst AS node,
+         |    CAST(CASE WHEN sd.dst % 100 = 0 THEN ${PrScale * 15L / 100L} ELSE 0 END
+         |      + (85 * SUM(r // outdeg)) // 100 AS BIGINT) AS r
+         |  FROM sd JOIN $prev p ON sd.src = p.node GROUP BY sd.dst)"""
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src),
+       |sd AS (SELECT s.src, s.dst, d.outdeg FROM sym s JOIN deg d ON s.src = d.src),
+       |r0 AS (SELECT src AS node,
+       |       CAST(CASE WHEN src % 100 = 0 THEN $PrScale ELSE 0 END AS BIGINT) AS r FROM deg),
+       |${(1 to PrIters).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")}
+       |SELECT node AS p_partkey, r AS ppr_scaled
+       |FROM r$PrIters
+       |ORDER BY ppr_scaled DESC, p_partkey LIMIT 50""".stripMargin
+  }
+
   // ------------------------------------------- Connected components (§8k)
 
   /** Support threshold for the co-purchase BACKBONE: keep a pair only when
@@ -904,6 +968,8 @@ object GraphQueries {
       Seq(col("n_triangles").desc, col("p_partkey"))),
     "graph_triangles_capped" -> Q((s, d) => trianglesCapped(s, d, CapK),
       trianglesCappedSql(CapK), Seq(col("p_partkey"))),
+    "graph_ppr" -> Q(pagerankPersonalized _, pagerankPersonalizedSql,
+      Seq(col("ppr_scaled").desc, col("p_partkey"))),
     "graph_pagerank" -> Q(pagerank _, pagerankSql,
       Seq(col("rank_scaled").desc, col("p_partkey"))),
     "graph_pagerank_served" -> Q(pagerankServed _, pagerankSql,

@@ -185,6 +185,54 @@ class GraphSpec extends AnyFunSuite {
     got.foreach { case (u, _, w) => assert(!symSet((u, w)) && nodes(w) && w != u) }
   }
 
+  test("personalized pagerank matches a driver power iteration; seeds dominate") {
+    // driver recompute with the same integer lane: scaled ranks,
+    // truncating div, teleport only at seed nodes (part % 100 == 0)
+    val sym = pairCounts.keys.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val outdeg = sym.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val scale = 1000000000000L
+    val teleport = scale * 15L / 100L
+    var r = outdeg.keys.map(n => n -> (if (n % 100 == 0) scale else 0L)).toMap
+    for (_ <- 1 to 4) {
+      val in = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / outdeg(src) }.sum
+      }
+      r = outdeg.keys.map { n =>
+        n -> ((if (n % 100 == 0) teleport else 0L) + 85L * in.getOrElse(n, 0L) / 100L)
+      }.toMap
+    }
+    val want = r.toSeq.sortBy { case (n, v) => (-v, n) }.take(50)
+    val got = GraphQueries.queries("graph_ppr").fn(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got.sortBy { case (n, v) => (-v, n) } == want)
+    assert(got.map(_._2).max > 0)
+    // the top of the PPR list is seed-biased: at least one seed in top-10
+    assert(got.take(10).exists(_._1 % 100 == 0))
+  }
+
+  test("cusum closed form equals the sequential recursion (driver recompute)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val daily = graft.sources.Tables(dir).events
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day")
+      .groupBy("event_type", "day").count()
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val want = daily.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      val ordered = rows.sortBy(_._2).toSeq
+      val tot = ordered.map(_._3).sum
+      val mean = 1000L * tot / ordered.length
+      var sRun = 0L
+      ordered.map { case (_, day, n) =>
+        val y = 1000L * n - mean - 500L
+        sRun = math.max(0L, sRun + y) // Page's recursion, literally
+        (tpe, day) -> ((n, sRun, sRun > 5000L))
+      }
+    }
+    val got = EventAnalytics.queries("events_cusum_alarm").fn(spark, dir)
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getBoolean(4)))).toMap
+    assert(got.nonEmpty && got == want.toMap)
+  }
+
   test("node-broadcast gate: broadcast inside the budget, keyed join beyond it, rows identical") {
     def planOf(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
