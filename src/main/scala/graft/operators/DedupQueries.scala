@@ -551,7 +551,22 @@ object DedupQueries {
     * duplicate" population. Same co-partitioned bucket self-join as the
     * band pipeline ([[graft.plans.BandedPairsPlan]] whale cap applies),
     * keyed on (component index, component value). */
-  private def looseCandidates(t: Tables)(implicit s: SparkSession): DataFrame = {
+  /** Whale cap on the component buckets: a component value shared by
+    * more than this many docs is a boilerplate-level signal (its pairs
+    * are only weakly similar — exactly the pairs hard-negative mining
+    * doesn't need), and under replica densification its pair count grows
+    * quadratically. Dropping whole whale buckets is the registered
+    * [[graft.plans.BandedPairs]] `maxBucket` contract (deterministic
+    * undercount, spec-proven); at the oracle scales the largest bucket
+    * is ~22, so the registered result is EXACT there and the cap binds
+    * only where the quadratic blow-up would. */
+  private val LooseBucketCap = 64
+
+  private def looseCandidates(t: Tables)(implicit s: SparkSession): DataFrame =
+    looseCandidatesCapped(t, LooseBucketCap)
+
+  private[operators] def looseCandidatesCapped(t: Tables, cap: Int)(
+      implicit s: SparkSession): DataFrame = {
     // posexplode_OUTER: the non-outer form plants an implicit
     // `size(m) > 0` filter that predicate-pushdown drags to the scan with
     // the whole K-component minhash tree substituted inline — a
@@ -560,7 +575,7 @@ object DedupQueries {
     // are identical and no filter is planted.
     val comp = minhashSigs(shingled(t))
       .select(col("doc_id"), posexplode_outer(col("m")).as(Seq("comp_id", "v")))
-    Banded.pairsExec(comp, Seq("comp_id", "v"), "doc_id")
+    Banded.pairsExec(comp, Seq("comp_id", "v"), "doc_id", maxBucket = cap)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
   }
@@ -615,8 +630,11 @@ object DedupQueries {
     * tail. */
   private def looseCtes: String =
     s"""$minhashCtes,
-       |comp AS (SELECT doc_id, i AS comp_id, m[i] AS v
-       |         FROM mh, UNNEST(generate_series(1, $K)) AS t(i)),
+       |comp0 AS (SELECT doc_id, i AS comp_id, m[i] AS v
+       |          FROM mh, UNNEST(generate_series(1, $K)) AS t(i)),
+       |smallb AS (SELECT comp_id, v FROM comp0
+       |           GROUP BY comp_id, v HAVING COUNT(*) <= $LooseBucketCap),
+       |comp AS (SELECT c.* FROM comp0 c JOIN smallb USING (comp_id, v)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM comp a JOIN comp b

@@ -80,6 +80,38 @@ class ContrastivePairsSpec extends AnyFunSuite {
     assert(agree > 0, "retrievers should agree on at least one anchor's positive")
   }
 
+  test("loose-candidate whale cap: drop rule matches a driver recompute, monotone, exact above max bucket") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.{words, shingles}
+    graft.plans.VectorExpressions.register(spark)
+    val t = graft.sources.Tables(dir)
+    // the same component rows the retriever buckets on
+    val sh = t.documents.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), shingles("w").as("s"))
+    val comp = DedupQueries.minhashSigs(sh)
+      .select(col("doc_id"), posexplode_outer(col("m")).as(Seq("comp_id", "v")))
+      .select("doc_id", "comp_id", "v")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def driverPairs(cap: Int): Set[(Long, Long)] =
+      comp.groupBy(c => (c._2, c._3)).values
+        .filter(b => b.length <= cap)
+        .flatMap { b =>
+          val ids = b.map(_._1).distinct.sorted
+          for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+        }.toSet
+    def enginePairs(cap: Int): Set[(Long, Long)] =
+      DedupQueries.looseCandidatesCapped(t, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tiny = enginePairs(2)
+    assert(tiny == driverPairs(2))
+    val full = enginePairs(Int.MaxValue)
+    assert(full == driverPairs(Int.MaxValue) && full.nonEmpty)
+    assert(tiny.subsetOf(full), "capping only ever drops pairs")
+    // the registered cap (64) is exact at this scale (max bucket ~6)
+    assert(enginePairs(64) == full)
+  }
+
   test("fertility: exact per-lang recompute from raw text") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = graft.sources.Tables(dir).documents
