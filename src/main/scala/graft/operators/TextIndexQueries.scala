@@ -277,35 +277,62 @@ object TextIndexQueries {
   }
 
   /** §8n(cd) — CCNet-style perplexity bucketing: every scored document
-    * assigned to its language's head / middle / tail TERTILE by LM
+    * assigned to its language's head / middle / tail bucket by LM
     * predictability (head = most predictable ≈ lowest perplexity — the
     * bucket CCNet keeps; tail = incoherent token soup; middle = the
-    * judgement zone). NTILE over (doc_pred DESC, doc_id) — the unique
-    * tiebreak makes the tertile assignment deterministic in both
-    * engines, so a probabilistic-looking curriculum split is
-    * hash-exact. Scale: the scoring chain is the [[bigramLm]] one; the
-    * bucketing adds a single per-language window. */
+    * judgement zone). Buckets are VALUE thresholds — t_head = the
+    * largest score whose at-or-above population reaches ⌈n/3⌉, t_mid
+    * likewise at ⌈2n/3⌉ — computed from the per-language (score, count)
+    * HISTOGRAM, so the only window runs over the bounded distinct-score
+    * table and the per-doc assignment is a broadcast-join comparison.
+    * (An NTILE over (lang) would funnel each language's WHOLE corpus
+    * through one task at scale — NTILE can't push partial limits the
+    * way top-k windows do; value thresholds are also what CCNet itself
+    * publishes. Ties at a threshold all land on the higher bucket —
+    * deterministic in both engines, exact integers throughout.) */
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val docs = Tables(dir).documents
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_pred").desc, col("doc_id"))
-    docPred(docs)
+    val scored = docPred(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .withColumn("tertile", ntile(3).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.Cached.track)
+    val hist = scored.groupBy("lang", "doc_pred").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_pred").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cumn", sum(col("n")).over(w))
+      .join(hist.groupBy("lang").agg(sum(col("n")).as("tot")), Seq("lang"))
+    val thr = cum.groupBy("lang").agg(
+      max(when(col("cumn") >= expr("(tot + 2) div 3"), col("doc_pred"))).as("t_head"),
+      max(when(col("cumn") >= expr("(2 * tot + 2) div 3"), col("doc_pred"))).as("t_mid"))
+    scored.join(broadcast(thr), Seq("lang"))
       .withColumn("ppl_bucket", expr(
-        "CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"))
-      .select(col("doc_id"), col("lang"), col("doc_pred"),
-        col("tertile").cast("long").as("tertile"), col("ppl_bucket"))
+        "CASE WHEN doc_pred >= t_head THEN 'head' WHEN doc_pred >= t_mid THEN 'middle' ELSE 'tail' END"))
+      .select(col("doc_id"), col("lang"), col("doc_pred"), col("ppl_bucket"))
   }
 
   private def pplBucketsSql =
-    s"""WITH $docPredCtes
-       |SELECT p.doc_id, d.lang, p.doc_pred,
-       |  CAST(NTILE(3) OVER (PARTITION BY d.lang ORDER BY p.doc_pred DESC, p.doc_id) AS BIGINT) AS tertile,
-       |  CASE NTILE(3) OVER (PARTITION BY d.lang ORDER BY p.doc_pred DESC, p.doc_id)
-       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
-       |FROM perdoc p JOIN documents d USING (doc_id)
+    s"""WITH $docPredCtes,
+       |scored AS (SELECT p.doc_id, d.lang, p.doc_pred
+       |           FROM perdoc p JOIN documents d USING (doc_id)),
+       |hist AS (SELECT lang, doc_pred, COUNT(*) AS n FROM scored GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT h.lang, h.doc_pred, t.tot,
+       |    SUM(h.n) OVER (PARTITION BY h.lang ORDER BY h.doc_pred DESC
+       |                   ROWS UNBOUNDED PRECEDING) AS cumn
+       |  FROM hist h JOIN (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot
+       |                    FROM hist GROUP BY 1) t USING (lang)),
+       |thr AS (
+       |  SELECT lang,
+       |    MAX(CASE WHEN cumn >= (tot + 2) // 3 THEN doc_pred END) AS t_head,
+       |    MAX(CASE WHEN cumn >= (2 * tot + 2) // 3 THEN doc_pred END) AS t_mid
+       |  FROM cum GROUP BY 1)
+       |SELECT s.doc_id, s.lang, s.doc_pred,
+       |  CASE WHEN s.doc_pred >= t.t_head THEN 'head'
+       |       WHEN s.doc_pred >= t.t_mid THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |FROM scored s JOIN thr t USING (lang)
        |ORDER BY doc_id""".stripMargin
 
   private val bigramLmSql = {

@@ -14,28 +14,27 @@ class CurriculumSpec extends AnyFunSuite {
   private def md5hex(s: String): String = java.security.MessageDigest
     .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  test("ppl buckets: deterministic per-lang tertiles over the doc_pred ranking") {
+  test("ppl buckets: value thresholds recomputed from the per-lang score histogram") {
     val rows = TextIndexQueries.queries("docs_ppl_buckets").fn(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
     assert(rows.nonEmpty)
     rows.groupBy(_._2).foreach { case (_, rs) =>
-      // recompute NTILE(3) from the query's own scores with the same
-      // (doc_pred DESC, doc_id) tiebreak
-      val ordered = rs.sortBy { case (id, _, pred, _, _) => (-pred, id) }
-      val n = ordered.length
-      val (q, r) = (n / 3, n % 3)
-      val sizes = (0 until 3).map(i => q + (if (i < r) 1 else 0))
-      val want = ordered.zip(sizes.zipWithIndex.flatMap { case (sz, i) =>
-        Seq.fill(sz)(i + 1L)
-      })
-      want.foreach { case ((id, _, _, tertile, bucket), expect) =>
-        assert(tertile == expect, s"doc $id tertile")
-        assert(bucket == (expect match {
-          case 1 => "head"; case 2 => "middle"; case _ => "tail" }))
+      val n = rs.length
+      // t_head / t_mid from the descending cumulative counts, driver-side
+      val byScore = rs.groupBy(_._3).view.mapValues(_.length).toSeq.sortBy(-_._1)
+      val cum = byScore.scanLeft((Long.MaxValue, 0)) { case ((_, acc), (v, c)) => (v, acc + c) }.tail
+      def thr(target: Int): Long = cum.filter(_._2 >= target).map(_._1).max
+      val tHead = thr((n + 2) / 3)
+      val tMid = thr((2 * n + 2) / 3)
+      rs.foreach { case (id, _, pred, bucket) =>
+        val want = if (pred >= tHead) "head" else if (pred >= tMid) "middle" else "tail"
+        assert(bucket == want, s"doc $id: pred $pred, thresholds ($tHead, $tMid)")
       }
-      // head never scores below tail within a language
-      val headMin = rs.filter(_._5 == "head").map(_._3).min
-      val tailMax = rs.filter(_._5 == "tail").map(_._3).max
+      // the head bucket covers at least a third of the language
+      assert(rs.count(_._4 == "head") * 3 >= n)
+      // head never scores below tail
+      val headMin = rs.filter(_._4 == "head").map(_._3).min
+      val tailMax = rs.filter(_._4 == "tail").map(_._3).maxOption.getOrElse(Long.MinValue)
       assert(headMin >= tailMax)
     }
   }
