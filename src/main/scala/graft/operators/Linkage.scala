@@ -236,7 +236,70 @@ object Linkage {
       |FROM labels JOIN names n ON n.p_name = labels.id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val SnmWindow = 4
+
+  /** §8n(cm) — SORTED-NEIGHBORHOOD candidate generation (Hernández &
+    * Stolfo), blocked: distinct names sort lexicographically WITHIN a
+    * first-token block and every name is compared to its [[SnmWindow]]
+    * sort-successors. The complementary blocking to [[fuzzyParts]]
+    * (which blocks on the SECOND token): sorted-neighborhood surfaces
+    * near-matches whose shared prefix puts them adjacent in sort order
+    * even when the verify-critical tokens differ — the classic ER
+    * recipe for prefix-heavy identifiers. Verify = edit distance ≤ 3:
+    * one notch looser than the sibling's ≤ 2 because sort-adjacency has
+    * already done half the filtering, and the pairs it keeps (shared
+    * first token, divergent second) are EXACTLY the ones second-token
+    * blocking is structurally blind to.
+    *
+    * Scale shape: matching DISTINCT names (vocabulary-bounded, the
+    * sibling's load-bearing decision); the rank window runs per block —
+    * block granularity (here one token; two subdivide) is the knob that
+    * bounds per-task sort size; the window join is one equi-join on the
+    * block key with a rank-range predicate. */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val names = Tables(dir).part
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("p_name"))
+    val ranked = names.withColumn("rk", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached.track)
+    val a = ranked.select(col("blk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"), col("rk").as("rk_a"))
+    val b = ranked.select(col("blk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"), col("rk").as("rk_b"))
+    a.join(b, Seq("blk"))
+      .where(col("rk_b") > col("rk_a") && col("rk_b") <= col("rk_a") + SnmWindow)
+      .where(levenshtein(col("name_a"), col("name_b")) <= 3)
+      .select(col("name_a"), col("name_b"),
+        (col("rk_b") - col("rk_a")).cast("long").as("win_dist"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+  }
+
+  private val sortedNeighborhoodSql =
+    s"""WITH names AS (
+       |  SELECT p_name, COUNT(*) AS n_parts, split_part(p_name, ' ', 1) AS blk
+       |  FROM part GROUP BY 1),
+       |ranked AS (
+       |  SELECT p_name, n_parts, blk,
+       |    ROW_NUMBER() OVER (PARTITION BY blk ORDER BY p_name) AS rk
+       |  FROM names)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |  b.rk - a.rk AS win_dist,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+       |FROM ranked a JOIN ranked b
+       |  ON a.blk = b.blk AND b.rk > a.rk AND b.rk <= a.rk + $SnmWindow
+       |WHERE levenshtein(a.p_name, b.p_name) <= 3
+       |ORDER BY name_a, name_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "link_sorted_neighborhood" -> Q(sortedNeighborhood _, sortedNeighborhoodSql,
+      Seq(col("name_a"), col("name_b"))),
     "link_fuzzy_parts" -> Q(fuzzyParts _, fuzzyPartsSql, Seq(col("name_a"), col("name_b"))),
     "link_fuzzy_segments" -> Q(fuzzySegments _, fuzzySegmentsSql, Seq(col("name_a"), col("name_b"))),
     "link_entity_clusters" -> Q(entityClusters _, entityClustersSql, Seq(col("canonical_name"))),

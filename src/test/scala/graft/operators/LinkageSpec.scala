@@ -21,6 +21,34 @@ class LinkageSpec extends AnyFunSuite {
     d(a.length)(b.length)
   }
 
+  test("sorted neighborhood: window pairs + verify match a driver recompute; complementary to token blocking") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val names = graft.sources.Tables(TestSpark.Sf0001).part
+      .groupBy("p_name").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = names.groupBy(_._1.split(" ").head).values.flatMap { blk =>
+      val sorted = blk.map(_._1).distinct.sorted
+      val counts = blk.toMap
+      for {
+        i <- sorted.indices; j <- i + 1 until math.min(i + 5, sorted.length)
+        d = lev(sorted(i), sorted(j)) if d <= 3
+      } yield (sorted(i), sorted(j), (j - i).toLong, d.toLong,
+        counts(sorted(i)), counts(sorted(j)))
+    }.toSet
+    val got = Linkage.queries("link_sorted_neighborhood").fn(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want && got.nonEmpty)
+    // complementarity: SNM keeps pairs whose SECOND token differs, which
+    // second-token blocking (link_fuzzy_parts) is structurally blind to
+    val fuzzy = Linkage.queries("link_fuzzy_parts").fn(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val snmOnly = got.map(p => (p._1, p._2)).diff(fuzzy)
+    assert(snmOnly.nonEmpty, "SNM should surface pairs token blocking misses")
+    snmOnly.foreach { case (a, b) =>
+      assert(a.split(" ")(1) != b.split(" ")(1)) }
+  }
+
   test("multi-column records share one edit budget across fields") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val recs = Seq(
