@@ -963,7 +963,173 @@ object GraphQueries {
        |ORDER BY rank_scaled DESC, p_partkey LIMIT 50""".stripMargin
   }
 
+  // ------------------------------------- Label propagation & HITS
+
+  private val LpaIters = 5
+  private val HitsIters = 4
+  private val HitsScale = 1000000000000L // scores carried as s × 10^12
+
+  /** Decimal(38,0) lane for the HITS message sums: |V|·10¹² already
+    * brushes the int64 range at large node domains. The oracle rides
+    * HUGEINT instead of DECIMAL for the same sums — DuckDB decimal
+    * arithmetic whose result precision would exceed 38 silently falls
+    * back to DOUBLE (measured: 1-ulp drift vs Spark's exact decimal
+    * div), while HUGEINT×BIGINT stays exact 128-bit integer math. */
+  private def cast38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+
+  /** Community detection by synchronous WEIGHTED label propagation
+    * (Raghavan et al. 2007, deterministic variant) over the support-
+    * thresholded backbone: every node starts as its own label; each
+    * round it adopts the label with the largest support-weighted
+    * neighbor vote, ties broken toward the SMALLER label. All-integer,
+    * so the fixpoint is bit-identical across engines and cluster sizes.
+    * On the UNthresholded co-purchase graph LPA degenerates (one dense
+    * component swallows every label in two rounds — measured); the
+    * backbone is where community structure lives, and unlike
+    * [[components]] the vote dynamics can SPLIT a connected component
+    * along weak ties.
+    *
+    * Scale shape: per round = one message shuffle (labels join the
+    * staged backbone) + two hash aggregations, both with map-side
+    * partials. The per-(dst,label) vote table is bounded by the edge
+    * count, never deg² — the argmax folds it to |V| rows via a
+    * min(struct(-votes, lbl)) two-phase agg (no per-node sort, unlike
+    * the window formulation). Labels are |V|-row per round; at 100 TB
+    * AQE broadcasts them while they fit, else the join runs keyed. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val bb = stagedBackbone(spark, dir)
+    val sym = Cached.track(
+      bb.select(col("u").as("src"), col("v").as("dst"), col("n").as("w"))
+        .unionByName(bb.select(col("v").as("src"), col("u").as("dst"), col("n").as("w")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to LpaIters) {
+      labels = sym
+        .join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(sum(col("w")).as("votes"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("votes")).as("nv"), col("lbl").as("l"))).as("best"))
+        .select(col("dst").as("node"), col("best.l").as("lbl"))
+    }
+    labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("community"), col("n_members"))
+  }
+
+  private val labelPropSql = {
+    def iter(prev: String, i: Int) =
+      s"""c$i AS MATERIALIZED (
+         |  SELECT s.dst, p.lbl, SUM(s.w) AS votes
+         |  FROM sym s JOIN $prev p ON s.src = p.node GROUP BY s.dst, p.lbl),
+         |l$i AS MATERIALIZED (
+         |  SELECT dst AS node, lbl FROM (
+         |    SELECT dst, lbl, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY votes DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1)"""
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ew AS MATERIALIZED (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport),
+       |sym AS (SELECT pa AS src, pb AS dst, w FROM ew UNION ALL SELECT pb, pa, w FROM ew),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+       |${(1 to LpaIters).map(i => iter(s"l${i - 1}", i)).mkString(",\n")}
+       |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+       |FROM l$LpaIters GROUP BY lbl
+       |ORDER BY n_members DESC, community""".stripMargin
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the ORIENTED edge
+    * list (pa→pb, the deterministic a<b orientation), integer
+    * fixed-point: raw scores are exact decimal sums of the opposite
+    * side, re-normalized each half-step by the L∞ norm via scaled
+    * integer division — `a·10¹² div max(a)` — so every engine and every
+    * summation order produces the same bits (the float power-iteration
+    * would drift by ulps per round). The 1-row max joins broadcast.
+    *
+    * Per round = two message shuffles (h→authorities, a→hubs), each a
+    * keyed join against the persisted edge list with map-side partial
+    * sums — the same Pregel-by-join economics as PageRank. */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val e = edges(Tables(dir))
+    val dirE = Cached.track(
+      e.select(col("pa").as("src"), col("pb").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Each half-step PERSISTS its |V|-row raw-score frame and reads the
+    // L∞ norm back as a 1-row driver literal. Without this the lazy plan
+    // embeds the full upstream lineage twice per renorm (raw + max(raw)),
+    // doubling plan size every half-step — 2⁸ growth that stalls codegen
+    // before any data moves. The collect is 1 row by construction; the
+    // persisted frames are |V|-row, the same budget as the rank vectors.
+    def renorm(rawIn: DataFrame): DataFrame = {
+      val raw = Cached.track(
+        rawIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val mx = raw.agg(max(col("raw")).as("mx")).head().getDecimal(0)
+      raw.select(col("node"),
+        expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $HitsScale) div CAST('$mx' AS DECIMAL(38,0)) AS BIGINT)").as("s"))
+    }
+    var h = dirE.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(HitsScale).as("s"))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      a = renorm(dirE.join(h, dirE("src") === h("node"))
+        .groupBy(col("dst")).agg(sum(cast38(col("s"))).as("raw"))
+        .select(col("dst").as("node"), col("raw")))
+      h = renorm(dirE.join(a, dirE("dst") === a("node"))
+        .groupBy(col("src")).agg(sum(cast38(col("s"))).as("raw"))
+        .select(col("src").as("node"), col("raw")))
+    }
+    a.select(col("node"), col("s").as("auth_scaled"))
+      .join(h.select(col("node"), col("s").as("hub_scaled")), Seq("node"), "full_outer")
+      .select(col("node").as("p_partkey"),
+        coalesce(col("auth_scaled"), lit(0L)).as("auth_scaled"),
+        coalesce(col("hub_scaled"), lit(0L)).as("hub_scaled"))
+      .orderBy(col("auth_scaled").desc, col("hub_scaled").desc, col("p_partkey"))
+      .limit(50)
+  }
+
+  /** Every iteration CTE is MATERIALIZED: a_i references ar_i twice
+    * (once for the scores, once inside the scalar MAX) — inlined, the
+    * oracle's tree would DOUBLE per half-step, 2⁸ copies of the base
+    * self-join, the SQL mirror of the lazy-plan explosion the Spark
+    * side solves by persisting each raw-score frame. */
+  private val hitsSql = {
+    def iter(i: Int) = {
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT de.dst AS node, SUM(CAST(p.s AS HUGEINT)) AS raw
+         |  FROM de JOIN $prevH p ON de.src = p.node GROUP BY de.dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, CAST((raw * $HitsScale)
+         |    // (SELECT MAX(raw) FROM ar$i) AS BIGINT) AS s FROM ar$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT de.src AS node, SUM(CAST(p.s AS HUGEINT)) AS raw
+         |  FROM de JOIN a$i p ON de.dst = p.node GROUP BY de.src),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, CAST((raw * $HitsScale)
+         |    // (SELECT MAX(raw) FROM hr$i) AS BIGINT) AS s FROM hr$i)"""
+    }
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |de AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |h0 AS (SELECT DISTINCT src AS node, CAST($HitsScale AS BIGINT) AS s FROM de),
+       |${(1 to HitsIters).map(iter).mkString(",\n")}
+       |SELECT COALESCE(a.node, h.node) AS p_partkey,
+       |  CAST(COALESCE(a.s, 0) AS BIGINT) AS auth_scaled,
+       |  CAST(COALESCE(h.s, 0) AS BIGINT) AS hub_scaled
+       |FROM a$HitsIters a FULL OUTER JOIN h$HitsIters h ON a.node = h.node
+       |ORDER BY auth_scaled DESC, hub_scaled DESC, p_partkey LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_label_prop" -> Q(labelProp _, labelPropSql,
+      Seq(col("n_members").desc, col("community"))),
+    "graph_hits" -> Q(hits _, hitsSql,
+      Seq(col("auth_scaled").desc, col("hub_scaled").desc, col("p_partkey"))),
     "graph_triangles" -> Q(triangles _, trianglesSql,
       Seq(col("n_triangles").desc, col("p_partkey"))),
     "graph_triangles_capped" -> Q((s, d) => trianglesCapped(s, d, CapK),

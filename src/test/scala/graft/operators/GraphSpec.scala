@@ -261,4 +261,43 @@ class GraphSpec extends AnyFunSuite {
     c32.foreach { case (k, v) => assert(v <= full(k), s"cap overcounted part $k") }
     assert(c8.values.sum <= c32.values.sum && c32.values.sum <= full.values.sum)
   }
+
+  test("weighted label propagation matches a synchronous driver recompute") {
+    val sym = pairCounts.filter(_._2 >= 2).toSeq.flatMap { case ((a, b), w) =>
+      Seq((a, b, w.toLong), (b, a, w.toLong))
+    }
+    var lbl = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 5) {
+      val prev = lbl
+      lbl = sym.groupBy(_._2).map { case (dst, es) =>
+        val votes = es.groupBy(e => prev(e._1)).view.mapValues(_.map(_._3).sum)
+        dst -> votes.toSeq.minBy { case (l, v) => (-v, l) }._1
+      }
+    }
+    val expect = lbl.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val got = GraphQueries.labelProp(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("HITS integer fixed-point matches a BigInt driver recompute") {
+    val dirE = pairCounts.keys.toSeq.sorted // (a, b) with a < b = the orientation
+    val S = BigInt(1000000000000L)
+    var h = dirE.map(_._1).distinct.map(n => n -> S).toMap
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to 4) {
+      val ar = dirE.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      val amx = ar.values.max
+      a = ar.view.mapValues(v => v * S / amx).toMap
+      val hr = dirE.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      val hmx = hr.values.max
+      h = hr.view.mapValues(v => v * S / hmx).toMap
+    }
+    val expect = (a.keySet ++ h.keySet).toSeq
+      .map(n => (n, a.getOrElse(n, BigInt(0)).toLong, h.getOrElse(n, BigInt(0)).toLong))
+      .sortBy { case (n, au, hu) => (-au, -hu, n) }.take(50)
+    val got = GraphQueries.hits(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
 }
