@@ -364,7 +364,95 @@ object TextQueries {
        |FROM documents GROUP BY 1, 2
        |ORDER BY lang, len_bucket""".stripMargin
 
+  private val MaxPhraseLen = 6
+  private val breakRe = "[^a-z0-9]"
+
+  /** §8o — RAKE keyphrase extraction (Rose et al. 2010): candidate
+    * phrases are maximal runs of content tokens (runs break at stopwords
+    * or any token carrying a non-alphanumeric character), a word scores
+    * deg(w)/freq(w) over its phrase occurrences, a phrase scores the sum
+    * of its member word scores. Scores ride ppm integers (deg·10⁶ div
+    * freq), so both engines produce identical bits. Phrases are capped
+    * at [[MaxPhraseLen]] tokens — the standard whale guard; a pathological
+    * stopword-free document would otherwise emit its whole body as one
+    * phrase.
+    *
+    * Scale shape: the run-id window is per-doc (bounded partition sort,
+    * no global sort); everything downstream is hash aggregation over the
+    * member rows with map-side partials. The phrase-TYPE table (distinct
+    * phrase texts) is the only side the word-score join touches twice,
+    * and member rows persist so the word-stat and phrase-text branches
+    * don't re-tokenize the corpus. */
+  def keyphrases(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = Tables(dir).documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), posexplode_outer(col("w")).as(Seq("pos", "tok")))
+      .where(col("tok").isNotNull)
+    val runs = toks
+      .withColumn("brk", col("tok").isin(stopwords: _*) || col("tok").rlike(breakRe))
+      .withColumn("run_id",
+        sum(when(col("brk"), 1L).otherwise(0L))
+          .over(Window.partitionBy("doc_id").orderBy("pos")))
+    val memb = graft.operators.Cached.track(
+      runs.where(!col("brk"))
+        .select(col("doc_id"), col("run_id"), col("pos"), col("tok"))
+        .persist(MEMORY_AND_DISK))
+    val occ = graft.operators.Cached.track(
+      memb.groupBy("doc_id", "run_id")
+        .agg(count(lit(1)).as("len"),
+          expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok))")
+            .as("phrase"))
+        .where(col("len") <= MaxPhraseLen)
+        .persist(MEMORY_AND_DISK))
+    val wscore = memb
+      .join(occ.select("doc_id", "run_id", "len"), Seq("doc_id", "run_id"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("tok"),
+        expr("CAST((CAST(deg AS DECIMAL(38,0)) * 1000000) div freq AS BIGINT)").as("score_ppm"))
+    val ptypes = occ.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+    ptypes
+      .select(col("phrase"), col("n_occurrences"), explode(split(col("phrase"), " ")).as("tok"))
+      .join(wscore, "tok")
+      .groupBy("phrase", "n_occurrences")
+      .agg(sum(col("score_ppm")).as("score_ppm"))
+      .select(col("phrase"), col("n_occurrences"), col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("n_occurrences").desc, col("phrase"))
+      .limit(50)
+  }
+
+  private def keyphrasesSql =
+    s"""WITH wd AS (SELECT doc_id, ${graft.functions.DuckSql.wordsOf("text")} AS w FROM documents),
+       |toks AS (SELECT doc_id, w[i] AS tok, i AS pos
+       |  FROM wd, UNNEST(generate_series(1, LEN(w))) AS g(i)),
+       |runs AS (SELECT doc_id, pos, tok,
+       |    (tok IN (${stopwords.map(w => s"'$w'").mkString(", ")})
+       |      OR regexp_matches(tok, '$breakRe')) AS brk,
+       |    SUM(CASE WHEN (tok IN (${stopwords.map(w => s"'$w'").mkString(", ")})
+       |      OR regexp_matches(tok, '$breakRe')) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+       |  FROM toks),
+       |memb AS MATERIALIZED (SELECT doc_id, run_id, pos, tok FROM runs WHERE NOT brk),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, run_id, COUNT(*) AS len, STRING_AGG(tok, ' ' ORDER BY pos) AS phrase
+       |  FROM memb GROUP BY doc_id, run_id HAVING COUNT(*) <= $MaxPhraseLen),
+       |ws AS (SELECT m.tok, COUNT(*) AS freq, SUM(o.len) AS deg
+       |  FROM memb m JOIN occ o ON m.doc_id = o.doc_id AND m.run_id = o.run_id
+       |  GROUP BY m.tok),
+       |wscore AS (SELECT tok, CAST((CAST(deg AS HUGEINT) * 1000000) // freq AS BIGINT) AS score_ppm
+       |  FROM ws),
+       |ptypes AS MATERIALIZED (SELECT phrase, COUNT(*) AS n_occurrences FROM occ GROUP BY phrase),
+       |ptok AS (SELECT phrase, n_occurrences, unnest(string_split(phrase, ' ')) AS tok FROM ptypes)
+       |SELECT p.phrase, p.n_occurrences, CAST(SUM(w.score_ppm) AS BIGINT) AS score_ppm
+       |FROM ptok p JOIN wscore w ON p.tok = w.tok
+       |GROUP BY p.phrase, p.n_occurrences
+       |ORDER BY score_ppm DESC, n_occurrences DESC, phrase LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_keyphrases" -> Q(keyphrases _, keyphrasesSql,
+      Seq(col("score_ppm").desc, col("n_occurrences").desc, col("phrase"))),
     "text_pii_scan" -> Q(piiScan _, piiScanSql, Seq(col("source"))),
     "text_fertility" -> Q(fertility _, fertilitySql, Seq(col("lang"))),
     "docs_kanon_audit" -> Q(kanonAudit _, kanonAuditSql,
