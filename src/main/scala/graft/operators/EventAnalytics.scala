@@ -1403,7 +1403,72 @@ object EventAnalytics {
        |  p - LEAST(0, pmin) > $CusumThresholdMilli AS alarm
        |FROM pw ORDER BY event_type, day""".stripMargin
 
+  // ----------------------------------------- OLS trend (§8o)
+
+  /** §8o — per-type OLS trend over the hourly count series: slope and
+    * intercept of the least-squares line through (hour-index, count),
+    * x measured from each type's FIRST active hour so the intercept
+    * reads as "level at window start" and the sufficient statistics
+    * stay small. The five sufficient sums (n, Σx, Σy, Σx², Σxy) ride
+    * the wide-integer lane (decimal(38,0) here, HUGEINT in the
+    * oracle — DuckDB decimal math past precision 38 silently degrades
+    * to DOUBLE); the ONLY float step is the final correctly-rounded
+    * cast-and-divide of two exact integers, then round-6 — the
+    * engine-exact float discipline.
+    *
+    * Scale shape: one corpus groupBy into the (type, hour) table —
+    * everything after is per-type arithmetic on calendar-sized rows;
+    * the per-type min-hour table is 1-row-per-type and broadcasts.
+    * The sums are classic MERGEABLE registers: a streaming or
+    * partitioned deployment lands (n, Σx, Σy, Σx², Σxy) per shard and
+    * adds them — the spec pins split-merge == whole-corpus. */
+  def trendOls(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    trendOlsFrom(Tables(dir).events)
+  }
+
+  /** The trend chain on any (event_type, ts) frame — factored out so the
+    * mergeability spec can drive corpus splits through it. */
+  private[operators] def trendOlsFrom(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("y"))
+    val mins = hourly.groupBy("event_type").agg(min(col("h")).as("h0"))
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    hourly.join(broadcast(mins), Seq("event_type"))
+      .select(col("event_type"), (col("h") - col("h0")).as("x"), col("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x") * col("x"))).as("sxx"),
+        sum(d38(col("x") * col("y"))).as("sxy"))
+      .where(col("n_buckets") >= 2)
+      .select(col("event_type"), col("n_buckets"),
+        round(expr("CAST(CAST(n_buckets AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)")
+          / expr("CAST(CAST(n_buckets AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"), 6).as("slope"),
+        round(expr("CAST(sy * sxx - sx * sxy AS DOUBLE)")
+          / expr("CAST(CAST(n_buckets AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"), 6).as("intercept"))
+  }
+
+  private val trendOlsSql =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |mn AS (SELECT event_type, MIN(h) AS h0 FROM hourly GROUP BY 1),
+      |xy AS (SELECT h.event_type, h.h - m.h0 AS x, h.y
+      |       FROM hourly h JOIN mn m USING (event_type)),
+      |s AS (SELECT event_type, COUNT(*) AS n_buckets,
+      |        SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+      |      FROM xy GROUP BY 1)
+      |SELECT event_type, n_buckets,
+      |  ROUND(CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n_buckets * sxx - sx * sx AS DOUBLE), 6) AS slope,
+      |  ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+      |      / CAST(n_buckets * sxx - sx * sx AS DOUBLE), 6) AS intercept
+      |FROM s WHERE n_buckets >= 2 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_trend_ols" -> Q(trendOls _, trendOlsSql, Seq(col("event_type"))),
     "events_cusum_alarm" -> Q(cusumAlarm _, cusumAlarmSql,
       Seq(col("event_type"), col("day"))),
     "events_user_features" -> Q(userFeatures _, userFeaturesSql, Seq(col("user_id"))),
