@@ -550,6 +550,14 @@ object AnnQueries {
     * nprobe-bucket probe search, two-phase top-k. Bucket id = position in
     * `cents` — any consistent id works, membership is what must match. */
   private def ivfSearch(t: Tables, cents: Seq[Array[Float]],
+                        labelFiltered: Boolean = false): DataFrame =
+    TopK.perKeyExec(ivfScored(t, cents, labelFiltered), "probe_id", "cos", "vec_id", TopKK)
+
+  /** The shared IVF probe stage: corpus assigned to its nearest centroid,
+    * probes exploded to their [[NProbeBuckets]] nearest clusters, scored
+    * pairs within probed clusters. [[ivfSearch]] tops-k it; the RANGE
+    * search thresholds it — one pruning definition, two retrieval modes. */
+  private def ivfScored(t: Tables, cents: Seq[Array[Float]],
                         labelFiltered: Boolean = false): DataFrame = {
     def centCos(embCol: Column): Seq[Column] =
       cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
@@ -575,11 +583,41 @@ object AnnQueries {
       .join(broadcast(probes.withColumn("p_norm",
         sqrt(VectorExpressions.dot(col("p_emb"), col("p_emb"))))), Seq("cluster"))
       .where(col("vec_id") =!= col("probe_id"))
-    val scored = (if (labelFiltered) joined.where(col("label") === col("p_label")) else joined)
+    (if (labelFiltered) joined.where(col("label") === col("p_label")) else joined)
       .select(col("probe_id"), col("vec_id"),
         round(VectorExpressions.dot(col("embedding"), col("p_emb"))
           / (col("c_norm") * col("p_norm")), 6).as("cos"))
-    TopK.perKeyExec(scored, "probe_id", "cos", "vec_id", TopKK)
+  }
+
+  /** §8o — IVF-fronted RANGE search: every corpus vector within cosine
+    * ≥ [[CosineThreshold]] of each probe, found through the probed
+    * clusters instead of a P×C flat scan — the radius-query twin of
+    * `ann_ivf_topk` and the serving shape of `dedup_embedding_cosine`
+    * (same threshold: "fetch my near-dups through the index"). Same
+    * centroid set, same assignment tie rule, same probe pruning; the
+    * only difference is the tail — a threshold filter instead of a
+    * top-k, so result size follows the data's true neighborhood
+    * density rather than a fixed k. Scale: per-probe cost is the
+    * probed-cluster rows, falling as the corpus spreads over more
+    * clusters — the `*_served` economics. */
+  def ivfRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    ivfScored(t, centroids(spark, t).toSeq.map(_._2))
+      .where(col("cos") >= CosineThreshold)
+  }
+
+  /** Oracle: `ann_ivf_topk`'s CTE chain verbatim up to `scored` (one
+    * pruning definition on the SQL side too), thresholded instead of
+    * ranked. */
+  private def ivfRangeSql: String = {
+    val cut = ivfSql.indexOf("ranked AS")
+    require(cut > 0, "ivfSql shape changed; range oracle surgery needs updating")
+    val base = ivfSql.substring(0, ivfSql.lastIndexOf(",", cut))
+    s"""$base
+       |SELECT probe_id, vec_id, cos FROM scored WHERE cos >= $CosineThreshold
+       |ORDER BY probe_id, cos DESC, vec_id""".stripMargin
   }
 
   /** §30 — IVF: deterministic centroids, map-side nearest-centroid assign,
@@ -2126,6 +2164,8 @@ object AnnQueries {
     "ann_ivf_recall" -> Q(ivfRecall _, ivfRecallSql, Seq(col("probe_id"))),
     "ann_lsh_recall" -> Q(lshRecall _, lshRecallSql),
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
+    "ann_ivf_range" -> Q(ivfRangeSearch _, ivfRangeSql,
+      Seq(col("probe_id"), col("cos").desc, col("vec_id"))),
     "ann_cluster_medoids" -> Q(clusterMedoids _, clusterMedoidsSql, Seq(col("cluster"))),
     "ann_rank_overlap" -> Q(rankOverlap _, rankOverlapSql, Seq(col("probe_id"))),
     "ann_ivf_refined" -> Q(ivfRefinedTopK _, ivfRefinedSql, Seq(col("probe_id"), col("rank"))),
