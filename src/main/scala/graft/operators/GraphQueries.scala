@@ -1125,7 +1125,218 @@ object GraphQueries {
        |ORDER BY auth_scaled DESC, hub_scaled DESC, p_partkey LIMIT 50""".stripMargin
   }
 
+  // --------------------------------------------- structural summaries
+
+  /** §8p(co) — degree assortativity of the co-purchase graph: the Pearson
+    * correlation of endpoint degrees across edges (Newman 2002), the
+    * one-number answer to "do hubs link to hubs?" that decides whether the
+    * wedge stages face a few whales (disassortative: negative r) or dense
+    * hub cliques. Sufficient statistics ride the wide-integer lane — each
+    * edge contributes both directions, so the symmetric sums Σx, Σx², Σxy
+    * (x = source degree, y = destination degree) are DECIMAL(38,0)-exact
+    * (deg² per edge can pass 1e12 on a real catalog and Σ over 1e12 edges
+    * passes int64); the only float step is one cast-cast-divide-round
+    * chain over the exact numerator and denominator, bit-identical in both
+    * engines. One |E|-shuffle for degrees, two gated broadcast joins to
+    * attach them, one global fold. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val nodeDomain = Tables(dir).part.count()
+    val e = stagedEdges(spark, dir)
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val j = e
+      .join(gatedBroadcast(deg.toDF("pa", "deg_a"), nodeDomain), Seq("pa"))
+      .join(gatedBroadcast(deg.toDF("pb", "deg_b"), nodeDomain), Seq("pb"))
+    // undirected edge counted in both directions → symmetric sums (Σy=Σx)
+    val sym = j.select(col("deg_a").as("x"), col("deg_b").as("y"))
+      .unionByName(j.select(col("deg_b").as("x"), col("deg_a").as("y")))
+    sym
+      .agg(
+        count(lit(1)).as("n_directed"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"))
+      .withColumn("num", expr("CAST(n_directed AS DECIMAL(38,0)) * sxy - sx * sx"))
+      .withColumn("den", expr("CAST(n_directed AS DECIMAL(38,0)) * sx2 - sx * sx"))
+      .select(
+        expr("n_directed div 2").as("n_edges"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("assortativity"))
+  }
+
+  private val assortativitySql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM (
+      |          SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) n GROUP BY 1),
+      |j AS (SELECT da.deg AS deg_a, db.deg AS deg_b
+      |      FROM e JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb),
+      |sym AS (SELECT deg_a AS x, deg_b AS y FROM j UNION ALL SELECT deg_b, deg_a FROM j),
+      |sums AS (SELECT COUNT(*) AS n_directed,
+      |           SUM(CAST(x AS HUGEINT)) AS sx,
+      |           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |           SUM(CAST(x AS HUGEINT) * x) AS sx2
+      |         FROM sym)
+      |SELECT CAST(n_directed // 2 AS BIGINT) AS n_edges,
+      |  ROUND(CAST(CAST(n_directed AS HUGEINT) * sxy - sx * sx AS DOUBLE)
+      |    / CAST(CAST(n_directed AS HUGEINT) * sx2 - sx * sx AS DOUBLE), 6) AS assortativity
+      |FROM sums""".stripMargin
+
+  /** §8p(cn) — global transitivity (the graph clustering coefficient):
+    * 3·triangles / wedges in exact ppm integers, plus the raw structural
+    * counts. Triangle total comes from the degree-ordered orientation
+    * ([[triangles]]'s apex-edge trick) — per oriented edge the closing
+    * count is |N⁺(a) ∩ N⁺(b)| via the map-side sorted-array intersect, so
+    * every triangle is counted exactly once and the Σdeg² wedge set is
+    * never materialized; the wedge DENOMINATOR needs only Σ deg(deg−1)/2,
+    * a fold over the |V|-row degree table (deg·(deg−1) is even, so the
+    * halving is exact integer division). DECIMAL(38,0)/HUGEINT on the
+    * fold lanes: Σdeg² at a 100 TB catalog passes int64. */
+  def transitivity(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val nodeDomain = Tables(dir).part.count()
+    val e = stagedEdges(spark, dir)
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(gatedBroadcast(deg.toDF("pa", "deg_a"), nodeDomain), Seq("pa"))
+      .join(gatedBroadcast(deg.toDF("pb", "deg_b"), nodeDomain), Seq("pb"))
+    val oriented = withDeg.select(
+      when(col("deg_a") < col("deg_b")
+        || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pa"))
+        .otherwise(col("pb")).as("src"),
+      when(col("deg_a") < col("deg_b")
+        || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pb"))
+        .otherwise(col("pa")).as("dst"))
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+    val triTotal = oriented
+      .join(gatedBroadcast(adj.toDF("src", "ns_a"), nodeDomain), Seq("src"))
+      .join(gatedBroadcast(adj.select(col("src").as("dst"), col("ns").as("ns_b")),
+        nodeDomain), Seq("dst"))
+      .agg(coalesce(sum(expr(
+        "CAST(size(array_intersect(ns_a, ns_b)) AS DECIMAL(38,0))")), lit(0))
+        .as("n_triangles"))
+    val degSums = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("CAST(CAST(deg AS DECIMAL(38,0)) * (deg - 1) div 2 AS DECIMAL(38,0))"))
+        .as("n_wedges"))
+    val edgeCount = e.agg(count(lit(1)).as("n_edges"))
+    degSums.crossJoin(edgeCount).crossJoin(triTotal)
+      .select(
+        col("n_nodes"), col("n_edges"),
+        col("n_wedges").cast("bigint").as("n_wedges"),
+        col("n_triangles").cast("bigint").as("n_triangles"),
+        expr("CAST(3 * n_triangles * 1000000 div n_wedges AS BIGINT)")
+          .as("transitivity_ppm"))
+  }
+
+  private val transitivitySql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM (
+      |          SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) n GROUP BY 1),
+      |oriented AS (
+      |  SELECT
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb) THEN pa ELSE pb END AS src,
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb) THEN pb ELSE pa END AS dst
+      |  FROM e JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb),
+      |wedges AS (
+      |  SELECT w1.src, w1.dst AS d1, w2.dst AS d2
+      |  FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src AND w1.dst < w2.dst),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |        FROM wedges w JOIN e ON e.pa = w.d1 AND e.pb = w.d2),
+      |ds AS (SELECT COUNT(*) AS n_nodes,
+      |         SUM(CAST(deg AS HUGEINT) * (deg - 1) // 2) AS n_wedges
+      |       FROM deg),
+      |ec AS (SELECT COUNT(*) AS n_edges FROM e)
+      |SELECT ds.n_nodes, ec.n_edges,
+      |  CAST(ds.n_wedges AS BIGINT) AS n_wedges,
+      |  CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+      |  CAST(3 * CAST(tri.n_triangles AS HUGEINT) * 1000000 // ds.n_wedges AS BIGINT)
+      |    AS transitivity_ppm
+      |FROM ds, ec, tri""".stripMargin
+
+  // ------------------------------------------ resource-allocation index
+
+  private val RaTopK = 5
+  private val RaCenterCap = 24
+
+  /** §8p(cp) — resource-allocation link prediction (Zhou/Lü/Zhang 2009):
+    * RA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/deg(w), served as each node's top-5
+    * candidates. The high-degree twin of [[jaccardNeighbors]]: where
+    * Jaccard treats every common neighbor equally, RA discounts hub
+    * centers by their degree — a shared whale SKU says almost nothing, a
+    * shared niche part says a lot. The weight is the NANO-scaled integer
+    * `10⁹ div deg(center)` (integer division is deterministic in both
+    * engines — no float enters the pipeline), summed per candidate pair,
+    * so scores are exact integers end-to-end. Same scale shape as the
+    * Jaccard family: wedge pairs explode map-side from each center's
+    * capped sorted adjacency (the [[JaccCenterCap]]-style whale guard,
+    * deterministic lowest-id undercount mirrored in the oracle — centers
+    * with deg ≤ cap are exact), one pair-keyed shuffle, WindowGroupLimit
+    * top-k per node. The center's FULL degree sets the weight; the cap
+    * bounds only which pairs it votes on. */
+  def resourceAllocation(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val e = stagedEdges(spark, dir)
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val adj = sym.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+    val capped = adj.select(
+      expr("1000000000 div size(ns)").cast("long").as("w"),
+      slice(col("ns"), 1, RaCenterCap).as("ns"))
+    val pairs = capped
+      .select(col("w"), sortedPairs("ns", "a", "b").as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("w"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_nano"))
+    val directed = pairs
+      .select(col("a").as("node"), col("b").as("cand"), col("common"), col("ra_nano"))
+      .unionByName(pairs.select(col("b").as("node"), col("a").as("cand"),
+        col("common"), col("ra_nano")))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("ra_nano").desc, col("common").desc, col("cand"))
+    directed.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= RaTopK)
+      .select(col("node"), col("rank"), col("cand"), col("common"), col("ra_nano"))
+  }
+
+  private val resourceAllocationSql =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+       |adj AS (SELECT src, list_sort(list(dst)) AS full_ns FROM sym GROUP BY 1),
+       |capped AS (SELECT 1000000000 // LEN(full_ns) AS w, full_ns[1:$RaCenterCap] AS ns
+       |           FROM adj),
+       |wedges AS (
+       |  SELECT ns[i.i] AS a, ns[j.j] AS b, w
+       |  FROM capped,
+       |    UNNEST(generate_series(1, LEN(ns))) AS i(i),
+       |    UNNEST(generate_series(1, LEN(ns))) AS j(j)
+       |  WHERE i.i < j.j),
+       |pairs AS (SELECT a, b, COUNT(*) AS common, CAST(SUM(w) AS BIGINT) AS ra_nano
+       |          FROM wedges GROUP BY 1, 2),
+       |directed AS (
+       |  SELECT a AS node, b AS cand, common, ra_nano FROM pairs
+       |  UNION ALL SELECT b, a, common, ra_nano FROM pairs),
+       |ranked AS (
+       |  SELECT node, cand, common, ra_nano,
+       |    ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY ra_nano DESC, common DESC, cand) AS rank
+       |  FROM directed)
+       |SELECT node, rank, cand, common, ra_nano FROM ranked WHERE rank <= $RaTopK
+       |ORDER BY node, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "graph_assortativity" -> Q(assortativity _, assortativitySql, Seq(col("n_edges"))),
+    "graph_transitivity" -> Q(transitivity _, transitivitySql, Seq(col("n_nodes"))),
+    "graph_resource_allocation" -> Q(resourceAllocation _, resourceAllocationSql,
+      Seq(col("node"), col("rank"))),
     "graph_label_prop" -> Q(labelProp _, labelPropSql,
       Seq(col("n_members").desc, col("community"))),
     "graph_hits" -> Q(hits _, hitsSql,
