@@ -35,6 +35,7 @@ object SparkEntry {
     operators.SplitQueries.queries,
     operators.PrefixJoin.queries,
     operators.PipelineReport.queries,
+    operators.BitextQueries.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort).

@@ -30,7 +30,7 @@ object AnnQueries {
 
   private val ProbeMod = 50 // probe set: vec_id % 50 == 0
   private val TopKK = 5
-  private val NCentroids = 8 // centroid set: vec_id < 8 (deterministic)
+  private[operators] val NCentroids = 8 // centroid set: vec_id < 8 (deterministic)
   private val NProbeBuckets = 2
   private[operators] val CosineThreshold = 0.35 // embedding near-dup threshold
   private val Dim = 64
@@ -486,7 +486,7 @@ object AnnQueries {
   // ------------------------------------------------------------------ IVF
 
   /** Literal centroid vectors — the bounded driver-side structure (id asc). */
-  private def centroids(spark: SparkSession, t: Tables): Array[(Long, Array[Float])] = {
+  private[operators] def centroids(spark: SparkSession, t: Tables): Array[(Long, Array[Float])] = {
     import spark.implicits._
     t.embeddings.where(col("vec_id") < NCentroids)
       .select(col("vec_id"), col("embedding"))
