@@ -173,7 +173,90 @@ object JoinQueries {
       |CROSS JOIN tot t
       |ORDER BY lhs, rhs""".stripMargin
 
+  // ------------------------------------------------------ key-skew audit
+
+  /** §8p(ct) — join-key skew diagnostics: for each fact-table join key,
+    * the numbers an engine operator reads before choosing a join
+    * strategy — key cardinality, the heaviest key's row count and its
+    * share of the table (ppm), and the Gini coefficient of the
+    * rows-per-key distribution (ppm; 0 = perfectly even, →1 = one whale
+    * key). top_share bounds the single-task row count a hash join would
+    * see (the salting trigger); Gini separates "one whale" from
+    * "everything mildly uneven" (the AQE-skew-threshold tuning signal).
+    *
+    * Exactness + scale shape: Gini's rank-weighted sum is computed from
+    * the GROUPED count-of-counts distribution, not per-key ranks — keys
+    * sharing a multiplicity occupy a contiguous rank block, so
+    * Σ i·cᵢ = Σ_blocks c·(m·M_prev + m(m+1)/2) — which turns the naive
+    * |keys|-row single-partition rank window into: one (col,key) groupBy
+    * (map-side partial), one (col,count) groupBy, and a window over the
+    * count-of-counts table, whose size is bounded by the number of
+    * DISTINCT multiplicities (dozens, even at 100 TB). The rank-weighted
+    * sum rides DECIMAL(38,0)/HUGEINT — Σ i·cᵢ ≤ n_keys·n_rows overflows
+    * int64 at ~10⁹ keys. */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val li = t.lineitem.select(explode(array(
+      struct(lit("l_orderkey").as("k"), col("l_orderkey").as("key")),
+      struct(lit("l_partkey").as("k"), col("l_partkey").as("key")),
+      struct(lit("l_suppkey").as("k"), col("l_suppkey").as("key")))).as("a"))
+      .select(col("a.k").as("col_name"), col("a.key").as("key"))
+    val keyed = li.union(
+      t.orders.select(lit("o_custkey").as("col_name"), col("o_custkey").as("key")))
+    val freq = keyed
+      .groupBy("col_name", "key").agg(count(lit(1)).as("c"))
+      .groupBy("col_name", "c").agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name")).orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    freq
+      .withColumn("mprev", coalesce(sum(col("m")).over(w), lit(0L)))
+      .withColumn("si", expr(
+        "CAST(c AS DECIMAL(38,0)) * m * mprev + CAST(c AS DECIMAL(38,0)) * (m * (m + 1) div 2)"))
+      .groupBy("col_name")
+      .agg(
+        sum(expr("c * m")).as("n_rows"),
+        sum(col("m")).as("n_keys"),
+        max(col("c")).as("max_key_rows"),
+        sum(col("si")).as("sumic"))
+      .select(col("col_name"), col("n_rows"), col("n_keys"), col("max_key_rows"),
+        expr("max_key_rows * 1000000 div n_rows").as("top_share_ppm"),
+        expr("CAST(2000000 * sumic div (CAST(n_keys AS DECIMAL(38,0)) * n_rows)" +
+          " - CAST(1000000 AS DECIMAL(38,0)) * (n_keys + 1) div n_keys AS BIGINT)").as("gini_ppm"))
+  }
+
+  private val skewAuditSql =
+    """WITH keyed AS (
+      |  SELECT 'l_orderkey' AS col_name, l_orderkey AS key FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+      |  UNION ALL SELECT 'o_custkey', o_custkey FROM orders),
+      |freq AS (
+      |  SELECT col_name, c, COUNT(*) AS m FROM (
+      |    SELECT col_name, key, COUNT(*) AS c FROM keyed GROUP BY 1, 2) x
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT col_name, c, m,
+      |    COALESCE(SUM(m) OVER (PARTITION BY col_name ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mprev
+      |  FROM freq),
+      |agg AS (
+      |  SELECT col_name,
+      |    CAST(SUM(c * m) AS BIGINT) AS n_rows,
+      |    CAST(SUM(m) AS BIGINT) AS n_keys,
+      |    MAX(c) AS max_key_rows,
+      |    SUM(CAST(c AS HUGEINT) * m * mprev + CAST(c AS HUGEINT) * (m * (m + 1) // 2)) AS sumic
+      |  FROM cum GROUP BY 1)
+      |SELECT col_name, n_rows, n_keys, max_key_rows,
+      |  max_key_rows * 1000000 // n_rows AS top_share_ppm,
+      |  CAST(2000000 * sumic // (CAST(n_keys AS HUGEINT) * n_rows)
+      |    - CAST(1000000 AS HUGEINT) * (n_keys + 1) // n_keys AS BIGINT) AS gini_ppm
+      |FROM agg
+      |ORDER BY col_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_join_skew_audit" -> Q(skewAudit _, skewAuditSql, Seq(col("col_name"))),
     "q_assoc_rules" -> Q(assocRules _, assocRulesSql, Seq(col("lhs"), col("rhs"))),
     "q_bloom_semi" -> Q(bloomSemi _, bloomSemiSql, Seq(col("l_returnflag"))),
     "q_copurchase_pairs" -> Q(copurchasePairs _, copurchaseSql, Seq(col("part_a"), col("part_b"))),
