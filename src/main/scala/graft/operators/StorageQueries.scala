@@ -258,11 +258,107 @@ object StorageQueries {
        |ORDER BY layout""".stripMargin
   }
 
+  // ------------------------------------------------- table statistics
+
+  /** The fact-table columns the stats pass covers: integer keys and
+    * low-cardinality flags — the dtypes whose canonical string rendering
+    * is identical in every engine (doubles/timestamps are profiled by
+    * `csr_column_profile` instead, where rendering stays engine-local). */
+  private val StatsCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_returnflag", "l_linestatus")
+
+  /** §8p(cu) — ANALYZE-style table statistics: per column, the numbers a
+    * cost-based optimizer actually consumes — row count, null count and
+    * null fraction (ppm), average rendered width (per-mille chars), and
+    * the distinct count both ways: the HLL register estimate
+    * ([[graft.pipeline.HllTable]] — the mergeable, landable sketch a
+    * 100 TB ANALYZE would persist per partition and fold) with the exact
+    * NDV riding along as the in-data accuracy audit.
+    *
+    * One scan melts the six columns to (col_name, val) rows; everything
+    * downstream is keyed aggregates with map-side partials. The sketch
+    * and the exact NDV both read one persisted (col, val) DISTINCT
+    * frame — register max is duplicate-idempotent, so hashing the value
+    * SET costs md5 over |values| instead of |rows|·6, and the exact NDV
+    * falls out as a plain count. At the full table a production pass
+    * lands per-FILE register tables and merges (register max is
+    * exact-associative); exact_ndv is the only column that wouldn't
+    * survive that cheaply — it is the audit, not the product. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    // melt is NOT persisted: both consumers re-derive it from the scan —
+    // a scan + explode re-run beats materializing a 6×-row string frame
+    // (explode_outer: the literal array is never empty, and the outer
+    // form plants no generator filter for pushdown to re-derive)
+    val melted = Tables(dir).lineitem
+      .select(explode_outer(array(StatsCols.map(c =>
+        struct(lit(c).as("k"), col(c).cast("string").as("v"))): _*)).as("a"))
+      .select(col("a.k").as("col_name"), col("a.v").as("val"))
+    // ONE melt pass: collapse to (col, val, multiplicity) first — every
+    // stat is a fold over that frame (row/null/width sums weighted by
+    // multiplicity, exact NDV a plain count), and the sketch hashes the
+    // value SET (register max is duplicate-idempotent), so md5 runs over
+    // |values|, not |rows|·6. Two consumers → persist the small frame.
+    val valCounts = Cached.track(
+      melted.groupBy("col_name", "val").agg(count(lit(1)).as("cnt")).persist())
+    val stats = valCounts.groupBy("col_name").agg(
+      sum(col("cnt")).as("n_rows"),
+      coalesce(sum(when(col("val").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+      sum(length(col("val")) * col("cnt")).as("width_sum"),
+      count(col("val")).as("exact_ndv"))
+    val est = graft.pipeline.HllTable.estimate(
+      graft.pipeline.HllTable.build(valCounts.where(col("val").isNotNull),
+        col("val"), col("col_name")))
+      .select(col("grain").as("col_name"), col("est").as("ndv_est"))
+    stats.join(est, Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        expr("n_nulls * 1000000 div n_rows").as("null_ppm"),
+        expr("width_sum * 1000 div greatest(n_rows - n_nulls, 1)").as("avg_width_pm"),
+        col("exact_ndv"), col("ndv_est"))
+  }
+
+  private def tableStatsSql = {
+    import graft.pipeline.HllTable.{regSql, rhoSql, EstNumerator, M}
+    val melt = StatsCols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS val FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    s"""WITH melted AS (
+       |  $melt),
+       |stats AS (
+       |  SELECT col_name, COUNT(*) AS n_rows,
+       |    CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |    CAST(SUM(LENGTH(val)) AS BIGINT) AS width_sum,
+       |    COUNT(DISTINCT val) AS exact_ndv
+       |  FROM melted GROUP BY 1),
+       |h AS (SELECT col_name, ${regSql("val")} AS reg, ${rhoSql("val")} AS rho
+       |      FROM melted WHERE val IS NOT NULL),
+       |regs AS (SELECT col_name, reg, MAX(rho) AS max_rho FROM h GROUP BY 1, 2),
+       |agg AS (SELECT col_name, COUNT(*) AS n_regs_hit,
+       |          CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT) AS hit_num
+       |        FROM regs GROUP BY 1),
+       |est AS (SELECT col_name, CAST($M - n_regs_hit AS BIGINT) AS zero_regs,
+       |          hit_num + ($M - n_regs_hit) * (CAST(1 AS BIGINT) << 53) AS harmonic_num
+       |        FROM agg)
+       |SELECT s.col_name, n_rows, n_nulls,
+       |  n_nulls * 1000000 // n_rows AS null_ppm,
+       |  width_sum * 1000 // GREATEST(n_rows - n_nulls, 1) AS avg_width_pm,
+       |  exact_ndv,
+       |  ROUND(CASE WHEN zero_regs > 0
+       |          AND $EstNumerator / CAST(harmonic_num AS DOUBLE) <= ${2.5 * M}
+       |        THEN $M * ln($M / CAST(zero_regs AS DOUBLE))
+       |        ELSE $EstNumerator / CAST(harmonic_num AS DOUBLE) END, 4) AS ndv_est
+       |FROM stats s JOIN est USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "zone_map_stats" -> Q(zoneMapStats _, zoneMapStatsSql, Seq(col("column"))),
     "csr_column_profile" -> Q(columnProfile _, columnProfileSql, Seq(col("column"))),
     "storage_compaction_plan" -> Q(compactionPlan _, compactionPlanSql,
       Seq(col("source"), col("shard"))),
     "storage_zorder_layout" -> Q(zorderLayout _, zorderLayoutSql, Seq(col("layout"))),
+    "storage_table_stats" -> Q(tableStats _, tableStatsSql, Seq(col("col_name"))),
   )
 }
