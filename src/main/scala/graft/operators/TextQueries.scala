@@ -450,7 +450,106 @@ object TextQueries {
        |GROUP BY p.phrase, p.n_occurrences
        |ORDER BY score_ppm DESC, n_occurrences DESC, phrase LIMIT 50""".stripMargin
 
+  // ------------------------------------------- naive-Bayes language ID
+
+  /** §8p(cw) — multinomial naive-Bayes language classifier, trained on
+    * the corpus's own labels and read back as a confusion matrix — the
+    * TRAINED counterpart of the heuristic `text_lang_id` (count-based
+    * learning vs hand-rules), and the shape of every fastText-style
+    * quality/domain classifier a training-data pipeline runs at scale.
+    *
+    * Exactness: the only transcendental is ln, taken ONCE per distinct
+    * (word, class) smoothed probability and per class prior, immediately
+    * rounded to integer micro-nats — after that every per-document score
+    * is an exact integer Σ count·llr + prior, so the argmax and the
+    * confusion matrix are bit-identical across engines (the
+    * [[graft.pipeline.HllTable]] ln-admission precedent).
+    *
+    * Scale shape: train = one (word, class) groupBy over the token
+    * stream + a classes-row broadcast; score = one word-keyed join of
+    * per-doc counts against the model table and one (doc, class)
+    * aggregate; the prediction argmax is a per-doc window (many tiny
+    * groups → group-limit pushdown). The token frame feeds four
+    * branches → persisted. Laplace smoothing (+1 / +V) keeps unseen
+    * words finite; V is the global vocabulary count (a 1-scalar action
+    * on the distinct-word table, the BPE-argmax driver-literal
+    * pattern). */
+  def nbLangId(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tok = Cached.track(Tables(dir).documents
+      .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), explode_outer(col("w")).as("word"))
+      .where(col("word").isNotNull)
+      .persist())
+    val vocabV = tok.select("word").distinct().count()
+    val nDocs = Tables(dir).documents.count()
+
+    val clsStats = Tables(dir).documents.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("docs_c"))
+      .join(tok.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_c")), Seq("cls"))
+      .withColumn("prior_u", expr(
+        s"CAST(ROUND(LN(CAST(docs_c AS DOUBLE) / $nDocs) * 1000000) AS BIGINT)"))
+      .withColumn("llr0_u", expr(
+        s"CAST(ROUND(LN(1.0 / (n_c + $vocabV)) * 1000000) AS BIGINT)"))
+    val model = tok.groupBy(col("word"), col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_wc"))
+      .join(broadcast(clsStats.select("cls", "n_c")), Seq("cls"))
+      .withColumn("llr_u", expr(
+        s"CAST(ROUND(LN(CAST(n_wc + 1 AS DOUBLE) / (n_c + $vocabV)) * 1000000) AS BIGINT)"))
+      .select("word", "cls", "llr_u")
+
+    val cntDw = tok.groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("cnt"))
+    val scored = cntDw
+      .crossJoin(broadcast(clsStats.select("cls", "prior_u", "llr0_u")))
+      .join(model, Seq("word", "cls"), "left")
+      .withColumn("llr_eff", coalesce(col("llr_u"), col("llr0_u")))
+      .groupBy("doc_id", "lang", "cls")
+      .agg((sum(col("cnt") * col("llr_eff")) + max(col("prior_u"))).as("score_u"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_u").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("lang").as("actual_lang"), col("cls").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private def nbLangIdSql = {
+    val w = graft.functions.DuckSql.wordsOf("text")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest($w) AS word FROM documents),
+       |v AS (SELECT COUNT(DISTINCT word) AS vocab FROM tok),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |cls AS (
+       |  SELECT d.lang AS cls, d.docs_c, t.n_c,
+       |    CAST(ROUND(LN(CAST(d.docs_c AS DOUBLE) / n_docs) * 1000000) AS BIGINT) AS prior_u,
+       |    CAST(ROUND(LN(1.0 / (t.n_c + vocab)) * 1000000) AS BIGINT) AS llr0_u
+       |  FROM (SELECT lang, COUNT(*) AS docs_c FROM documents GROUP BY 1) d
+       |  JOIN (SELECT lang, COUNT(*) AS n_c FROM tok GROUP BY 1) t ON d.lang = t.lang,
+       |  v, nd),
+       |model AS (
+       |  SELECT m.word, m.cls,
+       |    CAST(ROUND(LN(CAST(m.n_wc + 1 AS DOUBLE) / (c.n_c + vocab)) * 1000000) AS BIGINT) AS llr_u
+       |  FROM (SELECT word, lang AS cls, COUNT(*) AS n_wc FROM tok GROUP BY 1, 2) m
+       |  JOIN cls c USING (cls), v),
+       |cnt AS (SELECT doc_id, lang, word, COUNT(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT t.doc_id, t.lang, c.cls,
+       |    CAST(SUM(t.cnt * COALESCE(m.llr_u, c.llr0_u)) AS BIGINT) + MAX(c.prior_u) AS score_u
+       |  FROM cnt t CROSS JOIN cls c
+       |  LEFT JOIN model m ON m.word = t.word AND m.cls = c.cls
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT doc_id, lang, cls,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_u DESC, cls) AS rn
+       |  FROM scored)
+       |SELECT lang AS actual_lang, cls AS pred_lang, COUNT(*) AS n_docs
+       |FROM pred WHERE rn = 1
+       |GROUP BY 1, 2
+       |ORDER BY actual_lang, pred_lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_nb_langid" -> Q(nbLangId _, nbLangIdSql,
+      Seq(col("actual_lang"), col("pred_lang"))),
     "text_keyphrases" -> Q(keyphrases _, keyphrasesSql,
       Seq(col("score_ppm").desc, col("n_occurrences").desc, col("phrase"))),
     "text_pii_scan" -> Q(piiScan _, piiScanSql, Seq(col("source"))),
