@@ -1197,7 +1197,89 @@ object DedupQueries {
        |JOIN documents db ON db.doc_id = doc_b
        |GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin
 
+  // ------------------------------------------ source-level union sketch
+
+  /** §8p(cy) — source×source similarity matrix from MERGED minhash union
+    * sketches: per source, one K-component signature of the UNION of its
+    * docs' shingle sets (component = min over every shingle the source
+    * emits — the same md5+linear-mix family as the doc-level LSH, so the
+    * sketch merges across files/days/engines by plain MIN, the
+    * [[graft.pipeline.HllTable]] register algebra applied to Jaccard).
+    * Per source pair: estimated Jaccard = matching components / K — the
+    * corpus-overlap heat map a mixture designer reads when deciding
+    * whether two crawls are the same crawl — with the EXACT shingle-set
+    * Jaccard riding along as the in-data accuracy audit.
+    *
+    * Scale shape: one (source, shingle) distinct (keyed shuffle with
+    * map-side collapse), then the sketch is ONE groupBy producing
+    * |sources| rows — the pair matrix is a broadcast self-join of a
+    * dozens-row table no matter the corpus size. The exact intersection
+    * (shingle-keyed self-join) is the audit, not the product: a 100 TB
+    * run ships signatures only. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val ssh = Cached.track(Tables(dir).documents
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("source"), explode_outer(col("s")).as("shingle"))
+      .where(col("shingle").isNotNull)
+      .distinct()
+      .persist())
+    val sigs = ssh
+      .withColumn("h", graft.plans.VectorExpressions.hexPrefix(md5(col("shingle")), 8))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        array((0 until K).map(i =>
+          min(expr(s"(${mixA(i)}L * h + ${mixB(i)}L) % ${P}L"))): _*).as("m"))
+    val pairs = sigs.select(col("source").as("src_a"), col("n").as("n_a"), col("m").as("ma"))
+      .join(broadcast(sigs.select(col("source").as("src_b"), col("n").as("n_b"), col("m").as("mb"))),
+        col("src_a") < col("src_b"))
+      .withColumn("matches", expr(
+        "aggregate(zip_with(ma, mb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)"))
+    val inter = ssh.as("x")
+      .join(ssh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_inter"),
+        expr("n_inter * 1000000 div (n_a + n_b - n_inter)").as("jaccard_ppm"),
+        expr(s"CAST(matches * 1000000 div $K AS BIGINT)").as("est_ppm"))
+  }
+
+  private def sourceSimilaritySql = {
+    val mins = (0 until K)
+      .map(i => s"MIN((${mixA(i)} * h + ${mixB(i)}) % $P) AS m$i").mkString(",\n    ")
+    val matches = (0 until K)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ws AS (SELECT source, ${graft.functions.DuckSql.wordsOf("text")} AS w FROM documents),
+       |sh AS (SELECT source, CASE WHEN LEN(w) >= 3
+       |    THEN list_transform(generate_series(1, LEN(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [array_to_string(w, ' ')] END AS s FROM ws),
+       |ssh AS (SELECT DISTINCT source, shingle
+       |        FROM (SELECT source, unnest(s) AS shingle FROM sh)),
+       |hv AS (SELECT source, ${hexToLongDuck("md5(shingle)")} AS h FROM ssh),
+       |sigs AS (SELECT source, COUNT(*) AS n,
+       |    $mins
+       |  FROM hv GROUP BY 1),
+       |inter AS (SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_inter
+       |  FROM ssh x JOIN ssh y ON x.shingle = y.shingle AND x.source < y.source
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
+       |    $matches AS matches
+       |  FROM sigs a JOIN sigs b ON a.source < b.source)
+       |SELECT src_a, src_b, n_a, n_b, COALESCE(n_inter, 0) AS n_inter,
+       |  COALESCE(n_inter, 0) * 1000000 // (n_a + n_b - COALESCE(n_inter, 0)) AS jaccard_ppm,
+       |  CAST(matches * 1000000 // $K AS BIGINT) AS est_ppm
+       |FROM pairs LEFT JOIN inter USING (src_a, src_b)
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_source_similarity" -> Q(sourceSimilarity _, sourceSimilaritySql,
+      Seq(col("src_a"), col("src_b"))),
     "dedup_cross_source" -> Q(crossSourceMatrix _, crossSourceMatrixSql,
       Seq(col("source_lo"), col("source_hi"))),
     "dedup_source_report" -> Q(sourceReport _, sourceReportSql, Seq(col("source"))),
