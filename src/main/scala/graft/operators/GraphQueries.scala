@@ -1332,7 +1332,80 @@ object GraphQueries {
        |SELECT node, rank, cand, common, ra_nano FROM ranked WHERE rank <= $RaTopK
        |ORDER BY node, rank""".stripMargin
 
+  // ------------------------------------------------ sampled closeness
+
+  private val ClosenessHop = 3
+  private val ClosenessSeeds = 32 // fixed seed budget (error ~ 1/√k)
+
+  /** §8p(cx) — sampled bounded-hop closeness centrality: for a
+    * deterministic FIXED-BUDGET source sample (the [[ClosenessSeeds]]
+    * nodes ranking first by md5 hash — a uniform draw any engine
+    * reproduces), the reach, total distance, and harmonic centrality
+    * within [[ClosenessHop]] hops of the co-purchase graph. Exact
+    * closeness is an all-sources BFS (|V|² state — never at scale); the
+    * standard estimator samples the sources and bounds the radius, and a
+    * FIXED seed count — not a fixed fraction — is what keeps the
+    * multi-source state k·|V| instead of |V|²/mod as the graph grows
+    * (the first cut of this operator sampled 5% and melted down 30× at
+    * sf0.1: fraction sampling scales the seed set WITH the graph, which
+    * re-creates the all-sources blowup it was supposed to avoid).
+    * Harmonic sums ride exact integers (10⁶ div hop is exact); no float
+    * anywhere.
+    *
+    * Scale shape: seed pick = one hash-rank top-k (TakeOrdered, no
+    * global sort); then a MULTI-source frontier — state (seed, node),
+    * ≤ k·|V| — expanded by K joins against the staged, persisted edge
+    * list (frontier lineage truncated per round like [[bfsHops]]); one
+    * final (seed) aggregate. */
+  def closeness(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val e = stagedEdges(spark, dir)
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val seeds = sym.select(col("src").as("node")).distinct()
+      .withColumn("hx", graft.plans.VectorExpressions.hexPrefix(
+        md5(col("node").cast("string")), 8))
+      .orderBy(col("hx"), col("node")).limit(ClosenessSeeds)
+      .select(col("node").as("seed"), col("node"))
+    var visited = seeds.withColumn("hop", lit(0)).localCheckpoint(true)
+    var frontier = visited.select("seed", "node")
+    for (k <- 1 to ClosenessHop) {
+      val next = sym.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(next.withColumn("hop", lit(k)))
+      frontier = next.select("seed", "node")
+    }
+    visited.groupBy("seed").agg(
+      count(lit(1)).as("n_reached"),
+      sum(col("hop")).as("sum_dist"),
+      sum(expr("CASE WHEN hop > 0 THEN 1000000 div hop ELSE 0L END")).as("harmonic_ppm"))
+  }
+
+  private val closenessSql = {
+    def level(k: Int) =
+      s"""n$k AS (SELECT DISTINCT f.seed, s.dst AS node FROM sym s JOIN f${k - 1} f ON s.src = f.node),
+         |f$k AS (SELECT seed, node FROM n$k EXCEPT SELECT seed, node FROM v${k - 1}),
+         |v$k AS (SELECT seed, node, hop FROM v${k - 1} UNION ALL SELECT seed, node, $k FROM f$k)"""
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+       |seeds AS (SELECT node FROM (SELECT DISTINCT src AS node FROM sym)
+       |          ORDER BY ${graft.functions.DuckSql.hexToLong("md5(CAST(node AS VARCHAR))")}, node
+       |          LIMIT $ClosenessSeeds),
+       |f0 AS (SELECT node AS seed, node FROM seeds),
+       |v0 AS (SELECT seed, node, 0 AS hop FROM f0),
+       |${(1 to ClosenessHop).map(level).mkString(",\n")}
+       |SELECT seed, COUNT(*) AS n_reached, CAST(SUM(hop) AS BIGINT) AS sum_dist,
+       |  CAST(SUM(CASE WHEN hop > 0 THEN 1000000 // hop ELSE 0 END) AS BIGINT) AS harmonic_ppm
+       |FROM v$ClosenessHop GROUP BY 1 ORDER BY seed""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_closeness" -> Q(closeness _, closenessSql, Seq(col("seed"))),
     "graph_assortativity" -> Q(assortativity _, assortativitySql, Seq(col("n_edges"))),
     "graph_transitivity" -> Q(transitivity _, transitivitySql, Seq(col("n_nodes"))),
     "graph_resource_allocation" -> Q(resourceAllocation _, resourceAllocationSql,
