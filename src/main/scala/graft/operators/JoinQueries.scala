@@ -255,8 +255,83 @@ object JoinQueries {
       |FROM agg
       |ORDER BY col_name""".stripMargin
 
+  // ---------------------------------------------------- join advisor
+
+  private val AdvisorBroadcastRows = 1000000L // dim fits the broadcast budget
+  private val AdvisorParallelism = 32L        // target task count
+
+  /** §8p(cz) — join-strategy advisor: the engine's own planning rules,
+    * landed as a queryable table. For each fact join key, joined against
+    * its dimension: recommend `broadcast` when the dim side fits the
+    * broadcast budget, else `salted-shuffle` with an explicit salt factor
+    * when one key's rows exceed an even task share (salt_ways = ⌈max key
+    * rows / even share⌉ — exactly the replication a salted join needs to
+    * level that key across tasks), else plain `shuffle-hash`. Every rule
+    * is integer arithmetic over auditable inputs (fact rows, dim rows,
+    * heaviest key), so the advice is reproducible anywhere — the point:
+    * at 100 TB you want the join plan DECIDED from landed statistics,
+    * not rediscovered per run by sampling. Cost: one pass per fact key
+    * for the heaviest-key count (map-side partial), four 1-row dim
+    * counts, one broadcast join. */
+  def joinAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val facts = t.lineitem.select(explode(array(
+      struct(lit("l_orderkey").as("k"), col("l_orderkey").as("key")),
+      struct(lit("l_partkey").as("k"), col("l_partkey").as("key")),
+      struct(lit("l_suppkey").as("k"), col("l_suppkey").as("key")))).as("a"))
+      .select(col("a.k").as("fact_key"), col("a.key").as("key"))
+      .union(t.orders.select(lit("o_custkey").as("fact_key"), col("o_custkey").as("key")))
+      .groupBy("fact_key", "key").agg(count(lit(1)).as("c"))
+      .groupBy("fact_key").agg(sum(col("c")).as("fact_rows"), max(col("c")).as("max_key_rows"))
+    val dims = Seq(
+      ("l_orderkey", "orders", t.orders), ("l_partkey", "part", t.part),
+      ("l_suppkey", "supplier", t.supplier), ("o_custkey", "customer", t.customer))
+      .map { case (k, name, df) =>
+        df.agg(count(lit(1)).as("dim_rows"))
+          .select(lit(k).as("fact_key"), lit(name).as("dim_table"), col("dim_rows"))
+      }.reduce(_ unionByName _)
+    facts.join(broadcast(dims), Seq("fact_key"))
+      .withColumn("even_share", expr(s"greatest(fact_rows div $AdvisorParallelism, 1L)"))
+      .withColumn("salt_ways", expr("(max_key_rows + even_share - 1) div even_share"))
+      .withColumn("strategy", expr(
+        s"""CASE WHEN dim_rows <= $AdvisorBroadcastRows THEN 'broadcast'
+           |     WHEN salt_ways > 1 THEN 'salted-shuffle'
+           |     ELSE 'shuffle-hash' END""".stripMargin))
+      .select("fact_key", "dim_table", "fact_rows", "dim_rows",
+        "max_key_rows", "salt_ways", "strategy")
+  }
+
+  private val joinAdvisorSql =
+    s"""WITH keyed AS (
+       |  SELECT 'l_orderkey' AS fact_key, l_orderkey AS key FROM lineitem
+       |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+       |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+       |  UNION ALL SELECT 'o_custkey', o_custkey FROM orders),
+       |facts AS (
+       |  SELECT fact_key, CAST(SUM(c) AS BIGINT) AS fact_rows, MAX(c) AS max_key_rows
+       |  FROM (SELECT fact_key, key, COUNT(*) AS c FROM keyed GROUP BY 1, 2) x
+       |  GROUP BY 1),
+       |dims AS (
+       |  SELECT 'l_orderkey' AS fact_key, 'orders' AS dim_table, COUNT(*) AS dim_rows FROM orders
+       |  UNION ALL SELECT 'l_partkey', 'part', COUNT(*) FROM part
+       |  UNION ALL SELECT 'l_suppkey', 'supplier', COUNT(*) FROM supplier
+       |  UNION ALL SELECT 'o_custkey', 'customer', COUNT(*) FROM customer),
+       |j AS (
+       |  SELECT f.fact_key, d.dim_table, f.fact_rows, d.dim_rows, f.max_key_rows,
+       |    GREATEST(f.fact_rows // $AdvisorParallelism, 1) AS even_share
+       |  FROM facts f JOIN dims d USING (fact_key))
+       |SELECT fact_key, dim_table, fact_rows, dim_rows, max_key_rows,
+       |  (max_key_rows + even_share - 1) // even_share AS salt_ways,
+       |  CASE WHEN dim_rows <= $AdvisorBroadcastRows THEN 'broadcast'
+       |       WHEN (max_key_rows + even_share - 1) // even_share > 1 THEN 'salted-shuffle'
+       |       ELSE 'shuffle-hash' END AS strategy
+       |FROM j
+       |ORDER BY fact_key""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_join_skew_audit" -> Q(skewAudit _, skewAuditSql, Seq(col("col_name"))),
+    "storage_join_advisor" -> Q(joinAdvisor _, joinAdvisorSql, Seq(col("fact_key"))),
     "q_assoc_rules" -> Q(assocRules _, assocRulesSql, Seq(col("lhs"), col("rhs"))),
     "q_bloom_semi" -> Q(bloomSemi _, bloomSemiSql, Seq(col("l_returnflag"))),
     "q_copurchase_pairs" -> Q(copurchasePairs _, copurchaseSql, Seq(col("part_a"), col("part_b"))),
