@@ -129,6 +129,78 @@ object AnnQueries {
       .agg(min(col("id_a")).as("dup_of"), max(col("cos")).as("max_cos"))
   }
 
+  // ------------------------------------------------- label-noise audit
+
+  private val NoiseK = 5 // neighbors consulted per vector
+
+  /** §8p(da) — k-NN label-noise audit (the confident-learning recipe,
+    * Northcutt et al. 2021, reduced to its deterministic core): a vector
+    * whose own label is in the STRICT MINORITY among its [[NoiseK]]
+    * nearest neighbors is a mislabeling suspect — the table a dataset
+    * owner reviews before training on bought or weak labels. Neighbors
+    * come through the shared coarse-cluster pruning (the
+    * [[semanticDedup]] bucketing: candidate pairs are Σ|cluster|², never
+    * |corpus|²), cosines round-6 with the family tie rule, agreement
+    * counting is pure integers.
+    *
+    * Scale shape: one map-side cluster assignment, one cluster-keyed
+    * self-join, one per-vector group-limit window (many tiny groups),
+    * one aggregate. The whale-cluster caveat is [[semanticDedupCapped]]'s:
+    * ncentroids is the knob that bounds bucket size. */
+  def labelNoise(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = centroids(spark, t).map(_._2).toSeq
+    val centCos = array(cents.map(v => VectorExpressions.cosine(col("embedding"), typedlit(v))): _*)
+    val assigned = t.embeddings
+      .withColumn("cluster", (array_position(centCos, array_max(centCos)) - 1).cast("int"))
+      .select(col("cluster"), col("vec_id"), col("label"), col("embedding"),
+        sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = assigned.select(col("cluster"), col("vec_id"), col("label"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("nbr_id"),
+      col("label").as("nbr_label"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val pairs = a.join(b, Seq("cluster"))
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("label"), col("nbr_id"), col("nbr_label"),
+        round(VectorExpressions.dot(col("emb_a"), col("emb_b"))
+          / (col("norm_a") * col("norm_b")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
+    pairs.withColumn("rn", row_number().over(w)).where(col("rn") <= NoiseK)
+      .groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("nbr_label") === col("label"), 1L).otherwise(0L)).as("n_agree"))
+      .where(col("n_agree") * 2 < col("n_nbrs"))
+  }
+
+  private def labelNoiseSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT vec_id, label, embedding, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM (SELECT e.vec_id, e.label, e.embedding, cid,
+       |            ${cosChainDuck("e.embedding", "c")} AS ccos
+       |          FROM embeddings e, cents) e) x WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id, a.label, b.vec_id AS nbr_id, b.label AS nbr_label,
+       |    ROUND(${cosChainDuck("a.embedding", "b.embedding")}, 6) AS cos
+       |  FROM assign a JOIN assign b USING (cluster)
+       |  WHERE a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, label, nbr_label,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rn
+       |  FROM pairs)
+       |SELECT vec_id, label, COUNT(*) AS n_nbrs,
+       |  CAST(SUM(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |FROM ranked WHERE rn <= $NoiseK
+       |GROUP BY 1, 2
+       |HAVING CAST(SUM(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) AS BIGINT) * 2 < COUNT(*)
+       |ORDER BY vec_id""".stripMargin
+
   /** Whale-factor for [[semanticDedupCapped]]: a cluster is a whale when
     * its occupancy exceeds factor × (corpus / ncentroids). */
   private[operators] val SemanticWhaleFactor = 2.0
@@ -2167,6 +2239,7 @@ object AnnQueries {
     "ann_ivf_range" -> Q(ivfRangeSearch _, ivfRangeSql,
       Seq(col("probe_id"), col("cos").desc, col("vec_id"))),
     "ann_cluster_medoids" -> Q(clusterMedoids _, clusterMedoidsSql, Seq(col("cluster"))),
+    "ann_label_noise" -> Q(labelNoise _, labelNoiseSql, Seq(col("vec_id"))),
     "ann_rank_overlap" -> Q(rankOverlap _, rankOverlapSql, Seq(col("probe_id"))),
     "ann_ivf_refined" -> Q(ivfRefinedTopK _, ivfRefinedSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined2" -> Q(ivfRefined2TopK _, ivfRefined2Sql, Seq(col("probe_id"), col("rank"))),
