@@ -36,6 +36,7 @@ object SparkEntry {
     operators.PrefixJoin.queries,
     operators.PipelineReport.queries,
     operators.BitextQueries.queries,
+    operators.ProjectionQueries.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort).

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Q
+import graft.plans.VectorExpressions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Johnson–Lindenstrauss random-projection audit: before switching the
+  * vector stack to a cheaper low-dimensional index, measure what the
+  * projection DOES to the similarities it must preserve.
+  *
+  * The projection is a ±1 sign matrix (Achlioptas 2003 — database-friendly
+  * JL: signs, not Gaussians), derived from md5 at BUILD time and inlined
+  * into both engines' expressions as literal +/− terms, so the projected
+  * vectors are bit-identical everywhere: each projected coordinate is one
+  * left-associative 64-term double chain (the [[AnnQueries]] accumulation
+  * convention), cast once to float.
+  */
+object ProjectionQueries {
+
+  private val InDim = 64
+  private val OutDim = 16
+  private val ProbeMod = 50  // the family's probe convention
+  private val CorpusMod = 5  // corpus-side audit sample (deterministic)
+
+  /** ±1 sign for (projection row j, input dim i): first md5 nibble of
+    * "j:i" — fixed at build time, identical in every engine by
+    * construction. */
+  private def sign(j: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val h = d.digest(s"$j:$i".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+  }
+
+  /** The 64-term signed sum for projection row j, rendered for either
+    * dialect via the element accessor (Spark arrays are 0-based, DuckDB
+    * 1-based). Left-associative; every element cast to DOUBLE first. */
+  private def projChain(j: Int, elem: Int => String): String =
+    (0 until InDim).map { i =>
+      val t = s"CAST(${elem(i)} AS DOUBLE)"
+      if (i == 0) { if (sign(j, i) > 0) t else s"(0.0 - $t)" }
+      else if (sign(j, i) > 0) s"+ $t" else s"- $t"
+    }.mkString(" ")
+
+  private def projArraySpark(col0: String): String =
+    (0 until OutDim).map(j =>
+      s"CAST(${projChain(j, i => s"$col0[$i]")} AS FLOAT)").mkString("array(", ", ", ")")
+
+  private def projArrayDuck(col0: String): String =
+    (0 until OutDim).map(j =>
+      s"CAST(${projChain(j, i => s"$col0[${i + 1}]")} AS REAL)").mkString("[", ", ", "]")
+
+  /** dim-16 cosine chain for the oracle (the [[AnnQueries.cosChainDuck]]
+    * convention at the projected width). */
+  private def cos16Duck(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      (1 to OutDim).map(i => s"CAST($x[$i] AS DOUBLE) * CAST($y[$i] AS DOUBLE)").mkString("(", " + ", ")")
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** §8p(db) — projection distortion audit: for each probe, over a
+    * deterministic 1/[[CorpusMod]] corpus sample, the mean and max
+    * absolute cosine error between the original 64-d space and the
+    * projected 16-d space, in exact ppm (both cosines round-6 first, so
+    * the per-pair error is an integer and the aggregate is order-free).
+    * This is the go/no-go table for a 4× cheaper index: JL guarantees
+    * distances concentrate; the audit shows what THIS corpus actually
+    * pays. Audit-on-a-sample is the scale design — probes broadcast,
+    * sample is map-side, one probe-keyed aggregate. */
+  def projectionAudit(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val emb = Tables(dir).embeddings
+    def withProj(df: DataFrame): DataFrame = df
+      .withColumn("p", expr(projArraySpark("embedding")))
+      .withColumn("n64", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
+      .withColumn("n16", sqrt(VectorExpressions.dot(col("p"), col("p"))))
+    val corpus = withProj(emb.where(col("vec_id") % CorpusMod === 0))
+      .select(col("vec_id"), col("embedding"), col("p"), col("n64"), col("n16"))
+    val probes = withProj(emb.where(col("vec_id") % ProbeMod === 0))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("q"),
+        col("p").as("qp"), col("n64").as("qn64"), col("n16").as("qn16"))
+    corpus.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"),
+        round(VectorExpressions.dot(col("embedding"), col("q"))
+          / (col("n64") * col("qn64")), 6).as("c64"),
+        round(VectorExpressions.dot(col("p"), col("qp"))
+          / (col("n16") * col("qn16")), 6).as("c16"))
+      .withColumn("err_u", expr("CAST(ROUND(ABS(c64 - c16) * 1000000) AS BIGINT)"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(err_u) div count(1)").as("mean_err_ppm"),
+        max(col("err_u")).as("max_err_ppm"))
+  }
+
+  private def projectionAuditSql = {
+    val c64 = AnnQueries.cosChainDuck("e.embedding", "p.embedding")
+    s"""WITH proj AS (
+       |  SELECT vec_id, embedding, ${projArrayDuck("embedding")} AS pv FROM embeddings),
+       |corpus AS (SELECT * FROM proj WHERE vec_id % $CorpusMod = 0),
+       |probes AS (SELECT * FROM proj WHERE vec_id % $ProbeMod = 0),
+       |pairs AS (
+       |  SELECT p.vec_id AS probe_id,
+       |    ROUND($c64, 6) AS c64,
+       |    ROUND(${cos16Duck("e.pv", "p.pv")}, 6) AS c16
+       |  FROM corpus e CROSS JOIN probes p WHERE e.vec_id <> p.vec_id),
+       |errs AS (
+       |  SELECT probe_id, CAST(ROUND(ABS(c64 - c16) * 1000000) AS BIGINT) AS err_u
+       |  FROM pairs)
+       |SELECT probe_id, COUNT(*) AS n_pairs,
+       |  CAST(SUM(err_u) AS BIGINT) // COUNT(*) AS mean_err_ppm,
+       |  MAX(err_u) AS max_err_ppm
+       |FROM errs GROUP BY 1
+       |ORDER BY probe_id""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    "ann_projection_audit" -> Q(projectionAudit _, projectionAuditSql,
+      Seq(col("probe_id"))),
+  )
+}
