@@ -1181,7 +1181,8 @@ object GraphQueries {
       |SELECT CAST(n_directed // 2 AS BIGINT) AS n_edges,
       |  ROUND(CAST(CAST(n_directed AS HUGEINT) * sxy - sx * sx AS DOUBLE)
       |    / CAST(CAST(n_directed AS HUGEINT) * sx2 - sx * sx AS DOUBLE), 6) AS assortativity
-      |FROM sums""".stripMargin
+      |FROM sums
+      |ORDER BY n_edges""".stripMargin
 
   /** §8p(cn) — global transitivity (the graph clustering coefficient):
     * 3·triangles / wedges in exact ppm integers, plus the raw structural
@@ -1257,7 +1258,8 @@ object GraphQueries {
       |  CAST(tri.n_triangles AS BIGINT) AS n_triangles,
       |  CAST(3 * CAST(tri.n_triangles AS HUGEINT) * 1000000 // ds.n_wedges AS BIGINT)
       |    AS transitivity_ppm
-      |FROM ds, ec, tri""".stripMargin
+      |FROM ds, ec, tri
+      |ORDER BY n_nodes""".stripMargin
 
   // ------------------------------------------ resource-allocation index
 
