@@ -44,63 +44,124 @@ object BitextQueries {
     * margin_ppm = µcos(x,y) · 2k · 10⁶ div (Σ fwd top-k µcos + Σ bwd
     * top-k µcos) — the A&S ratio with both neighborhoods in the
     * denominator, in exact parts-per-million. */
+  private def centCosOf(cents: Seq[Array[Float]])(embCol: Column): Seq[Column] =
+    cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
+
+  /** Language-tagged corpus: embeddings keyed to documents by id (an
+    * id-co-partitioned join — both sides shuffle once on the same key),
+    * with the vector norm appended. */
+  private def taggedCorpus(t: Tables): DataFrame =
+    t.embeddings
+      .join(t.documents.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+      .withColumn("norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
+
+  /** English towers (the frozen archive side of the serving twin): each
+    * target vector at its nearest centroid — same argmax-first-index tie
+    * rule as the IVF kernel. */
+  private def towersOf(tagged: DataFrame, cents: Seq[Array[Float]]): DataFrame = {
+    val arr = array(centCosOf(cents)(col("embedding")): _*)
+    tagged.where(col("lang") === "en")
+      .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"),
+        col("norm").as("t_norm"), col("cluster"))
+  }
+
+  /** Source-side probe assignment: any (vec_id, lang, embedding, norm)
+    * frame exploded to its [[NProbe]] nearest clusters. */
+  private def probedOf(df: DataFrame, cents: Seq[Array[Float]]): DataFrame = {
+    val probeItems = centCosOf(cents)(col("embedding")).zipWithIndex.map { case (c, i) =>
+      struct(c.as("cos"), lit(-i).as("nidx"), lit(i).as("idx"))
+    }
+    df.withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbe))
+      .select(col("vec_id").as("src_id"), col("lang"), col("embedding").as("s_emb"),
+        col("norm").as("s_norm"),
+        explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
+  }
+
+  /** Positive-cosine candidates inside probed clusters, in exact µcos. */
+  private def candOf(src: DataFrame, tgt: DataFrame): DataFrame =
+    src.join(tgt, Seq("cluster"))
+      .select(col("src_id"), col("lang"), col("tgt_id"),
+        expr("CAST(ROUND(" +
+          "graft_dot(s_emb, t_emb) / (s_norm * t_norm) * 1000000) AS BIGINT)").as("cos_u"))
+      .where(col("cos_u") > 0)
+
+  /** Forward stage: per source, the top-[[MarginK]] neighborhood sum and
+    * the rank-1 best pair. */
+  private def fwdStage(cand: DataFrame): (DataFrame, DataFrame) = {
+    val wFwd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("cos_u").desc, col("tgt_id"))
+    val fwd = cand.withColumn("rn", row_number().over(wFwd)).where(col("rn") <= MarginK)
+    (fwd.groupBy("src_id").agg(sum(col("cos_u")).as("fwd_sum")),
+      fwd.where(col("rn") === 1).select("src_id", "lang", "tgt_id", "cos_u"))
+  }
+
+  /** Backward stage: per target, the top-[[MarginK]] neighborhood sum —
+    * the state the serving twin freezes. */
+  private def bwdOf(cand: DataFrame): DataFrame = {
+    val wBwd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tgt_id")).orderBy(col("cos_u").desc, col("src_id"))
+    cand.withColumn("rn", row_number().over(wBwd)).where(col("rn") <= MarginK)
+      .groupBy("tgt_id").agg(sum(col("cos_u")).as("bwd_sum"))
+  }
+
+  /** The A&S ratio in exact ppm, thresholded at [[MarginMinPpm]]. A best
+    * target with no bwd entry (possible only under a frozen archive
+    * denominator) contributes 0 — the serving-mode convention. */
+  private def margined(best: DataFrame, fwdSum: DataFrame, bwd: DataFrame): DataFrame =
+    best.join(fwdSum, Seq("src_id")).join(bwd, Seq("tgt_id"), "left")
+      .withColumn("bwd_sum", coalesce(col("bwd_sum"), lit(0L)))
+      .withColumn("margin_ppm",
+        expr(s"cos_u * CAST(${2 * MarginK * 1000000L} AS BIGINT) div (fwd_sum + bwd_sum)"))
+      .where(col("margin_ppm") >= MarginMinPpm)
+      .select(col("lang"), col("src_id"), col("tgt_id"), col("cos_u"), col("margin_ppm"))
+
   def minedPairs(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
     val cents = AnnQueries.centroids(spark, t).map(_._2).toSeq
-    def centCos(embCol: Column): Seq[Column] =
-      cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
-
-    // language-tagged corpus: embeddings keyed to documents by id (an
-    // id-co-partitioned join — both sides shuffle once on the same key)
-    val tagged = t.embeddings
-      .join(t.documents.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
-      .withColumn("norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
-
-    // target pool (en): nearest centroid only — same argmax-first-index
-    // tie rule as the IVF kernel
-    val arr = array(centCos(col("embedding")): _*)
-    val tgt = tagged.where(col("lang") === "en")
-      .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
-      .select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"),
-        col("norm").as("t_norm"), col("cluster"))
-
-    // source pool (non-en): NProbe nearest clusters, exploded
-    val probeItems = centCos(col("embedding")).zipWithIndex.map { case (c, i) =>
-      struct(c.as("cos"), lit(-i).as("nidx"), lit(i).as("idx"))
-    }
-    val src = tagged.where(col("lang") =!= "en")
-      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbe))
-      .select(col("vec_id").as("src_id"), col("lang"), col("embedding").as("s_emb"),
-        col("norm").as("s_norm"),
-        explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
-
-    // positive-cosine candidates inside probed clusters, in exact µcos;
+    val tagged = taggedCorpus(t)
+    val tgt = towersOf(tagged, cents)
+    val src = probedOf(tagged.where(col("lang") =!= "en"), cents)
     // consumed by three branches (fwd rank, bwd sum, final join) → persist
-    val cand = Cached.track(src.join(tgt, Seq("cluster"))
-      .select(col("src_id"), col("lang"), col("tgt_id"),
-        expr("CAST(ROUND(" +
-          "graft_dot(s_emb, t_emb) / (s_norm * t_norm) * 1000000) AS BIGINT)").as("cos_u"))
-      .where(col("cos_u") > 0)
-      .persist())
+    val cand = Cached.track(candOf(src, tgt).persist())
+    val (fwdSum, best) = fwdStage(cand)
+    margined(best, fwdSum, bwdOf(cand))
+  }
 
-    val wFwd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src_id")).orderBy(col("cos_u").desc, col("tgt_id"))
-    val fwd = cand.withColumn("rn", row_number().over(wFwd)).where(col("rn") <= MarginK)
-    val fwdSum = fwd.groupBy("src_id").agg(sum(col("cos_u")).as("fwd_sum"))
-    val best = fwd.where(col("rn") === 1).select("src_id", "lang", "tgt_id", "cos_u")
+  /** The archive state the streaming twin serves against: the en towers
+    * and the FROZEN backward neighborhood sums from the full corpus
+    * build. */
+  def archiveState(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = AnnQueries.centroids(spark, t).map(_._2).toSeq
+    val tagged = taggedCorpus(t)
+    val tgt = towersOf(tagged, cents)
+    (tgt, bwdOf(candOf(probedOf(tagged.where(col("lang") =!= "en"), cents), tgt)))
+  }
 
-    val wBwd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("tgt_id")).orderBy(col("cos_u").desc, col("src_id"))
-    val bwdSum = cand.withColumn("rn", row_number().over(wBwd)).where(col("rn") <= MarginK)
-      .groupBy("tgt_id").agg(sum(col("cos_u")).as("bwd_sum"))
-
-    best.join(fwdSum, Seq("src_id")).join(bwdSum, Seq("tgt_id"))
-      .withColumn("margin_ppm",
-        expr(s"cos_u * CAST(${2 * MarginK * 1000000L} AS BIGINT) div (fwd_sum + bwd_sum)"))
-      .where(col("margin_ppm") >= MarginMinPpm)
-      .select(col("lang"), col("src_id"), col("tgt_id"), col("cos_u"), col("margin_ppm"))
+  /** §8p(dc) — the streaming serving twin (`foreachBatch` body): arriving
+    * non-English documents mined against the FROZEN archive — en towers
+    * and archived backward sums — exactly the index-served economics of
+    * `text_hybrid_served`: per-batch cost follows the batch and the
+    * probed clusters, never the corpus. Forward neighborhoods ARE
+    * recomputed per batch (they live entirely inside the batch's own
+    * candidate set); only the denominator's target side is frozen, the
+    * standard serving approximation — and replaying the whole corpus as
+    * one batch against its own archive state reproduces the batch query
+    * bit-for-bit (spec-pinned). `batch` needs (vec_id, lang, embedding,
+    * norm). */
+  def mineBatch(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val cents = AnnQueries.centroids(spark, Tables(dir)).map(_._2).toSeq
+    val (towers, frozenBwd) = archiveState(spark, dir)
+    val cand = Cached.track(candOf(probedOf(batch, cents), towers).persist())
+    val (fwdSum, best) = fwdStage(cand)
+    margined(best, fwdSum, frozenBwd)
   }
 
   /** Oracle: the same IVF-pruned candidate set and integer-micros margin.

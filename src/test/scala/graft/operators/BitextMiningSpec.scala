@@ -60,4 +60,20 @@ class BitextMiningSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.size == got.size)
     assert(got.forall(t => t._1 != "en" && t._5 >= 1000000L))
   }
+
+  test("the serving twin replayed over the full corpus equals the batch query") {
+    import org.apache.spark.sql.functions._
+    val t = graft.sources.Tables(dir)(spark)
+    graft.plans.VectorExpressions.register(spark)
+    val batch = t.embeddings
+      .join(t.documents.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+      .where(col("lang") =!= "en")
+      .withColumn("norm", sqrt(graft.plans.VectorExpressions.dot(col("embedding"), col("embedding"))))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(x => (x._1, x._2))
+    val served = rows(BitextQueries.mineBatch(spark, dir, batch))
+    val full = rows(BitextQueries.minedPairs(spark, dir))
+    assert(served == full && served.nonEmpty)
+  }
 }
