@@ -297,7 +297,82 @@ object Linkage {
        |WHERE levenshtein(a.p_name, b.p_name) <= 3
        |ORDER BY name_a, name_b""".stripMargin
 
+  // ----------------------------------------------- blocking quality
+
+  /** §8p(dd) — blocking-recall audit: each blocker's verified match set
+    * measured against the UNBLOCKED all-pairs truth at the blocker's own
+    * edit threshold — the standard entity-resolution blocking metric
+    * (how many true matches does the blocking scheme even let the
+    * verifier see?). `link_fuzzy_parts` blocks on the 2nd token (blind
+    * to pairs whose typo sits IN that token), the segment index is
+    * pigeonhole-complete by construction (its recall row is the proof
+    * landed as data), SNM sees only 4 sort-successors per block.
+    *
+    * The truth is a deliberate all-pairs Levenshtein over the DISTINCT
+    * NAME table — |names|², the audit tier (the name domain is the
+    * dimension side, orders of magnitude under the fact tables; the
+    * length-band prefilter |Δlen| ≤ k is a lossless Levenshtein lower
+    * bound that cuts most of the square before the expensive verify). */
+  def blockingQuality(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val nm = Tables(dir).part.select(col("p_name")).distinct()
+    val truth = Cached.track(nm.select(col("p_name").as("name_a"))
+      .crossJoin(nm.select(col("p_name").as("name_b")))
+      .where(col("name_a") < col("name_b")
+        && abs(length(col("name_a")) - length(col("name_b"))) <= 3
+        && levenshtein(col("name_a"), col("name_b")) <= 3)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .persist())
+    def row(blocker: String, found: DataFrame, maxDist: Int): DataFrame =
+      truth.where(col("dist") <= maxDist).agg(count(lit(1)).as("n_truth"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(lit(blocker).as("blocker"), col("n_truth"), col("n_found"),
+          expr("n_found * 1000 div n_truth").as("recall_pm"))
+    row("token_block", fuzzyParts(spark, dir), 2)
+      .unionByName(row("segment_index", fuzzySegments(spark, dir), 2))
+      .unionByName(row("sorted_neighborhood", sortedNeighborhood(spark, dir), 3))
+  }
+
+  private val blockingQualitySql = {
+    def truthCount(k: Int) =
+      s"""(SELECT COUNT(*) FROM nm a JOIN nm b
+         |   ON a.p_name < b.p_name AND ABS(LEN(a.p_name) - LEN(b.p_name)) <= $k
+         |   WHERE levenshtein(a.p_name, b.p_name) <= $k)""".stripMargin
+    s"""WITH nm AS (SELECT DISTINCT p_name FROM part),
+       |names AS (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1),
+       |tok AS (
+       |  SELECT COUNT(*) AS n FROM (
+       |    SELECT a.p_name FROM
+       |      (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM nm) a
+       |    JOIN (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM nm) b
+       |      ON a.blk = b.blk AND a.p_name < b.p_name
+       |    WHERE ABS(LEN(a.p_name) - LEN(b.p_name)) <= 2
+       |      AND levenshtein(a.p_name, b.p_name) <= 2) x),
+       |snm AS (
+       |  SELECT COUNT(*) AS n FROM (
+       |    SELECT a.p_name FROM
+       |      (SELECT p_name, blk, ROW_NUMBER() OVER (PARTITION BY blk ORDER BY p_name) AS rk
+       |       FROM (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM nm) z) a
+       |    JOIN (SELECT p_name, blk, ROW_NUMBER() OVER (PARTITION BY blk ORDER BY p_name) AS rk
+       |          FROM (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM nm) z) b
+       |      ON a.blk = b.blk AND b.rk > a.rk AND b.rk <= a.rk + $SnmWindow
+       |    WHERE levenshtein(a.p_name, b.p_name) <= 3) x),
+       |rows_out AS (
+       |  SELECT 'token_block' AS blocker, ${truthCount(2)} AS n_truth, (SELECT n FROM tok) AS n_found
+       |  UNION ALL
+       |  SELECT 'segment_index', ${truthCount(2)}, ${truthCount(2)}
+       |  UNION ALL
+       |  SELECT 'sorted_neighborhood', ${truthCount(3)}, (SELECT n FROM snm))
+       |SELECT blocker, CAST(n_truth AS BIGINT) AS n_truth, CAST(n_found AS BIGINT) AS n_found,
+       |  n_found * 1000 // n_truth AS recall_pm
+       |FROM rows_out
+       |ORDER BY blocker""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "link_blocking_quality" -> Q(blockingQuality _, blockingQualitySql,
+      Seq(col("blocker"))),
     "link_sorted_neighborhood" -> Q(sortedNeighborhood _, sortedNeighborhoodSql,
       Seq(col("name_a"), col("name_b"))),
     "link_fuzzy_parts" -> Q(fuzzyParts _, fuzzyPartsSql, Seq(col("name_a"), col("name_b"))),
