@@ -1277,7 +1277,94 @@ object DedupQueries {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  // --------------------------------------------------- containment
+
+  private val RareDfMax = 5L       // rare-shingle anchor: 2 <= df <= 5
+  private val ContainmentMinPm = 500L
+
+  /** §8p(de) — asymmetric CONTAINMENT dedup: |A∩B| / min(|A|,|B|) —
+    * the quote/subsumption detector Jaccard is structurally blind to (a
+    * short doc fully embedded in a long one has tiny Jaccard, so the
+    * minhash bands rarely collide; it is still a duplication event a
+    * training pipeline must see). Candidates therefore come from a
+    * DIFFERENT blocker than the LSH family: the rare-shingle inverted
+    * index — pairs sharing any shingle with 2 ≤ df ≤ [[RareDfMax]].
+    * An embedded quote of ≥ 3 words carries its shingles with it, and
+    * at corpus scale a shingle of the quoted content is almost surely
+    * rare, so containment pairs surface even at near-zero Jaccard.
+    * Pair pressure is bounded by construction: Σ C(df,2) ≤
+    * (RareDfMax−1)/2 · Σ df over rare shingles — the df cap IS the
+    * whale guard (a boilerplate shingle shared by half the corpus
+    * never reaches the pair stage).
+    *
+    * Scale shape: one shingle-keyed df aggregate, one rare-anchored
+    * self-join (co-partitioned on the shingle), exact set intersect
+    * only on candidate docs — the [[ngramJaccard]] verify economics
+    * under a containment-complete-for-rare-content blocker. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val sh = Cached.track(t.documents
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), explode_outer(array_distinct(col("s"))).as("shingle"))
+      .where(col("shingle").isNotNull)
+      .persist())
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= RareDfMax)
+      .select("shingle")
+    val occ = sh.join(rare, Seq("shingle"))
+    val cand = occ.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(occ.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val candDocs = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val sets = t.documents
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ss_a")).cast("long").as("n_a"),
+        size(col("ss_b")).cast("long").as("n_b"),
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("long").as("n_inter"))
+      .withColumn("containment_pm", expr("n_inter * 1000 div least(n_a, n_b)"))
+      .withColumn("jaccard_pm", expr("n_inter * 1000 div (n_a + n_b - n_inter)"))
+      .where(col("containment_pm") >= ContainmentMinPm)
+  }
+
+  private def containmentSql =
+    s"""WITH ws AS (SELECT doc_id, ${graft.functions.DuckSql.wordsOf("text")} AS w FROM documents),
+       |shl AS (SELECT doc_id, CASE WHEN LEN(w) >= 3
+       |    THEN list_transform(generate_series(1, LEN(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [array_to_string(w, ' ')] END AS s FROM ws),
+       |sh AS (SELECT DISTINCT doc_id, shingle
+       |       FROM (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM shl)),
+       |rare AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+       |         WHERE df >= 2 AND df <= $RareDfMax),
+       |occ AS (SELECT s.shingle, s.doc_id FROM sh s JOIN rare USING (shingle)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM occ a JOIN occ b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(s) AS ss FROM shl),
+       |v AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(LEN(sa.ss) AS BIGINT) AS n_a, CAST(LEN(sb.ss) AS BIGINT) AS n_b,
+       |    CAST(LEN(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS n_inter
+       |  FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_a, n_b, n_inter,
+       |  n_inter * 1000 // LEAST(n_a, n_b) AS containment_pm,
+       |  n_inter * 1000 // (n_a + n_b - n_inter) AS jaccard_pm
+       |FROM v
+       |WHERE n_inter * 1000 // LEAST(n_a, n_b) >= $ContainmentMinPm
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_containment" -> Q(containment _, containmentSql,
+      Seq(col("doc_a"), col("doc_b"))),
     "dedup_source_similarity" -> Q(sourceSimilarity _, sourceSimilaritySql,
       Seq(col("src_a"), col("src_b"))),
     "dedup_cross_source" -> Q(crossSourceMatrix _, crossSourceMatrixSql,
