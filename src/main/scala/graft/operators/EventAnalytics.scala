@@ -425,6 +425,87 @@ object EventAnalytics {
        |FROM ab""".stripMargin
   }
 
+  /** §8p(df) — CUPED experiment readout (Deng et al., WSDM 2013 —
+    * variance reduction with pre-experiment covariates, the industry
+    * default for A/B sensitivity): per arm (the [[abTest]] hash deal),
+    * the post-period activity mean raw AND adjusted by the pre-period
+    * covariate — Y_adj = Ȳ_arm − θ·(X̄_arm − X̄_all), with
+    * θ = cov(X,Y)/var(X) pooled over ALL users so the adjustment is
+    * unbiased under the null. Pre/post = event counts either side of
+    * the time-range midpoint (integer micros), so every sufficient sum
+    * (n, Σx, Σy, Σxy, Σx²) is an exact integer on the DECIMAL lane;
+    * θ and the adjusted means are ONE fixed-order float chain over
+    * those exact sums, round-6 — the q_stats_moments portability
+    * pattern applied to experimentation.
+    *
+    * Scale: one user-keyed aggregate, one arm aggregate (plus the
+    * 1-row global sums broadcast) — nothing grows with the event
+    * count except the first map-side pass. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val ev = Tables(dir).events
+    val mid = ev.agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid_us"))
+    val arm = when(pmod(graft.plans.VectorExpressions.hexPrefix(
+      md5(concat(lit("graft-ab-v1"), col("user_id").cast("string"))), 8), lit(2L)) === 0, "A")
+      .otherwise("B")
+    val perUser = ev.crossJoin(broadcast(mid))
+      .select(col("user_id"), arm.as("arm"),
+        (unix_micros(col("ts")) < col("mid_us")).cast("long").as("pre"),
+        (unix_micros(col("ts")) >= col("mid_us")).cast("long").as("post"))
+      .groupBy("user_id", "arm")
+      .agg(sum(col("pre")).as("x"), sum(col("post")).as("y"))
+    val gl = perUser.agg(
+      count(lit(1)).as("n_all"),
+      sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx_all"),
+      sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy_all"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy_all"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2_all"))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"))
+      .crossJoin(broadcast(gl))
+      .select(col("arm"), col("n_users"),
+        expr("CAST(sy AS BIGINT)").as("sum_post"),
+        expr("round(CAST(sy AS DOUBLE) / n_users, 6)").as("mean_post"),
+        expr("""round(CAST(sy AS DOUBLE) / n_users
+               | - (CAST(n_all * sxy_all - sx_all * sy_all AS DOUBLE)
+               |    / CAST(n_all * sx2_all - sx_all * sx_all AS DOUBLE))
+               |   * (CAST(sx AS DOUBLE) / n_users - CAST(sx_all AS DOUBLE) / n_all), 6)"""
+          .stripMargin.replace("\n", " ")).as("mean_adj"))
+  }
+
+  private val cupedSql = {
+    val armExpr = DedupQueries.hexToLongDuck("md5('graft-ab-v1' || CAST(user_id AS VARCHAR))", 8)
+    s"""WITH mid AS (
+       |  SELECT (MIN(epoch_us(CAST(ts AS TIMESTAMP))) + MAX(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid_us
+       |  FROM events),
+       |pu AS (
+       |  SELECT user_id,
+       |    CASE WHEN ($armExpr) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < mid_us THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM events, mid GROUP BY 1, 2),
+       |gl AS (
+       |  SELECT COUNT(*) AS n_all,
+       |    SUM(CAST(x AS HUGEINT)) AS sx_all, SUM(CAST(y AS HUGEINT)) AS sy_all,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy_all, SUM(CAST(x AS HUGEINT) * x) AS sx2_all
+       |  FROM pu),
+       |arms AS (
+       |  SELECT arm, COUNT(*) AS n_users,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy
+       |  FROM pu GROUP BY 1)
+       |SELECT arm, n_users, CAST(sy AS BIGINT) AS sum_post,
+       |  ROUND(CAST(sy AS DOUBLE) / n_users, 6) AS mean_post,
+       |  ROUND(CAST(sy AS DOUBLE) / n_users
+       |    - (CAST(n_all * sxy_all - sx_all * sy_all AS DOUBLE)
+       |       / CAST(n_all * sx2_all - sx_all * sx_all AS DOUBLE))
+       |      * (CAST(sx AS DOUBLE) / n_users - CAST(sx_all AS DOUBLE) / n_all), 6) AS mean_adj
+       |FROM arms, gl
+       |ORDER BY arm""".stripMargin
+  }
+
   /** Distinct-user rollup FROM REGISTERS — the mergeable-summaries
     * property doing a cube's work: the raw events are scanned ONCE into a
     * (type, day) register table, and the per-type, per-day, and grand
@@ -1508,6 +1589,7 @@ object EventAnalytics {
     "events_uniques_rollup" -> Q(uniquesRollup _, uniquesRollupSql,
       Seq(col("level"), col("key"))),
     "events_ab_test" -> Q(abTest _, abTestSql),
+    "events_cuped" -> Q(cuped _, cupedSql, Seq(col("arm"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),
     "events_dau_wau" -> Q(dauWau _, dauWauSql, Seq(col("day"))),
     "events_session_stats" -> Q(sessionStats _, sessionStatsSql, Seq(col("user_id"))),
