@@ -155,6 +155,49 @@ object StorageQueries {
        |FROM c GROUP BY 1, 2
        |ORDER BY source, shard""".stripMargin
 
+  /** Incremental twin of [[compactionPlan]] (the `foreachBatch` body of a
+    * streaming compactor): extend a PRIOR manifest with a batch of newly
+    * landed docs. Valid under the append-only contract the lake gives a
+    * compactor anyway — batch doc_ids per source sort after everything
+    * already planned (asserted nowhere at runtime: the spec pins the
+    * equality, and a violating feed would diverge from the recompute
+    * loudly at the next audit). First-fit state is just the per-source
+    * cumulative payload, so the delta is: resume each source's cumsum at
+    * `Σ total_chars` from the prior manifest, assign shards with the
+    * SAME pre-payload formula, then merge rows by (source, shard) —
+    * sum/min/max re-aggregation, the manifest's register algebra (a
+    * batch that continues the prior tail shard merges into it exactly).
+    * Replaying the whole table as one batch over an empty prior equals
+    * [[compactionPlan]] bit-for-bit, and prefix+suffix equals the full
+    * recompute — both spec-pinned. */
+  def compactionDelta(prior: DataFrame, batch: DataFrame): DataFrame = {
+    val tail = prior.groupBy("source")
+      .agg(sum(col("total_chars")).as("prior_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val delta = batch
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .join(tail, Seq("source"), "left")
+      .withColumn("prior_chars", coalesce(col("prior_chars"), lit(0L)))
+      .withColumn("cum", sum(col("n_chars")).over(w) + col("prior_chars"))
+      .withColumn("shard", expr(s"(cum - n_chars) div $CompactTargetChars"))
+      .groupBy(col("source"), col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+    prior.unionByName(delta)
+      .groupBy("source", "shard")
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_chars")).as("total_chars"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
+  }
+
   // ------------------------------------------------- z-order layout
 
   private val ZFiles = 256          // value-range cells per layout

@@ -32,6 +32,27 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(got.forall(_._4 > 0))
   }
 
+  test("compaction delta over a doc_id prefix split equals the full recompute") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select("source", "doc_id", "n_chars")
+    val cut = docs.agg(expr("percentile_approx(doc_id, 0.6)")).head().getLong(0)
+    val full = StorageQueries.compactionPlan(spark, TestSpark.Sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    // replay-as-one-batch over an empty prior == the batch planner
+    val empty = Seq.empty[(String, Long, Long, Long, Long, Long)]
+      .toDF("source", "shard", "n_docs", "total_chars", "first_doc", "last_doc")
+    assert(rows(StorageQueries.compactionDelta(empty, docs)) == rows(full))
+    // prefix manifest + suffix batch == full recompute (append-only merge)
+    val prior = StorageQueries.compactionDelta(empty, docs.where($"doc_id" <= cut))
+    val merged = StorageQueries.compactionDelta(prior, docs.where($"doc_id" > cut))
+    assert(rows(merged) == rows(full) && rows(full).nonEmpty)
+  }
+
   test("z-order audit matches the driver interleave and prunes better than linear") {
     def spread(v: Long): Long = {
       var s = (v | (v << 8)) & 0x00FF00FFL
