@@ -1429,7 +1429,72 @@ object CorpusQueries {
       |  ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / tot_w, 6) AS share_temp
       |FROM pl, tot ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------- dataset card
+
+  /** §8p(dg) — the dataset card, landed as a table: the per-source
+    * summary a data consumer reads BEFORE training (Datasheets for
+    * Datasets / Model Cards practice, reduced to the queryable facts):
+    * volume (docs, whitespace tokens, chars), mean doc length per-mille,
+    * exact duplicate pressure (docs minus distinct content hashes, ‰),
+    * and the language-mix entropy in micro-nats — the one-number
+    * mono-vs-multilingual diagnostic. Entropy rides the micro-nat
+    * integer lane: each language's −p·ln(p) term is rounded to an
+    * integer INDEPENDENTLY, so the per-source sum is order-free and
+    * engine-exact (the [[graft.operators.TextQueries.nbLangId]]
+    * admission). One doc-level pass (tokens + content hash), one
+    * (source, lang) aggregate, one source aggregate with an exact
+    * distinct over content hashes. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val d = Cached.track(Tables(dir).documents
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(words(col("text"))).cast("long").as("toks"),
+        md5(col("text")).as("h"))
+      .persist())
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("h")).as("n_distinct"))
+    val ent = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .join(d.groupBy("source").agg(count(lit(1)).as("n")), Seq("source"))
+      .withColumn("term_u", expr(
+        "CAST(ROUND(-(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT)"))
+      .groupBy("source").agg(sum(col("term_u")).as("lang_entropy_u"))
+    base.join(ent, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("n_tokens * 1000 div n_docs").as("mean_tokens_pm"),
+        expr("(n_docs - n_distinct) * 1000 div n_docs").as("dup_pm"),
+        col("lang_entropy_u"))
+  }
+
+  private val datasetCardSql =
+    s"""WITH d AS (
+       |  SELECT source, lang, n_chars,
+       |    CAST(LEN(${DuckSql.wordsOf("text")}) AS BIGINT) AS toks,
+       |    md5(text) AS h
+       |  FROM documents),
+       |base AS (
+       |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |    COUNT(DISTINCT h) AS n_distinct
+       |  FROM d GROUP BY 1),
+       |ent AS (
+       |  SELECT source, CAST(SUM(term_u) AS BIGINT) AS lang_entropy_u FROM (
+       |    SELECT c.source,
+       |      CAST(ROUND(-(CAST(c.c AS DOUBLE) / n.n) * LN(CAST(c.c AS DOUBLE) / n.n) * 1000000) AS BIGINT) AS term_u
+       |    FROM (SELECT source, lang, COUNT(*) AS c FROM d GROUP BY 1, 2) c
+       |    JOIN (SELECT source, COUNT(*) AS n FROM d GROUP BY 1) n USING (source)) x
+       |  GROUP BY 1)
+       |SELECT source, n_docs, n_tokens, n_chars,
+       |  n_tokens * 1000 // n_docs AS mean_tokens_pm,
+       |  (n_docs - n_distinct) * 1000 // n_docs AS dup_pm,
+       |  lang_entropy_u
+       |FROM base JOIN ent USING (source)
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "docs_dataset_card" -> Q(datasetCard _, datasetCardSql, Seq(col("source"))),
     "docs_span_pairs" -> Q(spanPairs _, spanPairsSql, Seq(col("doc_id"))),
     "docs_temperature_mix" -> Q(temperatureMix _, temperatureMixSql, Seq(col("lang"))),
     "docs_weighted_sample" -> Q(weightedSample _, weightedSampleSql, Seq(col("doc_id"))),
