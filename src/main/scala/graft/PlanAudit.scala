@@ -77,7 +77,15 @@ object PlanAudit {
       } catch {
         case e: Throwable =>
           System.err.println(s"[plan-audit] $name failed: ${e.getMessage}"); None
-      } finally graft.operators.Cached.releaseAll()
+      } finally {
+        // releaseAll is non-blocking: a lingering cache entry lets the
+        // NEXT query's plan match a canonically-equal subtree from this
+        // one (observed: dedup_containment's shingle build matching
+        // dedup_clusters' persisted bands → +3 phantom custom ops in the
+        // anchor). clearCache makes every fingerprint hermetic.
+        graft.operators.Cached.releaseAll()
+        spark.catalog.clearCache()
+      }
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       entries.mkString("{\n", ",\n", "\n}\n"))

@@ -1303,6 +1303,11 @@ object DedupQueries {
     * under a containment-complete-for-rare-content blocker. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
+    // the candidate stage is declared as a plain DISTINCT self-join and
+    // COMPILED to the BandedPairs bucket operator by the engine's
+    // rewrite rule — installed here so sessions built without
+    // GraftExtensions (a user's own builder) get the same plan
+    graft.plans.BandedPairsRewrite.install(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
     val sh = Cached.track(t.documents

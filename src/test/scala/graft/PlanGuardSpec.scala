@@ -32,7 +32,11 @@ class PlanGuardSpec extends AnyFunSuite {
             offenders += s"$name: custom ops ${a.customOps} -> ${m.customOps} (lost an engine operator)"
         } catch {
           case e: Throwable => offenders += s"$name: plan construction failed: ${e.getMessage}"
-        } finally graft.operators.Cached.releaseAll()
+        } finally {
+          // hermetic per-query fingerprints — see PlanAudit.main's note
+          graft.operators.Cached.releaseAll()
+          spark.catalog.clearCache()
+        }
       }
     }
     assert(offenders.isEmpty, s"plan regressions:\n  ${offenders.mkString("\n  ")}")
