@@ -506,6 +506,303 @@ object EventAnalytics {
        |ORDER BY arm""".stripMargin
   }
 
+  /** The experiment's deterministic arm deal (shared definition with
+    * [[abTest]]/[[cuped]] — content-keyed md5, so executor count and
+    * engine cannot move a user between arms). */
+  private def abArm: org.apache.spark.sql.Column =
+    when(pmod(graft.plans.VectorExpressions.hexPrefix(
+      md5(concat(lit("graft-ab-v1"), col("user_id").cast("string"))), 8), lit(2L)) === 0, "A")
+      .otherwise("B")
+
+  /** χ²(1) critical value at α = 0.001 — the standard SRM alarm level
+    * (Fabijan et al., KDD 2019: sample-ratio mismatch is the first
+    * validity check any experiment readout must pass). */
+  private val SrmChi2Crit = 10.83
+
+  /** §8q(di) — sample-ratio-mismatch check, per day: the arm deal is a
+    * 50/50 split, so daily assignment counts follow Binomial(n, ½) under
+    * correct instrumentation and χ² = (n_a − n_b)²/(n_a + n_b) flags a
+    * broken logger / bot day. Exact integer counts; ONE float division,
+    * round-6 — the flag compares the rounded statistic on both engines.
+    *
+    * Scale: one map-side conditional aggregate into |days| cells. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    Tables(dir).events
+      .select(to_date(col("ts")).as("day"), abArm.as("arm"))
+      .groupBy("day")
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(col("day").cast("string").as("day"), col("n_a"), col("n_b"),
+        expr("round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6)").as("chi2"))
+      .withColumn("srm", col("chi2") > SrmChi2Crit)
+  }
+
+  private val srmCheckSql = {
+    val armExpr = DedupQueries.hexToLongDuck("md5('graft-ab-v1' || CAST(user_id AS VARCHAR))", 8)
+    s"""WITH pu AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CASE WHEN ($armExpr) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+       |  FROM events),
+       |d AS (
+       |  SELECT day,
+       |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM pu GROUP BY 1)
+       |SELECT CAST(day AS VARCHAR) AS day, n_a, n_b,
+       |  ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) AS chi2,
+       |  ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) > $SrmChi2Crit AS srm
+       |FROM d ORDER BY day""".stripMargin
+  }
+
+  private val AcfMaxLag = 24
+
+  /** §8q(dj) — autocorrelation function of the hourly event-count series
+    * at lags 1..[[AcfMaxLag]] (Box–Jenkins sample ACF — the seasonality
+    * detector behind every traffic forecast): the corpus collapses ONCE
+    * into gap-filled hourly cells, and r_k runs entirely on that bounded
+    * series table. Exactness: with x̄ = S/N rational, the standard
+    * estimator multiplies through by N² so numerator and denominator are
+    * exact integers on the DECIMAL lane —
+    * r_k = (N²·Σx_t·x_{t+k} − N·S·(Σ_a + Σ_b) + (N−k)·S²) / (N²·Σx² − N·S²)
+    * — and ONE float division closes it (round-6).
+    *
+    * Scale: hours are bounded by the clock (≈10⁵ cells a decade), so the
+    * ×24-lag self-join is a broadcast join on a cell table regardless of
+    * corpus size; only the first groupBy touches the events. */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hc = Tables(dir).events
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+    val spine = hc.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    // consumed by 3 branches (global stats, pair lhs, pair rhs) — persist
+    val series = Cached.track(
+      spine.join(hc, Seq("h"), "left").na.fill(0L, Seq("x")).persist(MEMORY_AND_DISK))
+    val gl = series.agg(count(lit(1)).as("n"),
+      sum(expr("CAST(x AS DECIMAL(38,0))")).as("s"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+    val lags = spark.range(1, AcfMaxLag + 1).select(col("id").as("k"))
+    series.crossJoin(broadcast(lags))
+      .select(col("k"), (col("h") + col("k")).as("h2"), col("x").as("xa"))
+      .join(broadcast(series.select(col("h").as("h2"), col("x").as("xb"))), Seq("h2"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(xa AS DECIMAL(38,0)) * xb")).as("sxy"),
+        sum(expr("CAST(xa AS DECIMAL(38,0))")).as("sa"),
+        sum(expr("CAST(xb AS DECIMAL(38,0))")).as("sb"))
+      .crossJoin(broadcast(gl))
+      .select(col("k"), col("n_pairs"),
+        expr("""round(CAST(n * n * sxy - n * s * (sa + sb) + n_pairs * s * s AS DOUBLE)
+               | / CAST(n * n * s2 - n * s * s AS DOUBLE), 6)""".stripMargin.replace("\n", " "))
+          .as("acf"))
+  }
+
+  private val acfSql =
+    s"""WITH hc AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h, COUNT(*) AS x
+       |  FROM events GROUP BY 1),
+       |spine AS (
+       |  SELECT UNNEST(range((SELECT MIN(h) FROM hc), (SELECT MAX(h) FROM hc) + 1)) AS h),
+       |series AS (SELECT s.h, COALESCE(hc.x, 0) AS x FROM spine s LEFT JOIN hc ON hc.h = s.h),
+       |gl AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s,
+       |       SUM(CAST(x AS HUGEINT) * x) AS s2 FROM series),
+       |lags AS (SELECT UNNEST(range(1, ${AcfMaxLag + 1})) AS k),
+       |pl AS (
+       |  SELECT l.k, COUNT(*) AS n_pairs, SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy,
+       |    SUM(CAST(a.x AS HUGEINT)) AS sa, SUM(CAST(b.x AS HUGEINT)) AS sb
+       |  FROM series a CROSS JOIN lags l JOIN series b ON b.h = a.h + l.k
+       |  GROUP BY 1)
+       |SELECT k, n_pairs,
+       |  ROUND(CAST(n * n * sxy - n * s * (sa + sb) + n_pairs * s * s AS DOUBLE)
+       |    / CAST(n * n * s2 - n * s * s AS DOUBLE), 6) AS acf
+       |FROM pl, gl ORDER BY k""".stripMargin
+
+  /** Mixture variance τ² for the always-valid monitor (the sensitivity
+    * knob — larger τ² favors detecting big effects early). */
+  private val MsprtTau2 = 100.0
+  /** ln(1/α) at α = 0.05: Λ crossing 1/α rejects with always-valid
+    * type-I control (Ville's inequality). */
+  private val MsprtCrit = 2.995732
+
+  /** §8q(dk) — mixture-SPRT always-valid experiment monitor (Johari et
+    * al., KDD 2017 "Peeking at A/B tests"): at every hour, the cumulative
+    * arm-count difference S = c_a − c_b has variance V = c_a + c_b under
+    * the null (binomial split of the arrival stream), and the normal
+    * mixture over effect sizes gives the closed-form log likelihood
+    * ratio ln Λ = ½·ln(V/(V+τ²)) + S²·τ²/(2·V·(V+τ²)). Unlike the
+    * fixed-horizon [[abTest]] z, Λ may be monitored continuously —
+    * the first hour ln Λ exceeds ln(1/α) is a valid stopping time.
+    * S and V are exact integer prefix sums; ONE float chain (round-6).
+    *
+    * Scale: the events collapse once into hourly cells; the cumulative
+    * window runs on the bounded cell table (single-partition by
+    * construction — hours are clock-bounded, as in the survival curve). */
+  def msprt(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val hourly = Tables(dir).events
+      .select(expr("unix_micros(ts) div 3600000000").as("h"), abArm.as("arm"))
+      .groupBy("h")
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+      .select(col("h"), col("ca"), col("cb"),
+        expr(s"""round(0.5 * ln(CAST(ca + cb AS DOUBLE) / (ca + cb + $MsprtTau2))
+                | + CAST(ca - cb AS DOUBLE) * (ca - cb) * $MsprtTau2
+                |   / (2.0 * (ca + cb) * (ca + cb + $MsprtTau2)), 6)"""
+          .stripMargin.replace("\n", " ")).as("log_lr"))
+      .withColumn("significant", col("log_lr") > MsprtCrit)
+  }
+
+  private val msprtSql = {
+    val armExpr = DedupQueries.hexToLongDuck("md5('graft-ab-v1' || CAST(user_id AS VARCHAR))", 8)
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+       |    CAST(SUM(CASE WHEN ($armExpr) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(SUM(CASE WHEN ($armExpr) % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS nb
+       |  FROM events GROUP BY 1),
+       |cum AS (
+       |  SELECT h,
+       |    SUM(na) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS ca,
+       |    SUM(nb) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cb
+       |  FROM hourly)
+       |SELECT h, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+       |  ROUND(0.5 * ln(CAST(ca + cb AS DOUBLE) / (ca + cb + $MsprtTau2))
+       |    + CAST(ca - cb AS DOUBLE) * (ca - cb) * $MsprtTau2
+       |      / (2.0 * (ca + cb) * (ca + cb + $MsprtTau2)), 6) AS log_lr,
+       |  ROUND(0.5 * ln(CAST(ca + cb AS DOUBLE) / (ca + cb + $MsprtTau2))
+       |    + CAST(ca - cb AS DOUBLE) * (ca - cb) * $MsprtTau2
+       |      / (2.0 * (ca + cb) * (ca + cb + $MsprtTau2)), 6) > $MsprtCrit AS significant
+       |FROM cum ORDER BY h""".stripMargin
+  }
+
+  private val BootB = 64
+  /** Poisson(1) CDF × 2¹⁶, floored — the inverse-CDF ladder mapping a
+    * 16-bit hash-uniform to a deterministic bootstrap weight (truncated
+    * at 6; P(w > 6) < 10⁻³). 16-bit resolution lets ONE md5 seed eight
+    * replicates, cutting the dominant per-row hash cost 8×. */
+  private val BootLadder = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L)
+
+  /** §8q(dl) — deterministic Poisson bootstrap CI on the per-arm mean
+    * event value (Efron's bootstrap in the online form every large-scale
+    * experiment platform uses — Poisson(1) weights approximate multinomial
+    * resampling without coordinating a global N): replicate b weights row
+    * r by the inverse-CDF ladder on a 16-bit slice of md5(r, b div 8) —
+    * eight replicates share one digest, sliced at 4-hex-char offsets —
+    * so the "randomness" is a pure function of the data and both engines
+    * draw identical samples. Values ride µ-unit integers (one
+    * correctly-rounded quantization), replicate sums are exact, each
+    * replicate mean is ONE float chain, and the CI is the exact discrete
+    * 5th/95th percentile (ranks ⌈0.05·B⌉ / ⌈0.95·B⌉) of the B rounded
+    * means.
+    *
+    * Scale: the ×B fan-out is a generator chain, not an array build —
+    * explode the B/8 digest seeds (digest computed once per seed),
+    * then explode the 8 slices of each digest — so every stage is plain
+    * scalar expressions inside whole-stage codegen (a transform()-built
+    * weight VECTOR costs 20× more: higher-order lambdas run interpreted
+    * per element). The ×B rows collapse immediately into 2·B cells via
+    * map-side partial aggregation — no shuffle grows with B or the
+    * corpus; the rank window runs on a 2·B-row table. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val wCase = BootLadder.zipWithIndex
+      .map { case (thr, i) => s"WHEN u < ${thr}L THEN ${i}L" }
+      .mkString("CASE ", " ", s" ELSE ${BootLadder.size}L END")
+    val base = Tables(dir).events
+      .select(abArm.as("arm"), col("event_id"),
+        expr("CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT)").as("v_u"))
+    // staged selects (not withColumn chains) so the generator's pushdown
+    // cannot re-derive the digest at the scan; the digest projection sits
+    // BETWEEN the two Generates, so CollapseProject cannot merge it past
+    // the slice explode and recompute md5 per slice [pitfall: explode]
+    val reps = base
+      .select(col("arm"), col("v_u"), col("event_id"),
+        explode(sequence(lit(0), lit(7))).as("g"))
+      .select(col("arm"), col("v_u"), col("g"),
+        md5(concat(lit("graft-boot-v1:"), col("event_id").cast("string"),
+          lit(":"), col("g").cast("string"))).as("m"))
+      .select(col("arm"), col("v_u"), col("g"), col("m"),
+        explode(sequence(lit(0), lit(7))).as("j"))
+      .select(col("arm"), col("v_u"), (col("g") * 8 + col("j")).as("b"),
+        expr("CAST(conv(substring(m, j * 4 + 1, 4), 16, 10) AS BIGINT)").as("u"))
+      .select(col("arm"), col("v_u"), col("b"), expr(wCase).as("w"))
+      .groupBy("arm", "b")
+      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * v_u")).as("swv"),
+        sum(col("w")).as("sw"))
+      .select(col("arm"), col("b"),
+        expr("round(CASE WHEN sw = 0 THEN 0.0 ELSE CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 1000000.0 END, 6)")
+          .as("m"))
+    val loRank = math.ceil(0.05 * BootB).toInt
+    val hiRank = math.ceil(0.95 * BootB).toInt
+    val wr = Window.partitionBy(col("arm")).orderBy(col("m"), col("b"))
+    val ci = reps.withColumn("rn", row_number().over(wr))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_replicates"),
+        max(when(col("rn") === loRank, col("m"))).as("ci_lo"),
+        max(when(col("rn") === hiRank, col("m"))).as("ci_hi"))
+    val full = base.groupBy("arm")
+      .agg(expr("round(CAST(SUM(CAST(v_u AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) / 1000000.0, 6)")
+        .as("mean_value"))
+    full.join(ci, "arm")
+      .select(col("arm"), col("mean_value"), col("n_replicates"), col("ci_lo"), col("ci_hi"))
+  }
+
+  private val bootstrapCiSql = {
+    val armExpr = DedupQueries.hexToLongDuck("md5('graft-ab-v1' || CAST(user_id AS VARCHAR))", 8)
+    val u16 = DedupQueries.hexToLongDuck(
+      "substring(msl[CAST(b // 8 AS BIGINT) + 1], CAST((b % 8) * 4 + 1 AS BIGINT), 4)", 4)
+    val ladder = BootLadder.zipWithIndex
+      .map { case (thr, i) => s"WHEN u < $thr THEN $i" }.mkString(" ")
+    val loRank = math.ceil(0.05 * BootB).toInt
+    val hiRank = math.ceil(0.95 * BootB).toInt
+    s"""WITH base AS (
+       |  SELECT CASE WHEN ($armExpr) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    event_id, CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v_u
+       |  FROM events),
+       |md AS (
+       |  SELECT arm, v_u,
+       |    list_transform(range(0, 8), g ->
+       |      md5('graft-boot-v1:' || CAST(event_id AS VARCHAR) || ':' || CAST(g AS VARCHAR))) AS msl
+       |  FROM base),
+       |uu AS (
+       |  SELECT arm, v_u, list_transform(range(0, $BootB), b -> $u16) AS usl FROM md),
+       |ww AS (
+       |  SELECT arm, v_u,
+       |    list_transform(usl, u -> CASE $ladder ELSE ${BootLadder.size} END) AS wsl FROM uu),
+       |reps AS (
+       |  SELECT arm, v_u, b, wsl[CAST(b AS BIGINT) + 1] AS w
+       |  FROM ww CROSS JOIN (SELECT UNNEST(range(0, $BootB)) AS b)),
+       |rm AS (
+       |  SELECT arm, b,
+       |    ROUND(CASE WHEN SUM(w) = 0 THEN 0.0
+       |      ELSE CAST(SUM(CAST(w AS HUGEINT) * v_u) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 1000000.0 END, 6) AS m
+       |  FROM reps GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT arm, m, ROW_NUMBER() OVER (PARTITION BY arm ORDER BY m, b) AS rn FROM rm),
+       |ci AS (
+       |  SELECT arm, COUNT(*) AS n_replicates,
+       |    MAX(CASE WHEN rn = $loRank THEN m END) AS ci_lo,
+       |    MAX(CASE WHEN rn = $hiRank THEN m END) AS ci_hi
+       |  FROM rk GROUP BY 1),
+       |full_m AS (
+       |  SELECT arm,
+       |    ROUND(CAST(SUM(CAST(v_u AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_value
+       |  FROM base GROUP BY 1)
+       |SELECT f.arm, f.mean_value, c.n_replicates, c.ci_lo, c.ci_hi
+       |FROM full_m f JOIN ci c ON c.arm = f.arm
+       |ORDER BY f.arm""".stripMargin
+  }
+
   /** Distinct-user rollup FROM REGISTERS — the mergeable-summaries
     * property doing a cube's work: the raw events are scanned ONCE into a
     * (type, day) register table, and the per-type, per-day, and grand
@@ -1590,6 +1887,10 @@ object EventAnalytics {
       Seq(col("level"), col("key"))),
     "events_ab_test" -> Q(abTest _, abTestSql),
     "events_cuped" -> Q(cuped _, cupedSql, Seq(col("arm"))),
+    "events_srm_check" -> Q(srmCheck _, srmCheckSql, Seq(col("day"))),
+    "events_acf" -> Q(acf _, acfSql, Seq(col("k"))),
+    "events_msprt" -> Q(msprt _, msprtSql, Seq(col("h"))),
+    "events_bootstrap_ci" -> Q(bootstrapCi _, bootstrapCiSql, Seq(col("arm"))),
     "events_time_rollup" -> Q(timeRollup _, timeRollupSql, Seq(col("day"), col("hr"))),
     "events_dau_wau" -> Q(dauWau _, dauWauSql, Seq(col("day"))),
     "events_session_stats" -> Q(sessionStats _, sessionStatsSql, Seq(col("user_id"))),

@@ -364,6 +364,75 @@ object TextQueries {
        |FROM documents GROUP BY 1, 2
        |ORDER BY lang, len_bucket""".stripMargin
 
+  /** t-closeness threshold in ppm: a cohort whose sensitive-attribute
+    * distribution sits further than 0.4 (variational distance) from the
+    * corpus-wide distribution is flagged. */
+  private val TClosePpm = 400000L
+
+  /** §8q(dh) — t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007),
+    * the third rung of the release-privacy ladder after [[kanonAudit]]
+    * (cohort size) and [[ldiversityAudit]] (sensitive-value count):
+    * a cohort can be k-large AND l-diverse yet still leak when its
+    * sensitive-value DISTRIBUTION is skewed far from the corpus's. For
+    * categorical sensitive attributes the earth-mover distance reduces
+    * to the variational distance t_c = ½·Σ_s |p_c(s) − p(s)|; computed
+    * over the full source domain (absent sources contribute p(s)·n_c)
+    * in exact integers — Σ_s |n_cs·N − n_s·n_c| on the DECIMAL lane
+    * (the product crosses int64 near 10¹⁰ docs), scaled to ppm by one
+    * truncating division both engines floor identically.
+    *
+    * Scale shape: one corpus groupBy into (cohort × source) cells; the
+    * grid join runs on the cell table (cohorts × |sources|, thousands
+    * of rows at any corpus size), with the source totals and the 1-row
+    * grand total broadcast. */
+  def tclosenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cell = Tables(dir).documents
+      .groupBy(col("lang"), expr("n_chars div 100").as("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("n_cs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Cached.track(cell)
+    val cohorts = cell.groupBy("lang", "len_bucket").agg(sum(col("n_cs")).as("n_c"))
+    val srcTot = cell.groupBy("source").agg(sum(col("n_cs")).as("n_s"))
+    val total = srcTot.agg(sum(col("n_s")).as("n_all"))
+    cohorts
+      .crossJoin(broadcast(srcTot))
+      .crossJoin(broadcast(total))
+      .join(cell, Seq("lang", "len_bucket", "source"), "left")
+      .na.fill(0L, Seq("n_cs"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(max(col("n_c")).as("n_docs"),
+        sum(expr("abs(CAST(n_cs AS DECIMAL(38,0)) * n_all - CAST(n_s AS DECIMAL(38,0)) * n_c)"))
+          .as("num"),
+        max(col("n_c")).as("n_c"), max(col("n_all")).as("n_all"))
+      .select(col("lang"), col("len_bucket"), col("n_docs"),
+        expr("CAST((num * 1000000) div (2 * CAST(n_c AS DECIMAL(38,0)) * n_all) AS BIGINT)")
+          .as("t_ppm"))
+      .withColumn("at_risk", col("t_ppm") > TClosePpm)
+  }
+
+  private val tclosenessAuditSql =
+    s"""WITH cell AS (
+       |  SELECT lang, n_chars // 100 AS len_bucket, source, COUNT(*) AS n_cs
+       |  FROM documents GROUP BY 1, 2, 3),
+       |cohorts AS (SELECT lang, len_bucket, CAST(SUM(n_cs) AS BIGINT) AS n_c
+       |            FROM cell GROUP BY 1, 2),
+       |src_tot AS (SELECT source, CAST(SUM(n_cs) AS BIGINT) AS n_s FROM cell GROUP BY 1),
+       |total AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_all FROM src_tot),
+       |grid AS (
+       |  SELECT c.lang, c.len_bucket, c.n_c, s.source, s.n_s, t.n_all,
+       |    COALESCE(x.n_cs, 0) AS n_cs
+       |  FROM cohorts c CROSS JOIN src_tot s CROSS JOIN total t
+       |  LEFT JOIN cell x ON x.lang = c.lang AND x.len_bucket = c.len_bucket
+       |    AND x.source = s.source)
+       |SELECT lang, len_bucket, MAX(n_c) AS n_docs,
+       |  CAST((SUM(ABS(CAST(n_cs AS HUGEINT) * n_all - CAST(n_s AS HUGEINT) * n_c)) * 1000000)
+       |       // (2 * CAST(MAX(n_c) AS HUGEINT) * MAX(n_all)) AS BIGINT) AS t_ppm,
+       |  (SUM(ABS(CAST(n_cs AS HUGEINT) * n_all - CAST(n_s AS HUGEINT) * n_c)) * 1000000)
+       |       // (2 * CAST(MAX(n_c) AS HUGEINT) * MAX(n_all)) > $TClosePpm AS at_risk
+       |FROM grid GROUP BY 1, 2
+       |ORDER BY lang, len_bucket""".stripMargin
+
   private val MaxPhraseLen = 6
   private val breakRe = "[^a-z0-9]"
 
@@ -557,6 +626,8 @@ object TextQueries {
     "docs_kanon_audit" -> Q(kanonAudit _, kanonAuditSql,
       Seq(col("lang"), col("source"), col("len_bucket"))),
     "docs_ldiversity_audit" -> Q(ldiversityAudit _, ldiversityAuditSql,
+      Seq(col("lang"), col("len_bucket"))),
+    "docs_tcloseness_audit" -> Q(tclosenessAudit _, tclosenessAuditSql,
       Seq(col("lang"), col("len_bucket"))),
     "text_token_stats" -> Q(tokenStats _, tokenStatsSql, Seq(col("doc_id"))),
     "text_quality_score" -> Q(qualityScore _, qualityScoreSql, Seq(col("doc_id"))),
