@@ -691,56 +691,67 @@ object EventAnalytics {
     * replicates, cutting the dominant per-row hash cost 8×. */
   private val BootLadder = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L)
 
-  /** §8q(dl) — deterministic Poisson bootstrap CI on the per-arm mean
-    * event value (Efron's bootstrap in the online form every large-scale
-    * experiment platform uses — Poisson(1) weights approximate multinomial
-    * resampling without coordinating a global N): replicate b weights row
-    * r by the inverse-CDF ladder on a 16-bit slice of md5(r, b div 8) —
-    * eight replicates share one digest, sliced at 4-hex-char offsets —
-    * so the "randomness" is a pure function of the data and both engines
-    * draw identical samples. Values ride µ-unit integers (one
-    * correctly-rounded quantization), replicate sums are exact, each
-    * replicate mean is ONE float chain, and the CI is the exact discrete
+  /** §8q(dl) — deterministic USER-LEVEL Poisson bootstrap CI on the
+    * per-arm mean event value (the clustered/unit bootstrap every
+    * experiment platform runs: the randomization unit is the user, so
+    * resampling must draw whole users — resampling raw events understates
+    * the variance of a ratio metric by ignoring within-user correlation;
+    * Poisson(1) weights approximate multinomial resampling without
+    * coordinating a global N). Replicate b weights user u by the
+    * inverse-CDF ladder on a 16-bit slice of md5(u, b div 8) — eight
+    * replicates share one digest, sliced at 4-hex-char offsets — so the
+    * "randomness" is a pure function of the data and both engines draw
+    * identical samples. Values ride µ-unit integers (one correctly-
+    * rounded quantization per event), per-user sufficient stats
+    * (Σvalue, n) and replicate sums are exact, each replicate ratio
+    * Σw·s / Σw·n is ONE float chain, and the CI is the exact discrete
     * 5th/95th percentile (ranks ⌈0.05·B⌉ / ⌈0.95·B⌉) of the B rounded
-    * means.
+    * replicate means.
     *
-    * Scale: the ×B fan-out is a generator chain, not an array build —
-    * explode the B/8 digest seeds (digest computed once per seed),
-    * then explode the 8 slices of each digest — so every stage is plain
-    * scalar expressions inside whole-stage codegen (a transform()-built
-    * weight VECTOR costs 20× more: higher-order lambdas run interpreted
-    * per element). The ×B rows collapse immediately into 2·B cells via
-    * map-side partial aggregation — no shuffle grows with B or the
-    * corpus; the rank window runs on a 2·B-row table. */
+    * Scale: the corpus is touched ONCE — a user-keyed groupBy into the
+    * per-user register table — and the ×B fan-out runs on |users| rows,
+    * as a generator chain, not an array build: explode the B/8 digest
+    * seeds (digest computed once per seed), then explode the 8 slices of
+    * each digest, so every stage is plain scalar expressions inside
+    * whole-stage codegen (a transform()-built weight VECTOR ran 7.6×
+    * slower on interpreted lambdas, and the event-level form paid the
+    * hash bill |events|/|users| ≈ 20× over). The ×B rows collapse
+    * map-side into 2·B cells; the rank window runs on a 2·B-row table. */
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val wCase = BootLadder.zipWithIndex
       .map { case (thr, i) => s"WHEN u < ${thr}L THEN ${i}L" }
       .mkString("CASE ", " ", s" ELSE ${BootLadder.size}L END")
-    val base = Tables(dir).events
-      .select(abArm.as("arm"), col("event_id"),
+    // persisted: the replicate fan-out AND the full-mean branch both read
+    // the |users|-row register table — one corpus scan, not two
+    val pu = Cached.track(Tables(dir).events
+      .select(abArm.as("arm"), col("user_id"),
         expr("CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT)").as("v_u"))
+      .groupBy("arm", "user_id")
+      .agg(sum(expr("CAST(v_u AS DECIMAL(38,0))")).as("s_u"),
+        count(lit(1)).as("n_u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // staged selects (not withColumn chains) so the generator's pushdown
     // cannot re-derive the digest at the scan; the digest projection sits
     // BETWEEN the two Generates, so CollapseProject cannot merge it past
     // the slice explode and recompute md5 per slice [pitfall: explode]
-    val reps = base
-      .select(col("arm"), col("v_u"), col("event_id"),
+    val reps = pu
+      .select(col("arm"), col("s_u"), col("n_u"), col("user_id"),
         explode(sequence(lit(0), lit(7))).as("g"))
-      .select(col("arm"), col("v_u"), col("g"),
-        md5(concat(lit("graft-boot-v1:"), col("event_id").cast("string"),
+      .select(col("arm"), col("s_u"), col("n_u"), col("g"),
+        md5(concat(lit("graft-boot-v1:"), col("user_id").cast("string"),
           lit(":"), col("g").cast("string"))).as("m"))
-      .select(col("arm"), col("v_u"), col("g"), col("m"),
+      .select(col("arm"), col("s_u"), col("n_u"), col("g"), col("m"),
         explode(sequence(lit(0), lit(7))).as("j"))
-      .select(col("arm"), col("v_u"), (col("g") * 8 + col("j")).as("b"),
+      .select(col("arm"), col("s_u"), col("n_u"), (col("g") * 8 + col("j")).as("b"),
         expr("CAST(conv(substring(m, j * 4 + 1, 4), 16, 10) AS BIGINT)").as("u"))
-      .select(col("arm"), col("v_u"), col("b"), expr(wCase).as("w"))
+      .select(col("arm"), col("s_u"), col("n_u"), col("b"), expr(wCase).as("w"))
       .groupBy("arm", "b")
-      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * v_u")).as("swv"),
-        sum(col("w")).as("sw"))
+      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * s_u")).as("sws"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * n_u")).as("swn"))
       .select(col("arm"), col("b"),
-        expr("round(CASE WHEN sw = 0 THEN 0.0 ELSE CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 1000000.0 END, 6)")
+        expr("round(CASE WHEN swn = 0 THEN 0.0 ELSE CAST(sws AS DOUBLE) / CAST(swn AS DOUBLE) / 1000000.0 END, 6)")
           .as("m"))
     val loRank = math.ceil(0.05 * BootB).toInt
     val hiRank = math.ceil(0.95 * BootB).toInt
@@ -750,8 +761,8 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_replicates"),
         max(when(col("rn") === loRank, col("m"))).as("ci_lo"),
         max(when(col("rn") === hiRank, col("m"))).as("ci_hi"))
-    val full = base.groupBy("arm")
-      .agg(expr("round(CAST(SUM(CAST(v_u AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) / 1000000.0, 6)")
+    val full = pu.groupBy("arm")
+      .agg(expr("round(CAST(SUM(s_u) AS DOUBLE) / CAST(SUM(n_u) AS DOUBLE) / 1000000.0, 6)")
         .as("mean_value"))
     full.join(ci, "arm")
       .select(col("arm"), col("mean_value"), col("n_replicates"), col("ci_lo"), col("ci_hi"))
@@ -765,27 +776,29 @@ object EventAnalytics {
       .map { case (thr, i) => s"WHEN u < $thr THEN $i" }.mkString(" ")
     val loRank = math.ceil(0.05 * BootB).toInt
     val hiRank = math.ceil(0.95 * BootB).toInt
-    s"""WITH base AS (
-       |  SELECT CASE WHEN ($armExpr) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
-       |    event_id, CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v_u
-       |  FROM events),
+    s"""WITH pu AS (
+       |  SELECT CASE WHEN ($armExpr) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, user_id,
+       |    SUM(CAST(CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS HUGEINT)) AS s_u,
+       |    COUNT(*) AS n_u
+       |  FROM events GROUP BY 1, 2),
        |md AS (
-       |  SELECT arm, v_u,
+       |  SELECT arm, s_u, n_u,
        |    list_transform(range(0, 8), g ->
-       |      md5('graft-boot-v1:' || CAST(event_id AS VARCHAR) || ':' || CAST(g AS VARCHAR))) AS msl
-       |  FROM base),
+       |      md5('graft-boot-v1:' || CAST(user_id AS VARCHAR) || ':' || CAST(g AS VARCHAR))) AS msl
+       |  FROM pu),
        |uu AS (
-       |  SELECT arm, v_u, list_transform(range(0, $BootB), b -> $u16) AS usl FROM md),
+       |  SELECT arm, s_u, n_u, list_transform(range(0, $BootB), b -> $u16) AS usl FROM md),
        |ww AS (
-       |  SELECT arm, v_u,
+       |  SELECT arm, s_u, n_u,
        |    list_transform(usl, u -> CASE $ladder ELSE ${BootLadder.size} END) AS wsl FROM uu),
        |reps AS (
-       |  SELECT arm, v_u, b, wsl[CAST(b AS BIGINT) + 1] AS w
+       |  SELECT arm, s_u, n_u, b, wsl[CAST(b AS BIGINT) + 1] AS w
        |  FROM ww CROSS JOIN (SELECT UNNEST(range(0, $BootB)) AS b)),
        |rm AS (
        |  SELECT arm, b,
-       |    ROUND(CASE WHEN SUM(w) = 0 THEN 0.0
-       |      ELSE CAST(SUM(CAST(w AS HUGEINT) * v_u) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 1000000.0 END, 6) AS m
+       |    ROUND(CASE WHEN SUM(CAST(w AS HUGEINT) * n_u) = 0 THEN 0.0
+       |      ELSE CAST(SUM(CAST(w AS HUGEINT) * s_u) AS DOUBLE)
+       |        / CAST(SUM(CAST(w AS HUGEINT) * n_u) AS DOUBLE) / 1000000.0 END, 6) AS m
        |  FROM reps GROUP BY 1, 2),
        |rk AS (
        |  SELECT arm, m, ROW_NUMBER() OVER (PARTITION BY arm ORDER BY m, b) AS rn FROM rm),
@@ -796,8 +809,8 @@ object EventAnalytics {
        |  FROM rk GROUP BY 1),
        |full_m AS (
        |  SELECT arm,
-       |    ROUND(CAST(SUM(CAST(v_u AS HUGEINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_value
-       |  FROM base GROUP BY 1)
+       |    ROUND(CAST(SUM(s_u) AS DOUBLE) / CAST(SUM(n_u) AS DOUBLE) / 1000000.0, 6) AS mean_value
+       |  FROM pu GROUP BY 1)
        |SELECT f.arm, f.mean_value, c.n_replicates, c.ci_lo, c.ci_hi
        |FROM full_m f JOIN ci c ON c.arm = f.arm
        |ORDER BY f.arm""".stripMargin

@@ -103,33 +103,35 @@ class ExperimentMonitorSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
-  test("bootstrap CI matches the deterministic Poisson-weight recompute") {
+  test("bootstrap CI matches the deterministic user-level Poisson-weight recompute") {
     val ladder = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L)
-    val base = ev.map { case (u, eid, _, v) =>
-      (arm(u), eid,
-        BigDecimal(v * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    // per-user sufficient stats: (arm, user, sum of µ-unit values, n)
+    val pu = ev.groupBy(_._1).toSeq.map { case (uid, es) =>
+      val su = es.map(t =>
+        BigInt(BigDecimal(t._4 * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).sum
+      (arm(uid), uid, su, es.length.toLong)
     }
     val reps = for {
-      (a, eid, vu) <- base.toSeq
+      (a, uid, su, nu) <- pu
       b <- 0 until 64
     } yield {
-      val digest = md5hex(s"graft-boot-v1:$eid:${b / 8}")
+      val digest = md5hex(s"graft-boot-v1:$uid:${b / 8}")
       val u = java.lang.Long.parseLong(digest.substring((b % 8) * 4, (b % 8) * 4 + 4), 16)
       val w = ladder.indexWhere(u < _) match {
         case -1 => ladder.size.toLong
         case i  => i.toLong
       }
-      (a, b.toLong, w, vu)
+      (a, b.toLong, w, su, nu)
     }
     val means = reps.groupBy(t => (t._1, t._2)).toSeq.map { case ((a, b), rs) =>
-      val sw = rs.map(_._3).sum
-      val swv = rs.map(t => BigInt(t._3) * BigInt(t._4)).sum
-      (a, b, if (sw == 0) 0.0 else r6(swv.toDouble / sw.toDouble / 1000000.0))
+      val swn = rs.map(t => BigInt(t._3) * t._5).sum
+      val sws = rs.map(t => BigInt(t._3) * t._4).sum
+      (a, b, if (swn == 0) 0.0 else r6(sws.toDouble / swn.toDouble / 1000000.0))
     }
     val expect = means.groupBy(_._1).toSeq.map { case (a, ms) =>
       val ranked = ms.sortBy(t => (t._3, t._2)).map(_._3)
-      val full = base.filter(_._1 == a)
-      val mean = r6(full.map(t => BigInt(t._3)).sum.toDouble / full.length / 1000000.0)
+      val full = pu.filter(_._1 == a)
+      val mean = r6(full.map(_._3).sum.toDouble / full.map(_._4).sum.toDouble / 1000000.0)
       (a, mean, ms.size.toLong, ranked(3), ranked(60)) // ranks 4 and 61, 1-indexed
     }.sortBy(_._1)
     val got = EventAnalytics.queries("events_bootstrap_ci").fn(spark, dir)
