@@ -816,6 +816,314 @@ object EventAnalytics {
        |ORDER BY f.arm""".stripMargin
   }
 
+  /** §8r(dm) — trimmed + winsorized mean readout (the robust-metric pair
+    * every experiment platform reports next to the raw mean — one whale
+    * user can move a raw mean; trimming drops the tail, winsorizing
+    * clamps it). Exact, not sketched: per arm the µ-unit values collapse
+    * into a (value, count) table, a cumulative window over the DISTINCT
+    * values assigns each value its contiguous rank block [cum−c, cum],
+    * and the 1%-trimmed interval (k, n−k] intersects each block in pure
+    * integer arithmetic — the [[graft.operators.JoinQueries]] Gini trick,
+    * so NO per-row rank window ever touches the corpus. The winsorized
+    * sum is the trimmed sum plus k copies of each cut value (the rank-
+    * (k+1) and rank-(n−k) values, read from the same blocks). Integer
+    * sums on the DECIMAL lane; ONE float division per output mean,
+    * round-6.
+    *
+    * Scale: one corpus groupBy into (arm, value) cells; the window runs
+    * per arm over the distinct-value table, whose size the µ-unit
+    * quantization bounds (re-quantize to milli-units to shrink it 1000×
+    * — the resolution knob; the corpus itself is never rank-sorted). */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    // persisted: arm totals and the rank-block window both read the
+    // bounded (arm, value) cell table — one corpus scan, not two
+    val cells = Cached.track(Tables(dir).events
+      .select(abArm.as("arm"),
+        expr("CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT)").as("v"))
+      .groupBy("arm", "v").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val arms = cells.groupBy("arm").agg(
+      sum(col("c")).as("n"),
+      sum(expr("CAST(v AS DECIMAL(38,0)) * c")).as("sv"))
+      .withColumn("k", expr("n div 100"))
+    val w = Window.partitionBy(col("arm")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(arms), Seq("arm"))
+      .groupBy(col("arm"))
+      .agg(max(col("n")).as("n_events"), max(col("sv")).as("sv"),
+        max(col("k")).as("k"),
+        sum(expr("CAST(GREATEST(LEAST(cum, n - k) - GREATEST(cum - c, k), 0L) AS DECIMAL(38,0)) * v"))
+          .as("trim_sum"),
+        max(expr("CASE WHEN cum - c < k + 1 AND cum >= k + 1 THEN v END")).as("lo_val"),
+        max(expr("CASE WHEN cum - c < n - k AND cum >= n - k THEN v END")).as("hi_val"))
+      .select(col("arm"), col("n_events"),
+        expr("round(CAST(sv AS DOUBLE) / n_events / 1000000.0, 6)").as("mean_value"),
+        expr("round(CAST(trim_sum AS DOUBLE) / (n_events - 2 * k) / 1000000.0, 6)")
+          .as("trimmed_mean"),
+        expr("""round(CAST(trim_sum + CAST(k AS DECIMAL(38,0)) * lo_val
+               | + CAST(k AS DECIMAL(38,0)) * hi_val AS DOUBLE) / n_events / 1000000.0, 6)"""
+          .stripMargin.replace("\n", " ")).as("winsor_mean"))
+  }
+
+  private val trimmedMeanSql = {
+    val armExpr = DedupQueries.hexToLongDuck("md5('graft-ab-v1' || CAST(user_id AS VARCHAR))", 8)
+    s"""WITH cells AS (
+       |  SELECT CASE WHEN ($armExpr) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |arms AS (
+       |  SELECT arm, CAST(SUM(c) AS BIGINT) AS n,
+       |    SUM(CAST(v AS HUGEINT) * c) AS sv, CAST(SUM(c) AS BIGINT) // 100 AS k
+       |  FROM cells GROUP BY 1),
+       |blocks AS (
+       |  SELECT arm, v, c,
+       |    SUM(c) OVER (PARTITION BY arm ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM cells),
+       |agg AS (
+       |  SELECT b.arm, MAX(a.n) AS n_events, MAX(a.sv) AS sv, MAX(a.k) AS k,
+       |    SUM(CAST(GREATEST(LEAST(b.cum, a.n - a.k) - GREATEST(b.cum - b.c, a.k), 0) AS HUGEINT) * b.v)
+       |      AS trim_sum,
+       |    MAX(CASE WHEN b.cum - b.c < a.k + 1 AND b.cum >= a.k + 1 THEN b.v END) AS lo_val,
+       |    MAX(CASE WHEN b.cum - b.c < a.n - a.k AND b.cum >= a.n - a.k THEN b.v END) AS hi_val
+       |  FROM blocks b JOIN arms a USING (arm) GROUP BY 1)
+       |SELECT arm, n_events,
+       |  ROUND(CAST(sv AS DOUBLE) / n_events / 1000000.0, 6) AS mean_value,
+       |  ROUND(CAST(trim_sum AS DOUBLE) / (n_events - 2 * k) / 1000000.0, 6) AS trimmed_mean,
+       |  ROUND(CAST(trim_sum + CAST(k AS HUGEINT) * lo_val + CAST(k AS HUGEINT) * hi_val AS DOUBLE)
+       |    / n_events / 1000000.0, 6) AS winsor_mean
+       |FROM agg ORDER BY arm""".stripMargin
+  }
+
+  /** §8r(dn) — post-stratified experiment readout (the free variance
+    * reduction when a categorical covariate is known for every unit:
+    * reweight per-stratum arm means by the POOLED stratum shares, so a
+    * random imbalance of heavy strata between arms stops moving the
+    * readout — CUPED's categorical sibling). Strata = event_type. Each
+    * stratum term (N_g·S_g,arm)/(N·n_g,arm) is one fixed-association
+    * float chain rounded to integer µ-units INDEPENDENTLY, so the
+    * per-arm sum is order-free and engine-exact (the dataset-card
+    * entropy admission); the raw mean rides the same µ lane.
+    *
+    * Scale: one corpus groupBy into (arm × type) cells; everything after
+    * runs on the bounded cell table with the stratum totals broadcast. */
+  def postStrat(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    // persisted: strata totals, grand total, and the arm fold all read
+    // the bounded (arm × type) cell table — one corpus scan, not three
+    val cells = Cached.track(Tables(dir).events
+      .select(abArm.as("arm"), col("event_type"),
+        expr("CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT)").as("v"))
+      .groupBy("arm", "event_type")
+      .agg(count(lit(1)).as("n_ag"), sum(expr("CAST(v AS DECIMAL(38,0))")).as("s_ag"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val strata = cells.groupBy("event_type").agg(sum(col("n_ag")).as("n_g"))
+    val total = strata.agg(sum(col("n_g")).as("n_all"))
+    cells
+      .join(broadcast(strata), Seq("event_type"))
+      .crossJoin(broadcast(total))
+      .groupBy("arm")
+      .agg(sum(col("n_ag")).as("n_events"),
+        sum(col("s_ag")).as("s_a"),
+        sum(expr("""CAST(ROUND((CAST(n_g AS DOUBLE) * CAST(s_ag AS DOUBLE))
+                   | / (CAST(n_all AS DOUBLE) * n_ag)) AS BIGINT)"""
+          .stripMargin.replace("\n", " "))).as("mean_ps_u"))
+      .select(col("arm"), col("n_events"),
+        expr("CAST(ROUND(CAST(s_a AS DOUBLE) / n_events) AS BIGINT)").as("mean_raw_u"),
+        col("mean_ps_u"))
+  }
+
+  private val postStratSql = {
+    val armExpr = DedupQueries.hexToLongDuck("md5('graft-ab-v1' || CAST(user_id AS VARCHAR))", 8)
+    s"""WITH cells AS (
+       |  SELECT CASE WHEN ($armExpr) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, event_type,
+       |    COUNT(*) AS n_ag,
+       |    SUM(CAST(CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS HUGEINT)) AS s_ag
+       |  FROM events GROUP BY 1, 2),
+       |strata AS (SELECT event_type, CAST(SUM(n_ag) AS BIGINT) AS n_g FROM cells GROUP BY 1),
+       |total AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_all FROM strata)
+       |SELECT arm, CAST(SUM(n_ag) AS BIGINT) AS n_events,
+       |  CAST(ROUND(CAST(SUM(s_ag) AS DOUBLE) / SUM(n_ag)) AS BIGINT) AS mean_raw_u,
+       |  CAST(SUM(CAST(ROUND((CAST(n_g AS DOUBLE) * CAST(s_ag AS DOUBLE))
+       |    / (CAST(n_all AS DOUBLE) * n_ag)) AS BIGINT)) AS BIGINT) AS mean_ps_u
+       |FROM cells JOIN strata USING (event_type) CROSS JOIN total
+       |GROUP BY 1 ORDER BY arm""".stripMargin
+  }
+
+  /** z_{0.975} + z_{0.80} — the 5%-two-sided / 80%-power constant in the
+    * canonical two-sample MDE formula. */
+  private val MdeZ = 2.801585
+
+  /** §8r(do) — minimum-detectable-effect readout (the power calculation
+    * run BEFORE peeking at any lift: with the experiment's own arm sizes
+    * and the pooled per-user variance, the smallest true effect a 5%
+    * two-sided test would catch with 80% power is
+    * MDE = (z_{.975}+z_{.80})·σ_p·√(1/n_a+1/n_b) — a readout below it is
+    * noise by construction). Per-user metric = event count; n, Σy, Σy²
+    * are exact integers per arm, the pooled variance, MDE, and the
+    * relative MDE vs the control mean are ONE fixed-order float chain,
+    * round-6.
+    *
+    * Scale: one user-keyed aggregate, one arm aggregate, a 2-row
+    * reshape. */
+  def mde(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    // persisted: the A/B reshape reads the 2-row arm table twice
+    val arms = Cached.track(Tables(dir).events
+      .select(abArm.as("arm"), col("user_id"))
+      .groupBy("arm", "user_id").agg(count(lit(1)).as("y"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("sy2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = arms.where(col("arm") === "A")
+      .select(col("n").as("na"), col("sy").as("sya"), col("sy2").as("sy2a"))
+    val b = arms.where(col("arm") === "B")
+      .select(col("n").as("nb"), col("sy").as("syb"), col("sy2").as("sy2b"))
+    a.crossJoin(b)
+      .select(col("na"), col("nb"),
+        expr("round(CAST(sya AS DOUBLE) / na, 6)").as("mean_a"),
+        expr("round(CAST(syb AS DOUBLE) / nb, 6)").as("mean_b"),
+        expr("""round((CAST(na * sy2a - sya * sya AS DOUBLE) / na
+               | + CAST(nb * sy2b - syb * syb AS DOUBLE) / nb) / (na + nb - 2), 6)"""
+          .stripMargin.replace("\n", " ")).as("var_pooled"),
+        expr("""round($MDEZ * sqrt(((CAST(na * sy2a - sya * sya AS DOUBLE) / na
+               | + CAST(nb * sy2b - syb * syb AS DOUBLE) / nb) / (na + nb - 2))
+               | * (1.0 / na + 1.0 / nb)), 6)"""
+          .stripMargin.replace("\n", " ").replace("$MDEZ", MdeZ.toString)).as("mde_abs"))
+      .withColumn("mde_rel", expr("round(mde_abs / mean_a, 6)"))
+  }
+
+  private val mdeSql = {
+    val armExpr = DedupQueries.hexToLongDuck("md5('graft-ab-v1' || CAST(user_id AS VARCHAR))", 8)
+    s"""WITH pu AS (
+       |  SELECT CASE WHEN ($armExpr) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    user_id, COUNT(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |arms AS (
+       |  SELECT arm, COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(y AS HUGEINT) * y) AS sy2
+       |  FROM pu GROUP BY 1),
+       |ab AS (SELECT
+       |    (SELECT n FROM arms WHERE arm = 'A') AS na,
+       |    (SELECT sy FROM arms WHERE arm = 'A') AS sya,
+       |    (SELECT sy2 FROM arms WHERE arm = 'A') AS sy2a,
+       |    (SELECT n FROM arms WHERE arm = 'B') AS nb,
+       |    (SELECT sy FROM arms WHERE arm = 'B') AS syb,
+       |    (SELECT sy2 FROM arms WHERE arm = 'B') AS sy2b),
+       |m AS (
+       |  SELECT na, nb,
+       |    ROUND(CAST(sya AS DOUBLE) / na, 6) AS mean_a,
+       |    ROUND(CAST(syb AS DOUBLE) / nb, 6) AS mean_b,
+       |    ROUND((CAST(na * sy2a - sya * sya AS DOUBLE) / na
+       |      + CAST(nb * sy2b - syb * syb AS DOUBLE) / nb) / (na + nb - 2), 6) AS var_pooled,
+       |    ROUND($MdeZ * sqrt(((CAST(na * sy2a - sya * sya AS DOUBLE) / na
+       |      + CAST(nb * sy2b - syb * syb AS DOUBLE) / nb) / (na + nb - 2))
+       |      * (1.0 / na + 1.0 / nb)), 6) AS mde_abs
+       |  FROM ab)
+       |SELECT na, nb, mean_a, mean_b, var_pooled, mde_abs,
+       |  ROUND(mde_abs / mean_a, 6) AS mde_rel
+       |FROM m ORDER BY na""".stripMargin
+  }
+
+  /** §8r(dp) — difference-in-differences readout over the experiment's
+    * own pre/post split (the quasi-experimental workhorse, and for a
+    * randomized test the PAIRED estimator: each user is their own
+    * control, did = Δ̄_B − Δ̄_A over per-user deltas Δ = post − pre, with
+    * the SE from the exact per-arm variance of Δ — arrival-rate drift
+    * common to both arms cancels instead of inflating the variance).
+    * Pre/post = event counts either side of the integer-micros midpoint
+    * (the [[cuped]] machinery); n, ΣΔ, ΣΔ² are exact integers per arm;
+    * did, SE, z are ONE fixed-order float chain, round-6.
+    *
+    * Scale: one user-keyed aggregate, one arm aggregate, a 2-row
+    * reshape. */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val ev = Tables(dir).events
+    val mid = ev.agg(expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid_us"))
+    // persisted: the A/B reshape reads the 2-row arm table twice
+    val arms = Cached.track(ev.crossJoin(broadcast(mid))
+      .select(col("user_id"), abArm.as("arm"),
+        (unix_micros(col("ts")) < col("mid_us")).cast("long").as("pre"),
+        (unix_micros(col("ts")) >= col("mid_us")).cast("long").as("post"))
+      .groupBy("user_id", "arm")
+      .agg(sum(col("pre")).as("x"), sum(col("post")).as("y"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(y - x AS DECIMAL(38,0))")).as("sd"),
+        sum(expr("CAST(y - x AS DECIMAL(38,0)) * (y - x)")).as("sd2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = arms.where(col("arm") === "A").select(col("n").as("na"),
+      col("sx").as("sxa"), col("sy").as("sya"), col("sd").as("sda"), col("sd2").as("sd2a"))
+    val b = arms.where(col("arm") === "B").select(col("n").as("nb"),
+      col("sx").as("sxb"), col("sy").as("syb"), col("sd").as("sdb"), col("sd2").as("sd2b"))
+    a.crossJoin(b)
+      .select(col("na"), col("nb"),
+        expr("round(CAST(sxa AS DOUBLE) / na, 6)").as("pre_a"),
+        expr("round(CAST(sya AS DOUBLE) / na, 6)").as("post_a"),
+        expr("round(CAST(sxb AS DOUBLE) / nb, 6)").as("pre_b"),
+        expr("round(CAST(syb AS DOUBLE) / nb, 6)").as("post_b"),
+        expr("round(CAST(sdb AS DOUBLE) / nb - CAST(sda AS DOUBLE) / na, 6)").as("did"),
+        expr("""round((CAST(sdb AS DOUBLE) / nb - CAST(sda AS DOUBLE) / na)
+               | / sqrt(CAST(na * sd2a - sda * sda AS DOUBLE) / na / (na - 1) / na
+               |   + CAST(nb * sd2b - sdb * sdb AS DOUBLE) / nb / (nb - 1) / nb), 6)"""
+          .stripMargin.replace("\n", " ")).as("z"))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
+  private val diffInDiffSql = {
+    val armExpr = DedupQueries.hexToLongDuck("md5('graft-ab-v1' || CAST(user_id AS VARCHAR))", 8)
+    s"""WITH mid AS (
+       |  SELECT (MIN(epoch_us(CAST(ts AS TIMESTAMP))) + MAX(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid_us
+       |  FROM events),
+       |pu AS (
+       |  SELECT user_id,
+       |    CASE WHEN ($armExpr) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < mid_us THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM events, mid GROUP BY 1, 2),
+       |arms AS (
+       |  SELECT arm, COUNT(*) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(y - x AS HUGEINT)) AS sd, SUM(CAST(y - x AS HUGEINT) * (y - x)) AS sd2
+       |  FROM pu GROUP BY 1),
+       |ab AS (SELECT
+       |    (SELECT n FROM arms WHERE arm = 'A') AS na,
+       |    (SELECT sx FROM arms WHERE arm = 'A') AS sxa,
+       |    (SELECT sy FROM arms WHERE arm = 'A') AS sya,
+       |    (SELECT sd FROM arms WHERE arm = 'A') AS sda,
+       |    (SELECT sd2 FROM arms WHERE arm = 'A') AS sd2a,
+       |    (SELECT n FROM arms WHERE arm = 'B') AS nb,
+       |    (SELECT sx FROM arms WHERE arm = 'B') AS sxb,
+       |    (SELECT sy FROM arms WHERE arm = 'B') AS syb,
+       |    (SELECT sd FROM arms WHERE arm = 'B') AS sdb,
+       |    (SELECT sd2 FROM arms WHERE arm = 'B') AS sd2b),
+       |m AS (
+       |  SELECT na, nb,
+       |    ROUND(CAST(sxa AS DOUBLE) / na, 6) AS pre_a,
+       |    ROUND(CAST(sya AS DOUBLE) / na, 6) AS post_a,
+       |    ROUND(CAST(sxb AS DOUBLE) / nb, 6) AS pre_b,
+       |    ROUND(CAST(syb AS DOUBLE) / nb, 6) AS post_b,
+       |    ROUND(CAST(sdb AS DOUBLE) / nb - CAST(sda AS DOUBLE) / na, 6) AS did,
+       |    ROUND((CAST(sdb AS DOUBLE) / nb - CAST(sda AS DOUBLE) / na)
+       |      / sqrt(CAST(na * sd2a - sda * sda AS DOUBLE) / na / (na - 1) / na
+       |        + CAST(nb * sd2b - sdb * sdb AS DOUBLE) / nb / (nb - 1) / nb), 6) AS z
+       |  FROM ab)
+       |SELECT na, nb, pre_a, post_a, pre_b, post_b, did, z,
+       |  ABS(z) > 1.96 AS significant
+       |FROM m ORDER BY na""".stripMargin
+  }
+
   /** Distinct-user rollup FROM REGISTERS — the mergeable-summaries
     * property doing a cube's work: the raw events are scanned ONCE into a
     * (type, day) register table, and the per-type, per-day, and grand
@@ -1901,6 +2209,10 @@ object EventAnalytics {
     "events_ab_test" -> Q(abTest _, abTestSql),
     "events_cuped" -> Q(cuped _, cupedSql, Seq(col("arm"))),
     "events_srm_check" -> Q(srmCheck _, srmCheckSql, Seq(col("day"))),
+    "events_trimmed_mean" -> Q(trimmedMean _, trimmedMeanSql, Seq(col("arm"))),
+    "events_post_strat" -> Q(postStrat _, postStratSql, Seq(col("arm"))),
+    "events_mde" -> Q(mde _, mdeSql, Seq(col("na"))),
+    "events_diff_in_diff" -> Q(diffInDiff _, diffInDiffSql, Seq(col("na"))),
     "events_acf" -> Q(acf _, acfSql, Seq(col("k"))),
     "events_msprt" -> Q(msprt _, msprtSql, Seq(col("h"))),
     "events_bootstrap_ci" -> Q(bootstrapCi _, bootstrapCiSql, Seq(col("arm"))),
