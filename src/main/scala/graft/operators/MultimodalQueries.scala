@@ -152,10 +152,222 @@ object MultimodalQueries {
        |ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** §8s(dq) — content-addressed media dedup (the first stage of every
+    * blob store: identical payloads stored once, references counted).
+    * Exact: group by (fmt, md5, n_bytes) — the byte-length alongside the
+    * digest is the standard collision belt — then per-format storage
+    * economics: files vs distinct payloads, duplicate pressure ‰, and
+    * bytes saved by content addressing. One payload-hash groupBy
+    * (map-side partial) + a \|formats\|-row rollup; the payload bytes
+    * never shuffle, only their 16-byte digests do — THE property that
+    * makes this viable at 100 TB of media. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpeg")
+          .otherwise("webp").as("fmt"),
+        md5(encode(col("text"), "UTF-8")).as("h"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .groupBy("fmt", "h", "n_bytes")
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy("fmt")
+      .agg(sum(col("n_copies")).as("n_files"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr("CAST(n_bytes AS DECIMAL(38,0)) * n_copies")).as("bt"),
+        sum(expr("CAST(n_bytes AS DECIMAL(38,0))")).as("bs"))
+      .select(col("fmt"), col("n_files"), col("n_distinct"),
+        expr("(n_files - n_distinct) * 1000 div n_files").as("dup_pm"),
+        expr("CAST(bt AS BIGINT)").as("bytes_total"),
+        expr("CAST(bt - bs AS BIGINT)").as("bytes_saved"))
+  }
+
+  private val exactDedupSql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |         WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
+      |    md5(text) AS h, octet_length(encode(text)) AS n_bytes
+      |  FROM documents),
+      |g AS (
+      |  SELECT fmt, h, n_bytes, COUNT(*) AS n_copies FROM f GROUP BY 1, 2, 3)
+      |SELECT fmt, CAST(SUM(n_copies) AS BIGINT) AS n_files, COUNT(*) AS n_distinct,
+      |  (CAST(SUM(n_copies) AS BIGINT) - COUNT(*)) * 1000 // CAST(SUM(n_copies) AS BIGINT) AS dup_pm,
+      |  CAST(SUM(CAST(n_bytes AS HUGEINT) * n_copies) AS BIGINT) AS bytes_total,
+      |  CAST(SUM(CAST(n_bytes AS HUGEINT) * n_copies) - SUM(CAST(n_bytes AS HUGEINT)) AS BIGINT) AS bytes_saved
+      |FROM g GROUP BY 1 ORDER BY fmt""".stripMargin
+
+  /** §8s(dr) — media integrity scan (the ingest gate before any decode
+    * fleet runs: a payload too small for its declared resolution is a
+    * truncated upload, a declared frame count the byte budget cannot
+    * hold is a corrupt container — catching both from METADATA + SIZE
+    * alone avoids paying decode cost on broken files). The checks are
+    * exact integer predicates over the [[binaryMeta]] metadata contract;
+    * decode itself stays stubbed (no codecs in this container), the
+    * audit shape — per-format file counts, truncation ‰, flag rollup —
+    * is the real thing. Map-side scan + \|formats\|-row rollup. */
+  def corruptScan(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .select(col("doc_id"), col("n_chars"),
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpeg")
+          .otherwise("webp").as("fmt"),
+        (lit(64) + (col("doc_id") % 8) * 32).cast("long").as("width"),
+        (lit(64) + (col("doc_id") % 5) * 48).cast("long").as("height"),
+        ((col("n_chars") % 30) + 1).cast("long").as("n_frames"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .select(col("fmt"),
+        (col("n_bytes") === 0).cast("long").as("empty"),
+        expr("CAST(n_bytes < (width * height) div 512 AS LONG)").as("truncated"),
+        expr("CAST(n_frames > n_bytes div 64 + 1 AS LONG)").as("frame_mismatch"))
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("empty")).as("n_empty"),
+        sum(col("truncated")).as("n_truncated"),
+        sum(col("frame_mismatch")).as("n_frame_mismatch"),
+        sum(expr("CAST(empty = 1 OR truncated = 1 OR frame_mismatch = 1 AS LONG)"))
+          .as("n_flagged"))
+      .withColumn("flagged_pm", expr("n_flagged * 1000 div n_files"))
+  }
+
+  private val corruptScanSql =
+    """WITH m AS (
+      |  SELECT
+      |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |         WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
+      |    CAST(64 + (doc_id % 8) * 32 AS BIGINT) AS width,
+      |    CAST(64 + (doc_id % 5) * 48 AS BIGINT) AS height,
+      |    CAST((n_chars % 30) + 1 AS BIGINT) AS n_frames,
+      |    octet_length(encode(text)) AS n_bytes
+      |  FROM documents),
+      |chk AS (
+      |  SELECT fmt,
+      |    CAST(n_bytes = 0 AS BIGINT) AS empty,
+      |    CAST(n_bytes < (width * height) // 512 AS BIGINT) AS truncated,
+      |    CAST(n_frames > n_bytes // 64 + 1 AS BIGINT) AS frame_mismatch
+      |  FROM m)
+      |SELECT fmt, COUNT(*) AS n_files,
+      |  CAST(SUM(empty) AS BIGINT) AS n_empty,
+      |  CAST(SUM(truncated) AS BIGINT) AS n_truncated,
+      |  CAST(SUM(frame_mismatch) AS BIGINT) AS n_frame_mismatch,
+      |  CAST(SUM(CAST(empty = 1 OR truncated = 1 OR frame_mismatch = 1 AS BIGINT)) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(CAST(empty = 1 OR truncated = 1 OR frame_mismatch = 1 AS BIGINT)) AS BIGINT) * 1000
+      |    // COUNT(*) AS flagged_pm
+      |FROM chk GROUP BY 1 ORDER BY fmt""".stripMargin
+
+  /** §8s(ds) — cross-video duplicate-frame detection (repeated intros,
+    * shared stock footage, re-uploads with edits: the frame-hash table
+    * the [[frameSample]] stage lands is grouped by hash, and any hash in
+    * more than one video is a content-reuse edge — the dedup that works
+    * WITHOUT decoding, because sampled-frame digests collide exactly
+    * when the underlying bytes do). Runs on the bounded frame table
+    * (≤8 frames/video), one hash groupBy; at 100 TB the frame digests
+    * are the only thing shuffled, never the frames. */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    frameSample(spark, dir)
+      .groupBy("frame_hash")
+      .agg(countDistinct(col("doc_id")).as("n_videos"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_videos") > 1)
+  }
+
+  private val frameDedupSql =
+    s"""WITH v AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE doc_id % 3 = 2),
+       |f AS (
+       |  SELECT doc_id,
+       |    LEAST(CAST(((LENGTH(hx) + ${FrameHexChars - 1}) // $FrameHexChars) AS INT), 8) AS n_frames, hx
+       |  FROM v),
+       |fr AS (
+       |  SELECT doc_id,
+       |    md5(substring(hx, CAST(i * $FrameHexChars + 1 AS INT), $FrameHexChars)) AS frame_hash
+       |  FROM f, UNNEST(generate_series(0, n_frames - 1)) AS t(i))
+       |SELECT frame_hash, COUNT(DISTINCT doc_id) AS n_videos,
+       |  COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+       |FROM fr GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+       |ORDER BY frame_hash""".stripMargin
+
+  /** §8s(dt) — perceptual-signature bucketing, the CANDIDATE stage of a
+    * near-dup media pipeline (a real pHash needs a decoder; what ships
+    * here is the bucketing economics with a deterministic stand-in: the
+    * payload's four byte-energy quartiles, each quantized to a 3-bit
+    * level of its share of the total — a coarse, content-correlated,
+    * byte-exact signature — plus the size-class, packed into one integer
+    * bucket key). Docs sharing a bucket are near-dup CANDIDATES; the
+    * quadratic verify is bounded per bucket exactly like the LSH bands.
+    * Per-payload energy is four [[graft.plans.VectorExpressions.ByteSliceSum]]
+    * codegen folds over the RAW binary (the lambda-per-byte hex
+    * formulation ran interpreted at ~90 ns/byte — 28 s at sf1; the
+    * kernel never renders hex at all); buckets groupBy the packed key —
+    * digests and integers shuffle, bytes never do. */
+  private val SigLevels = 8
+
+  def phashBuckets(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val q = (k: Int) => s"graft_byte_slice_sum(payload, ${k}L * nb4, nb4)"
+    Tables(dir).documents
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .where(col("n_bytes") >= 4)
+      .withColumn("nb4", expr("n_bytes div 4"))
+      .select(col("doc_id"), col("n_bytes"),
+        expr(s"array(${q(0)}, ${q(1)}, ${q(2)}, ${q(3)})").as("qs"))
+      .withColumn("total", expr("qs[0] + qs[1] + qs[2] + qs[3]"))
+      .select(col("doc_id"),
+        expr(s"""(n_bytes div 64) * ${SigLevels * SigLevels * SigLevels * SigLevels}
+                | + least(${SigLevels - 1}L, (qs[0] * 16) div (total + 1)) * ${SigLevels * SigLevels * SigLevels}
+                | + least(${SigLevels - 1}L, (qs[1] * 16) div (total + 1)) * ${SigLevels * SigLevels}
+                | + least(${SigLevels - 1}L, (qs[2] * 16) div (total + 1)) * $SigLevels
+                | + least(${SigLevels - 1}L, (qs[3] * 16) div (total + 1))"""
+          .stripMargin.replace("\n", " ")).as("sig"))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") > 1)
+      .withColumn("candidate_pairs", expr("n_docs * (n_docs - 1) div 2"))
+  }
+
+  private val phashBucketsSql = {
+    val qDuck = (k: Int) =>
+      s"CAST(list_aggregate(list_transform(generate_series(0, nb4 - 1), " +
+        s"j -> ${duckByte("hx", s"($k * nb4 + j) * 2 + 1")}), 'sum') AS BIGINT)"
+    s"""WITH p AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(LENGTH(hex(encode(text))) / 2 AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |q4 AS (
+       |  SELECT doc_id, n_bytes, CAST(n_bytes // 4 AS INT) AS nb4, hx
+       |  FROM p WHERE n_bytes >= 4),
+       |en AS (
+       |  SELECT doc_id, n_bytes,
+       |    ${qDuck(0)} AS q0, ${qDuck(1)} AS q1, ${qDuck(2)} AS q2, ${qDuck(3)} AS q3
+       |  FROM q4),
+       |sg AS (
+       |  SELECT doc_id,
+       |    (n_bytes // 64) * ${SigLevels * SigLevels * SigLevels * SigLevels}
+       |      + LEAST(${SigLevels - 1}, (q0 * 16) // (q0 + q1 + q2 + q3 + 1)) * ${SigLevels * SigLevels * SigLevels}
+       |      + LEAST(${SigLevels - 1}, (q1 * 16) // (q0 + q1 + q2 + q3 + 1)) * ${SigLevels * SigLevels}
+       |      + LEAST(${SigLevels - 1}, (q2 * 16) // (q0 + q1 + q2 + q3 + 1)) * $SigLevels
+       |      + LEAST(${SigLevels - 1}, (q3 * 16) // (q0 + q1 + q2 + q3 + 1)) AS sig
+       |  FROM en)
+       |SELECT sig, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+       |  COUNT(*) * (COUNT(*) - 1) // 2 AS candidate_pairs
+       |FROM sg GROUP BY 1 HAVING COUNT(*) > 1
+       |ORDER BY sig""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_audio_windows" -> Q(audioWindows _, audioWindowsSql,
       Seq(col("doc_id"), col("frame_idx"))),
     "mm_binary_meta" -> Q(binaryMeta _, binaryMetaSql, Seq(col("doc_id"))),
     "mm_frame_sample" -> Q(frameSample _, frameSampleSql, Seq(col("doc_id"), col("frame_idx"))),
+    "mm_exact_dedup" -> Q(exactDedup _, exactDedupSql, Seq(col("fmt"))),
+    "mm_corrupt_scan" -> Q(corruptScan _, corruptScanSql, Seq(col("fmt"))),
+    "mm_frame_dedup" -> Q(frameDedup _, frameDedupSql, Seq(col("frame_hash"))),
+    "mm_phash_buckets" -> Q(phashBuckets _, phashBucketsSql, Seq(col("sig"))),
   )
 }

@@ -71,6 +71,33 @@ class VectorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ByteSliceSum matches a driver byte fold, clamps ranges, survives both paths") {
+    VectorExpressions.register(spark)
+    val payloads = (1L to 30L).map { i =>
+      (i, Array.tabulate(((i * 17) % 50).toInt + 1)(j => ((i * 31 + j * 7) % 256).toByte))
+    }
+    val df = payloads.toDF("id", "p")
+    // full range, interior quarter, and an overshooting slice per row
+    val rows = df.select(col("id"),
+        VectorExpressions.byteSliceSum(col("p"), lit(0L), lit(1000L)).as("full"),
+        VectorExpressions.byteSliceSum(col("p"), expr("CAST(length(p) div 4 AS LONG)"),
+          expr("CAST(length(p) div 4 AS LONG)")).as("q2"),
+        VectorExpressions.byteSliceSum(col("p"), expr("CAST(length(p) AS LONG) - 2L"),
+          lit(99L)).as("tail"))
+      .collect()
+    rows.foreach { r =>
+      val bytes = payloads(r.getLong(0).toInt - 1)._2
+      val nb4 = bytes.length / 4
+      assert(r.getLong(1) == bytes.map(b => (b & 0xff).toLong).sum)
+      assert(r.getLong(2) == bytes.slice(nb4, 2 * nb4).map(b => (b & 0xff).toLong).sum)
+      assert(r.getLong(3) == bytes.drop(math.max(bytes.length - 2, 0)).map(b => (b & 0xff).toLong).sum)
+    }
+    // interpreted path (eval) agrees: use it in a filter that defeats codegen staging
+    val viaEval = df.where(
+      VectorExpressions.byteSliceSum(col("p"), lit(0L), lit(1000L)) >= 0L).count()
+    assert(viaEval == 30L)
+  }
+
   test("SortedIntersectCount matches array_intersect size on sorted distinct sets") {
     VectorExpressions.register(spark)
     // deterministic set soup: overlapping ranges, strided gaps, empties
