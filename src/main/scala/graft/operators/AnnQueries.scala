@@ -2209,6 +2209,77 @@ object AnnQueries {
        |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
        |ORDER BY probe_id, rank""".stripMargin
 
+  /** §8t(du) — embedding-slice centroid drift audit (the pre-training QA
+    * check before mixing corpus slices: a slice whose centroid points
+    * away from the corpus centroid is a different DISTRIBUTION — wrong
+    * encoder version, language skew, corrupt batch — and mixing it
+    * silently shifts the training geometry; per slice (= label here) the
+    * centroid-vs-global-centroid cosine plus the mean squared norm, the
+    * two cheapest distribution fingerprints). Exact lane: coordinates
+    * µ-quantize once (ROUND ×10⁶, the SQ admission), per-(slice, coord)
+    * sums are exact integers, and since cosine is scale-invariant the
+    * INTEGER SUM VECTORS stand in for the centroids — dot and norms are
+    * exact DECIMAL/HUGEINT folds with ONE float chain (÷√·÷√) at the
+    * end, round-6.
+    *
+    * Scale: one explode pass (|vecs|·Dim rows, map-side partial agg)
+    * into |slices|×Dim cells; everything downstream runs on the cell
+    * table with the Dim-row global vector broadcast. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ex = Tables(dir).embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), col("i"),
+        expr("CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").as("xu"))
+    // consumed by the per-slice fold AND the global-vector fold — persist
+    val cells = graft.operators.Cached.track(ex
+      .groupBy("label", "i")
+      .agg(sum(expr("CAST(xu AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(xu AS DECIMAL(38,0)) * xu")).as("s2"))
+      .persist(MEMORY_AND_DISK))
+    val g = cells.groupBy("i").agg(sum(col("s")).as("g"))
+    val gn = g.agg(sum(expr("g * g")).as("normg"))
+    val labs = Tables(dir).embeddings.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    cells.join(broadcast(g), Seq("i"))
+      .groupBy("label")
+      .agg(sum(expr("s * g")).as("dot"),
+        sum(expr("s * s")).as("norml"),
+        sum(col("s2")).as("ssq"))
+      .join(broadcast(labs), Seq("label"))
+      .crossJoin(broadcast(gn))
+      .select(col("label"), col("n_vecs"),
+        expr("round(CAST(dot AS DOUBLE) / sqrt(CAST(norml AS DOUBLE)) / sqrt(CAST(normg AS DOUBLE)), 6)")
+          .as("centroid_cos"),
+        expr("round(CAST(ssq AS DOUBLE) / n_vecs / 1e12, 6)").as("mean_sq_norm"))
+      .withColumn("drifted", col("centroid_cos") < 0.98)
+  }
+
+  private val centroidDriftSql =
+    s"""WITH ex AS (
+       |  SELECT label, t.i AS i,
+       |    CAST(ROUND(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS xu
+       |  FROM embeddings, UNNEST(generate_series(1, $Dim)) AS t(i)),
+       |cells AS (
+       |  SELECT label, i, SUM(CAST(xu AS HUGEINT)) AS s,
+       |    SUM(CAST(xu AS HUGEINT) * xu) AS s2
+       |  FROM ex GROUP BY 1, 2),
+       |g AS (SELECT i, SUM(s) AS g FROM cells GROUP BY 1),
+       |gn AS (SELECT SUM(g * g) AS normg FROM g),
+       |labs AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1),
+       |agg AS (
+       |  SELECT c.label, SUM(c.s * g.g) AS dot, SUM(c.s * c.s) AS norml,
+       |    SUM(c.s2) AS ssq
+       |  FROM cells c JOIN g USING (i) GROUP BY 1)
+       |SELECT a.label, l.n_vecs,
+       |  ROUND(CAST(a.dot AS DOUBLE) / sqrt(CAST(a.norml AS DOUBLE)) / sqrt(CAST(gn.normg AS DOUBLE)), 6)
+       |    AS centroid_cos,
+       |  ROUND(CAST(a.ssq AS DOUBLE) / l.n_vecs / 1e12, 6) AS mean_sq_norm,
+       |  ROUND(CAST(a.dot AS DOUBLE) / sqrt(CAST(a.norml AS DOUBLE)) / sqrt(CAST(gn.normg AS DOUBLE)), 6)
+       |    < 0.98 AS drifted
+       |FROM agg a JOIN labs l USING (label) CROSS JOIN gn
+       |ORDER BY a.label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_sq_topk" -> Q(sqTopK _, sqSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_sq_topk" -> Q(ivfSqTopK _, ivfSqSql, Seq(col("probe_id"), col("rank"))),
@@ -2223,6 +2294,7 @@ object AnnQueries {
     "dedup_semantic_clusters" -> Q(semanticDedup _, semanticDedupSql, Seq(col("cluster"), col("vec_id"))),
     "dedup_semantic_capped" -> Q((s: SparkSession, d: String) => semanticDedupCapped(s, d),
       semanticDedupCappedSql, Seq(col("cluster"), col("vec_id"))),
+    "ann_centroid_drift" -> Q(centroidDrift _, centroidDriftSql, Seq(col("label"))),
     "ann_lsh_cosine" -> Q(lshCosine _, lshCosineSql, Seq(col("id_a"), col("id_b"))),
     "ann_lsh_multiprobe" -> Q(lshMultiprobe _, lshMultiprobeSql, Seq(col("id_a"), col("id_b"))),
     "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),

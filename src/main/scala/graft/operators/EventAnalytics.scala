@@ -507,9 +507,10 @@ object EventAnalytics {
   }
 
   /** The experiment's deterministic arm deal (shared definition with
-    * [[abTest]]/[[cuped]] — content-keyed md5, so executor count and
-    * engine cannot move a user between arms). */
-  private def abArm: org.apache.spark.sql.Column =
+    * [[abTest]]/[[cuped]] and the streaming
+    * [[graft.pipeline.MonitorSink]] — content-keyed md5, so executor
+    * count, engine, AND arrival order cannot move a user between arms). */
+  private[graft] def abArm: org.apache.spark.sql.Column =
     when(pmod(graft.plans.VectorExpressions.hexPrefix(
       md5(concat(lit("graft-ab-v1"), col("user_id").cast("string"))), 8), lit(2L)) === 0, "A")
       .otherwise("B")
