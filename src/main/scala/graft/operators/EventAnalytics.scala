@@ -1125,6 +1125,211 @@ object EventAnalytics {
        |FROM m ORDER BY na""".stripMargin
   }
 
+  /** §8u(dw) — quantile treatment effects (the heterogeneous-effect
+    * readout: a mean lift can hide "the median user lost, three whales
+    * won" — the per-decile arm difference shows WHERE in the
+    * distribution the effect lives). ENTIRELY integer-exact: per arm the
+    * µ-unit values collapse into the [[trimmedMean]] (arm, value, count)
+    * cell table, a cumulative window assigns contiguous rank blocks, and
+    * decile d's value is the block containing rank ⌈d·n/10⌉ — no float
+    * touches the output, the decile values and their differences are
+    * µ-unit BIGINTs.
+    *
+    * Scale: one corpus groupBy into cells; the rank window runs on the
+    * distinct-value table (quantization-bounded), the decile fan-out is
+    * a 9-row broadcast. */
+  def quantileEffects(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cells = Cached.track(Tables(dir).events
+      .select(abArm.as("arm"),
+        expr("CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT)").as("v"))
+      .groupBy("arm", "v").agg(count(lit(1)).as("c"))
+      .persist(MEMORY_AND_DISK))
+    val arms = cells.groupBy("arm").agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("arm")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deciles = spark.range(1, 10).select(col("id").as("decile"))
+    val q = cells
+      .withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(arms), Seq("arm"))
+      .crossJoin(broadcast(deciles))
+      .groupBy("arm", "decile")
+      .agg(max(expr(
+        "CASE WHEN cum - c < (decile * n + 9) div 10 AND cum >= (decile * n + 9) div 10 THEN v END"))
+        .as("q_u"))
+    val a = q.where(col("arm") === "A").select(col("decile"), col("q_u").as("v_a_u"))
+    val b = q.where(col("arm") === "B").select(col("decile"), col("q_u").as("v_b_u"))
+    a.join(b, Seq("decile"))
+      .select(col("decile"), col("v_a_u"), col("v_b_u"),
+        (col("v_b_u") - col("v_a_u")).as("diff_u"))
+  }
+
+  private val quantileEffectsSql = {
+    val armExpr = DedupQueries.hexToLongDuck("md5('graft-ab-v1' || CAST(user_id AS VARCHAR))", 8)
+    s"""WITH cells AS (
+       |  SELECT CASE WHEN ($armExpr) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |arms AS (SELECT arm, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+       |blocks AS (
+       |  SELECT arm, v, c,
+       |    SUM(c) OVER (PARTITION BY arm ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM cells),
+       |q AS (
+       |  SELECT b.arm, d.decile,
+       |    MAX(CASE WHEN b.cum - b.c < (d.decile * a.n + 9) // 10
+       |              AND b.cum >= (d.decile * a.n + 9) // 10 THEN b.v END) AS q_u
+       |  FROM blocks b JOIN arms a USING (arm)
+       |  CROSS JOIN (SELECT UNNEST(range(1, 10)) AS decile) d
+       |  GROUP BY 1, 2)
+       |SELECT qa.decile, qa.q_u AS v_a_u, qb.q_u AS v_b_u, qb.q_u - qa.q_u AS diff_u
+       |FROM q qa JOIN q qb ON qb.decile = qa.decile AND qb.arm = 'B'
+       |WHERE qa.arm = 'A'
+       |ORDER BY qa.decile""".stripMargin
+  }
+
+  /** §8u(dx) — A/A calibration (the experiment platform's own null test:
+    * split arm A again by an INDEPENDENT hash and run the readout — a
+    * "significant" A1-vs-A2 difference means the pipeline manufactures
+    * false positives: broken deal, dependent metrics, bad variance
+    * formula. The second deal uses a different salt, so it is
+    * independent of the arm deal by construction). Per-user event
+    * count; exact sufficient sums, Welch z with multiplied-through
+    * integer variance numerators, ONE fixed-order float chain,
+    * round-6. */
+  def aaCalibration(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val sub = when(pmod(graft.plans.VectorExpressions.hexPrefix(
+      md5(concat(lit("graft-aa-v1"), col("user_id").cast("string"))), 8), lit(2L)) === 0, "A1")
+      .otherwise("A2")
+    val arms = Cached.track(Tables(dir).events
+      .select(abArm.as("arm"), sub.as("subarm"), col("user_id"))
+      .where(col("arm") === "A")
+      .groupBy("subarm", "user_id").agg(count(lit(1)).as("y"))
+      .groupBy("subarm")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("sy2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = arms.where(col("subarm") === "A1")
+      .select(col("n").as("n1"), col("sy").as("sy1"), col("sy2").as("sy21"))
+    val b = arms.where(col("subarm") === "A2")
+      .select(col("n").as("n2"), col("sy").as("sy2b"), col("sy2").as("sy22"))
+    a.crossJoin(b)
+      .select(col("n1"), col("n2"),
+        expr("round(CAST(sy1 AS DOUBLE) / n1, 6)").as("mean_1"),
+        expr("round(CAST(sy2b AS DOUBLE) / n2, 6)").as("mean_2"),
+        expr("""round((CAST(sy1 AS DOUBLE) / n1 - CAST(sy2b AS DOUBLE) / n2)
+               | / sqrt(CAST(n1 * sy21 - sy1 * sy1 AS DOUBLE) / n1 / (n1 - 1) / n1
+               |   + CAST(n2 * sy22 - sy2b * sy2b AS DOUBLE) / n2 / (n2 - 1) / n2), 6)"""
+          .stripMargin.replace("\n", " ")).as("z"))
+      .withColumn("false_positive", abs(col("z")) > 1.96)
+  }
+
+  private val aaCalibrationSql = {
+    val armExpr = DedupQueries.hexToLongDuck("md5('graft-ab-v1' || CAST(user_id AS VARCHAR))", 8)
+    val subExpr = DedupQueries.hexToLongDuck("md5('graft-aa-v1' || CAST(user_id AS VARCHAR))", 8)
+    s"""WITH pu AS (
+       |  SELECT CASE WHEN ($subExpr) % 2 = 0 THEN 'A1' ELSE 'A2' END AS subarm,
+       |    user_id, COUNT(*) AS y
+       |  FROM events
+       |  WHERE ($armExpr) % 2 = 0
+       |  GROUP BY 1, 2),
+       |arms AS (
+       |  SELECT subarm, COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(y AS HUGEINT) * y) AS sy2
+       |  FROM pu GROUP BY 1),
+       |ab AS (SELECT
+       |    (SELECT n FROM arms WHERE subarm = 'A1') AS n1,
+       |    (SELECT sy FROM arms WHERE subarm = 'A1') AS sy1,
+       |    (SELECT sy2 FROM arms WHERE subarm = 'A1') AS sy21,
+       |    (SELECT n FROM arms WHERE subarm = 'A2') AS n2,
+       |    (SELECT sy FROM arms WHERE subarm = 'A2') AS sy2b,
+       |    (SELECT sy2 FROM arms WHERE subarm = 'A2') AS sy22),
+       |m AS (
+       |  SELECT n1, n2,
+       |    ROUND(CAST(sy1 AS DOUBLE) / n1, 6) AS mean_1,
+       |    ROUND(CAST(sy2b AS DOUBLE) / n2, 6) AS mean_2,
+       |    ROUND((CAST(sy1 AS DOUBLE) / n1 - CAST(sy2b AS DOUBLE) / n2)
+       |      / sqrt(CAST(n1 * sy21 - sy1 * sy1 AS DOUBLE) / n1 / (n1 - 1) / n1
+       |        + CAST(n2 * sy22 - sy2b * sy2b AS DOUBLE) / n2 / (n2 - 1) / n2), 6) AS z
+       |  FROM ab)
+       |SELECT n1, n2, mean_1, mean_2, z, ABS(z) > 1.96 AS false_positive
+       |FROM m ORDER BY n1""".stripMargin
+  }
+
+  /** §8u(dy) — delta-method SE for a ratio metric (Deng et al., the
+    * correction every platform applies to CTR-style metrics: the ratio
+    * of per-user sums Σclicks/Σviews is NOT a mean of i.i.d. values, so
+    * the naive SE is wrong — the delta method expands var(X̄/Ȳ) from the
+    * per-user (co)variances: (σ²_x/ȳ² + x̄²σ²_y/ȳ⁴ − 2x̄σ_xy/ȳ³)/n).
+    * Per arm; n, Σx, Σy, Σx², Σy², Σxy are exact integers, the ratio
+    * and SE are ONE fixed-order float chain over multiplied-through
+    * integer (co)variance numerators, round-6. One user-keyed
+    * aggregate + one arm aggregate. */
+  def ratioDelta(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    Tables(dir).events
+      .select(abArm.as("arm"), col("user_id"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("is_x"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("is_y"))
+      .groupBy("arm", "user_id")
+      .agg(sum(col("is_x")).as("x"), sum(col("is_y")).as("y"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("sy2"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .select(col("arm"), col("n_users"),
+        expr("CAST(sx AS BIGINT)").as("sum_x"), expr("CAST(sy AS BIGINT)").as("sum_y"),
+        expr("round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 6)").as("ratio"),
+        expr("""round(sqrt((CAST(n_users * sx2 - sx * sx AS DOUBLE) / n_users / (n_users - 1)
+               |   / (CAST(sy AS DOUBLE) / n_users) / (CAST(sy AS DOUBLE) / n_users)
+               | + CAST(sx AS DOUBLE) / n_users * (CAST(sx AS DOUBLE) / n_users)
+               |   * (CAST(n_users * sy2 - sy * sy AS DOUBLE) / n_users / (n_users - 1))
+               |   / (CAST(sy AS DOUBLE) / n_users) / (CAST(sy AS DOUBLE) / n_users)
+               |   / (CAST(sy AS DOUBLE) / n_users) / (CAST(sy AS DOUBLE) / n_users)
+               | - 2.0 * (CAST(sx AS DOUBLE) / n_users)
+               |   * (CAST(n_users * sxy - sx * sy AS DOUBLE) / n_users / (n_users - 1))
+               |   / (CAST(sy AS DOUBLE) / n_users) / (CAST(sy AS DOUBLE) / n_users)
+               |   / (CAST(sy AS DOUBLE) / n_users)) / n_users), 6)"""
+          .stripMargin.replace("\n", " ")).as("se_delta"))
+  }
+
+  private val ratioDeltaSql = {
+    val armExpr = DedupQueries.hexToLongDuck("md5('graft-ab-v1' || CAST(user_id AS VARCHAR))", 8)
+    s"""WITH pu AS (
+       |  SELECT CASE WHEN ($armExpr) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, user_id,
+       |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |arms AS (
+       |  SELECT arm, COUNT(*) AS n_users,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sx2, SUM(CAST(y AS HUGEINT) * y) AS sy2,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM pu GROUP BY 1)
+       |SELECT arm, n_users, CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+       |  ROUND(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 6) AS ratio,
+       |  ROUND(sqrt((CAST(n_users * sx2 - sx * sx AS DOUBLE) / n_users / (n_users - 1)
+       |      / (CAST(sy AS DOUBLE) / n_users) / (CAST(sy AS DOUBLE) / n_users)
+       |    + CAST(sx AS DOUBLE) / n_users * (CAST(sx AS DOUBLE) / n_users)
+       |      * (CAST(n_users * sy2 - sy * sy AS DOUBLE) / n_users / (n_users - 1))
+       |      / (CAST(sy AS DOUBLE) / n_users) / (CAST(sy AS DOUBLE) / n_users)
+       |      / (CAST(sy AS DOUBLE) / n_users) / (CAST(sy AS DOUBLE) / n_users)
+       |    - 2.0 * (CAST(sx AS DOUBLE) / n_users)
+       |      * (CAST(n_users * sxy - sx * sy AS DOUBLE) / n_users / (n_users - 1))
+       |      / (CAST(sy AS DOUBLE) / n_users) / (CAST(sy AS DOUBLE) / n_users)
+       |      / (CAST(sy AS DOUBLE) / n_users)) / n_users), 6) AS se_delta
+       |FROM arms ORDER BY arm""".stripMargin
+  }
+
   /** Distinct-user rollup FROM REGISTERS — the mergeable-summaries
     * property doing a cube's work: the raw events are scanned ONCE into a
     * (type, day) register table, and the per-type, per-day, and grand
@@ -2214,6 +2419,9 @@ object EventAnalytics {
     "events_post_strat" -> Q(postStrat _, postStratSql, Seq(col("arm"))),
     "events_mde" -> Q(mde _, mdeSql, Seq(col("na"))),
     "events_diff_in_diff" -> Q(diffInDiff _, diffInDiffSql, Seq(col("na"))),
+    "events_quantile_effects" -> Q(quantileEffects _, quantileEffectsSql, Seq(col("decile"))),
+    "events_aa_calibration" -> Q(aaCalibration _, aaCalibrationSql, Seq(col("n1"))),
+    "events_ratio_delta" -> Q(ratioDelta _, ratioDeltaSql, Seq(col("arm"))),
     "events_acf" -> Q(acf _, acfSql, Seq(col("k"))),
     "events_msprt" -> Q(msprt _, msprtSql, Seq(col("h"))),
     "events_bootstrap_ci" -> Q(bootstrapCi _, bootstrapCiSql, Seq(col("arm"))),
