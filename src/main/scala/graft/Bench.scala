@@ -78,6 +78,11 @@ object Bench {
       "ann_bruteforce_topk", "ann_knn_label", "ann_knn_calibration",
       // train-inside-the-query PQ demonstrations (deployment twin: *_served)
       "ann_ivfpq", "ann_ivfpq_trained", "ann_pq_trained")
+    // a renamed query must not silently fold back into the deployment tier
+    // (or leave a stale name excluding nothing): fail loudly instead
+    val staleBaselines = flatBaselines -- SparkEntry.queries.keySet
+    require(staleBaselines.isEmpty,
+      s"flatBaselines names not in the registry: $staleBaselines")
     val (baseTier, deployTier) = results.partition { case (n, _) => flatBaselines(n) }
     val total = deployTier.map(_._2).filter(_ >= 0).sum
     val baselineSec = baseTier.map(_._2).filter(_ >= 0).sum
