@@ -103,14 +103,19 @@ object AnnQueries {
   }
 
   /** Embeddings with their nearest-centroid cluster and norm — the shared
-    * front of [[semanticDedup]] and [[semanticDedupCapped]]. */
+    * front of [[semanticDedup]] and [[semanticDedupCapped]]. PERSISTED:
+    * the pair stage reads it on both join branches, and without the cache
+    * Catalyst collapses the projections and re-derives the whole
+    * ncentroids-wide cosine array PER PAIR ROW — measured on
+    * [[labelNoise]]'s identical shape as 68 s vs 3 s at sf1. */
   private def clusterAssigned(spark: SparkSession, t: Tables): DataFrame = {
     val cents = centroids(spark, t).map(_._2).toSeq
     val centCos = array(cents.map(v => VectorExpressions.cosine(col("embedding"), typedlit(v))): _*)
-    t.embeddings
+    Cached.track(t.embeddings
       .withColumn("cluster", (array_position(centCos, array_max(centCos)) - 1).cast("int"))
       .select(col("cluster"), col("vec_id"), col("embedding"),
         sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Within-cluster pair stage shared by the capped/uncapped variants. */
@@ -133,6 +138,15 @@ object AnnQueries {
 
   private val NoiseK = 5 // neighbors consulted per vector
 
+  /** SemDeDup's k ∝ corpus rule for the label-noise harness: cluster
+    * count scales so EXPECTED OCCUPANCY stays pinned at
+    * [[CentroidOccupancy]] — the knob that keeps the cluster-keyed pair
+    * stage Σ|cluster|² ≈ corpus × occupancy, i.e. LINEAR in the corpus,
+    * instead of quadratic under a fixed k (the r08 46×-at-sf1 reading).
+    * Floor of [[NCentroids]] so oracle-scale replicas (≤2000 vectors)
+    * keep the family's 8-centroid harness bit-for-bit. */
+  private[operators] val CentroidOccupancy = 250
+
   /** §8p(da) — k-NN label-noise audit (the confident-learning recipe,
     * Northcutt et al. 2021, reduced to its deterministic core): a vector
     * whose own label is in the STRICT MINORITY among its [[NoiseK]]
@@ -145,18 +159,29 @@ object AnnQueries {
     *
     * Scale shape: one map-side cluster assignment, one cluster-keyed
     * self-join, one per-vector group-limit window (many tiny groups),
-    * one aggregate. The whale-cluster caveat is [[semanticDedupCapped]]'s:
-    * ncentroids is the knob that bounds bucket size. */
+    * one aggregate — with ncentroids ∝ corpus ([[CentroidOccupancy]]),
+    * so per-cluster occupancy and therefore per-vector candidate cost is
+    * CONSTANT as the corpus grows; the count() that sizes k is a 1-row
+    * driver read, the same bounded class as the centroid collect. */
   def labelNoise(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val cents = centroids(spark, t).map(_._2).toSeq
+    val k = math.max(NCentroids.toLong, t.embeddings.count() / CentroidOccupancy)
+    import spark.implicits._
+    val cents = t.embeddings.where(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2).toSeq
     val centCos = array(cents.map(v => VectorExpressions.cosine(col("embedding"), typedlit(v))): _*)
-    val assigned = t.embeddings
+    // persisted: the k-cosine assignment is the expensive map, and BOTH
+    // join branches read it — without the cache Catalyst collapses the
+    // projections and re-derives the whole k-wide cosine array PER PAIR
+    // ROW (measured 68 s vs 3 s for the sf1 pair stage)
+    val assigned = Cached.track(t.embeddings
       .withColumn("cluster", (array_position(centCos, array_max(centCos)) - 1).cast("int"))
       .select(col("cluster"), col("vec_id"), col("label"), col("embedding"),
         sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = assigned.select(col("cluster"), col("vec_id"), col("label"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = assigned.select(col("cluster"), col("vec_id").as("nbr_id"),
@@ -177,7 +202,9 @@ object AnnQueries {
 
   private def labelNoiseSql =
     s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |                  FROM embeddings)),
        |assign AS (
        |  SELECT vec_id, label, embedding, cid AS cluster FROM (
        |    SELECT e.vec_id, e.label, e.embedding, cid,

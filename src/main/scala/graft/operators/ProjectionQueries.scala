@@ -21,8 +21,17 @@ object ProjectionQueries {
 
   private val InDim = 64
   private val OutDim = 16
-  private val ProbeMod = 50  // the family's probe convention
-  private val CorpusMod = 5  // corpus-side audit sample (deterministic)
+  // FIXED audit budgets (r08 verdict #3 — the graph_closeness treatment):
+  // the original %-mod probe/sample sets both scaled with the corpus, so
+  // the pair stage was quadratic by construction (14.5 s / 7.8× at sf1).
+  // An audit's statistical value comes from the PAIR COUNT, not corpus
+  // coverage, so both sets are now fixed-count hash-rank draws — lowest-N
+  // vec_ids by a salted md5, a deterministic simple random sample that
+  // Spark executes as a bounded-heap TakeOrderedAndProject (no full
+  // sort), identical in both engines. Audit cost is 40×400 pairs at
+  // EVERY corpus size.
+  private val ProbeBudget = 40   // probe panel size
+  private val SampleBudget = 400 // corpus-side audit sample size
 
   /** ±1 sign for (projection row j, input dim i): first md5 nibble of
     * "j:i" — fixed at build time, identical in every engine by
@@ -59,15 +68,23 @@ object ProjectionQueries {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
-  /** §8p(db) — projection distortion audit: for each probe, over a
-    * deterministic 1/[[CorpusMod]] corpus sample, the mean and max
-    * absolute cosine error between the original 64-d space and the
-    * projected 16-d space, in exact ppm (both cosines round-6 first, so
-    * the per-pair error is an integer and the aggregate is order-free).
-    * This is the go/no-go table for a 4× cheaper index: JL guarantees
-    * distances concentrate; the audit shows what THIS corpus actually
-    * pays. Audit-on-a-sample is the scale design — probes broadcast,
-    * sample is map-side, one probe-keyed aggregate. */
+  /** Lowest-[[n]] vec_ids by salted md5 rank — a deterministic fixed-size
+    * simple random sample; sort+limit plans as a bounded heap. */
+  private def hashPick(df: DataFrame, salt: String, n: Int): DataFrame =
+    df.withColumn("h", md5(concat(lit(salt), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(n).drop("h")
+
+  /** §8p(db) — projection distortion audit: for each of [[ProbeBudget]]
+    * hash-drawn probes, over a [[SampleBudget]]-vector hash-drawn corpus
+    * sample, the mean and max absolute cosine error between the original
+    * 64-d space and the projected 16-d space, in exact ppm (both cosines
+    * round-6 first, so the per-pair error is an integer and the aggregate
+    * is order-free). This is the go/no-go table for a 4× cheaper index:
+    * JL guarantees distances concentrate; the audit shows what THIS
+    * corpus actually pays. Audit-on-a-FIXED-sample is the scale design —
+    * the pair stage is 40×400 at any corpus size, the draws are two
+    * bounded-heap top-N passes, probes broadcast, one probe-keyed
+    * aggregate. */
   def projectionAudit(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
@@ -76,9 +93,10 @@ object ProjectionQueries {
       .withColumn("p", expr(projArraySpark("embedding")))
       .withColumn("n64", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
       .withColumn("n16", sqrt(VectorExpressions.dot(col("p"), col("p"))))
-    val corpus = withProj(emb.where(col("vec_id") % CorpusMod === 0))
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val corpus = withProj(hashPick(base, "graft-proj-sample:", SampleBudget))
       .select(col("vec_id"), col("embedding"), col("p"), col("n64"), col("n16"))
-    val probes = withProj(emb.where(col("vec_id") % ProbeMod === 0))
+    val probes = withProj(hashPick(base, "graft-proj-probe:", ProbeBudget))
       .select(col("vec_id").as("probe_id"), col("embedding").as("q"),
         col("p").as("qp"), col("n64").as("qn64"), col("n16").as("qn16"))
     corpus.crossJoin(broadcast(probes))
@@ -97,10 +115,20 @@ object ProjectionQueries {
 
   private def projectionAuditSql = {
     val c64 = AnnQueries.cosChainDuck("e.embedding", "p.embedding")
-    s"""WITH proj AS (
-       |  SELECT vec_id, embedding, ${projArrayDuck("embedding")} AS pv FROM embeddings),
-       |corpus AS (SELECT * FROM proj WHERE vec_id % $CorpusMod = 0),
-       |probes AS (SELECT * FROM proj WHERE vec_id % $ProbeMod = 0),
+    s"""WITH sample_ids AS (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY md5('graft-proj-sample:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $SampleBudget),
+       |probe_ids AS (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY md5('graft-proj-probe:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $ProbeBudget),
+       |corpus AS (
+       |  SELECT e.vec_id, e.embedding, ${projArrayDuck("e.embedding")} AS pv
+       |  FROM embeddings e JOIN sample_ids USING (vec_id)),
+       |probes AS (
+       |  SELECT e.vec_id, e.embedding, ${projArrayDuck("e.embedding")} AS pv
+       |  FROM embeddings e JOIN probe_ids USING (vec_id)),
        |pairs AS (
        |  SELECT p.vec_id AS probe_id,
        |    ROUND($c64, 6) AS c64,

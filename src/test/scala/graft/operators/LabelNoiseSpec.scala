@@ -16,11 +16,14 @@ class LabelNoiseSpec extends AnyFunSuite {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  test("flagged set matches the driver recompute") {
+  test("flagged set matches the driver recompute (k scaled by corpus)") {
     val vecs = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
       .select("vec_id", "embedding", "label")
       .as[(Long, Array[Float], Int)].collect()
-    val cents = vecs.filter(_._1 < 8).sortBy(_._1).map(_._2)
+    // the k ∝ corpus rule: expected occupancy pinned at 250, floor 8
+    val k = math.max(8L, vecs.length.toLong / 250)
+    val cents = vecs.filter(_._1 < k).sortBy(_._1).map(_._2)
+    assert(k == 8) // 500 vectors at sf0.001: the floor governs
     val assigned = vecs.map { case (id, v, l) =>
       val cl = cents.zipWithIndex.map { case (c, i) => (cos(v, c), i) }
         .maxBy { case (c, i) => (c, -i) }._2

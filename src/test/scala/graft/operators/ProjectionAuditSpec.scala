@@ -30,11 +30,21 @@ class ProjectionAuditSpec extends AnyFunSuite {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  test("distortion table matches the driver projection") {
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  /** The fixed-budget hash-rank draw (lowest-n by salted md5). */
+  private def pick(vecs: Array[(Long, Array[Float])], salt: String, n: Int) =
+    vecs.sortBy { case (id, _) => (md5hex(salt + id), id) }.take(n)
+
+  test("distortion table matches the driver projection on the fixed-budget draws") {
     val vecs = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-    val corpus = vecs.filter(_._1 % 5 == 0)
-    val probes = vecs.filter(_._1 % 50 == 0)
+    val corpus = pick(vecs, "graft-proj-sample:", 400)
+    val probes = pick(vecs, "graft-proj-probe:", 40)
+    // the draw budgets bound the pair stage at any corpus size
+    assert(corpus.length <= 400 && probes.length <= 40)
     val expect = probes.map { case (pid, q) =>
       val qp = project(q)
       val errs = corpus.filter(_._1 != pid).map { case (_, v) =>
