@@ -110,7 +110,7 @@ object AnnQueries {
     * [[labelNoise]]'s identical shape as 68 s vs 3 s at sf1. */
   private def clusterAssigned(spark: SparkSession, t: Tables): DataFrame = {
     val cents = centroids(spark, t).map(_._2).toSeq
-    val centCos = array(cents.map(v => VectorExpressions.cosine(col("embedding"), typedlit(v))): _*)
+    val centCos = VectorExpressions.centroidCosines(col("embedding"), cents)
     Cached.track(t.embeddings
       .withColumn("cluster", (array_position(centCos, array_max(centCos)) - 1).cast("int"))
       .select(col("cluster"), col("vec_id"), col("embedding"),
@@ -147,6 +147,20 @@ object AnnQueries {
     * keep the family's 8-centroid harness bit-for-bit. */
   private[operators] val CentroidOccupancy = 250
 
+  /** The k ∝ corpus centroid set (first-k seed vectors, k = max(floor,
+    * corpus / [[CentroidOccupancy]])) — shared by [[labelNoise]] and
+    * `BitextQueries.minedPairs`; the count() that sizes k is a 1-row
+    * driver read, the same bounded class as the centroid collect. The
+    * matching oracle predicate is
+    * `vec_id < (SELECT GREATEST(floor, COUNT(*) // occupancy) FROM embeddings)`. */
+  private[operators] def scaledCentroids(spark: SparkSession, t: Tables): Seq[Array[Float]] = {
+    import spark.implicits._
+    val k = math.max(NCentroids.toLong, t.embeddings.count() / CentroidOccupancy)
+    t.embeddings.where(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2).toSeq
+  }
+
   /** §8p(da) — k-NN label-noise audit (the confident-learning recipe,
     * Northcutt et al. 2021, reduced to its deterministic core): a vector
     * whose own label is in the STRICT MINORITY among its [[NoiseK]]
@@ -167,12 +181,8 @@ object AnnQueries {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val k = math.max(NCentroids.toLong, t.embeddings.count() / CentroidOccupancy)
-    import spark.implicits._
-    val cents = t.embeddings.where(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2).toSeq
-    val centCos = array(cents.map(v => VectorExpressions.cosine(col("embedding"), typedlit(v))): _*)
+    val cents = scaledCentroids(spark, t)
+    val centCos = VectorExpressions.centroidCosines(col("embedding"), cents)
     // persisted: the k-cosine assignment is the expensive map, and BOTH
     // join branches read it — without the cache Catalyst collapses the
     // projections and re-derives the whole k-wide cosine array PER PAIR

@@ -44,8 +44,8 @@ object BitextQueries {
     * margin_ppm = µcos(x,y) · 2k · 10⁶ div (Σ fwd top-k µcos + Σ bwd
     * top-k µcos) — the A&S ratio with both neighborhoods in the
     * denominator, in exact parts-per-million. */
-  private def centCosOf(cents: Seq[Array[Float]])(embCol: Column): Seq[Column] =
-    cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
+  private def centCosOf(cents: Seq[Array[Float]])(embCol: Column): Column =
+    VectorExpressions.centroidCosines(embCol, cents)
 
   /** Language-tagged corpus: embeddings keyed to documents by id (an
     * id-co-partitioned join — both sides shuffle once on the same key),
@@ -59,7 +59,7 @@ object BitextQueries {
     * target vector at its nearest centroid — same argmax-first-index tie
     * rule as the IVF kernel. */
   private def towersOf(tagged: DataFrame, cents: Seq[Array[Float]]): DataFrame = {
-    val arr = array(centCosOf(cents)(col("embedding")): _*)
+    val arr = centCosOf(cents)(col("embedding"))
     tagged.where(col("lang") === "en")
       .withColumn("cluster", (array_position(arr, array_max(arr)) - 1).cast("int"))
       .select(col("vec_id").as("tgt_id"), col("embedding").as("t_emb"),
@@ -69,10 +69,11 @@ object BitextQueries {
   /** Source-side probe assignment: any (vec_id, lang, embedding, norm)
     * frame exploded to its [[NProbe]] nearest clusters. */
   private def probedOf(df: DataFrame, cents: Seq[Array[Float]]): DataFrame = {
-    val probeItems = centCosOf(cents)(col("embedding")).zipWithIndex.map { case (c, i) =>
-      struct(c.as("cos"), lit(-i).as("nidx"), lit(i).as("idx"))
-    }
-    df.withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbe))
+    // transform-with-index over the ONE kernel array (a k-wide literal
+    // struct list would re-evaluate the kernel per element)
+    val probeItems = transform(centCosOf(cents)(col("embedding")),
+      (c, i) => struct(c.as("cos"), (-i).as("nidx"), i.as("idx")))
+    df.withColumn("top_c", slice(reverse(array_sort(probeItems)), 1, NProbe))
       .select(col("vec_id").as("src_id"), col("lang"), col("embedding").as("s_emb"),
         col("norm").as("s_norm"),
         explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
@@ -120,7 +121,11 @@ object BitextQueries {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val cents = AnnQueries.centroids(spark, t).map(_._2).toSeq
+    // ncentroids ∝ corpus (r08 verdict #5): the "4k–64k in production"
+    // prose is now the registered harness — the same
+    // AnnQueries.scaledCentroids rule that keeps cluster occupancy (and
+    // therefore per-source candidate pressure) flat as the corpus grows
+    val cents = AnnQueries.scaledCentroids(spark, t)
     val tagged = taggedCorpus(t)
     val tgt = towersOf(tagged, cents)
     val src = probedOf(tagged.where(col("lang") =!= "en"), cents)
@@ -137,7 +142,7 @@ object BitextQueries {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val cents = AnnQueries.centroids(spark, t).map(_._2).toSeq
+    val cents = AnnQueries.scaledCentroids(spark, t)
     val tagged = taggedCorpus(t)
     val tgt = towersOf(tagged, cents)
     (tgt, bwdOf(candOf(probedOf(tagged.where(col("lang") =!= "en"), cents), tgt)))
@@ -157,7 +162,7 @@ object BitextQueries {
   def mineBatch(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    val cents = AnnQueries.centroids(spark, Tables(dir)).map(_._2).toSeq
+    val cents = AnnQueries.scaledCentroids(spark, Tables(dir))
     val (towers, frozenBwd) = archiveState(spark, dir)
     val cand = Cached.track(candOf(probedOf(batch, cents), towers).persist())
     val (fwdSum, best) = fwdStage(cand)
@@ -172,7 +177,10 @@ object BitextQueries {
     val cos = AnnQueries.cosChainDuck("s_emb", "t_emb")
     val ccos = AnnQueries.cosChainDuck("e.embedding", "c")
     s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < ${AnnQueries.NCentroids}),
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST(${AnnQueries.NCentroids},
+       |                    COUNT(*) // ${AnnQueries.CentroidOccupancy})
+       |                  FROM embeddings)),
        |tagged AS (
        |  SELECT e.vec_id, e.embedding, d.lang FROM embeddings e
        |  JOIN documents d ON e.vec_id = d.doc_id),
