@@ -294,8 +294,8 @@ object SplitQueries {
        |n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM cells)
        |SELECT c.split, c.lang, c.n_docs,
        |  CAST(1000 * CAST(lang_total AS HUGEINT) * split_total // n_total AS BIGINT) AS expected_milli,
-       |  ROUND(CAST(CAST(c.n_docs * n_total - lang_total * split_total AS HUGEINT)
-       |        * CAST(c.n_docs * n_total - lang_total * split_total AS HUGEINT) AS DOUBLE)
+       |  ROUND(CAST((CAST(c.n_docs AS HUGEINT) * n_total - CAST(lang_total AS HUGEINT) * split_total)
+       |        * (CAST(c.n_docs AS HUGEINT) * n_total - CAST(lang_total AS HUGEINT) * split_total) AS DOUBLE)
        |    / CAST(CAST(n_total AS HUGEINT) * lang_total * split_total AS DOUBLE), 6) AS chi2_cell
        |FROM cells c JOIN bl USING (lang) JOIN bs USING (split), n
        |ORDER BY c.split, c.lang""".stripMargin

@@ -33,30 +33,76 @@ object Snapshots {
     * redelivers that batchId, and without the marker the replay gate
     * would pass and merge the batch a SECOND time (counts/sums silently
     * doubling). The marker travels with the state it describes, so the
-    * gate and the state can never disagree. */
-  def appliedBatches(base: String): Set[Long] =
+    * gate and the state can never disagree. Reads run [[recover]] first,
+    * so a swap torn between the two renames is healed before the gate
+    * is consulted. */
+  def appliedBatches(base: String): Set[Long] = {
+    recover(base)
     manifestSet(base) ++ currentMarker(base)
+  }
+
+  /** Heal a torn two-rename swap (the ZoneMap manifest-restore logic
+    * transposed to snapshot dirs): a crash after `current → .old-<id>`
+    * but before `v<id> → current` leaves NO live snapshot — without
+    * recovery the next batch would bootstrap EMPTY state and every
+    * previously merged count would silently vanish. When current/ is
+    * missing: promote the newest marker-complete `v<id>` (it is the
+    * fully-written merged snapshot the crashed publish was about to
+    * swap in — the marker is written before any rename, so its presence
+    * proves the write finished); with no such version dir, restore the
+    * newest `.old-<id>` (the pre-batch state; the redelivered batch
+    * re-merges against it). Either way, lingering `.old-*` dirs are
+    * removed once a live snapshot exists again. Marker-less v dirs are
+    * left alone — a torn `write()` is overwritten by the redelivered
+    * batch's own publish. */
+  private def recover(base: String): Unit = {
+    val cur = Paths.get(base, "current")
+    val root = Paths.get(base)
+    if (Files.exists(cur) || !Files.exists(root)) return
+    def named(prefix: String): Seq[(Long, java.nio.file.Path)] = {
+      val s = Files.list(root)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .filter(p => p.getFileName.toString.startsWith(prefix))
+        .flatMap(p => p.getFileName.toString.stripPrefix(prefix).toLongOption.map(_ -> p))
+        .toSeq.sortBy(-_._1)
+      finally s.close()
+    }
+    val complete = named("v").filter { case (_, p) => Files.exists(p.resolve("_batch_id")) }
+    val source = complete.headOption.orElse(named(".old-").headOption)
+    source.foreach { case (_, p) =>
+      if (!p.toFile.renameTo(cur.toFile))
+        throw new java.io.IOException(s"snapshot recovery failed: $p -> $cur")
+      named(".old-").foreach { case (_, o) =>
+        org.apache.commons.io.FileUtils.deleteDirectory(o.toFile)
+      }
+    }
+  }
 
   def recordBatch(base: String, batchId: Long): Unit =
     Files.write(manifest(base), s"$batchId\n".getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 
-  /** The live snapshot, or None at bootstrap. */
+  /** The live snapshot (after torn-swap recovery), or None at true
+    * bootstrap. */
   def current(spark: SparkSession, base: String): Option[DataFrame] = {
+    recover(base)
     val cur = Paths.get(base, "current")
     if (Files.exists(cur)) Some(spark.read.parquet(cur.toString)) else None
   }
 
   /** Write `df` as version `batchId` and publish it atomically (write →
-    * rename current aside → rename new into place; a crash mid-swap
-    * leaves the previous snapshot live). The batchId marker is written
-    * into the version dir BEFORE the rename, so the swap atomically
-    * publishes state and replay-gate evidence together; the outgoing
-    * snapshot's marker is healed into the manifest first (it can be
-    * missing only if a prior run crashed between its publish and its
-    * recordBatch). */
+    * rename current aside → rename new into place). A crash mid-swap is
+    * healed by [[recover]] on the next read or publish — between the two
+    * renames there is an instant with no current/, which recovery
+    * resolves to the newest complete state rather than an empty
+    * bootstrap. The batchId marker is written into the version dir
+    * BEFORE the rename, so the swap atomically publishes state and
+    * replay-gate evidence together; the outgoing snapshot's marker is
+    * healed into the manifest first (it can be missing only if a prior
+    * run crashed between its publish and its recordBatch). */
   def publish(base: String, batchId: Long)(write: String => Unit): Unit = {
     Files.createDirectories(Paths.get(base))
+    recover(base)
     val vdir = Paths.get(base, s"v$batchId")
     write(vdir.toString)
     Files.write(vdir.resolve("_batch_id"), s"$batchId\n".getBytes("UTF-8"))
