@@ -37,6 +37,7 @@ object SparkEntry {
     operators.PipelineReport.queries,
     operators.BitextQueries.queries,
     operators.ProjectionQueries.queries,
+    operators.SubstringDedup.queries,
   )
 
   /** Full registry (Spark fn + oracle + canonical Verify sort).
