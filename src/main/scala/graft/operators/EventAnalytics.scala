@@ -2308,6 +2308,65 @@ object EventAnalytics {
        |  p - LEAST(0, pmin) > $CusumThresholdMilli AS alarm
        |FROM pw ORDER BY event_type, day""".stripMargin
 
+  // ------------------------------- offline changepoint (§8v(ds), r09)
+
+  /** §8v(ds) — offline single-changepoint detection over the daily count
+    * series (the first step of binary segmentation, CUSUM's offline
+    * sibling: CUSUM alarms ONLINE as data arrives; this locates WHERE the
+    * level shifted once the window is closed — the incident-review
+    * question). For every candidate split after day t, the
+    * variance-reduction gain S_L²/n_L + S_R²/n_R − S²/n (the constant
+    * Σx² cancels from the SSE difference, so no second moment is
+    * needed); the argmax day is the changepoint. All sufficient sums are
+    * exact integers off ONE cumulative window; the gain is one
+    * fixed-order float chain round-6, so the argmax and its tie-break
+    * (earliest day) are identical in both engines.
+    *
+    * Scale shape: one corpus groupBy into daily cells, a 1-row total
+    * broadcast, two windows over the day-ordered series whose length is
+    * the calendar, not the corpus — the cusumAlarm ledger exactly. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val daily = Tables(dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val tot = daily.agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val scans = daily
+      .withColumn("sl", sum(col("x")).over(w))
+      .withColumn("nl", count(lit(1)).over(w))
+      .crossJoin(broadcast(tot))
+      .where(col("nl") < col("n"))
+      .withColumn("gain", expr(
+        """round(CAST(sl AS DOUBLE) * sl / nl
+          | + CAST(s - sl AS DOUBLE) * (s - sl) / (n - nl)
+          | - CAST(s AS DOUBLE) * s / n, 6)""".stripMargin.replace("\n", " ")))
+    val rk = Window.orderBy(col("gain").desc, col("day"))
+    scans.withColumn("is_changepoint", row_number().over(rk) === 1)
+      .select(col("day"), col("x").as("n_events"), col("nl").as("n_left"),
+        col("sl").as("sum_left"), col("gain"), col("is_changepoint"))
+  }
+
+  private val changepointSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n FROM daily),
+      |cum AS (
+      |  SELECT day, x,
+      |    CAST(SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+      |    ROW_NUMBER() OVER (ORDER BY day) AS nl
+      |  FROM daily),
+      |g AS (
+      |  SELECT day, x, nl, sl,
+      |    ROUND(CAST(sl AS DOUBLE) * sl / nl
+      |      + CAST(s - sl AS DOUBLE) * (s - sl) / (n - nl)
+      |      - CAST(s AS DOUBLE) * s / n, 6) AS gain
+      |  FROM cum, tot WHERE nl < n)
+      |SELECT day, x AS n_events, nl AS n_left, sl AS sum_left, gain,
+      |  ROW_NUMBER() OVER (ORDER BY gain DESC, day) = 1 AS is_changepoint
+      |FROM g ORDER BY day""".stripMargin
+
   // ----------------------------------------- OLS trend (§8o)
 
   /** §8o — per-type OLS trend over the hourly count series: slope and
@@ -2376,6 +2435,7 @@ object EventAnalytics {
     "events_trend_ols" -> Q(trendOls _, trendOlsSql, Seq(col("event_type"))),
     "events_cusum_alarm" -> Q(cusumAlarm _, cusumAlarmSql,
       Seq(col("event_type"), col("day"))),
+    "events_changepoint" -> Q(changepoint _, changepointSql, Seq(col("day"))),
     "events_user_features" -> Q(userFeatures _, userFeaturesSql, Seq(col("user_id"))),
     "events_seasonal_outliers" -> Q(seasonalOutliers _, seasonalOutliersSql,
       Seq(col("event_id"))),
