@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * the W-token threshold, and adjacent duplicated windows reassemble the
   * maximal span (the suffix array's answer) per document pair.
   *
+  * Relationship to `dedup_repeated_spans` (CorpusQueries): that query is
+  * the corpus-wide HASH census — which 30-token windows recur across
+  * documents. This family answers the two questions it leaves open:
+  * per DOCUMENT, how much of it is duplicated text (the scrub/keep
+  * decision input — self-repetition included), and per document PAIR,
+  * the MAXIMAL shared spans with their positions (the suffix array's
+  * actual output, reassembled from adjacent window hits on a diagonal —
+  * individual window hashes cannot say where a span starts or ends).
+  *
   * Scale shape: one narrow map-side explode (|tokens| windows per doc —
   * stride 1, the paper's semantics), ONE window-hash-keyed shuffle for
   * multiplicity, and for the run assembly a rare-hash inverted index
