@@ -109,7 +109,11 @@ object AnnQueries {
     * ncentroids-wide cosine array PER PAIR ROW — measured on
     * [[labelNoise]]'s identical shape as 68 s vs 3 s at sf1. */
   private def clusterAssigned(spark: SparkSession, t: Tables): DataFrame = {
-    val cents = centroids(spark, t).map(_._2).toSeq
+    // SemDeDup trains k WITH the corpus: ncentroids = max(8, n/250)
+    // (r09 — the labelNoise treatment; oracle-identical at the ≤2000-row
+    // verification scales where the floor governs, linear pair stage at
+    // every scale above them)
+    val cents = scaledCentroids(spark, t)
     val centCos = VectorExpressions.centroidCosines(col("embedding"), cents)
     Cached.track(t.embeddings
       .withColumn("cluster", (array_position(centCos, array_max(centCos)) - 1).cast("int"))
@@ -261,16 +265,19 @@ object AnnQueries {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val assigned = clusterAssigned(spark, Tables(dir))
-    val occ = assigned.groupBy("cluster").count().collect() // ≤ NCentroids rows
+    val occ = assigned.groupBy("cluster").count().collect() // ≤ ncentroids rows
     val n = occ.map(_.getLong(1)).sum
-    val keep = occ.filter(_.getLong(1) <= whaleFactor * n / NCentroids)
+    val k = math.max(NCentroids.toLong, n / CentroidOccupancy) // the clusterAssigned rule
+    val keep = occ.filter(_.getLong(1) <= whaleFactor * n / k)
       .map(r => r.getInt(0): Any).toSeq
     semanticPairs(assigned.where(col("cluster").isin(keep: _*)))
   }
 
   private val semanticDedupSql =
     s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, e.embedding, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
        |  FROM embeddings e CROSS JOIN cents),
@@ -290,7 +297,9 @@ object AnnQueries {
 
   private val semanticDedupCappedSql =
     s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, e.embedding, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
        |  FROM embeddings e CROSS JOIN cents),
@@ -304,7 +313,8 @@ object AnnQueries {
        |kept AS (
        |  SELECT cl.vec_id, cl.embedding, cl.cluster
        |  FROM clustered cl JOIN occ o ON cl.cluster = o.cluster CROSS JOIN total t
-       |  WHERE o.occ <= $SemanticWhaleFactor * t.n / $NCentroids),
+       |  WHERE o.occ <= $SemanticWhaleFactor * t.n
+       |                 / GREATEST($NCentroids, t.n // $CentroidOccupancy)),
        |pairs AS (
        |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
        |    ROUND(${cosChainDuck("a.embedding", "b.embedding")}, 6) AS cos
