@@ -76,6 +76,9 @@ object Bench {
       // flat-scan exact family (by-construction P×C scans)
       "ann_pq_adc", "ann_sq_topk", "ann_lsh_recall", "ann_lsh_cosine",
       "ann_bruteforce_topk", "ann_knn_label", "ann_knn_calibration",
+      // flat threshold scan (r09; deployment twin: ann_ivf_range — the
+      // same threshold through the bucket-pruned index)
+      "dedup_embedding_cosine",
       // train-inside-the-query PQ demonstrations (deployment twin: *_served)
       "ann_ivfpq", "ann_ivfpq_trained", "ann_pq_trained")
     // a renamed query must not silently fold back into the deployment tier

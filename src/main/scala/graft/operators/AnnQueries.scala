@@ -157,13 +157,8 @@ object AnnQueries {
     * driver read, the same bounded class as the centroid collect. The
     * matching oracle predicate is
     * `vec_id < (SELECT GREATEST(floor, COUNT(*) // occupancy) FROM embeddings)`. */
-  private[operators] def scaledCentroids(spark: SparkSession, t: Tables): Seq[Array[Float]] = {
-    import spark.implicits._
-    val k = math.max(NCentroids.toLong, t.embeddings.count() / CentroidOccupancy)
-    t.embeddings.where(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2).toSeq
-  }
+  private[operators] def scaledCentroids(spark: SparkSession, t: Tables): Seq[Array[Float]] =
+    centroids(spark, t).map(_._2).toSeq // r09: centroids() itself scales now
 
   /** §8p(da) — k-NN label-noise audit (the confident-learning recipe,
     * Northcutt et al. 2021, reduced to its deterministic core): a vector
@@ -604,13 +599,37 @@ object AnnQueries {
 
   // ------------------------------------------------------------------ IVF
 
-  /** Literal centroid vectors — the bounded driver-side structure (id asc). */
+  /** Literal centroid vectors — the bounded driver-side structure (id
+    * asc). r09: SCALED, k = max([[NCentroids]], corpus /
+    * [[CentroidOccupancy]]) — SemDeDup/FAISS's k-grows-with-the-corpus
+    * rule applied to the whole seed-centroid family, so per-cluster
+    * occupancy (and with it every bucket-pruned candidate set) stays
+    * pinned as the corpus grows. Oracle-identical at the ≤2000-vector
+    * verification scales, where the floor governs; every family oracle
+    * carries the same GREATEST(floor, count // occupancy) predicate. */
   private[operators] def centroids(spark: SparkSession, t: Tables): Array[(Long, Array[Float])] = {
     import spark.implicits._
-    t.embeddings.where(col("vec_id") < NCentroids)
+    val k = math.max(NCentroids.toLong, t.embeddings.count() / CentroidOccupancy)
+    t.embeddings.where(col("vec_id") < k)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
   }
+
+  /** argmax-cosine cluster id off the [[VectorExpressions.centroidCosines]]
+    * kernel (first index on ties — the family rule; the composed
+    * array-of-cosines form breaks codegen past a few dozen centroids). */
+  private def nearestCluster(cents: Seq[Array[Float]]): Column = {
+    val cc = VectorExpressions.centroidCosines(col("embedding"), cents)
+    (array_position(cc, array_max(cc)) - 1).cast("int")
+  }
+
+  /** The nprobe nearest clusters (cos desc, centroid id asc) as a
+    * struct array off ONE kernel evaluation — transform-with-index so
+    * the k-wide fold runs once per row, not once per element. */
+  private def probeTopC(cents: Seq[Array[Float]]): Column =
+    slice(reverse(array_sort(transform(
+      VectorExpressions.centroidCosines(col("embedding"), cents),
+      (c, i) => struct(c.as("cos"), (-i).as("nidx"), i.as("idx"))))), 1, NProbeBuckets)
 
   /** §8n(cg) — per-cluster MEDOID prototypes: every vector assigned to
     * its nearest seed centroid (the `ann_ivf_topk` assignment — same
@@ -630,9 +649,8 @@ object AnnQueries {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
     val cents = centroids(spark, t).map(_._2).toSeq
-    val cs = array(cents.map(v => VectorExpressions.cosine(col("embedding"), typedlit(v))): _*)
     t.embeddings
-      .withColumn("cs", cs)
+      .withColumn("cs", VectorExpressions.centroidCosines(col("embedding"), cents))
       .withColumn("cluster", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("long"))
       .withColumn("ccos", round(array_max(col("cs")), 6))
       .groupBy("cluster")
@@ -645,7 +663,9 @@ object AnnQueries {
 
   private def clusterMedoidsSql =
     s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
        |  FROM embeddings e, cents),
@@ -678,21 +698,14 @@ object AnnQueries {
     * search thresholds it — one pruning definition, two retrieval modes. */
   private def ivfScored(t: Tables, cents: Seq[Array[Float]],
                         labelFiltered: Boolean = false): DataFrame = {
-    def centCos(embCol: Column): Seq[Column] =
-      cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
-
     // corpus: nearest centroid (first index on ties = smallest centroid id)
-    val corpusArr = array(centCos(col("embedding")): _*)
     val corpus = t.embeddings
-      .withColumn("cluster", (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int"))
+      .withColumn("cluster", nearestCluster(cents))
       .select(col("vec_id"), col("embedding"), col("cluster"), col("label"))
 
     // probes: nprobe nearest centroids (cos desc, centroid id asc)
-    val probeItems = centCos(col("embedding")).zipWithIndex.map { case (c, i) =>
-      struct(c.as("cos"), lit(-i).as("nidx"), lit(i).as("idx"))
-    }
     val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
-      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
+      .withColumn("top_c", probeTopC(cents))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("label").as("p_label"),
         explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
@@ -759,17 +772,11 @@ object AnnQueries {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
     val cents = centroids(spark, t).toSeq.map(_._2)
-    def centCos(embCol: Column): Seq[Column] =
-      cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
-    val corpusArr = array(centCos(col("embedding")): _*)
     val corpus = t.embeddings
-      .withColumn("cluster", (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int"))
+      .withColumn("cluster", nearestCluster(cents))
       .select(col("vec_id"), col("embedding"), col("cluster"))
-    val probeItems = centCos(col("embedding")).zipWithIndex.map { case (c, i) =>
-      struct(c.as("cos"), lit(-i).as("nidx"), lit(i).as("idx"))
-    }
     val probe = t.embeddings.where(col("vec_id") === probeId)
-      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
+      .withColumn("top_c", probeTopC(cents))
       .select(col("embedding").as("p_emb"),
         explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
     val w = org.apache.spark.sql.expressions.Window
@@ -790,7 +797,9 @@ object AnnQueries {
     * [[ivfRankedForProbe]] mirror, shared into the hybrid-served oracle. */
   private[operators] def ivfRankedCtes(probeId: Long, n: Int): String =
     s"""cents AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
        |  FROM embeddings e CROSS JOIN cents),
@@ -834,7 +843,9 @@ object AnnQueries {
 
   private val ivfFilteredSql =
     s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
        |  FROM embeddings e CROSS JOIN cents),
@@ -906,10 +917,8 @@ object AnnQueries {
 
   private def lloydStep(t: Tables, cents: Seq[Array[Float]])
                        (implicit spark: SparkSession): Seq[Array[Float]] = {
-    val corpusArr = array(cents.map(v =>
-      VectorExpressions.cosine(col("embedding"), typedlit(v))): _*)
     val assigned = t.embeddings
-      .withColumn("cluster", (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int"))
+      .withColumn("cluster", nearestCluster(cents))
 
     // (cluster, dim) → exact integer sum of quantized components
     val sums = assigned
@@ -968,7 +977,9 @@ object AnnQueries {
 
   private val ivfSql =
     s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
        |  FROM embeddings e CROSS JOIN cents),
@@ -1024,7 +1035,9 @@ object AnnQueries {
     val chain = (1 to steps).flatMap(k =>
       Seq(qsum(k), cents(k), assign(k), cluster(k))).mkString(",\n")
     s"""WITH cents0 AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |                  FROM embeddings)),
        |${assign(0)},
        |${cluster(0)},
        |$chain,
@@ -1497,9 +1510,6 @@ object AnnQueries {
 
   private def ivfPqEncodeDf(emb: DataFrame, cents: Seq[Array[Float]],
                             cb: Array[Array[Array[Float]]]): DataFrame = {
-    def centCos(embCol: Column): Seq[Column] =
-      cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
-    val corpusArr = array(centCos(col("embedding")): _*)
     def codeCol(m: Int): Column = {
       val x = sub(col("embedding"), m)
       val dists = array(cb(m).map { cw =>
@@ -1510,8 +1520,7 @@ object AnnQueries {
       (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code_$m")
     }
     emb.select(
-      Seq(col("vec_id"),
-        (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int").as("cluster")) ++
+      Seq(col("vec_id"), nearestCluster(cents).as("cluster")) ++
         (0 until PqM).map(codeCol): _*)
   }
 
@@ -1526,17 +1535,12 @@ object AnnQueries {
   private def ivfPqSearchCoded(t: Tables, cents: Seq[Array[Float]],
                                cb: Array[Array[Array[Float]]], coded: DataFrame)
                               (implicit spark: SparkSession): DataFrame = {
-    def centCos(embCol: Column): Seq[Column] =
-      cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
     // probes: nprobe buckets + ADC LUTs in one pass
-    val probeItems = centCos(col("embedding")).zipWithIndex.map { case (c, i) =>
-      struct(c.as("cos"), lit(-i).as("nidx"), lit(i).as("idx"))
-    }
     def lutCol(m: Int): Column =
       array(cb(m).map(cw => VectorExpressions.dot(sub(col("embedding"), m), typedlit(cw))): _*)
         .as(s"lut_$m")
     val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
-      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
+      .withColumn("top_c", probeTopC(cents))
       .select(Seq(col("vec_id").as("probe_id"),
         explode(expr("transform(top_c, x -> x.idx)")).as("cluster")) ++
         (0 until PqM).map(lutCol): _*)
@@ -1707,12 +1711,8 @@ object AnnQueries {
   /** The distinct IVF buckets the probe set will scan — bounded by
     * |probes| × nprobe, collected to drive partition pruning. */
   private def probeClusters(t: Tables, cents: Seq[Array[Float]]): Seq[Int] = {
-    val probeItems = cents.zipWithIndex.map { case (v, i) =>
-      struct(VectorExpressions.cosine(col("embedding"), typedlit(v)).as("cos"),
-        lit(-i).as("nidx"), lit(i).as("idx"))
-    }
     t.embeddings.where(col("vec_id") % ProbeMod === 0)
-      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
+      .withColumn("top_c", probeTopC(cents))
       .select(explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
       .distinct().collect().map(_.getInt(0)).toSeq
   }
@@ -1786,15 +1786,11 @@ object AnnQueries {
   private[graft] def ivfPqCandidateFrame(probeFrame: DataFrame, coded: DataFrame,
                                          cents: Seq[Array[Float]],
                                          cb: Array[Array[Array[Float]]]): DataFrame = {
-    val probeItems = cents.zipWithIndex.map { case (v, i) =>
-      struct(VectorExpressions.cosine(col("embedding"), typedlit(v)).as("cos"),
-        lit(-i).as("nidx"), lit(i).as("idx"))
-    }
     def lutCol(m: Int): Column =
       array(cb(m).map(cw => VectorExpressions.dot(sub(col("embedding"), m), typedlit(cw))): _*)
         .as(s"lut_$m")
     val probes = probeFrame
-      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
+      .withColumn("top_c", probeTopC(cents))
       .select(Seq(col("probe_id"), col("embedding").as("p_emb"),
         sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("p_norm"),
         explode(expr("transform(top_c, x -> x.idx)")).as("cluster")) ++
@@ -1818,7 +1814,9 @@ object AnnQueries {
     s"""WITH cw AS (
        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $PqK),
        |cents AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
        |  FROM embeddings e CROSS JOIN cents),
@@ -1877,7 +1875,9 @@ object AnnQueries {
     s"""WITH cw AS (
        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $PqK),
        |cents0 AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |                  FROM embeddings)),
        |assign0 AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
        |  FROM embeddings e CROSS JOIN cents0),
@@ -2174,17 +2174,11 @@ object AnnQueries {
       .map(r => { val m = r.getFloat(1).toDouble; if (m == 0.0) 1.0 else m }).toSeq
     def quant(c: Column): Column =
       zip_with(c, typedlit(scales), (v, m) => round(v.cast("double") * lit(127.0) / m, 0).cast("long"))
-    def centCos(embCol: Column): Seq[Column] =
-      cents.map(v => VectorExpressions.cosine(embCol, typedlit(v)))
-    val corpusArr = array(centCos(col("embedding")): _*)
     val corpusQ = t.embeddings
-      .withColumn("cluster", (array_position(corpusArr, array_max(corpusArr)) - 1).cast("int"))
+      .withColumn("cluster", nearestCluster(cents))
       .select(col("vec_id"), quant(col("embedding")).as("cq"), col("cluster"))
-    val probeItems = centCos(col("embedding")).zipWithIndex.map { case (c, i) =>
-      struct(c.as("cos"), lit(-i).as("nidx"), lit(i).as("idx"))
-    }
     val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
-      .withColumn("top_c", slice(reverse(array_sort(array(probeItems: _*))), 1, NProbeBuckets))
+      .withColumn("top_c", probeTopC(cents))
       .select(col("vec_id").as("probe_id"), quant(col("embedding")).as("pq2"),
         explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
     val approx = corpusQ.join(broadcast(probes), Seq("cluster"))
@@ -2210,7 +2204,9 @@ object AnnQueries {
 
   private val ivfSqSql =
     s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $NCentroids),
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
        |  FROM embeddings e CROSS JOIN cents),
