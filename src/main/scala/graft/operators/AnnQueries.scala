@@ -151,6 +151,32 @@ object AnnQueries {
     * keep the family's 8-centroid harness bit-for-bit. */
   private[operators] val CentroidOccupancy = 250
 
+  /** r10: CEILING on the scaled centroid count. The k ∝ corpus rule
+    * keeps pair stages linear, but uncapped it makes the coarse
+    * assignment k·n = Θ(n²/occupancy) cosines and the driver-collected
+    * centroid matrix O(n/occupancy)·dim — at 10⁹ vectors that is 4×10¹⁵
+    * cosine ops and a multi-GB literal baked into every task. 65536 is
+    * the top of FAISS's published nlist guidance (4√n–16√n for n ≤ 10⁹,
+    * capped at the 4k–64k production band BASELINE.md names); past
+    * `CentroidCap × CentroidOccupancy` (~16M) vectors the right shape is
+    * NOT a bigger flat k but a two-level coarse quantizer: assign
+    * through the persisted IVF tower (probe the 64k top-level cells,
+    * then rank only that cell's sub-centroids) the way the `*_served`
+    * family already stages probes — assignment cost then n·(√k + k/√k),
+    * never n·k. Inert at every verification scale (sf1 ≈ 20k vectors →
+    * k = 80 ≪ cap), proven by `CentroidCapSpec`. */
+  private[operators] val CentroidCap = 65536
+
+  /** THE family rule, capped: k = min(cap, max(floor, n / occupancy)).
+    * Every seed-centroid query sizes k through this, and every oracle
+    * carries [[scaledKSql]] — the same three-way expression in DuckDB. */
+  private[operators] def scaledK(n: Long): Long =
+    math.min(CentroidCap.toLong, math.max(NCentroids.toLong, n / CentroidOccupancy))
+
+  /** DuckDB twin of [[scaledK]] over the embeddings table. */
+  private[operators] def scaledKSql: String =
+    s"LEAST($CentroidCap, GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy))"
+
   /** The k ∝ corpus centroid set (first-k seed vectors, k = max(floor,
     * corpus / [[CentroidOccupancy]])) — shared by [[labelNoise]] and
     * `BitextQueries.minedPairs`; the count() that sizes k is a 1-row
@@ -212,7 +238,7 @@ object AnnQueries {
   private def labelNoiseSql =
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |  WHERE vec_id < (SELECT ${scaledKSql}
        |                  FROM embeddings)),
        |assign AS (
        |  SELECT vec_id, label, embedding, cid AS cluster FROM (
@@ -262,7 +288,7 @@ object AnnQueries {
     val assigned = clusterAssigned(spark, Tables(dir))
     val occ = assigned.groupBy("cluster").count().collect() // ≤ ncentroids rows
     val n = occ.map(_.getLong(1)).sum
-    val k = math.max(NCentroids.toLong, n / CentroidOccupancy) // the clusterAssigned rule
+    val k = scaledK(n) // the clusterAssigned rule
     val keep = occ.filter(_.getLong(1) <= whaleFactor * n / k)
       .map(r => r.getInt(0): Any).toSeq
     semanticPairs(assigned.where(col("cluster").isin(keep: _*)))
@@ -271,7 +297,7 @@ object AnnQueries {
   private val semanticDedupSql =
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |  WHERE vec_id < (SELECT ${scaledKSql}
        |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, e.embedding, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
@@ -293,7 +319,7 @@ object AnnQueries {
   private val semanticDedupCappedSql =
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |  WHERE vec_id < (SELECT ${scaledKSql}
        |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, e.embedding, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
@@ -309,7 +335,7 @@ object AnnQueries {
        |  SELECT cl.vec_id, cl.embedding, cl.cluster
        |  FROM clustered cl JOIN occ o ON cl.cluster = o.cluster CROSS JOIN total t
        |  WHERE o.occ <= $SemanticWhaleFactor * t.n
-       |                 / GREATEST($NCentroids, t.n // $CentroidOccupancy)),
+       |                 / LEAST($CentroidCap, GREATEST($NCentroids, t.n // $CentroidOccupancy))),
        |pairs AS (
        |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
        |    ROUND(${cosChainDuck("a.embedding", "b.embedding")}, 6) AS cos
@@ -600,20 +626,34 @@ object AnnQueries {
   // ------------------------------------------------------------------ IVF
 
   /** Literal centroid vectors — the bounded driver-side structure (id
-    * asc). r09: SCALED, k = max([[NCentroids]], corpus /
-    * [[CentroidOccupancy]]) — SemDeDup/FAISS's k-grows-with-the-corpus
-    * rule applied to the whole seed-centroid family, so per-cluster
-    * occupancy (and with it every bucket-pruned candidate set) stays
-    * pinned as the corpus grows. Oracle-identical at the ≤2000-vector
+    * asc). r09: SCALED via [[scaledK]] — SemDeDup/FAISS's
+    * k-grows-with-the-corpus rule applied to the whole seed-centroid
+    * family, so per-cluster occupancy (and with it every bucket-pruned
+    * candidate set) stays pinned as the corpus grows; r10: CAPPED at
+    * [[CentroidCap]] so coarse assignment stays ≤ cap·n cosines and the
+    * collected matrix bounded (see the cap's Scaladoc for the
+    * beyond-cap two-level path). Oracle-identical at the ≤2000-vector
     * verification scales, where the floor governs; every family oracle
-    * carries the same GREATEST(floor, count // occupancy) predicate. */
-  private[operators] def centroids(spark: SparkSession, t: Tables): Array[(Long, Array[Float])] = {
-    import spark.implicits._
-    val k = math.max(NCentroids.toLong, t.embeddings.count() / CentroidOccupancy)
-    t.embeddings.where(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-  }
+    * carries the same [[scaledKSql]] predicate. */
+  /** Per-base-dir memo of the collected centroid table. The sizing
+    * count() plus the ≤k-row collect are bounded, but they are a full
+    * corpus scan + a job PER CALL — and `BitextQueries.mineBatch` calls
+    * this once per streaming micro-batch against the same frozen
+    * archive. Table dirs are immutable within a session (ScaleUp writes
+    * run in their own JVM), so (dir → centroids) is a safe memo; size
+    * is ≤ cap·dim floats per distinct dir, the same bounded class as
+    * the literal itself. */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Float])]]()
+
+  private[operators] def centroids(spark: SparkSession, t: Tables): Array[(Long, Array[Float])] =
+    centroidMemo.computeIfAbsent(t.dir, { _ =>
+      import spark.implicits._
+      val k = scaledK(t.embeddings.count()) // capped: see CentroidCap
+      t.embeddings.where(col("vec_id") < k)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+    })
 
   /** argmax-cosine cluster id off the [[VectorExpressions.centroidCosines]]
     * kernel (first index on ties — the family rule; the composed
@@ -664,7 +704,7 @@ object AnnQueries {
   private def clusterMedoidsSql =
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |  WHERE vec_id < (SELECT ${scaledKSql}
        |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
@@ -798,7 +838,7 @@ object AnnQueries {
   private[operators] def ivfRankedCtes(probeId: Long, n: Int): String =
     s"""cents AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |  WHERE vec_id < (SELECT ${scaledKSql}
        |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
@@ -844,7 +884,7 @@ object AnnQueries {
   private val ivfFilteredSql =
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |  WHERE vec_id < (SELECT ${scaledKSql}
        |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
@@ -978,7 +1018,7 @@ object AnnQueries {
   private val ivfSql =
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |  WHERE vec_id < (SELECT ${scaledKSql}
        |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
@@ -1036,7 +1076,7 @@ object AnnQueries {
       Seq(qsum(k), cents(k), assign(k), cluster(k))).mkString(",\n")
     s"""WITH cents0 AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |  WHERE vec_id < (SELECT ${scaledKSql}
        |                  FROM embeddings)),
        |${assign(0)},
        |${cluster(0)},
@@ -1815,7 +1855,7 @@ object AnnQueries {
        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $PqK),
        |cents AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |  WHERE vec_id < (SELECT ${scaledKSql}
        |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
@@ -1876,7 +1916,7 @@ object AnnQueries {
        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $PqK),
        |cents0 AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |  WHERE vec_id < (SELECT ${scaledKSql}
        |                  FROM embeddings)),
        |assign0 AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
@@ -2205,7 +2245,7 @@ object AnnQueries {
   private val ivfSqSql =
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id < (SELECT GREATEST($NCentroids, COUNT(*) // $CentroidOccupancy)
+       |  WHERE vec_id < (SELECT ${scaledKSql}
        |                  FROM embeddings)),
        |assign AS (
        |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos

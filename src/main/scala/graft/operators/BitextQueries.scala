@@ -178,8 +178,7 @@ object BitextQueries {
     val ccos = AnnQueries.cosChainDuck("e.embedding", "c")
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, embedding AS c FROM embeddings
-       |  WHERE vec_id < (SELECT GREATEST(${AnnQueries.NCentroids},
-       |                    COUNT(*) // ${AnnQueries.CentroidOccupancy})
+       |  WHERE vec_id < (SELECT ${AnnQueries.scaledKSql}
        |                  FROM embeddings)),
        |tagged AS (
        |  SELECT e.vec_id, e.embedding, d.lang FROM embeddings e

@@ -103,9 +103,16 @@ object SubstringDedup {
     * Cross-document pairs only (self-repetition is the census's job). */
   def substringRuns(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val rare = withMultiplicity(Tables(dir))
+    // persisted: BOTH self-join branches read the rare set, and its
+    // lineage is the windows explode + the corpus-wide multiplicity
+    // window — unpersisted, Catalyst re-runs that whole front once per
+    // branch (the shared-branch pitfall measured 68 s vs 3 s in
+    // ann_label_noise; the branches project different columns, so
+    // exchange reuse is not guaranteed)
+    val rare = Cached.track(withMultiplicity(Tables(dir))
       .where(col("df").between(2, RareMax))
       .select(col("wh"), col("doc_id"), col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = rare.select(col("wh"), col("doc_id").as("doc_a"), col("pos").as("pa"))
     val b = rare.select(col("wh"), col("doc_id").as("doc_b"), col("pos").as("pb"))
     val diag = a.join(b, Seq("wh"))
