@@ -313,6 +313,76 @@ object CorpusQueries {
           .as("ids_head"))
   }
 
+  // ------------------------------------------- BPE oracle replay (r10)
+
+  /** DuckDB replay of the BPE training recurrence — the r09 "not
+    * expressible as one DuckDB query" claim retired by UNROLLING the
+    * [[BpeMergeRounds]] fixed-round loop into chained MATERIALIZED CTEs
+    * (12 rounds: pair-count → arg-max → merge-apply). The merge apply
+    * rides one exact equivalence: each word's symbol sequence is encoded
+    * as a sentinel-wrapped string (0x01+sym+0x02 per symbol) and
+    * `replace(s, ⟨a⟩⟨b⟩, ⟨ab⟩)` IS the left-to-right non-overlapping
+    * greedy fold — `replace` scans forward and resumes AFTER each
+    * replacement, and a freshly merged `⟨ab⟩` can never re-match
+    * `⟨a⟩⟨b⟩` (a = a+b would need an empty b), which is exactly the
+    * Spark `aggregate`-fold's reachability. MATERIALIZED is load-bearing:
+    * each round's word table is read by BOTH the next pair count and the
+    * next merge apply, and inlined CTEs would re-expand 2^12-fold.
+    * Sentinels 0x01/0x02 (wrapping each symbol) are injected via chr() so the oracle string
+    * stays printable. */
+  private def bpeBaseCtes: Seq[String] = {
+    val base = Seq(
+      s"ws AS MATERIALIZED (SELECT doc_id, ${DuckSql.wordsOf("text")} AS w FROM documents)",
+      "wf AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM (SELECT unnest(w) AS word FROM ws) GROUP BY 1)",
+      "w0 AS MATERIALIZED (SELECT word, freq, list_aggregate(list_transform(string_split(word, ''), c -> chr(1)||c||chr(2)), 'string_agg', '') AS s FROM wf)")
+    val rounds = (1 to BpeMergeRounds).flatMap { i =>
+      val p = i - 1
+      Seq(
+        s"p$i AS MATERIALIZED (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS w FROM (" +
+          s"SELECT freq, syms[j] AS a, syms[j+1] AS b FROM " +
+          s"(SELECT freq, string_split(trim(s, chr(1)||chr(2)), chr(2)||chr(1)) AS syms FROM w$p) t, " +
+          s"UNNEST(generate_series(1, len(syms)-1)) AS u(j)) GROUP BY 1,2)",
+        s"t$i AS MATERIALIZED (SELECT a, b, w FROM p$i ORDER BY w DESC, a, b LIMIT 1)",
+        s"w$i AS MATERIALIZED (SELECT word, freq, replace(s, chr(1)||t.a||chr(2)||chr(1)||t.b||chr(2), chr(1)||t.a||t.b||chr(2)) AS s FROM w$p, t$i t)")
+    }
+    base ++ rounds :+
+      s"seg AS MATERIALIZED (SELECT word, freq, string_split(trim(s, chr(1)||chr(2)), chr(2)||chr(1)) AS syms FROM w$BpeMergeRounds)"
+  }
+
+  private def bpeMergesSql: String = {
+    val union = (1 to BpeMergeRounds).map { i =>
+      s"""SELECT $i AS rank, a AS "left", b AS "right", a||b AS merged, w AS pair_freq FROM t$i"""
+    }.mkString("\nUNION ALL\n")
+    "WITH " + bpeBaseCtes.mkString(",\n") + "\n" + union + "\nORDER BY rank"
+  }
+
+  private def bpeSegmentSql: String =
+    "WITH " + (bpeBaseCtes :+
+      "toks AS (SELECT doc_id, unnest(w) AS word FROM ws)").mkString(",\n") + "\n" +
+      """SELECT doc_id, COUNT(*) AS n_words,
+        |  CAST(SUM(len(syms)) AS BIGINT) AS n_subwords,
+        |  CAST(SUM(LEN(word)) AS BIGINT) AS n_chars,
+        |  ROUND(CAST(SUM(LEN(word)) AS BIGINT) * 1.0 / CAST(SUM(len(syms)) AS BIGINT), 4) AS chars_per_subword
+        |FROM toks JOIN seg USING (word)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  private def bpeIdsSql: String =
+    "WITH " + (bpeBaseCtes ++ Seq(
+      s"vocab AS MATERIALIZED (SELECT sub, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, sub) AS BIGINT) AS id FROM (" +
+        s"SELECT sub, SUM(freq) AS n FROM (SELECT freq, unnest(syms) AS sub FROM seg) GROUP BY 1) " +
+        s"ORDER BY n DESC, sub LIMIT $SubwordVocabSize)",
+      "wids AS MATERIALIZED (SELECT word, list(COALESCE(id, 0) ORDER BY j) AS ids FROM (" +
+        "SELECT word, j, syms[j] AS sub FROM seg, UNNEST(generate_series(1, len(syms))) AS u(j)) sw " +
+        "LEFT JOIN vocab USING (sub) GROUP BY 1)",
+      "toks AS (SELECT doc_id, j AS wpos, w[j] AS word FROM ws, UNNEST(generate_series(1, len(w))) AS u(j))"))
+      .mkString(",\n") + "\n" +
+      s"""SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(len(ids)) AS BIGINT) AS n_subwords,
+         |  CAST(SUM(len(list_filter(ids, x -> x = 0))) AS BIGINT) AS n_oov,
+         |  array_to_string(flatten(list(ids ORDER BY wpos))[1:$IdsHead], ',') AS ids_head
+         |FROM toks JOIN wids USING (word)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- epoch plan
 
   /** Quality thresholds granting 4 / 3 / 2 repeats (else 1). Set at the
@@ -1510,11 +1580,12 @@ object CorpusQueries {
     "docs_mixture_sample" -> Q(mixtureSample _, mixtureSampleSql, Seq(col("doc_id"))),
     "docs_importance_sample" -> Q(importanceSample _, importanceSampleSql, Seq(col("doc_id"))),
     "docs_epoch_plan" -> Q(epochPlan _, epochPlanSql, Seq(col("doc_id"))),
-    // rows-only: the merge recurrence isn't one DuckDB query; the merge
-    // sequence is pinned exactly by a reference-BPE spec instead
-    "docs_bpe_merges" -> Q(bpeMerges _, None, Seq(col("rank"))),
-    "docs_bpe_segment" -> Q(bpeSegment _, None, Seq(col("doc_id"))),
-    "docs_bpe_ids" -> Q(bpeIds _, None, Seq(col("doc_id"))),
+    // r10: full oracles — the fixed-round recurrence unrolled into
+    // chained MATERIALIZED CTEs (see bpeBaseCtes); the reference-BPE
+    // spec still pins the merge sequence independently
+    "docs_bpe_merges" -> Q(bpeMerges _, bpeMergesSql, Seq(col("rank"))),
+    "docs_bpe_segment" -> Q(bpeSegment _, bpeSegmentSql, Seq(col("doc_id"))),
+    "docs_bpe_ids" -> Q(bpeIds _, bpeIdsSql, Seq(col("doc_id"))),
     "docs_schedule_audit" -> Q(scheduleAudit _, scheduleAuditSql, Seq(col("doc_id"))),
     "docs_pack_sequences" -> Q(packSequences _, packSequencesSql, Seq(col("doc_id"))),
     "docs_shard_skew" -> Q(shardSkew _, shardSkewSql, Seq(col("shard"))),

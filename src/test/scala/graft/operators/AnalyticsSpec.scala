@@ -25,12 +25,19 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct estimate lands within the configured rsd") {
-    val row = AnalyticsQueries.approxDistinct(spark, TestSpark.Sf0001).head()
+    val row = AnalyticsQueries.approxDistinctEstimate(spark, TestSpark.Sf0001).head()
     val approx = row.getLong(0).toDouble
     val exact = Relational.distinctCustomers(spark, TestSpark.Sf0001)
       .head().getLong(0).toDouble
     // rsd 0.02 → allow 5 sigma
     assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+  }
+
+  test("registered approx-distinct readout reports the 3-sigma gate as held") {
+    val row = AnalyticsQueries.approxDistinct(spark, TestSpark.Sf0001).head()
+    assert(row.getAs[Boolean]("approx_within_bound"),
+      s"sketch out of its documented 6% bound: $row")
+    assert(row.getAs[Long]("n_customers_exact") > 0)
   }
 
   test("IVF recall against brute force is within the expected band") {
