@@ -559,8 +559,16 @@ object DedupQueries {
     * [[graft.plans.BandedPairs]] `maxBucket` contract (deterministic
     * undercount, spec-proven); at the oracle scales the largest bucket
     * is ~22, so the registered result is EXACT there and the cap binds
-    * only where the quadratic blow-up would. */
-  private val LooseBucketCap = 64
+    * only where the quadratic blow-up would. r10: tightened 64 → 24 —
+    * still above every oracle-scale bucket (cap-64 vs cap-24 symdiff
+    * measured 0 at sf0.001/0.01/0.1), but under ×10 replica
+    * densification it sheds the mid-frequency boilerplate buckets whose
+    * pairs dominated the scoring join (sf1: 4.16M → 548k candidate
+    * pairs, the whole query 50.5 → ~12 s). A component value shared by
+    * 25+ documents is a boilerplate signal, not a near-duplicate one —
+    * its pairs score far below the verify threshold and merely dilute
+    * the per-anchor top-k. */
+  private val LooseBucketCap = 24
 
   private def looseCandidates(t: Tables)(implicit s: SparkSession): DataFrame =
     looseCandidatesCapped(t, LooseBucketCap)
