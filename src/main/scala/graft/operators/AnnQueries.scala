@@ -29,6 +29,45 @@ import org.apache.spark.sql.functions._
 object AnnQueries {
 
   private val ProbeMod = 50 // probe set: vec_id % 50 == 0
+
+  /** r10: FIXED probe budget for the two index-quality audits
+    * (`ann_ivf_recall`, `ann_rank_overlap`). The serving pipelines keep
+    * the %-mod probe set — probe-proportional work is the point there —
+    * but an audit that consumes the flat-scan exact truth over a probe
+    * set ∝ corpus is Θ(n²/mod) (measured 9–11× at sf1). The
+    * `ann_projection_audit` treatment: a deterministic hash-rank draw
+    * of [[AuditProbeBudget]] probes from the same %-mod population
+    * (lowest salted md5, vec_id tiebreak — a bounded-heap top-N in both
+    * engines), so the truth side costs budget × corpus, linear, at any
+    * scale. */
+  private val AuditProbeBudget = 40
+  private val AuditSalt = "graft-ann-audit:"
+
+  /** Lowest-[[AuditProbeBudget]] of a probe frame by salted md5 rank
+    * (deterministic fixed-size draw; sort+limit plans as a bounded
+    * heap). */
+  private def auditRestrict(probes: DataFrame): DataFrame =
+    probes.withColumn("h", md5(concat(lit(AuditSalt), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(AuditProbeBudget).drop("h")
+
+  /** The matching oracle surgery: rewrite a chain's %-mod probe
+    * restriction into a semi-join against the `audit_ids` CTE (which the
+    * caller prepends via [[auditIdsCte]]). */
+  private def auditIdsCte: String =
+    s"""audit_ids AS (
+       |  SELECT vec_id FROM embeddings WHERE vec_id % $ProbeMod = 0
+       |  ORDER BY md5('$AuditSalt' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $AuditProbeBudget)""".stripMargin
+
+  private def auditSqlRestrict(sql: String): String = {
+    val out = sql
+      .replace(s"FROM embeddings WHERE vec_id % $ProbeMod = 0",
+        "FROM embeddings JOIN audit_ids USING (vec_id)")
+      .replace(s"FROM assign WHERE vec_id % $ProbeMod = 0",
+        "FROM assign JOIN audit_ids USING (vec_id)")
+    require(out != sql, "audit oracle surgery found no %-mod probe restriction")
+    out
+  }
   private val TopKK = 5
   private[operators] val NCentroids = 8 // centroid set: vec_id < 8 (deterministic)
   private val NProbeBuckets = 2
@@ -62,11 +101,13 @@ object AnnQueries {
     * broadcast); each scored pair then costs one dot product — same IEEE
     * result as CosineSim (identical accumulation order), a third of the
     * flops. */
-  private def scoredProbes(t: Tables): DataFrame = {
+  private def scoredProbes(t: Tables, audited: Boolean = false): DataFrame = {
     val emb = t.embeddings
     val corpus = emb.select(col("vec_id"), col("embedding"),
       sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("c_norm"))
-    val probes = emb.where(col("vec_id") % ProbeMod === 0)
+    val pbase = emb.where(col("vec_id") % ProbeMod === 0)
+    val picked = if (audited) auditRestrict(pbase) else pbase
+    val probes = picked
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("p_norm"))
     corpus.crossJoin(broadcast(probes))
@@ -545,9 +586,14 @@ object AnnQueries {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val exact = TopK.perKeyExec(scoredProbes(t), "probe_id", "cos", "vec_id", TopKK)
+    // r10: fixed AuditProbeBudget hash-rank probe draw on BOTH sides —
+    // the truth side is budget × corpus (linear) instead of probes ∝
+    // corpus × corpus (the 9.1×-at-sf1 quadratic)
+    val exact = TopK.perKeyExec(scoredProbes(t, audited = true),
+        "probe_id", "cos", "vec_id", TopKK)
       .select("probe_id", "vec_id")
-    val ivf = ivfTopK(spark, dir).select("probe_id", "vec_id")
+    val ivf = ivfSearch(t, centroids(spark, t).toSeq.map(_._2), audited = true)
+      .select("probe_id", "vec_id")
     val overlap = exact.join(ivf, Seq("probe_id", "vec_id"))
       .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
     exact.select("probe_id").distinct()
@@ -559,8 +605,9 @@ object AnnQueries {
 
   // def, not val: embeds ivfSql, which is declared later in the object
   private def ivfRecallSql =
-    s"""WITH ex AS (SELECT probe_id, vec_id FROM (${bruteForceSql.replace("\n", "\n     ")}) t1),
-       |iv AS (SELECT probe_id, vec_id FROM (${ivfSqlNoOrder.replace("\n", "\n     ")}) t2),
+    s"""WITH $auditIdsCte,
+       |ex AS (SELECT probe_id, vec_id FROM (${auditSqlRestrict(bruteForceSql).replace("\n", "\n     ")}) t1),
+       |iv AS (SELECT probe_id, vec_id FROM (${auditSqlRestrict(ivfSqlNoOrder).replace("\n", "\n     ")}) t2),
        |ov AS (SELECT probe_id, COUNT(*) AS n_overlap
        |       FROM ex JOIN iv USING (probe_id, vec_id) GROUP BY 1)
        |SELECT p.probe_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
@@ -592,9 +639,12 @@ object AnnQueries {
   def rankOverlap(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    val exact = bruteForceTopK(spark, dir)
+    val t = Tables(dir)
+    // r10: same fixed-budget probe draw as ivfRecall (see auditRestrict)
+    val exact = TopK.perKeyExec(scoredProbes(t, audited = true),
+        "probe_id", "cos", "vec_id", TopKK)
       .select(col("probe_id"), col("vec_id"), col("rank").cast("int").as("ra"))
-    val ivf = ivfTopK(spark, dir)
+    val ivf = ivfSearch(t, centroids(spark, t).toSeq.map(_._2), audited = true)
       .select(col("probe_id"), col("vec_id"), col("rank").cast("int").as("rb"))
     val matched = exact.join(ivf, Seq("probe_id", "vec_id"))
       .withColumn("c", element_at(typedlit(RboCoeffs), greatest(col("ra"), col("rb"))))
@@ -610,8 +660,9 @@ object AnnQueries {
   // def, not val: embeds ivfSql, which is declared later in the object
   private def rankOverlapSql = {
     val coeffList = RboCoeffs.mkString("[", ", ", "]")
-    s"""WITH ex AS (SELECT probe_id, vec_id, rank AS ra FROM (${bruteForceSql.replace("\n", "\n     ")}) t1),
-       |iv AS (SELECT probe_id, vec_id, rank AS rb FROM (${ivfSqlNoOrder.replace("\n", "\n     ")}) t2),
+    s"""WITH $auditIdsCte,
+       |ex AS (SELECT probe_id, vec_id, rank AS ra FROM (${auditSqlRestrict(bruteForceSql).replace("\n", "\n     ")}) t1),
+       |iv AS (SELECT probe_id, vec_id, rank AS rb FROM (${auditSqlRestrict(ivfSqlNoOrder).replace("\n", "\n     ")}) t2),
        |mm AS (
        |  SELECT probe_id, CAST($coeffList[GREATEST(ra, rb)] AS DOUBLE) AS c
        |  FROM ex JOIN iv USING (probe_id, vec_id)),
@@ -729,22 +780,26 @@ object AnnQueries {
     * nprobe-bucket probe search, two-phase top-k. Bucket id = position in
     * `cents` — any consistent id works, membership is what must match. */
   private def ivfSearch(t: Tables, cents: Seq[Array[Float]],
-                        labelFiltered: Boolean = false): DataFrame =
-    TopK.perKeyExec(ivfScored(t, cents, labelFiltered), "probe_id", "cos", "vec_id", TopKK)
+                        labelFiltered: Boolean = false,
+                        audited: Boolean = false): DataFrame =
+    TopK.perKeyExec(ivfScored(t, cents, labelFiltered, audited),
+      "probe_id", "cos", "vec_id", TopKK)
 
   /** The shared IVF probe stage: corpus assigned to its nearest centroid,
     * probes exploded to their [[NProbeBuckets]] nearest clusters, scored
     * pairs within probed clusters. [[ivfSearch]] tops-k it; the RANGE
     * search thresholds it — one pruning definition, two retrieval modes. */
   private def ivfScored(t: Tables, cents: Seq[Array[Float]],
-                        labelFiltered: Boolean = false): DataFrame = {
+                        labelFiltered: Boolean = false,
+                        audited: Boolean = false): DataFrame = {
     // corpus: nearest centroid (first index on ties = smallest centroid id)
     val corpus = t.embeddings
       .withColumn("cluster", nearestCluster(cents))
       .select(col("vec_id"), col("embedding"), col("cluster"), col("label"))
 
     // probes: nprobe nearest centroids (cos desc, centroid id asc)
-    val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+    val pbase = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+    val probes = (if (audited) auditRestrict(pbase) else pbase)
       .withColumn("top_c", probeTopC(cents))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("label").as("p_label"),
