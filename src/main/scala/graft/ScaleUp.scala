@@ -25,12 +25,25 @@ import org.apache.spark.sql.functions._
   *  - ANN probe sets (vec_id % ProbeMod) grow ×F alongside the corpus, so
   *    candidate-pair work for the bucketed families grows ~×F² — per-probe
   *    work is the near-linear quantity.
+  *
+  * Optional 4th arg `saltdocs` (r10): document text is SALTED per copy —
+  * every whitespace token gets a `_c<copy>` suffix — so copies share no
+  * window hashes. Verbatim replication makes every window's df ≥ F,
+  * which pushes the exact-substring pair stage's rare bound (2≤df≤8) to
+  * shed everything — the scale reading measured an empty join. Salting
+  * preserves each copy's INTERNAL duplication structure exactly (same
+  * token sequences up to renaming, so same window-hash equalities, same
+  * diagonal islands, same df values as the source SF within each copy):
+  * the result is a 10× corpus whose duplicated-span population is 10
+  * disjoint copies of the original's — the honest scale stress for
+  * `dedup_substring_runs`' pair stage.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "testdata_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val saltDocs = args.length > 3 && args(3) == "saltdocs"
     val spark = GraftSession()
 
     def maxOf(table: String, key: String): Long =
@@ -50,12 +63,18 @@ object ScaleUp {
       val df = spark.read.parquet(s"$src/$table.parquet")
       val copies = df.crossJoin(
         spark.range(factor.toLong).select(col("id").as("__copy")))
-      df.columns.foldLeft(copies) { (acc, c) =>
+      val shifted = df.columns.foldLeft(copies) { (acc, c) =>
         offsets.get(c) match {
           case Some(ref) => acc.withColumn(c, col(c) + col("__copy") * strides(ref))
           case None => acc
         }
-      }.drop("__copy")
+      }
+      val salted =
+        if (saltDocs && table == "documents")
+          shifted.withColumn("text", regexp_replace(col("text"),
+            lit("(\\S+)"), concat(lit("$1_c"), col("__copy"))))
+        else shifted
+      salted.drop("__copy")
     }
 
     val plans: Seq[(String, DataFrame)] = Seq(
