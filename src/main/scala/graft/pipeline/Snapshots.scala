@@ -115,6 +115,34 @@ object Snapshots {
     if (!vdir.toFile.renameTo(cur.toFile))
       throw new java.io.IOException(s"snapshot swap failed: $vdir -> $cur")
     if (Files.exists(old)) org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    gcStale(base)
+  }
+
+  /** GC stale `v<id>` / `.old-<id>` dirs whose batch is already applied:
+    * a crash after the marker write but before the renames leaves a
+    * marker-complete v-dir that [[recover]] never touches once a newer
+    * snapshot is live (it is never wrongly promoted — a newer complete
+    * v-dir always wins — but it leaks disk and confuses inspection), and
+    * recover's own `.old-*` cleanup only runs when it PROMOTES
+    * something. Runs on the healthy path after every successful publish;
+    * only ids in the applied set are touched, so an in-flight publish's
+    * not-yet-applied v-dir is never collected. */
+  private def gcStale(base: String): Unit = {
+    val root = Paths.get(base)
+    val cur = Paths.get(base, "current")
+    if (!Files.exists(cur)) return // never collect while there is no live snapshot
+    val applied = manifestSet(base) ++ currentMarker(base)
+    val s = Files.list(root)
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        val id = if (n.startsWith(".old-")) n.stripPrefix(".old-").toLongOption
+        else if (n.startsWith("v")) n.stripPrefix("v").toLongOption
+        else None
+        id.exists(applied.contains)
+      }
+      .foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+    finally s.close()
   }
 }
 

@@ -109,6 +109,8 @@ object CfgSource {
   def globalPaths(text: String): (String, String, String) = {
     val g = sections(text).getOrElse("GlobalConfig",
       sys.error("cfg: missing [GlobalConfig]"))
-    (g("drop_dir"), g("data_repo_dir"), g("working_dir"))
+    def get(key: String): String =
+      g.getOrElse(key, sys.error(s"cfg: missing $key in [GlobalConfig]"))
+    (get("drop_dir"), get("data_repo_dir"), get("working_dir"))
   }
 }

@@ -68,4 +68,24 @@ class SnapshotRecoverySpec extends AnyFunSuite {
     assert(readRows(base).contains(Set(1L, 2L)))
     assert(Snapshots.appliedBatches(base) == Set(0L, 1L))
   }
+
+  test("stale applied-batch v/.old dirs are GC'd on the next healthy publish") {
+    val base = freshBase()
+    publishRows(base, 0L, Seq(1L))
+    publishRows(base, 1L, Seq(1L, 2L))
+    // a crash after batch 1's marker write but before its renames would
+    // have left a marker-complete v1 behind even though batch 1 is
+    // applied; plant that leftover plus a stale .old-0
+    Files.createDirectories(Paths.get(base, "v1"))
+    Files.write(Paths.get(base, "v1", "_batch_id"), "1\n".getBytes("UTF-8"))
+    Files.createDirectories(Paths.get(base, ".old-0"))
+    // an UNAPPLIED in-flight version dir must survive the sweep
+    Files.createDirectories(Paths.get(base, "v99"))
+    Files.write(Paths.get(base, "v99", "_batch_id"), "99\n".getBytes("UTF-8"))
+    publishRows(base, 2L, Seq(1L, 2L, 3L))
+    assert(!Files.exists(Paths.get(base, "v1")), "applied v-dir not collected")
+    assert(!Files.exists(Paths.get(base, ".old-0")), "stale .old dir not collected")
+    assert(Files.exists(Paths.get(base, "v99")), "unapplied v-dir wrongly collected")
+    assert(readRows(base).contains(Set(1L, 2L, 3L)))
+  }
 }

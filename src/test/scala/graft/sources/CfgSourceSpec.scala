@@ -74,6 +74,12 @@ class CfgSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](CfgSource.parse("[a\nkey=1\n"))
   }
 
+  test("globalPaths reports missing keys by section and key, not a raw map error") {
+    val e = intercept[RuntimeException](
+      CfgSource.globalPaths("[GlobalConfig]\ndata_repo_dir = /x\nworking_dir = /y\n"))
+    assert(e.getMessage.contains("missing drop_dir in [GlobalConfig]"), e.getMessage)
+  }
+
   test("the landed-table view joins like any table") {
     val df = CfgSource.toDf(TestSpark.spark, pipelineCfg)
     assert(df.columns.toSeq == Seq("section", "key", "value"))
