@@ -386,6 +386,89 @@ object AnnQueries {
        |FROM pairs WHERE cos >= $CosineThreshold
        |GROUP BY 1, 2 ORDER BY cluster, vec_id""".stripMargin
 
+  // ------------------------------------------- cross-modal bridge (r10)
+
+  /** Deterministic modality tag over vec_id — the `mm_binary_meta` fmt
+    * rule's sibling, standing in for real ingest metadata: in a CLIP-
+    * style deployment image/audio/text encoders land vectors in ONE
+    * shared space and a modality column routes filtered retrieval. The
+    * tag is data-independent so both engines derive it identically. */
+  private def modalityCase(id: String): String =
+    s"CASE WHEN $id % 4 = 1 THEN 'image' WHEN $id % 4 = 2 THEN 'audio' ELSE 'text' END"
+
+  /** §8s(du) — CROSS-MODAL retrieval through the shared IVF tower (the
+    * `mm_*`/`ann_*` bridge): text-modality probes retrieve their top-k
+    * nearest IMAGE/AUDIO vectors — "find me the pictures/audio closest
+    * to this text" — with the modality column flowing through the same
+    * seed-centroid tower, kernel assignment, and nprobe pruning as
+    * `ann_ivf_topk`. The corpus side filters to non-text BEFORE
+    * clustering work reaches the join (pre-filter, like
+    * `ann_ivf_filtered_topk`'s label filter), probes filter to text
+    * within the family's %-mod probe set.
+    *
+    * Scale shape: identical to `ann_ivf_topk` — map-side kernel
+    * assignment, broadcast exploded probes, one cluster-keyed join, the
+    * bounded-heap TopK exec; the modality filters only SHRINK both
+    * sides. Modality re-derives from vec_id after the top-k (pure
+    * function, no join). */
+  def crossModalTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = centroids(spark, t).toSeq.map(_._2)
+    val corpus = t.embeddings
+      .where(expr(modalityCase("vec_id")) =!= "text")
+      .withColumn("cluster", nearestCluster(cents))
+      .withColumn("c_norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("c_norm"))
+    val probes = t.embeddings
+      .where(col("vec_id") % ProbeMod === 0 && expr(modalityCase("vec_id")) === "text")
+      .withColumn("top_c", probeTopC(cents))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
+      .withColumn("p_norm", sqrt(VectorExpressions.dot(col("p_emb"), col("p_emb"))))
+    val scored = corpus.join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"))
+    TopK.perKeyExec(scored, "probe_id", "cos", "vec_id", TopKK)
+      .withColumn("modality", expr(modalityCase("vec_id")))
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("modality"), col("cos"))
+  }
+
+  private def crossModalSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT ${scaledKSql}
+       |                  FROM embeddings)),
+       |assign AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |cluster AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign WHERE ${modalityCase("vec_id")} <> 'text') x WHERE rn = 1),
+       |probe_assign AS (
+       |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign WHERE vec_id % $ProbeMod = 0
+       |      AND ${modalityCase("vec_id")} = 'text') x WHERE rn <= $NProbeBuckets),
+       |scored AS (
+       |  SELECT probe_id, e.vec_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM probe_assign pa
+       |  JOIN cluster cl ON cl.cluster = pa.cluster
+       |  JOIN embeddings e ON e.vec_id = cl.vec_id
+       |  JOIN embeddings p ON p.vec_id = pa.probe_id
+       |  WHERE e.vec_id <> pa.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, ${modalityCase("vec_id")} AS modality, cos
+       |FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
+
   // ---------------------------------------------------------- brute force
 
   /** §29 — exact cosine top-k per probe. */
@@ -2446,6 +2529,8 @@ object AnnQueries {
     "ann_ivf_recall" -> Q(ivfRecall _, ivfRecallSql, Seq(col("probe_id"))),
     "ann_lsh_recall" -> Q(lshRecall _, lshRecallSql),
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
+    "mm_ann_crossmodal" -> Q(crossModalTopK _, crossModalSql,
+      Seq(col("probe_id"), col("rank"))),
     "ann_ivf_range" -> Q(ivfRangeSearch _, ivfRangeSql,
       Seq(col("probe_id"), col("cos").desc, col("vec_id"))),
     "ann_cluster_medoids" -> Q(clusterMedoids _, clusterMedoidsSql, Seq(col("cluster"))),
