@@ -2367,6 +2367,105 @@ object EventAnalytics {
       |  ROW_NUMBER() OVER (ORDER BY gain DESC, day) = 1 AS is_changepoint
       |FROM g ORDER BY day""".stripMargin
 
+  /** Binary-segmentation depth for [[changepointTree]] — bounded by
+    * design (standard practice runs segmentation to a small fixed depth
+    * or a gain floor; the tree has ≤ 2^depth − 1 splits). */
+  private val SegDepth = 3
+
+  /** §8v(dt) — FULL binary segmentation to depth [[SegDepth]] (r10 — the
+    * multi-split extension of [[changepoint]], pairing with it the way
+    * `dedup_substring_runs` pairs with `_coverage`): round d splits
+    * every current segment at its own max-gain day, then children are
+    * re-segmented — the offline answer to "where did the level shift,
+    * and then where inside each regime". Segment ids refine as
+    * parent·2 + side, so the id IS the root-to-segment path. Same exact
+    * integer sufficient sums (now per-segment via partitioned windows)
+    * and the same fixed-order float gain chain round-6 as the single
+    * split, so every per-segment argmax and its earliest-day tie-break
+    * is engine-identical; depth-1's split day equals `events_changepoint`'s
+    * by construction (spec-pinned).
+    *
+    * Scale shape: the series is CALENDAR-length (daily cells off one
+    * corpus groupBy), so each round is two windows + a ≤2^d-row
+    * broadcast join over a bounded frame — depth rounds cost depth ×
+    * the single-split ledger, independent of corpus size. */
+  def changepointTree(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val daily = Tables(dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    var cur = daily.withColumn("seg", lit(0L))
+    val rounds = Seq.newBuilder[DataFrame]
+    for (d <- 1 to SegDepth) {
+      val w = Window.partitionBy(col("seg")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tw = Window.partitionBy(col("seg"))
+      val cps = cur
+        .withColumn("sl", sum(col("x")).over(w))
+        .withColumn("nl", count(lit(1)).over(w))
+        .withColumn("s", sum(col("x")).over(tw))
+        .withColumn("n", count(lit(1)).over(tw))
+        .where(col("nl") < col("n"))
+        .withColumn("gain", expr(
+          """round(CAST(sl AS DOUBLE) * sl / nl
+            | + CAST(s - sl AS DOUBLE) * (s - sl) / (n - nl)
+            | - CAST(s AS DOUBLE) * s / n, 6)""".stripMargin.replace("\n", " ")))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("seg")).orderBy(col("gain").desc, col("day"))))
+        .where(col("r") === 1)
+        .select(col("seg"), col("day").as("cp_day"), col("nl").as("n_left"),
+          (col("n") - col("nl")).as("n_right"), col("gain"))
+      rounds += cps.withColumn("depth", lit(d))
+      cur = cur
+        .join(broadcast(cps.select(col("seg"), col("cp_day"))), Seq("seg"), "left")
+        .withColumn("seg", when(col("cp_day").isNull, col("seg") * 2)
+          .otherwise(col("seg") * 2 + when(col("day") <= col("cp_day"), 0L).otherwise(1L)))
+        .drop("cp_day")
+    }
+    rounds.result().reduce(_ unionByName _)
+      .select(col("depth"), col("seg"), col("cp_day").as("day"),
+        col("n_left"), col("n_right"), col("gain"))
+  }
+
+  private def changepointTreeSql = {
+    val gain =
+      """ROUND(CAST(sl AS DOUBLE) * sl / nl
+        |      + CAST(s - sl AS DOUBLE) * (s - sl) / (n - nl)
+        |      - CAST(s AS DOUBLE) * s / n, 6)""".stripMargin
+    val ctes = Seq(
+      """daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1)""".stripMargin,
+      "seg0 AS (SELECT day, x, CAST(0 AS BIGINT) AS seg FROM daily)") ++
+      (1 to SegDepth).flatMap { d =>
+        val p = d - 1
+        Seq(
+          s"""sc$d AS (
+             |  SELECT seg, day, x,
+             |    CAST(SUM(x) OVER (PARTITION BY seg ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+             |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY day) AS nl,
+             |    CAST(SUM(x) OVER (PARTITION BY seg) AS BIGINT) AS s,
+             |    COUNT(*) OVER (PARTITION BY seg) AS n
+             |  FROM seg$p)""".stripMargin,
+          s"""cp$d AS (
+             |  SELECT seg, day AS cp_day, nl AS n_left, n - nl AS n_right, gain FROM (
+             |    SELECT seg, day, nl, n, gain,
+             |      ROW_NUMBER() OVER (PARTITION BY seg ORDER BY gain DESC, day) AS r
+             |    FROM (SELECT seg, day, nl, n, $gain AS gain
+             |          FROM sc$d WHERE nl < n) g) x WHERE r = 1)""".stripMargin,
+          s"""seg$d AS (
+             |  SELECT t.day, t.x,
+             |    CASE WHEN c.cp_day IS NULL THEN t.seg * 2
+             |         WHEN t.day <= c.cp_day THEN t.seg * 2
+             |         ELSE t.seg * 2 + 1 END AS seg
+             |  FROM seg$p t LEFT JOIN cp$d c USING (seg))""".stripMargin)
+      }
+    val union = (1 to SegDepth).map(d =>
+      s"SELECT $d AS depth, seg, cp_day AS day, n_left, n_right, gain FROM cp$d")
+      .mkString("\nUNION ALL\n")
+    "WITH " + ctes.mkString(",\n") + "\n" + union + "\nORDER BY depth, day"
+  }
+
   // ----------------------------------------- OLS trend (§8o)
 
   /** §8o — per-type OLS trend over the hourly count series: slope and
@@ -2436,6 +2535,8 @@ object EventAnalytics {
     "events_cusum_alarm" -> Q(cusumAlarm _, cusumAlarmSql,
       Seq(col("event_type"), col("day"))),
     "events_changepoint" -> Q(changepoint _, changepointSql, Seq(col("day"))),
+    "events_changepoint_tree" -> Q(changepointTree _, changepointTreeSql,
+      Seq(col("depth"), col("day"))),
     "events_user_features" -> Q(userFeatures _, userFeaturesSql, Seq(col("user_id"))),
     "events_seasonal_outliers" -> Q(seasonalOutliers _, seasonalOutliersSql,
       Seq(col("event_id"))),

@@ -51,4 +51,45 @@ class ChangepointSpec extends AnyFunSuite {
       .where("is_changepoint").collect().map(_.getLong(0)).toSeq
     assert(flagged == Seq(daily(best - 1)._1))
   }
+
+  test("changepoint tree: recursive driver segmentation reproduces every split") {
+    // driver binary segmentation to depth 3, same gain chain and ties
+    def splitOf(seg: Seq[(Long, Long)]): Option[(Long, Long, Long, Double)] = {
+      if (seg.size < 2) return None
+      val n = seg.size.toLong
+      val s = seg.map(_._2).sum
+      var sl = 0L
+      val cands = seg.zipWithIndex.dropRight(1).map { case ((d, x), i) =>
+        sl += x
+        val nl = i + 1L
+        (d, nl, n - nl, r6(sl.toDouble * sl / nl
+          + (s - sl).toDouble * (s - sl) / (n - nl) - s.toDouble * s / n))
+      }
+      Some(cands.sortBy(t => (-t._4, t._1)).head)
+    }
+    def walk(seg: Seq[(Long, Long)], segId: Long, depth: Int):
+        Seq[(Int, Long, Long, Long, Long, Double)] =
+      if (depth > 3) Nil
+      else splitOf(seg) match {
+        case None => Nil
+        case Some((d, nl, nr, g)) =>
+          (depth, segId, d, nl, nr, g) +:
+            (walk(seg.takeWhile(_._1 <= d), segId * 2, depth + 1) ++
+              walk(seg.dropWhile(_._1 <= d), segId * 2 + 1, depth + 1))
+      }
+    val expect = walk(daily, 0L, 1).sortBy(t => (t._1, t._3))
+    val got = EventAnalytics.queries("events_changepoint_tree").fn(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq.sortBy(t => (t._1, t._3))
+    assert(got == expect && got.nonEmpty)
+    // depth-1 split day agrees with the single-changepoint query
+    val single = EventAnalytics.queries("events_changepoint").fn(spark, dir)
+      .where("is_changepoint").collect().map(_.getLong(0)).head
+    assert(got.filter(_._1 == 1).map(_._3) == Seq(single))
+    // per depth, split days are strictly increasing (segments disjoint)
+    got.groupBy(_._1).values.foreach { rows =>
+      val days = rows.sortBy(_._3).map(_._3)
+      assert(days == days.distinct.sorted)
+    }
+  }
 }
