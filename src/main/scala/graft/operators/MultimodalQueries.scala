@@ -106,25 +106,28 @@ object MultimodalQueries {
   private val MaxFrames = 12
 
   def audioWindows(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
+    // r10: energy/peak read straight off the RAW binary with the
+    // ByteSliceSum/ByteSliceMax codegen kernels (the mm_phash_buckets
+    // treatment). The previous hex+per-byte-conv() decode array was a
+    // non-codegen lambda that projection collapse re-derived PER FRAME
+    // ROW through the explode — 90 ns/byte × 12 frames × the whole
+    // payload (sf1 10.6 s → 0.34 s and corpus-FLAT, output byte-identical: the kernels
+    // sum/max the same unsigned bytes the decoded array held).
     Tables(dir).documents
       .where(col("doc_id") % 3 === 1)
-      .withColumn("hx", hex(encode(col("text"), "UTF-8")))
-      .withColumn("n_bytes", (length(col("hx")) / 2).cast("long"))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
       .where(col("n_bytes") >= FrameBytes) // full frames only
       .withColumn("n_frames",
         least(expr(s"(n_bytes - $FrameBytes) div $HopBytes + 1").cast("int"), lit(MaxFrames)))
-      // decode each byte ONCE per doc before the frame explode — frames
-      // overlap 50%, so per-frame parsing would pay 2× the conv() calls
-      // (and the first draft did: 2.9 s → this form at sf0.1)
-      .withColumn("bytes", expr(
-        s"""transform(sequence(0, cast(n_bytes as int) - 1),
-           |  j -> cast(conv(substring(hx, j * 2 + 1, 2), 16, 10) as bigint))""".stripMargin))
-      .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("bytes"),
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("payload"),
         posexplode(expr(s"sequence(0, n_frames - 1)")).as(Seq("frame_idx", "i")))
-      .withColumn("frame", expr(s"slice(bytes, i * $HopBytes + 1, $FrameBytes)"))
-      .withColumn("energy", expr("aggregate(frame, 0L, (acc, x) -> acc + x)"))
-      .withColumn("peak", expr("array_max(frame)"))
+      .withColumn("energy", graft.plans.VectorExpressions.byteSliceSum(
+        col("payload"), (col("i") * HopBytes).cast("long"), lit(FrameBytes.toLong)))
+      .withColumn("peak", graft.plans.VectorExpressions.byteSliceMax(
+        col("payload"), (col("i") * HopBytes).cast("long"), lit(FrameBytes.toLong)))
       .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
         col("frame_idx").cast("long").as("frame_idx"), col("energy"), col("peak"))
   }

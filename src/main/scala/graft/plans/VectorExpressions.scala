@@ -330,6 +330,48 @@ case class ByteSliceSum(bin: Expression, start: Expression, len: Expression)
     copy(bin = newFirst, start = newSecond, len = newThird)
 }
 
+/** [[ByteSliceSum]]'s max twin: the largest unsigned byte in
+  * `bin[start, start+len)` (0 on an empty/out-of-range slice) — the
+  * per-frame PEAK of the audio-window ledger, read straight off the raw
+  * binary with the same range clamp so hex never renders. */
+case class ByteSliceMax(bin: Expression, start: Expression, len: Expression)
+    extends TernaryExpression {
+  override def first: Expression = bin
+  override def second: Expression = start
+  override def third: Expression = len
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_byte_slice_max"
+
+  override def nullSafeEval(b: Any, s: Any, l: Any): Any = {
+    val bytes = b.asInstanceOf[Array[Byte]]
+    val from = math.max(s.asInstanceOf[Long], 0L).toInt
+    val until = math.min(from.toLong + l.asInstanceOf[Long], bytes.length.toLong).toInt
+    var acc = 0L
+    var i = from
+    while (i < until) { val v = (bytes(i) & 0xff).toLong; if (v > acc) acc = v; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, s, l) => {
+      val from = ctx.freshName("from"); val until = ctx.freshName("until")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      s"""
+         |int $from = (int) java.lang.Math.max($s, 0L);
+         |int $until = (int) java.lang.Math.min((long) $from + $l, (long) $b.length);
+         |long $acc = 0L;
+         |for (int $i = $from; $i < $until; $i++) {
+         |  long v = $b[$i] & 0xff; if (v > $acc) $acc = v;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(bin = newFirst, start = newSecond, len = newThird)
+}
+
 /** All-centroid cosine fold: cosines of one `array<float>` embedding
   * against a BUILD-TIME-CONSTANT centroid matrix, returned as one
   * `array<double>` in centroid order.
@@ -425,6 +467,8 @@ object VectorExpressions {
       exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("graft_byte_slice_sum",
       exprs => ByteSliceSum(exprs.head, exprs(1), exprs(2)), "built-in")
+    registry.createOrReplaceTempFunction("graft_byte_slice_max",
+      exprs => ByteSliceMax(exprs.head, exprs(1), exprs(2)), "built-in")
     registry.createOrReplaceTempFunction("graft_centroid_cos",
       exprs => {
         val arr = exprs(1).eval().asInstanceOf[ArrayData]
@@ -451,4 +495,6 @@ object VectorExpressions {
     call_function("graft_hex_prefix", c, org.apache.spark.sql.functions.lit(nChars))
   def byteSliceSum(bin: Column, start: Column, len: Column): Column =
     call_function("graft_byte_slice_sum", bin, start, len)
+  def byteSliceMax(bin: Column, start: Column, len: Column): Column =
+    call_function("graft_byte_slice_max", bin, start, len)
 }

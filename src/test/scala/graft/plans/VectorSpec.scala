@@ -98,6 +98,31 @@ class VectorSpec extends AnyFunSuite {
     assert(viaEval == 30L)
   }
 
+  test("ByteSliceMax matches a driver byte max, clamps ranges, empty slice is 0") {
+    VectorExpressions.register(spark)
+    val payloads = (1L to 30L).map { i =>
+      (i, Array.tabulate(((i * 17) % 50).toInt + 1)(j => ((i * 31 + j * 7) % 256).toByte))
+    }
+    val df = payloads.toDF("id", "p")
+    val rows = df.select(col("id"),
+        VectorExpressions.byteSliceMax(col("p"), lit(0L), lit(1000L)).as("full"),
+        VectorExpressions.byteSliceMax(col("p"), expr("CAST(length(p) div 4 AS LONG)"),
+          expr("CAST(length(p) div 4 AS LONG)")).as("q2"),
+        VectorExpressions.byteSliceMax(col("p"), lit(5000L), lit(10L)).as("beyond"))
+      .collect()
+    rows.foreach { r =>
+      val bytes = payloads(r.getLong(0).toInt - 1)._2
+      val nb4 = bytes.length / 4
+      def mx(s: Seq[Byte]) = if (s.isEmpty) 0L else s.map(b => (b & 0xff).toLong).max
+      assert(r.getLong(1) == mx(bytes.toSeq))
+      assert(r.getLong(2) == mx(bytes.slice(nb4, 2 * nb4).toSeq))
+      assert(r.getLong(3) == 0L, "out-of-range slice must read 0")
+    }
+    val viaEval = df.where(
+      VectorExpressions.byteSliceMax(col("p"), lit(0L), lit(1000L)) >= 0L).count()
+    assert(viaEval == 30L)
+  }
+
   test("SortedIntersectCount matches array_intersect size on sorted distinct sets") {
     VectorExpressions.register(spark)
     // deterministic set soup: overlapping ranges, strided gaps, empties
