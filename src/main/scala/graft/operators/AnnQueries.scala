@@ -204,7 +204,9 @@ object AnnQueries {
     * through the persisted IVF tower (probe the 64k top-level cells,
     * then rank only that cell's sub-centroids) the way the `*_served`
     * family already stages probes — assignment cost then n·(√k + k/√k),
-    * never n·k. Inert at every verification scale (sf1 ≈ 20k vectors →
+    * never n·k ([[twoLevelAssign]] is that path made executable, with
+    * the flat-vs-two-level agreement audit a deployment reads before
+    * switching). Inert at every verification scale (sf1 ≈ 20k vectors →
     * k = 80 ≪ cap), proven by `CentroidCapSpec`. */
   private[operators] val CentroidCap = 65536
 
@@ -385,6 +387,117 @@ object AnnQueries {
        |SELECT cluster, id_b AS vec_id, MIN(id_a) AS dup_of, MAX(cos) AS max_cos
        |FROM pairs WHERE cos >= $CosineThreshold
        |GROUP BY 1, 2 ORDER BY cluster, vec_id""".stripMargin
+
+  // --------------------------------------- two-level assignment (r10)
+
+  /** Width of the two-level demo tower: 16 fine centroids in 4 groups of
+    * 4 — k1 = k2 = √k, the balance that minimizes k1 + k/k1. */
+  private val TwoLevelK = 16
+  private val TwoLevelGroups = 4
+
+  /** §8k(bq) — TWO-LEVEL coarse assignment, the beyond-[[CentroidCap]]
+    * path made executable (the [[CentroidCap]] Scaladoc's design,
+    * FAISS's IMI/two-level-quantizer shape): instead of ranking all k
+    * fine centroids per vector (k·n cosines — the cost the cap bounds),
+    * each vector first picks its nearest GROUP REPRESENTATIVE (k1 = √k
+    * cosines; reps = each group's first centroid), then ranks only that
+    * group's k/k1 fine centroids — 2√k cosines per vector, which at the
+    * cap (k = 65536) is 512 vs 65536 per row. The trade is the standard
+    * quantizer approximation: a vector whose true nearest centroid sits
+    * in a group whose representative ranked behind another's lands in a
+    * different cell. This query IS that trade's audit — per fine cell:
+    * occupancy under flat argmax, occupancy under the two-level route,
+    * and how many vectors agree — the go/no-go table a deployment reads
+    * before switching the tower past the cap.
+    *
+    * The second-level ranking evaluates ONLY the chosen group's
+    * centroids: a lazily-branched CASE over per-group
+    * [[VectorExpressions.centroidCosines]] kernels (codegen CASE
+    * short-circuits, so per-row cost is k1 + k/k1 cosines, not k).
+    *
+    * Scale shape: two map-side kernel stages, two tiny aggregates over
+    * ≤k rows, one broadcast-size join — no corpus-keyed shuffle at all
+    * beyond the cell-keyed counts. */
+  def twoLevelAssign(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    import spark.implicits._
+    val cents = t.embeddings.where(col("vec_id") < TwoLevelK)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2).toSeq
+    val perGroup = TwoLevelK / TwoLevelGroups
+    val reps = (0 until TwoLevelGroups).map(g => cents(g * perGroup))
+    val repCos = VectorExpressions.centroidCosines(col("embedding"), reps)
+    val g = (array_position(repCos, array_max(repCos)) - 1).cast("int")
+    // lazily-branched per-group fine ranking: only the matched group's
+    // kernel runs (codegen CASE short-circuit)
+    val fineOfGroup = (0 until TwoLevelGroups).map { grp =>
+      val cc = VectorExpressions.centroidCosines(col("embedding"),
+        cents.slice(grp * perGroup, (grp + 1) * perGroup))
+      (array_position(cc, array_max(cc)) - 1).cast("int") + (grp * perGroup)
+    }
+    val twoLevel = fineOfGroup.zipWithIndex.tail.foldLeft(fineOfGroup.head) {
+      case (acc, (c, grp)) => when(col("g") === grp, c).otherwise(acc)
+    }
+    val flatCos = VectorExpressions.centroidCosines(col("embedding"), cents)
+    val assigned = t.embeddings
+      .withColumn("flat", (array_position(flatCos, array_max(flatCos)) - 1).cast("int"))
+      .withColumn("g", g)
+      .withColumn("two", twoLevel)
+      .select(col("vec_id"), col("flat"), col("two"))
+    val byFlat = assigned.groupBy(col("flat").as("cluster"))
+      .agg(count(lit(1)).as("n_flat"),
+        sum(when(col("two") === col("flat"), 1L).otherwise(0L)).as("n_agree"))
+    val byTwo = assigned.groupBy(col("two").as("cluster"))
+      .agg(count(lit(1)).as("n_two"))
+    byFlat.join(byTwo, Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        coalesce(col("n_flat"), lit(0L)).as("n_flat"),
+        coalesce(col("n_two"), lit(0L)).as("n_two"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+      .withColumn("agree_pm",
+        when(col("n_flat") > 0, expr("n_agree * 1000 div n_flat")).otherwise(lit(0L)))
+  }
+
+  private def twoLevelSql = {
+    val perGroup = TwoLevelK / TwoLevelGroups
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < $TwoLevelK),
+       |reps AS (SELECT cid // $perGroup AS grp, c FROM cents WHERE cid % $perGroup = 0),
+       |acc AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |flat AS (
+       |  SELECT vec_id, cid AS flat FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM acc) x WHERE rn = 1),
+       |gpick AS (
+       |  SELECT vec_id, grp FROM (
+       |    SELECT e.vec_id, r.grp,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosChainDuck("e.embedding", "r.c")} DESC, r.grp) AS rn
+       |    FROM embeddings e CROSS JOIN reps r) x WHERE rn = 1),
+       |two AS (
+       |  SELECT vec_id, cid AS two FROM (
+       |    SELECT a.vec_id, a.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY a.ccos DESC, a.cid) AS rn
+       |    FROM acc a JOIN gpick g
+       |      ON g.vec_id = a.vec_id AND a.cid // $perGroup = g.grp) x WHERE rn = 1),
+       |av AS (
+       |  SELECT f.vec_id, f.flat, t.two FROM flat f JOIN two t USING (vec_id)),
+       |bf AS (SELECT flat AS cluster, COUNT(*) AS n_flat,
+       |         CAST(SUM(CASE WHEN two = flat THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |       FROM av GROUP BY 1),
+       |bt AS (SELECT two AS cluster, COUNT(*) AS n_two FROM av GROUP BY 1)
+       |SELECT COALESCE(bf.cluster, bt.cluster) AS cluster,
+       |  COALESCE(n_flat, 0) AS n_flat, COALESCE(n_two, 0) AS n_two,
+       |  COALESCE(n_agree, 0) AS n_agree,
+       |  CASE WHEN COALESCE(n_flat, 0) > 0
+       |       THEN COALESCE(n_agree, 0) * 1000 // n_flat ELSE 0 END AS agree_pm
+       |FROM bf FULL OUTER JOIN bt ON bf.cluster = bt.cluster
+       |ORDER BY cluster""".stripMargin
+  }
 
   // ------------------------------------------- cross-modal bridge (r10)
 
@@ -2531,6 +2644,7 @@ object AnnQueries {
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
     "mm_ann_crossmodal" -> Q(crossModalTopK _, crossModalSql,
       Seq(col("probe_id"), col("rank"))),
+    "ann_twolevel_assign" -> Q(twoLevelAssign _, twoLevelSql, Seq(col("cluster"))),
     "ann_ivf_range" -> Q(ivfRangeSearch _, ivfRangeSql,
       Seq(col("probe_id"), col("cos").desc, col("vec_id"))),
     "ann_cluster_medoids" -> Q(clusterMedoids _, clusterMedoidsSql, Seq(col("cluster"))),
