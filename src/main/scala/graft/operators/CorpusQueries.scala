@@ -1095,13 +1095,19 @@ object CorpusQueries {
            |  i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, $SpanTokens))) AS h))""".stripMargin))
         .as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
-    val firsts = spans.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        min(struct(col("doc_id"), col("pos"))).as("first"))
-      .where(col("n_docs") > 1)
-      .select(col("h"), col("first.doc_id").as("first_doc"), col("first.pos").as("first_pos"))
-    val covered = spans.join(firsts, "h")
-      .where(!(col("doc_id") === col("first_doc") && col("pos") === col("first_pos")))
+    // r10: the first-occurrence filter is ONE window pass over the
+    // h-partitions instead of an aggregate + self-join — the join form
+    // consumed the unpersisted span table twice (words → explode → md5
+    // front re-ran per branch) AND shuffled it twice; persisting it
+    // traded that for materialization cost (fresh-JVM sf0.1 3.5 → 6.0 s,
+    // worse). The window shuffles spans on h exactly once: sf1 verbatim
+    // 25.2 → 11.9 s, salted 17.2 → 10.0 s, sf0.1 3.5 → 1.8 s fresh-JVM.
+    val wH = Window.partitionBy(col("h"))
+    val covered = spans
+      .withColumn("n_docs", size(collect_set(col("doc_id")).over(wH)))
+      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(wH))
+      .where(col("n_docs") > 1 &&
+        !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (SpanTokens - 1))).as("cpos"))
       .distinct()
     val cuts = covered.groupBy(col("doc_id"))
