@@ -529,25 +529,49 @@ object AnnQueries {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
     val cents = centroids(spark, t).toSeq.map(_._2)
-    val corpus = t.embeddings
+    val probes = t.embeddings
+      .where(col("vec_id") % ProbeMod === 0 && expr(modalityCase("vec_id")) === "text")
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val scored = crossModalCandidateFrame(probes, t.embeddings, cents,
+      broadcastProbes = true)
+    TopK.perKeyExec(scored, "probe_id", "cos", "vec_id", TopKK)
+      .withColumn("modality", expr(modalityCase("vec_id")))
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("modality"), col("cos"))
+  }
+
+  /** The cross-modal candidate frame shared by the batch query and the
+    * streaming twin ([[graft.streaming.AnnStream.crossModalTopK]]), so
+    * both score the IDENTICAL (probe, candidate, cos) set: non-text
+    * corpus side cluster-assigned on the kernel, probes exploded to
+    * their nprobe clusters, round-6 cosine off precomputed norms.
+    * `probeFrame` needs (probe_id, embedding); the batch path broadcasts
+    * the bounded probe set, the stream path leaves the micro-batch as
+    * the stream side of a stream-static join. */
+  private[graft] def crossModalCandidateFrame(probeFrame: DataFrame, corpus: DataFrame,
+      cents: Seq[Array[Float]], broadcastProbes: Boolean): DataFrame = {
+    val side = corpus
       .where(expr(modalityCase("vec_id")) =!= "text")
       .withColumn("cluster", nearestCluster(cents))
       .withColumn("c_norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("cluster"), col("c_norm"))
-    val probes = t.embeddings
-      .where(col("vec_id") % ProbeMod === 0 && expr(modalityCase("vec_id")) === "text")
-      .withColumn("top_c", probeTopC(cents))
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+    val p0 = probeFrame
+      .withColumn("top_c", probeTopC(cents)) // reads the `embedding` column
+      .select(col("probe_id"), col("embedding").as("p_emb"),
         explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
       .withColumn("p_norm", sqrt(VectorExpressions.dot(col("p_emb"), col("p_emb"))))
-    val scored = corpus.join(broadcast(probes), Seq("cluster"))
+    val pj = if (broadcastProbes) broadcast(p0) else p0
+    side.join(pj, Seq("cluster"))
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         round(VectorExpressions.dot(col("embedding"), col("p_emb"))
           / (col("c_norm") * col("p_norm")), 6).as("cos"))
-    TopK.perKeyExec(scored, "probe_id", "cos", "vec_id", TopKK)
-      .withColumn("modality", expr(modalityCase("vec_id")))
-      .select(col("probe_id"), col("rank"), col("vec_id"), col("modality"), col("cos"))
+  }
+
+  /** The seed-centroid tower for external consumers (the stream twin's
+    * bounded recipe — same memoized table the whole family shares). */
+  private[graft] def seedCentroids(spark: SparkSession, dir: String): Seq[Array[Float]] = {
+    implicit val s: SparkSession = spark
+    centroids(spark, Tables(dir)).toSeq.map(_._2)
   }
 
   private def crossModalSql =

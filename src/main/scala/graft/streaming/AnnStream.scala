@@ -122,6 +122,23 @@ object AnnStream {
     topKPerProbe(exact, k)
   }
 
+  /** §8s(dv) — streaming CROSS-MODAL retrieval: streamed TEXT probes
+    * search the static image/audio side of the shared space through the
+    * seed-centroid IVF tower (stream-static join on the probed
+    * clusters) — the serving shape of the batch `mm_ann_crossmodal`,
+    * which the spec pins row-for-row on the family probe set. Only the
+    * bounded centroid recipe ([[AnnQueries.seedCentroids]]) is embedded
+    * in the plan; the non-text corpus side stays a static scan. */
+  def crossModalTopK(probes: Dataset[Probe], corpus: DataFrame,
+                     cents: Seq[Array[Float]], k: Int): Dataset[Hit] = {
+    val spark = probes.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val cands = AnnQueries.crossModalCandidateFrame(
+      probes.toDF(), corpus, cents, broadcastProbes = false).as[Scored]
+    topKPerProbe(cands, k)
+  }
+
   /** Per-probe ranked top-k over scored candidates — the streaming
     * counterpart of [[graft.operators.TopK.perKeyExec]], same bounded
     * heap, same (score DESC, vec_id ASC) ranking. */

@@ -129,4 +129,30 @@ class AnnStreamSpec extends AnyFunSuite {
       .as[(Long, Int, Int, Long)].collect().toSeq
     assert(got == want && got.size == 20)
   }
+
+  test("streamed crossModalTopK matches batch mm_ann_crossmodal row-for-row") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = TestSpark.Sf0001
+    val emb = graft.sources.Tables(dir).embeddings
+    val cents = AnnQueries.seedCentroids(spark, dir)
+    // the family probe set restricted to text modality (the batch rule)
+    val textProbes = probeSeq.filter(p => p.probe_id % 4 != 1 && p.probe_id % 4 != 2)
+
+    val mem = MemoryStream[Probe](spark)
+    val q = AnnStream.crossModalTopK(mem.toDS(), emb, cents, k = 5)
+      .toDF().writeStream.format("memory").queryName("s_ann_xmodal").outputMode("append").start()
+    try {
+      mem.addData(textProbes)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("s_ann_xmodal")
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = AnnQueries.queries("mm_ann_crossmodal").fn(spark, dir)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
