@@ -1565,28 +1565,69 @@ object AnnQueries {
        |SELECT id_a, id_b, cos FROM scored WHERE cos >= $CosineThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** Recall audit of the sign-LSH pair search against the EXACT all-pairs
-    * truth at the same threshold — `ann_ivf_recall`'s sibling for the
-    * second approximate family, and the registered/oracled form of the
-    * recall floors AnnLshSpec pins. The exact side is a deliberate
-    * all-pairs product (the thing LSH exists to avoid) — affordable at
-    * audit scale, and exactly what the number means: of every true
-    * τ-pair, how many did the banded search keep. One output row:
+  /** r11: the pair-audit analogue of [[AuditProbeBudget]] — a
+    * deterministic hash-rank draw of anchors from ALL vec_ids (pairs
+    * have no %-mod population; any vector can anchor a pair). */
+  private val LshAuditSalt = "graft-lsh-audit:"
+
+  /** Recall audit of the sign-LSH pair search against the exact truth at
+    * the same threshold — `ann_ivf_recall`'s sibling for the second
+    * approximate family, and the registered/oracled form of the recall
+    * floors AnnLshSpec pins.
+    *
+    * r11: fixed-budget ANCHOR restriction on BOTH sides (the last
+    * flat-scan truth audit — 234.9 s / 80× at sf1 as all-pairs). Recall
+    * is measured over τ-pairs touching a deterministic
+    * [[AuditProbeBudget]]-anchor hash-rank draw: the exact side is
+    * anchors × corpus (broadcast, linear), and the LSH side joins the
+    * anchors' band signatures (budget × bands rows, broadcast) against
+    * the full band frame — the banded search restricted to
+    * anchor-involving pairs, which is exactly the full LSH pair set ∩
+    * anchor pairs. Anchor-pair recall is an unbiased estimate of the
+    * global pair recall at budget × corpus cost. One output row:
     * (n_exact, n_lsh, n_overlap, recall_pm). */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val emb = Tables(dir).embeddings
+    val anchors = emb.select(col("vec_id"))
+      .withColumn("h", md5(concat(lit(LshAuditSalt), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(AuditProbeBudget).drop("h")
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("norm"))
-    val exact = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("norm").as("n_a"))
-      .join(withNorm.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("norm").as("n_b")),
-        col("id_a") < col("id_b"))
+    val aSide = withNorm.join(anchors, Seq("vec_id"))
+      .select(col("vec_id").as("a_id"), col("embedding").as("e_a"), col("norm").as("n_a"))
+    val exact = withNorm.crossJoin(broadcast(aSide))
+      .where(col("vec_id") =!= col("a_id"))
+      .select(least(col("a_id"), col("vec_id")).as("id_a"),
+        greatest(col("a_id"), col("vec_id")).as("id_b"),
+        round(VectorExpressions.dot(col("e_a"), col("embedding")) / (col("n_a") * col("norm")), 6).as("cos"))
+      .where(col("cos") >= CosineThreshold)
+      .select("id_a", "id_b").distinct()
+    val prs = lshPairs
+    def bandHash(b: Int): Column =
+      (0 until LshRows).map { r =>
+        val (i, j) = prs(b * LshRows + r)
+        when(col("embedding")(i) > col("embedding")(j), lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val bands = emb
+      .select(col("vec_id"),
+        explode(array((0 until LshBands).map(b =>
+          struct(lit(b).as("band_id"), bandHash(b).as("band_hash"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.band_id").as("band_id"), col("b.band_hash").as("band_hash"))
+    val aBands = bands.join(anchors, Seq("vec_id"))
+      .select(col("vec_id").as("a_id"), col("band_id"), col("band_hash"))
+    val cand = bands.join(broadcast(aBands), Seq("band_id", "band_hash"))
+      .where(col("vec_id") =!= col("a_id"))
+      .select(least(col("a_id"), col("vec_id")).as("id_a"),
+        greatest(col("a_id"), col("vec_id")).as("id_b"))
+      .distinct()
+    val lsh = cand
+      .join(withNorm.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("norm").as("n_a")), "id_a")
+      .join(withNorm.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("norm").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(VectorExpressions.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
       .where(col("cos") >= CosineThreshold)
-      .select("id_a", "id_b")
-    val lsh = lshSearch(spark, dir, LshBands, LshRows, multiprobe = false)
       .select("id_a", "id_b")
     exact.join(lsh.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_exact"),
@@ -1597,11 +1638,32 @@ object AnnQueries {
   }
 
   private def lshRecallSql =
-    s"""WITH ex AS (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    s"""WITH anchor AS (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY md5('$LshAuditSalt' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $AuditProbeBudget),
+       |ex AS (
+       |  SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS id_a,
+       |         GREATEST(a.vec_id, b.vec_id) AS id_b
+       |  FROM embeddings a JOIN anchor an ON an.vec_id = a.vec_id
+       |  JOIN embeddings b ON b.vec_id <> a.vec_id
        |  WHERE ROUND(${cosChainDuck("a.embedding", "b.embedding")}, 6) >= $CosineThreshold),
-       |lsh AS (SELECT id_a, id_b FROM (${lshCosineSql.replace("\n", "\n     ")}) t),
+       |bands AS (
+       |  ${(0 until LshBands).map(b =>
+            s"SELECT vec_id, $b AS band_id, ${lshBandHashDuck(b)} AS band_hash FROM embeddings")
+            .mkString("\n  UNION ALL\n  ")}),
+       |abands AS (SELECT b.* FROM bands b JOIN anchor USING (vec_id)),
+       |cand AS (
+       |  SELECT DISTINCT LEAST(a.vec_id, c.vec_id) AS id_a,
+       |         GREATEST(a.vec_id, c.vec_id) AS id_b
+       |  FROM abands a JOIN bands c
+       |    ON a.band_id = c.band_id AND a.band_hash = c.band_hash AND a.vec_id <> c.vec_id),
+       |lsh AS (
+       |  SELECT id_a, id_b
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = id_a
+       |  JOIN embeddings eb ON eb.vec_id = id_b
+       |  WHERE ROUND(${cosChainDuck("ea.embedding", "eb.embedding")}, 6) >= $CosineThreshold),
        |ov AS (SELECT COUNT(*) AS n_overlap FROM ex JOIN lsh USING (id_a, id_b))
        |SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
        |       (SELECT COUNT(*) FROM lsh) AS n_lsh,

@@ -56,6 +56,29 @@ class AnnLshSpec extends AnyFunSuite {
     assert(mpRecall >= 3 * plainRecall, s"lift ${mpRecall / plainRecall}")
   }
 
+  test("ann_lsh_recall: anchor-restricted audit matches driver recompute from the full pair sets") {
+    // the registered audit restricts BOTH sides to pairs touching a
+    // 40-anchor hash-rank draw; its counts must equal the full exact and
+    // full LSH pair sets filtered to anchor-involving pairs — the claim
+    // that the restriction changes cost (budget x corpus), not semantics
+    val allIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val anchors = allIds.map(id => (md5hex("graft-lsh-audit:" + id), id))
+      .sorted.take(40).map(_._2).toSet
+    val exA = exactPairs.filter(p => anchors(p._1) || anchors(p._2))
+    val lshA = lshPairs.filter(p => anchors(p._1) || anchors(p._2))
+    val ov = exA.intersect(lshA)
+    val row = AnnQueries.queries("ann_lsh_recall").fn(spark, dir).collect().head
+    assert(row.getLong(row.fieldIndex("n_exact")) == exA.size)
+    assert(row.getLong(row.fieldIndex("n_lsh")) == lshA.size)
+    assert(row.getLong(row.fieldIndex("n_overlap")) == ov.size)
+    assert(row.getLong(row.fieldIndex("recall_pm")) ==
+      ov.size.toLong * 1000 / math.max(exA.size, 1))
+  }
+
   test("banded self-join plans as an equi-join, never a cartesian product") {
     val plan = AnnQueries.queries("ann_lsh_cosine").fn(spark, dir)
       .queryExecution.executedPlan.toString
