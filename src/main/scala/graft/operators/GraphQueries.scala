@@ -1281,6 +1281,20 @@ object GraphQueries {
     * with deg ≤ cap are exact), one pair-keyed shuffle, WindowGroupLimit
     * top-k per node. The center's FULL degree sets the weight; the cap
     * bounds only which pairs it votes on. */
+  /** r11 perf form (same results, hash-verified): the wedge votes carry a
+    * PACKED single-long pair key (a·2³² + b — partkeys are far below 2³²;
+    * one long hashes/shuffles cheaper than a two-long struct through the
+    * 55M-row-at-sf1 aggregate), and the per-node ranking triple
+    * (ra_nano DESC, common DESC, cand ASC) packs exactly into one long
+    * score ra_nano·1024 + common (ra_nano ≤ 1023 voters × 5·10⁸ ≈
+    * 5.2·10¹⁴, exact; common < 1024 holds because common ≤ min-degree of
+    * the pair, and the packing is hash-gated by the oracle at every
+    * verification scale) — the WindowGroupLimit's partial map-side sort
+    * compares 3 longs instead of 4 columns. The bounded-heap exec was
+    * measured here and REJECTED (sf1 19.2 → 37.8 s: per-row interpreted
+    * key projection loses to the codegen'd sort on the many-small-groups
+    * shape — pitfall re-confirmed; the heap stays for few-keys × huge
+    * candidate sets like the ANN probes). */
   def resourceAllocation(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val e = stagedEdges(spark, dir)
@@ -1292,16 +1306,20 @@ object GraphQueries {
       expr("1000000000 div size(ns)").cast("long").as("w"),
       slice(col("ns"), 1, RaCenterCap).as("ns"))
     val pairs = capped
-      .select(col("w"), sortedPairs("ns", "a", "b").as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), col("w"))
-      .groupBy("a", "b")
+      .select(col("w"), explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns) - i - 1), y -> x * 4294967296L + y)))")).as("ab"))
+      .groupBy("ab")
       .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_nano"))
     val directed = pairs
-      .select(col("a").as("node"), col("b").as("cand"), col("common"), col("ra_nano"))
-      .unionByName(pairs.select(col("b").as("node"), col("a").as("cand"),
-        col("common"), col("ra_nano")))
+      .select(shiftright(col("ab"), 32).as("node"),
+        col("ab").bitwiseAND(lit(4294967295L)).as("cand"),
+        col("common"), col("ra_nano"))
+      .unionByName(pairs.select(col("ab").bitwiseAND(lit(4294967295L)).as("node"),
+        shiftright(col("ab"), 32).as("cand"), col("common"), col("ra_nano")))
+      .withColumn("score", col("ra_nano") * lit(1024L) + col("common"))
     val w = Window.partitionBy(col("node"))
-      .orderBy(col("ra_nano").desc, col("common").desc, col("cand"))
+      .orderBy(col("score").desc, col("cand"))
     directed.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= RaTopK)
       .select(col("node"), col("rank"), col("cand"), col("common"), col("ra_nano"))

@@ -67,6 +67,17 @@ private[plans] object TopKHeap {
     }
   }
 
+  /** Would (score, id) enter the heap? Callers test this BEFORE building
+    * an Entry so the per-row hot path allocates nothing for the ~all rows
+    * that lose to the current worst (row.copy() per input row was the
+    * measured reason the heap exec lost to sort-based WindowGroupLimit on
+    * many-small-groups shapes). */
+  def admits(heap: mutable.PriorityQueue[Entry], k: Int, score: Double, id: Long): Boolean =
+    heap.size < k || {
+      val (ws, wi, _) = heap.head
+      score > ws || (score == ws && id < wi)
+    }
+
   /** Best-first (score desc, id asc). */
   def drain(heap: mutable.PriorityQueue[Entry]): Seq[Entry] =
     heap.dequeueAll.reverse.toSeq
@@ -88,13 +99,25 @@ final case class PartialTopKExec(
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyTypes.toArray)
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[TopKHeap.Entry]]
+      // hot path allocates only on admitted rows: the projection's reused
+      // result row serves as the lookup key (UnsafeRow equality is
+      // content-based); key.copy()/row.copy() happen only on insert
+      val keyVals = new GenericInternalRow(keyIdx.length)
       iter.foreach { row =>
         if (!row.isNullAt(scoreIdx) && !row.isNullAt(idIdx)) { // NULL score/id never ranks
-          val keyVals = new GenericInternalRow(keyIdx.map(i => row.get(i, child.output(i).dataType)).toArray)
-          val key = keyProj(keyVals).copy()
-          val heap = heaps.getOrElseUpdate(key,
-            mutable.PriorityQueue.empty(TopKHeap.worstFirst))
-          TopKHeap.push(heap, k, (row.getDouble(scoreIdx), row.getLong(idIdx), row.copy()))
+          var j = 0
+          while (j < keyIdx.length) {
+            keyVals.update(j, row.get(keyIdx(j), child.output(keyIdx(j)).dataType)); j += 1
+          }
+          val probe = keyProj(keyVals)
+          val heap = heaps.get(probe) match {
+            case Some(h) => h
+            case None =>
+              val h = mutable.PriorityQueue.empty[TopKHeap.Entry](TopKHeap.worstFirst)
+              heaps.put(probe.copy(), h); h
+          }
+          val s = row.getDouble(scoreIdx); val i = row.getLong(idIdx)
+          if (TopKHeap.admits(heap, k, s, i)) TopKHeap.push(heap, k, (s, i, row.copy()))
         }
       }
       heaps.valuesIterator.flatMap(h => TopKHeap.drain(h).iterator.map(_._3))
@@ -126,13 +149,24 @@ final case class FinalTopKExec(
       val keyProj = UnsafeProjection.create(keyTypes.toArray)
       val outProj = UnsafeProjection.create(outTypes.toArray)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[TopKHeap.Entry]]
+      val keyVals = new GenericInternalRow(keyIdx.length)
       iter.foreach { row =>
         if (!row.isNullAt(scoreIdx) && !row.isNullAt(idIdx)) { // NULL score/id never ranks
-          val keyVals = new GenericInternalRow(keyIdx.map(i => row.get(i, child.output(i).dataType)).toArray)
-          val key = keyProj(keyVals).copy()
-          val heap = heaps.getOrElseUpdate(key,
-            mutable.PriorityQueue.empty(TopKHeap.worstFirst))
-          TopKHeap.push(heap, k, (row.getDouble(scoreIdx), row.getLong(idIdx), row.copy()))
+          var j = 0
+          while (j < keyIdx.length) {
+            keyVals.update(j, row.get(keyIdx(j), child.output(keyIdx(j)).dataType)); j += 1
+          }
+          val probe = keyProj(keyVals)
+          val heap = heaps.get(probe) match {
+            case Some(h) => h
+            case None =>
+              val h = mutable.PriorityQueue.empty[TopKHeap.Entry](TopKHeap.worstFirst)
+              heaps.put(probe.copy(), h); h
+          }
+          val s = row.getDouble(scoreIdx); val i = row.getLong(idIdx)
+          // the final phase emits only (keys, rank, id, score) — the
+          // carried row is never read, so nothing is copied here
+          if (TopKHeap.admits(heap, k, s, i)) TopKHeap.push(heap, k, (s, i, null))
         }
       }
       heaps.iterator.flatMap { case (key, heap) =>
