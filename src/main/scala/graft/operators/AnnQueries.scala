@@ -426,25 +426,16 @@ object AnnQueries {
     val cents = t.embeddings.where(col("vec_id") < TwoLevelK)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2).toSeq
-    val perGroup = TwoLevelK / TwoLevelGroups
-    val reps = (0 until TwoLevelGroups).map(g => cents(g * perGroup))
-    val repCos = VectorExpressions.centroidCosines(col("embedding"), reps)
-    val g = (array_position(repCos, array_max(repCos)) - 1).cast("int")
-    // lazily-branched per-group fine ranking: only the matched group's
-    // kernel runs (codegen CASE short-circuit)
-    val fineOfGroup = (0 until TwoLevelGroups).map { grp =>
-      val cc = VectorExpressions.centroidCosines(col("embedding"),
-        cents.slice(grp * perGroup, (grp + 1) * perGroup))
-      (array_position(cc, array_max(cc)) - 1).cast("int") + (grp * perGroup)
-    }
-    val twoLevel = fineOfGroup.zipWithIndex.tail.foldLeft(fineOfGroup.head) {
-      case (acc, (c, grp)) => when(col("g") === grp, c).otherwise(acc)
-    }
+    require(cents.length == TwoLevelK,
+      s"two-level audit needs the $TwoLevelK seed vectors (vec_id < $TwoLevelK); " +
+        s"corpus has only ${cents.length} — the rest of the family degrades to " +
+        s"the $NCentroids-centroid floor, this audit does not")
+    // r11: the navigation comes from the SAME parameterized builder the
+    // production route uses (⌈√16⌉ = 4 groups of 4 = the toy geometry),
+    // so this registered audit exercises the production branch
     val flatCos = VectorExpressions.centroidCosines(col("embedding"), cents)
-    val assigned = t.embeddings
+    val assigned = assignNearest(t.embeddings, cents, out = "two", routeAt = 1)
       .withColumn("flat", (array_position(flatCos, array_max(flatCos)) - 1).cast("int"))
-      .withColumn("g", g)
-      .withColumn("two", twoLevel)
       .select(col("vec_id"), col("flat"), col("two"))
     val byFlat = assigned.groupBy(col("flat").as("cluster"))
       .agg(count(lit(1)).as("n_flat"),
@@ -549,9 +540,7 @@ object AnnQueries {
     * the stream side of a stream-static join. */
   private[graft] def crossModalCandidateFrame(probeFrame: DataFrame, corpus: DataFrame,
       cents: Seq[Array[Float]], broadcastProbes: Boolean): DataFrame = {
-    val side = corpus
-      .where(expr(modalityCase("vec_id")) =!= "text")
-      .withColumn("cluster", nearestCluster(cents))
+    val side = assignNearest(corpus.where(expr(modalityCase("vec_id")) =!= "text"), cents)
       .withColumn("c_norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("cluster"), col("c_norm"))
     val p0 = probeFrame
@@ -910,21 +899,28 @@ object AnnQueries {
     * count() plus the ≤k-row collect are bounded, but they are a full
     * corpus scan + a job PER CALL — and `BitextQueries.mineBatch` calls
     * this once per streaming micro-batch against the same frozen
-    * archive. Table dirs are immutable within a session (ScaleUp writes
-    * run in their own JVM), so (dir → centroids) is a safe memo; size
-    * is ≤ cap·dim floats per distinct dir, the same bounded class as
-    * the literal itself. */
+    * archive. r11 (ADVICE): keyed on (dir, content signature of
+    * embeddings.parquet — the [[Stage.signature]] size/mtime fold) so a
+    * rewritten or grown table invalidates the memo instead of silently
+    * serving stale k and stale centroids; dir immutability is verified,
+    * not assumed. Stale vintages are evicted so the map stays one live
+    * entry per dir. */
   private val centroidMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Float])]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[(Long, Array[Float])])]()
 
-  private[operators] def centroids(spark: SparkSession, t: Tables): Array[(Long, Array[Float])] =
-    centroidMemo.computeIfAbsent(t.dir, { _ =>
-      import spark.implicits._
-      val k = scaledK(t.embeddings.count()) // capped: see CentroidCap
-      t.embeddings.where(col("vec_id") < k)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-    })
+  private[operators] def centroids(spark: SparkSession, t: Tables): Array[(Long, Array[Float])] = {
+    val sig = Stage.signature(s"${t.dir}/embeddings.parquet")
+    centroidMemo.compute(t.dir, { (_, cached) =>
+      if (cached != null && cached._1 == sig) cached
+      else {
+        import spark.implicits._
+        val k = scaledK(t.embeddings.count()) // capped: see CentroidCap
+        (sig, t.embeddings.where(col("vec_id") < k)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().sortBy(_._1))
+      }
+    })._2
+  }
 
   /** argmax-cosine cluster id off the [[VectorExpressions.centroidCosines]]
     * kernel (first index on ties — the family rule; the composed
@@ -933,6 +929,59 @@ object AnnQueries {
     val cc = VectorExpressions.centroidCosines(col("embedding"), cents)
     (array_position(cc, array_max(cc)) - 1).cast("int")
   }
+
+  /** r11: the production two-level route fires when the tower is at the
+    * flat-assignment cost ceiling — i.e. exactly when [[scaledK]] hits
+    * [[CentroidCap]] (corpus ≥ cap × occupancy ≈ 16.4M vectors): past it
+    * flat assignment is cap·n cosines/row while the two-level navigation
+    * is ~2√cap. Inert below the cap (every verification scale), which
+    * keeps all committed oracles and plan anchors bit-identical;
+    * TwoLevelRouteSpec forces the route at a toy threshold and pins
+    * per-vector equality with the independently composed form. */
+  private[operators] val TwoLevelRouteK: Int = CentroidCap
+
+  /** Parameterized two-level navigation parts over any centroid table:
+    * k1 = ⌈√k⌉ consecutive groups of ⌈k/k1⌉ (reps = each group's first
+    * centroid — the [[twoLevelAssign]] demo rule, which at its toy
+    * geometry k=16 is exactly k1=4 × 4, so the registered agreement
+    * audit exercises THIS builder). Returns the group-pick column and
+    * the per-group fine-rank columns; the caller materializes the group
+    * pick once (withColumn) so the CASE chain reads a plain attribute
+    * and only the matched group's kernel runs per row (codegen CASE
+    * short-circuit). */
+  private[operators] def twoLevelParts(cents: Seq[Array[Float]]): (Column, Seq[Column]) = {
+    val k = cents.length
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val perGroup = math.ceil(k.toDouble / k1).toInt
+    val nGroups = (k + perGroup - 1) / perGroup
+    val reps = (0 until nGroups).map(g => cents(g * perGroup))
+    val repCos = VectorExpressions.centroidCosines(col("embedding"), reps)
+    val gCol = (array_position(repCos, array_max(repCos)) - 1).cast("int")
+    val fines = (0 until nGroups).map { grp =>
+      val lo = grp * perGroup
+      val cc = VectorExpressions.centroidCosines(col("embedding"),
+        cents.slice(lo, math.min(lo + perGroup, k)))
+      (array_position(cc, array_max(cc)) - 1).cast("int") + lit(lo)
+    }
+    (gCol, fines)
+  }
+
+  /** ROUTED coarse assignment — the family's single entry point for
+    * "add a `cluster` column": flat kernel argmax below [[TwoLevelRouteK]]
+    * (bit-identical to the pre-r11 form), the two-level navigation at or
+    * above it. DataFrame-shaped so the group pick is materialized once
+    * per row before the per-group CASE. `routeAt` is a test seam;
+    * production callers take the default. */
+  private[operators] def assignNearest(df: DataFrame, cents: Seq[Array[Float]],
+      out: String = "cluster", routeAt: Int = TwoLevelRouteK): DataFrame =
+    if (cents.length < routeAt) df.withColumn(out, nearestCluster(cents))
+    else {
+      val (gCol, fines) = twoLevelParts(cents)
+      val two = fines.zipWithIndex.tail.foldLeft(fines.head) {
+        case (acc, (c, grp)) => when(col("_graft_g") === grp, c).otherwise(acc)
+      }
+      df.withColumn("_graft_g", gCol).withColumn(out, two).drop("_graft_g")
+    }
 
   /** The nprobe nearest clusters (cos desc, centroid id asc) as a
     * struct array off ONE kernel evaluation — transform-with-index so
@@ -1013,8 +1062,7 @@ object AnnQueries {
                         labelFiltered: Boolean = false,
                         audited: Boolean = false): DataFrame = {
     // corpus: nearest centroid (first index on ties = smallest centroid id)
-    val corpus = t.embeddings
-      .withColumn("cluster", nearestCluster(cents))
+    val corpus = assignNearest(t.embeddings, cents)
       .select(col("vec_id"), col("embedding"), col("cluster"), col("label"))
 
     // probes: nprobe nearest centroids (cos desc, centroid id asc)
@@ -1087,8 +1135,7 @@ object AnnQueries {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
     val cents = centroids(spark, t).toSeq.map(_._2)
-    val corpus = t.embeddings
-      .withColumn("cluster", nearestCluster(cents))
+    val corpus = assignNearest(t.embeddings, cents)
       .select(col("vec_id"), col("embedding"), col("cluster"))
     val probe = t.embeddings.where(col("vec_id") === probeId)
       .withColumn("top_c", probeTopC(cents))
@@ -1232,8 +1279,7 @@ object AnnQueries {
 
   private def lloydStep(t: Tables, cents: Seq[Array[Float]])
                        (implicit spark: SparkSession): Seq[Array[Float]] = {
-    val assigned = t.embeddings
-      .withColumn("cluster", nearestCluster(cents))
+    val assigned = assignNearest(t.embeddings, cents)
 
     // (cluster, dim) → exact integer sum of quantized components
     val sums = assigned
@@ -1896,8 +1942,8 @@ object AnnQueries {
       }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code_$m")
     }
-    emb.select(
-      Seq(col("vec_id"), nearestCluster(cents).as("cluster")) ++
+    assignNearest(emb, cents).select(
+      Seq(col("vec_id"), col("cluster")) ++
         (0 until PqM).map(codeCol): _*)
   }
 
@@ -2551,8 +2597,7 @@ object AnnQueries {
       .map(r => { val m = r.getFloat(1).toDouble; if (m == 0.0) 1.0 else m }).toSeq
     def quant(c: Column): Column =
       zip_with(c, typedlit(scales), (v, m) => round(v.cast("double") * lit(127.0) / m, 0).cast("long"))
-    val corpusQ = t.embeddings
-      .withColumn("cluster", nearestCluster(cents))
+    val corpusQ = assignNearest(t.embeddings, cents)
       .select(col("vec_id"), quant(col("embedding")).as("cq"), col("cluster"))
     val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
       .withColumn("top_c", probeTopC(cents))

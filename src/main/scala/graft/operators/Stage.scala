@@ -15,7 +15,7 @@ import java.nio.file.{Files, Paths}
   */
 object Stage {
 
-  private def signature(sourcePath: String): String = {
+  private[operators] def signature(sourcePath: String): String = {
     val p = Paths.get(sourcePath)
     if (Files.isDirectory(p)) {
       // parquet "file" may be a directory of part files: fold their stats.

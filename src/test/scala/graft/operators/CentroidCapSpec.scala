@@ -57,4 +57,23 @@ class CentroidCapSpec extends AnyFunSuite {
     assert(first.length === AnnQueries.scaledK(
       spark.read.parquet(s"$dir/embeddings.parquet").count()).toInt)
   }
+
+  test("centroid memo: a rewritten embeddings table invalidates the cached vintage") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    val src = spark.read.parquet(s"$dir/embeddings.parquet")
+    src.write.parquet(s"$tmp/embeddings.parquet")
+    val t = graft.sources.Tables(tmp)(spark)
+    val first = AnnQueries.centroids(spark, t)
+    // rewrite the table with shifted ids: same row count, different
+    // content and mtime — the stale-memo scenario ADVICE flagged (a
+    // streaming archive growing/rewriting within one JVM)
+    val shifted = src.withColumn("vec_id", col("vec_id") + 1)
+    shifted.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val second = AnnQueries.centroids(spark, t)
+    assert(!(first eq second), "memo must drop the stale vintage")
+    assert(second.map(_._1).min === 1L, "refreshed centroids read the new content")
+    val third = AnnQueries.centroids(spark, t)
+    assert(second eq third, "unchanged table memoizes again")
+  }
 }
