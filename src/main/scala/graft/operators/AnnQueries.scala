@@ -595,6 +595,114 @@ object AnnQueries {
        |FROM ranked WHERE rank <= $TopKK
        |ORDER BY probe_id, rank""".stripMargin
 
+  /** §8s(dx) r11 — CROSS-MODAL PAIR INTEGRITY audit (the CLIP-style QA
+    * table a team reads before training on (text, image/audio) pairs):
+    * every non-text vector's canonical text partner is its quad base
+    * `vec_id − vec_id % 4` (the [[modalityCase]] rule's own domain —
+    * %4 = 0 is text by construction, the ingest-metadata pairing stand-
+    * in). For each pair, the audit asks the SERVING tower the serving
+    * question: among the text candidates in the vector's nprobe probed
+    * buckets, where does its OWN partner rank? Per modality: n_pairs,
+    * n_found (partner surfaced in the probed buckets at all — the
+    * quantizer-miss diagnostic), hit@1, hit@[[TopKK]], and the integer
+    * reciprocal-rank mass Σ 1000 div rank. A corpus whose pairs don't
+    * retrieve each other trains a broken alignment — this is the go/no-go
+    * read, and it uses the same tower definitions as
+    * [[crossModalTopK]] so the audit measures the deployed geometry.
+    *
+    * Scale shape: probes here are ALL non-text vectors (an audit must
+    * cover every pair), so nothing is broadcast — the probe explode joins
+    * the text corpus on the cluster key (one shuffle each side); the
+    * partner's rank is a COUNT of better-scoring candidates (two passes
+    * over the persisted candidate frame), never a per-probe sort. */
+  def pairIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = centroids(spark, t).toSeq.map(_._2)
+    val emb = t.embeddings
+    val texts = assignNearest(emb.where(expr(modalityCase("vec_id")) === "text"), cents)
+      .withColumn("c_norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("c_norm"))
+    val pr = emb.where(expr(modalityCase("vec_id")) =!= "text")
+      .withColumn("top_c", probeTopC(cents))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
+      .withColumn("p_norm", sqrt(VectorExpressions.dot(col("p_emb"), col("p_emb"))))
+    // persisted: consumed by the partner-score branch AND the better-count
+    // branch (pitfall: unpersisted shared branches re-run the scoring join)
+    val cand = Cached.track(texts.join(pr, Seq("cluster"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val partner = col("probe_id") - (col("probe_id") % 4)
+    val ps = cand.where(col("vec_id") === partner)
+      .select(col("probe_id"), col("cos").as("pcos"))
+    val better = cand.join(ps, Seq("probe_id"))
+      .where(col("cos") > col("pcos") ||
+        (col("cos") === col("pcos") && col("vec_id") < partner))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_better"))
+    val ranked = ps.join(better, Seq("probe_id"), "left")
+      .select(col("probe_id"), (coalesce(col("n_better"), lit(0L)) + 1).as("rank"))
+    val pairs = emb.where(expr(modalityCase("vec_id")) =!= "text")
+      .select(col("vec_id").as("probe_id"))
+      .join(emb.select((col("vec_id")).as("pid")),
+        col("pid") === col("probe_id") - (col("probe_id") % 4), "left_semi")
+    pairs.join(ranked, Seq("probe_id"), "left")
+      .withColumn("modality", expr(modalityCase("probe_id")))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("rank").isNotNull, 1L).otherwise(0L)).as("n_found"),
+        sum(when(col("rank") === 1, 1L).otherwise(0L)).as("n_hit1"),
+        sum(when(col("rank") <= TopKK, 1L).otherwise(0L)).as("n_hitk"),
+        sum(when(col("rank").isNotNull, expr("1000 div rank")).otherwise(0L)).as("rr_pm_sum"))
+  }
+
+  private def pairIntegritySql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT ${scaledKSql}
+       |                  FROM embeddings)),
+       |assign AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |cluster AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign WHERE ${modalityCase("vec_id")} = 'text') x WHERE rn = 1),
+       |probe_assign AS (
+       |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign WHERE ${modalityCase("vec_id")} <> 'text') x WHERE rn <= $NProbeBuckets),
+       |cand AS (
+       |  SELECT probe_id, e.vec_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM probe_assign pa
+       |  JOIN cluster cl ON cl.cluster = pa.cluster
+       |  JOIN embeddings e ON e.vec_id = cl.vec_id
+       |  JOIN embeddings p ON p.vec_id = pa.probe_id),
+       |ps AS (SELECT probe_id, cos AS pcos FROM cand WHERE vec_id = probe_id - probe_id % 4),
+       |better AS (
+       |  SELECT c.probe_id, COUNT(*) AS n_better
+       |  FROM cand c JOIN ps USING (probe_id)
+       |  WHERE c.cos > pcos OR (c.cos = pcos AND c.vec_id < probe_id - probe_id % 4)
+       |  GROUP BY 1),
+       |ranked AS (
+       |  SELECT probe_id, COALESCE(n_better, 0) + 1 AS rank
+       |  FROM ps LEFT JOIN better USING (probe_id)),
+       |pairs AS (
+       |  SELECT e.vec_id AS probe_id FROM embeddings e
+       |  WHERE ${modalityCase("e.vec_id")} <> 'text'
+       |    AND EXISTS (SELECT 1 FROM embeddings t WHERE t.vec_id = e.vec_id - e.vec_id % 4))
+       |SELECT ${modalityCase("probe_id")} AS modality,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |  CAST(SUM(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+       |  CAST(SUM(CASE WHEN rank <= $TopKK THEN 1 ELSE 0 END) AS BIGINT) AS n_hitk,
+       |  CAST(SUM(CASE WHEN rank IS NOT NULL THEN 1000 // rank ELSE 0 END) AS BIGINT) AS rr_pm_sum
+       |FROM pairs LEFT JOIN ranked USING (probe_id)
+       |GROUP BY 1 ORDER BY modality""".stripMargin
+
   // ---------------------------------------------------------- brute force
 
   /** §29 — exact cosine top-k per probe. */
@@ -2775,6 +2883,7 @@ object AnnQueries {
     "ann_ivf_topk" -> Q(ivfTopK _, ivfSql, Seq(col("probe_id"), col("rank"))),
     "mm_ann_crossmodal" -> Q(crossModalTopK _, crossModalSql,
       Seq(col("probe_id"), col("rank"))),
+    "mm_pair_integrity" -> Q(pairIntegrity _, pairIntegritySql, Seq(col("modality"))),
     "ann_twolevel_assign" -> Q(twoLevelAssign _, twoLevelSql, Seq(col("cluster"))),
     "ann_ivf_range" -> Q(ivfRangeSearch _, ivfRangeSql,
       Seq(col("probe_id"), col("cos").desc, col("vec_id"))),

@@ -329,7 +329,16 @@ object CorpusQueries {
     * each round's word table is read by BOTH the next pair count and the
     * next merge apply, and inlined CTEs would re-expand 2^12-fold.
     * Sentinels 0x01/0x02 (wrapping each symbol) are injected via chr() so the oracle string
-    * stays printable. */
+    * stays printable.
+    *
+    * ASSUMPTION (documented per ADVICE r11): document text contains no
+    * raw 0x01/0x02 bytes — a token carrying either control char would
+    * corrupt symbol boundaries and break the replace-fold equivalence.
+    * The driver's testdata generator emits alphanumeric words only, and
+    * `words()` splits on whitespace, so the assumption holds for every
+    * verification corpus; a production ingest should scrub C0 controls
+    * (the `text_quality_score` pipeline already treats them as quality
+    * failures) before BPE training. */
   private def bpeBaseCtes: Seq[String] = {
     val base = Seq(
       s"ws AS MATERIALIZED (SELECT doc_id, ${DuckSql.wordsOf("text")} AS w FROM documents)",
@@ -343,7 +352,14 @@ object CorpusQueries {
           s"(SELECT freq, string_split(trim(s, chr(1)||chr(2)), chr(2)||chr(1)) AS syms FROM w$p) t, " +
           s"UNNEST(generate_series(1, len(syms)-1)) AS u(j)) GROUP BY 1,2)",
         s"t$i AS MATERIALIZED (SELECT a, b, w FROM p$i ORDER BY w DESC, a, b LIMIT 1)",
-        s"w$i AS MATERIALIZED (SELECT word, freq, replace(s, chr(1)||t.a||chr(2)||chr(1)||t.b||chr(2), chr(1)||t.a||t.b||chr(2)) AS s FROM w$p, t$i t)")
+        // LEFT JOIN ON TRUE + COALESCE: a degenerate corpus can exhaust
+        // the pair table before the last round (every word fully merged);
+        // a CROSS JOIN against the then-empty t$i would wipe the word
+        // table and zero every downstream CTE, while the Spark side
+        // (which stops on `exhausted`) keeps its segmentation. The NULL
+        // merge row makes replace() yield NULL and the word carries
+        // forward unchanged — the no-op round the trainer performs.
+        s"w$i AS MATERIALIZED (SELECT word, freq, COALESCE(replace(s, chr(1)||t.a||chr(2)||chr(1)||t.b||chr(2), chr(1)||t.a||t.b||chr(2)), s) AS s FROM w$p LEFT JOIN t$i t ON TRUE)")
     }
     base ++ rounds :+
       s"seg AS MATERIALIZED (SELECT word, freq, string_split(trim(s, chr(1)||chr(2)), chr(2)||chr(1)) AS syms FROM w$BpeMergeRounds)"
@@ -1102,11 +1118,18 @@ object CorpusQueries {
     // traded that for materialization cost (fresh-JVM sf0.1 3.5 → 6.0 s,
     // worse). The window shuffles spans on h exactly once: sf1 verbatim
     // 25.2 → 11.9 s, salted 17.2 → 10.0 s, sf0.1 3.5 → 1.8 s fresh-JVM.
+    // r11 (ADVICE): the cross-document test is min(doc_id) ≠ max(doc_id)
+    // — exactly "distinct docs > 1", but with CONSTANT window state. The
+    // earlier size(collect_set(doc_id)) buffered every doc id of a span
+    // group in memory unspillably, so one boilerplate span shared by very
+    // many documents concentrated the whole id set in a single group; the
+    // window's row buffer itself is the spillable UnsafeExternalSorter,
+    // and min/max/min-struct add O(1) each.
     val wH = Window.partitionBy(col("h"))
     val covered = spans
-      .withColumn("n_docs", size(collect_set(col("doc_id")).over(wH)))
+      .withColumn("multi", min(col("doc_id")).over(wH) =!= max(col("doc_id")).over(wH))
       .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(wH))
-      .where(col("n_docs") > 1 &&
+      .where(col("multi") &&
         !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (SpanTokens - 1))).as("cpos"))
       .distinct()

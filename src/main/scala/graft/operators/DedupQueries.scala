@@ -1287,8 +1287,8 @@ object DedupQueries {
 
   // --------------------------------------------------- containment
 
-  private val RareDfMax = 5L       // rare-shingle anchor: 2 <= df <= 5
-  private val ContainmentMinPm = 500L
+  private[graft] val RareDfMax = 5L       // rare-shingle anchor: 2 <= df <= 5
+  private[graft] val ContainmentMinPm = 500L
 
   /** §8p(de) — asymmetric CONTAINMENT dedup: |A∩B| / min(|A|,|B|) —
     * the quote/subsumption detector Jaccard is structurally blind to (a
@@ -1350,6 +1350,122 @@ object DedupQueries {
       .where(col("containment_pm") >= ContainmentMinPm)
   }
 
+  /** §8v(dw) r11 — batch-vs-archive CONTAINMENT (the [[containment]]
+    * blocker under [[incrementalDedup]]'s split): new-batch documents
+    * (md5-bucket ≥ 80) score against the already-ingested archive
+    * (bucket < 80) through the archive's RARE-shingle inverted index —
+    * shingles with 1 ≤ archive-df ≤ [[RareDfMax]] (df = 1 anchors are
+    * kept here, unlike the batch query's df ≥ 2: the arriving document
+    * IS the second occurrence; the df cap is still the whale guard).
+    * Candidate and verify cost are proportional to the batch, never the
+    * archive; archive-internal pairs never form. The scoring body is
+    * [[graft.streaming.DocStreams.incrementalContainment]] — shared
+    * verbatim by the foreachBatch streaming twin and the bucketed-catalog
+    * serving path ([[containmentFromCatalog]]), so all three produce the
+    * identical row set (per-pair verdicts depend only on the pair's two
+    * documents — any micro-batch split replays bit-equal). */
+  def containmentIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val docs = t.documents.select(col("doc_id"), col("text"), (bucket < 80).as("in_index"))
+    val arch = docs.where(col("in_index"))
+    val archSh = Cached.track(arch
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), explode_outer(array_distinct(col("s"))).as("shingle"))
+      .where(col("shingle").isNotNull)
+      .persist())
+    val rare = archSh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 1 && col("df") <= RareDfMax)
+      .select("shingle")
+    val rareOcc = archSh.join(rare, Seq("shingle"))
+    val archSets = arch
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
+    val batch = docs.where(!col("in_index")).select("doc_id", "text")
+    graft.streaming.DocStreams.incrementalContainment(batch, rareOcc, archSets)
+  }
+
+  /** §8v(dw) — the archive half persisted as BUCKETED catalog tables (the
+    * [[persistDedupIndexBucketed]] economics for the containment family):
+    * the rare-shingle occurrence list bucketed+sorted on the candidate
+    * join's key (shingle), the archive shingle sets on doc_id. Every
+    * later cycle — [[containmentFromCatalog]] or the foreachBatch twin —
+    * shuffles only the arriving batch; the archive-sized index reads
+    * straight from its buckets. */
+  def persistContainmentIndexBucketed(spark: SparkSession, dir: String,
+                                      path: String, buckets: Int = 8,
+                                      prefix: String = "containment_idx"): Unit = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val arch = Tables(dir).documents.where(bucket < 80)
+    val archSh = arch
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), explode_outer(array_distinct(col("s"))).as("shingle"))
+      .where(col("shingle").isNotNull)
+    val rare = archSh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 1 && col("df") <= RareDfMax)
+      .select("shingle")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_rare")
+    archSh.join(rare, Seq("shingle")).select("shingle", "doc_id")
+      .write.format("parquet")
+      .bucketBy(buckets, "shingle").sortBy("shingle")
+      .option("path", s"$path/rare").saveAsTable(s"${prefix}_rare")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_sets")
+    arch.withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
+      .write.format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$path/sets").saveAsTable(s"${prefix}_sets")
+  }
+
+  /** Incremental containment served from the bucketed catalog — same
+    * scorer as the registered query and the streaming twin; only the
+    * index frames' provenance differs. */
+  def containmentFromCatalog(spark: SparkSession, dir: String,
+                             prefix: String = "containment_idx"): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val batch = Tables(dir).documents.where(bucket >= 80).select(col("doc_id"), col("text"))
+    graft.streaming.DocStreams.incrementalContainment(batch,
+      spark.table(s"${prefix}_rare"), spark.table(s"${prefix}_sets"))
+  }
+
+  private def containmentIncrementalSql =
+    s"""WITH ws AS (SELECT doc_id, ${graft.functions.DuckSql.wordsOf("text")} AS w FROM documents),
+       |shl AS (SELECT doc_id, CASE WHEN LEN(w) >= 3
+       |    THEN list_transform(generate_series(1, LEN(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [array_to_string(w, ' ')] END AS s FROM ws),
+       |bk AS (SELECT doc_id, ${graft.functions.DuckSql.docBucket} AS bucket FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, shingle
+       |       FROM (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM shl)),
+       |arch AS (SELECT s.doc_id, s.shingle FROM sh s JOIN bk USING (doc_id) WHERE bucket < 80),
+       |rare AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM arch GROUP BY 1)
+       |         WHERE df >= 1 AND df <= $RareDfMax),
+       |bocc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN bk USING (doc_id) WHERE bucket >= 80),
+       |cand AS (SELECT DISTINCT b.doc_id AS batch_doc, a.doc_id AS index_doc
+       |         FROM bocc b JOIN rare r ON r.shingle = b.shingle
+       |         JOIN arch a ON a.shingle = b.shingle),
+       |sets AS (SELECT doc_id, list_distinct(s) AS ss FROM shl),
+       |v AS (
+       |  SELECT batch_doc, index_doc,
+       |    CAST(LEN(sa.ss) AS BIGINT) AS n_batch, CAST(LEN(sb.ss) AS BIGINT) AS n_index,
+       |    CAST(LEN(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS n_inter
+       |  FROM cand JOIN sets sa ON sa.doc_id = batch_doc JOIN sets sb ON sb.doc_id = index_doc)
+       |SELECT batch_doc, index_doc, n_batch, n_index, n_inter,
+       |  n_inter * 1000 // LEAST(n_batch, n_index) AS containment_pm,
+       |  n_inter * 1000 // (n_batch + n_index - n_inter) AS jaccard_pm
+       |FROM v
+       |WHERE n_inter * 1000 // LEAST(n_batch, n_index) >= $ContainmentMinPm
+       |ORDER BY batch_doc, index_doc""".stripMargin
+
   private def containmentSql =
     s"""WITH ws AS (SELECT doc_id, ${graft.functions.DuckSql.wordsOf("text")} AS w FROM documents),
        |shl AS (SELECT doc_id, CASE WHEN LEN(w) >= 3
@@ -1378,6 +1494,8 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     "dedup_containment" -> Q(containment _, containmentSql,
       Seq(col("doc_a"), col("doc_b"))),
+    "dedup_containment_incremental" -> Q(containmentIncremental _, containmentIncrementalSql,
+      Seq(col("batch_doc"), col("index_doc"))),
     "dedup_source_similarity" -> Q(sourceSimilarity _, sourceSimilaritySql,
       Seq(col("src_a"), col("src_b"))),
     "dedup_cross_source" -> Q(crossSourceMatrix _, crossSourceMatrixSql,

@@ -417,6 +417,42 @@ object DocStreams {
         (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
   }
 
+  /** §8v(dw) r11 — streaming/incremental CONTAINMENT scorer, shared by
+    * the registered batch query
+    * ([[graft.operators.DedupQueries.containmentIncremental]]), the
+    * bucketed-catalog serving path, and the foreachBatch twin: arriving
+    * documents (doc_id, text) score against the archive's persisted
+    * rare-shingle occurrence list (candidate blocker — 1 ≤ archive-df ≤
+    * RareDfMax bounds pair pressure; the arriving doc is the second
+    * occurrence a df=1 anchor needs) and the archive's shingle-set table
+    * (exact |A∩B| / min verify). Cost per cycle ∝ the batch: the
+    * archive-sized frames are joined, never rebuilt; per-pair verdicts
+    * depend only on the pair's two documents, so any micro-batch split
+    * replays to the identical row set. */
+  def incrementalContainment(stream: DataFrame, rareOcc: DataFrame,
+                             indexSets: DataFrame): DataFrame = {
+    val bsh = stream
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
+    val bocc = bsh
+      .select(col("doc_id").as("batch_doc"), explode_outer(col("ss")).as("shingle"))
+      .where(col("shingle").isNotNull)
+    val cand = bocc
+      .join(rareOcc.select(col("shingle"), col("doc_id").as("index_doc")), Seq("shingle"))
+      .select("batch_doc", "index_doc").dropDuplicates("batch_doc", "index_doc")
+    cand
+      .join(bsh.select(col("doc_id").as("batch_doc"), col("ss").as("ss_a")), Seq("batch_doc"))
+      .join(indexSets.select(col("doc_id").as("index_doc"), col("ss").as("ss_b")), Seq("index_doc"))
+      .select(col("batch_doc"), col("index_doc"),
+        size(col("ss_a")).cast("long").as("n_batch"),
+        size(col("ss_b")).cast("long").as("n_index"),
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("long").as("n_inter"))
+      .withColumn("containment_pm", expr("n_inter * 1000 div least(n_batch, n_index)"))
+      .withColumn("jaccard_pm", expr("n_inter * 1000 div (n_batch + n_index - n_inter)"))
+      .where(col("containment_pm") >= graft.operators.DedupQueries.ContainmentMinPm)
+  }
+
   def incrementalDedup(stream: DataFrame, indexSigs: DataFrame,
                        indexShingles: DataFrame): DataFrame = {
     val sh = stream

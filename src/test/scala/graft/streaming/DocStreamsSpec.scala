@@ -225,6 +225,32 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming incremental containment against the persisted rare-shingle catalog matches the batch twin") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    graft.plans.VectorExpressions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft-cont-stream").toString
+    graft.operators.DedupQueries.persistContainmentIndexBucketed(
+      spark, TestSpark.Sf0001, path, buckets = 4, prefix = "cont_stream_idx")
+    val rare = spark.table("cont_stream_idx_rare")
+    val sets = spark.table("cont_stream_idx_sets")
+
+    val bucket = graft.plans.VectorExpressions
+      .hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val batchDocs = Tables(TestSpark.Sf0001).documents.where(bucket >= 80)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => Doc(r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(batchDocs.nonEmpty)
+
+    // replay in micro-batches: per-pair verdicts depend only on the
+    // pair's two docs, so the union must be bit-equal to the batch query
+    val got = runStream("s_inccont", batchDocs.grouped(35).toSeq)(
+      df => DocStreams.incrementalContainment(df, rare, sets))
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.DedupQueries.queries("dedup_containment_incremental")
+      .fn(spark, TestSpark.Sf0001).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming token-budget gate admits exactly the batch prefix, chunked arrivals") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     // feed in the SAME md5-stable order the batch query uses
