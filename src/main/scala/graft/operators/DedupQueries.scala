@@ -1285,6 +1285,80 @@ object DedupQueries {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  // ------------------------------------------- source trend (r11, #8a)
+
+  /** Ingest-batch vintages for the trend audit: the md5 doc bucket
+    * (0–99) folded into [[TrendVintages]] consecutive arrival windows —
+    * a deterministic stand-in for ingest timestamps that both engines
+    * derive identically. */
+  private val TrendVintages = 4L
+
+  /** §8v(dy) r11 — per-source duplication TREND across ingest vintages
+    * (the URL-less domain-governance proxy): for each (source, lang,
+    * vintage) cell, what share of the cell's distinct shingles was
+    * already landed by ANY source in an EARLIER vintage. A healthy fresh
+    * source holds a low, flat seen-share; a source that starts recycling
+    * the archive (or re-crawling itself) trends up — the early-warning
+    * read BEFORE whole-document hashes collide, per source, over time.
+    * seen = first-occurrence vintage < own vintage, so the whole audit
+    * is ONE shingle-keyed min-aggregate joined back to the cell grain —
+    * no pair stage at all.
+    *
+    * Scale shape: (source, lang, vintage, shingle) distinct (one keyed
+    * shuffle with map-side collapse), one global (shingle → min vintage)
+    * aggregate, one join, one cell rollup. Digests could replace raw
+    * shingles at 100 TB (the md5 column is already there). */
+  def sourceTrend(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    val docs = Tables(dir).documents
+      .withColumn("vintage", (bucket / (lit(100L) / TrendVintages)).cast("long"))
+    val cells = docs.groupBy("source", "lang", "vintage")
+      .agg(count(lit(1)).as("n_docs"))
+    val sh = Cached.track(docs
+      .withColumn("w", words(col("text")))
+      .withColumn("s", shingles("w"))
+      .select(col("source"), col("lang"), col("vintage"),
+        explode_outer(array_distinct(col("s"))).as("shingle"))
+      .where(col("shingle").isNotNull)
+      .distinct()
+      .persist())
+    val firstV = sh.groupBy("shingle").agg(min(col("vintage")).as("fv"))
+    val rolled = sh.join(firstV, Seq("shingle"))
+      .groupBy("source", "lang", "vintage")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fv") < col("vintage"), 1L).otherwise(0L)).as("n_seen"))
+    cells.join(rolled, Seq("source", "lang", "vintage"), "left")
+      .select(col("source"), col("lang"), col("vintage"), col("n_docs"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("seen_pm", expr("n_seen * 1000 div greatest(n_shingles, 1)"))
+  }
+
+  private def sourceTrendSql =
+    s"""WITH bk AS (SELECT doc_id, CAST((${graft.functions.DuckSql.docBucket}) // (100 // $TrendVintages) AS BIGINT) AS vintage
+       |           FROM documents),
+       |docs AS (SELECT d.doc_id, d.source, d.lang, d.text, bk.vintage
+       |         FROM documents d JOIN bk USING (doc_id)),
+       |cells AS (SELECT source, lang, vintage, COUNT(*) AS n_docs FROM docs GROUP BY 1, 2, 3),
+       |ws AS (SELECT source, lang, vintage, ${graft.functions.DuckSql.wordsOf("text")} AS w FROM docs),
+       |shl AS (SELECT source, lang, vintage, CASE WHEN LEN(w) >= 3
+       |    THEN list_transform(generate_series(1, LEN(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [array_to_string(w, ' ')] END AS s FROM ws),
+       |sh AS (SELECT DISTINCT source, lang, vintage, shingle
+       |       FROM (SELECT source, lang, vintage, unnest(list_distinct(s)) AS shingle FROM shl)),
+       |fv AS (SELECT shingle, MIN(vintage) AS fv FROM sh GROUP BY 1),
+       |rolled AS (
+       |  SELECT source, lang, vintage, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN fv < vintage THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+       |  FROM sh JOIN fv USING (shingle) GROUP BY 1, 2, 3)
+       |SELECT c.source, c.lang, c.vintage, c.n_docs,
+       |  COALESCE(n_shingles, 0) AS n_shingles, COALESCE(n_seen, 0) AS n_seen,
+       |  COALESCE(n_seen, 0) * 1000 // GREATEST(COALESCE(n_shingles, 0), 1) AS seen_pm
+       |FROM cells c LEFT JOIN rolled USING (source, lang, vintage)
+       |ORDER BY source, lang, vintage""".stripMargin
+
   // --------------------------------------------------- containment
 
   private[graft] val RareDfMax = 5L       // rare-shingle anchor: 2 <= df <= 5
@@ -1496,6 +1570,8 @@ object DedupQueries {
       Seq(col("doc_a"), col("doc_b"))),
     "dedup_containment_incremental" -> Q(containmentIncremental _, containmentIncrementalSql,
       Seq(col("batch_doc"), col("index_doc"))),
+    "dedup_source_trend" -> Q(sourceTrend _, sourceTrendSql,
+      Seq(col("source"), col("lang"), col("vintage"))),
     "dedup_source_similarity" -> Q(sourceSimilarity _, sourceSimilaritySql,
       Seq(col("src_a"), col("src_b"))),
     "dedup_cross_source" -> Q(crossSourceMatrix _, crossSourceMatrixSql,
