@@ -490,6 +490,106 @@ object AnnQueries {
        |ORDER BY cluster""".stripMargin
   }
 
+  /** §8k(bq²) r11 — IVF top-k END-TO-END through the two-level tower:
+    * the complete retrieval path a beyond-[[CentroidCap]] deployment
+    * runs, on the SCALED tower (k = scaledK ∝ corpus, k1 = ⌈√k⌉ — the
+    * production geometry, forced through the two-level route so it is
+    * oracled at every verification scale; at the sf floors k = 8 →
+    * k1 = 3 groups of 3). Corpus vectors land in their two-level cell
+    * ([[assignNearest]] with routeAt = 1); probes NAVIGATE the same way
+    * a two-level quantizer serves: nearest group representative first,
+    * then the [[NProbeBuckets]] best fine cells WITHIN that group
+    * (2√k + nprobe work per probe — the probe never sees the other
+    * groups' cells, which is exactly the quantizer's approximation and
+    * why [[twoLevelAssign]]'s agreement table is the go/no-go read).
+    * Scoring, tie rules, and the bounded-heap top-k are [[ivfTopK]]'s.
+    *
+    * Scale shape: identical to `ann_ivf_topk` — two map-side kernel
+    * stages, broadcast exploded probes, one cluster-keyed join, TopK
+    * exec, occupancy pinned by k ∝ corpus; only the assignment
+    * arithmetic differs (√k-branched kernels instead of one k-wide
+    * kernel). An earlier FIXED-k toy form measured 9.9 s / 9.5× at sf1
+    * (fixed k ⇒ per-probe candidates ∝ corpus — the quadratic class
+    * the scaled rule exists to avoid); this form is the scaled one. */
+  def twoLevelTopK(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = centroids(spark, t).toSeq.map(_._2) // the SCALED tower: k ∝ corpus
+    val k = cents.length
+    val (perGroup, nGroups) = twoLevelGeometry(k)
+    val reps = (0 until nGroups).map(g => cents(g * perGroup))
+    val corpus = assignNearest(t.embeddings, cents, routeAt = 1)
+      .withColumn("c_norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("c_norm"))
+    // probe navigation: group pick + the nprobe best fine cells inside
+    // the matched group, in one generated pass (the TwoLevelProbe kernel
+    // — same rejection story as the assignment CASE chain)
+    val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+      .withColumn("top_c",
+        VectorExpressions.twoLevelProbeCol(col("embedding"), cents, perGroup, NProbeBuckets))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        explode(col("top_c")).as("cluster"))
+      .withColumn("p_norm", sqrt(VectorExpressions.dot(col("p_emb"), col("p_emb"))))
+    val scored = corpus.join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"))
+    TopK.perKeyExec(scored, "probe_id", "cos", "vec_id", TopKK)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  private def twoLevelTopKSql = {
+    // runtime geometry, same integer arithmetic as twoLevelGeometry:
+    // k from the scaled rule, k1 = ceil(sqrt(k)) (IEEE sqrt of a small
+    // int is correctly rounded in both engines; exact on perfect
+    // squares), pg = (k + k1 - 1) // k1
+    s"""WITH geo AS (
+       |  SELECT k, (k + CAST(CEIL(SQRT(k)) AS BIGINT) - 1) // CAST(CEIL(SQRT(k)) AS BIGINT) AS pg
+       |  FROM (SELECT ${scaledKSql} AS k FROM embeddings)),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT k FROM geo)),
+       |reps AS (SELECT cid // (SELECT pg FROM geo) AS grp, c FROM cents
+       |         WHERE cid % (SELECT pg FROM geo) = 0),
+       |acc AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |gpick AS (
+       |  SELECT vec_id, grp FROM (
+       |    SELECT e.vec_id, r.grp,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosChainDuck("e.embedding", "r.c")} DESC, r.grp) AS rn
+       |    FROM embeddings e CROSS JOIN reps r) x WHERE rn = 1),
+       |corpus AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT a.vec_id, a.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY a.ccos DESC, a.cid) AS rn
+       |    FROM acc a JOIN gpick g
+       |      ON g.vec_id = a.vec_id AND a.cid // (SELECT pg FROM geo) = g.grp) x WHERE rn = 1),
+       |probe_assign AS (
+       |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+       |    SELECT a.vec_id, a.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY a.ccos DESC, a.cid) AS rn
+       |    FROM acc a JOIN gpick g
+       |      ON g.vec_id = a.vec_id AND a.cid // (SELECT pg FROM geo) = g.grp
+       |    WHERE a.vec_id % $ProbeMod = 0) x WHERE rn <= $NProbeBuckets),
+       |scored AS (
+       |  SELECT probe_id, e.vec_id, ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM probe_assign pa
+       |  JOIN corpus cl ON cl.cluster = pa.cluster
+       |  JOIN embeddings e ON e.vec_id = cl.vec_id
+       |  JOIN embeddings p ON p.vec_id = pa.probe_id
+       |  WHERE e.vec_id <> pa.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   // ------------------------------------------- cross-modal bridge (r10)
 
   /** Deterministic modality tag over vec_id — the `mm_binary_meta` fmt
@@ -1057,39 +1157,30 @@ object AnnQueries {
     * pick once (withColumn) so the CASE chain reads a plain attribute
     * and only the matched group's kernel runs per row (codegen CASE
     * short-circuit). */
-  private[operators] def twoLevelParts(cents: Seq[Array[Float]]): (Column, Seq[Column]) = {
-    val k = cents.length
+  /** Shared two-level geometry: (perGroup, nGroups) for a k-cell tower —
+    * k1 = ⌈√k⌉ consecutive blocks of ⌈k/k1⌉ (the same integer arithmetic
+    * the DuckDB twins carry: pg = (k + k1 − 1) // k1). */
+  private[operators] def twoLevelGeometry(k: Int): (Int, Int) = {
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
     val perGroup = math.ceil(k.toDouble / k1).toInt
-    val nGroups = (k + perGroup - 1) / perGroup
-    val reps = (0 until nGroups).map(g => cents(g * perGroup))
-    val repCos = VectorExpressions.centroidCosines(col("embedding"), reps)
-    val gCol = (array_position(repCos, array_max(repCos)) - 1).cast("int")
-    val fines = (0 until nGroups).map { grp =>
-      val lo = grp * perGroup
-      val cc = VectorExpressions.centroidCosines(col("embedding"),
-        cents.slice(lo, math.min(lo + perGroup, k)))
-      (array_position(cc, array_max(cc)) - 1).cast("int") + lit(lo)
-    }
-    (gCol, fines)
+    (perGroup, (k + perGroup - 1) / perGroup)
   }
+
 
   /** ROUTED coarse assignment — the family's single entry point for
     * "add a `cluster` column": flat kernel argmax below [[TwoLevelRouteK]]
     * (bit-identical to the pre-r11 form), the two-level navigation at or
-    * above it. DataFrame-shaped so the group pick is materialized once
-    * per row before the per-group CASE. `routeAt` is a test seam;
-    * production callers take the default. */
+    * above it via the single-pass [[VectorExpressions.twoLevelAssignCol]]
+    * kernel (a composed per-group CASE form was measured and rejected:
+    * projection collapse re-derives the rep kernel per tested branch —
+    * 11 s vs sub-second for one sf1 assignment pass; TwoLevelRouteSpec
+    * pins the kernel's bit-equality to the composed form). `routeAt` is
+    * a test seam; production callers take the default. */
   private[operators] def assignNearest(df: DataFrame, cents: Seq[Array[Float]],
       out: String = "cluster", routeAt: Int = TwoLevelRouteK): DataFrame =
     if (cents.length < routeAt) df.withColumn(out, nearestCluster(cents))
-    else {
-      val (gCol, fines) = twoLevelParts(cents)
-      val two = fines.zipWithIndex.tail.foldLeft(fines.head) {
-        case (acc, (c, grp)) => when(col("_graft_g") === grp, c).otherwise(acc)
-      }
-      df.withColumn("_graft_g", gCol).withColumn(out, two).drop("_graft_g")
-    }
+    else df.withColumn(out, VectorExpressions.twoLevelAssignCol(
+      col("embedding"), cents, twoLevelGeometry(cents.length)._1))
 
   /** The nprobe nearest clusters (cos desc, centroid id asc) as a
     * struct array off ONE kernel evaluation — transform-with-index so
@@ -2885,6 +2976,8 @@ object AnnQueries {
       Seq(col("probe_id"), col("rank"))),
     "mm_pair_integrity" -> Q(pairIntegrity _, pairIntegritySql, Seq(col("modality"))),
     "ann_twolevel_assign" -> Q(twoLevelAssign _, twoLevelSql, Seq(col("cluster"))),
+    "ann_ivf_topk_twolevel" -> Q(twoLevelTopK _, twoLevelTopKSql,
+      Seq(col("probe_id"), col("rank"))),
     "ann_ivf_range" -> Q(ivfRangeSearch _, ivfRangeSql,
       Seq(col("probe_id"), col("cos").desc, col("vec_id"))),
     "ann_cluster_medoids" -> Q(clusterMedoids _, clusterMedoidsSql, Seq(col("cluster"))),
