@@ -516,28 +516,38 @@ object AnnQueries {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
     val cents = centroids(spark, t).toSeq.map(_._2) // the SCALED tower: k ∝ corpus
-    val k = cents.length
-    val (perGroup, nGroups) = twoLevelGeometry(k)
-    val reps = (0 until nGroups).map(g => cents(g * perGroup))
-    val corpus = assignNearest(t.embeddings, cents, routeAt = 1)
+    val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val scored = twoLevelCandidateFrame(probes, t.embeddings, cents, broadcastProbes = true)
+    TopK.perKeyExec(scored, "probe_id", "cos", "vec_id", TopKK)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** The two-level candidate frame shared by the batch query and the
+    * streaming twin ([[graft.streaming.AnnStream.twoLevelTopK]]) — both
+    * score the IDENTICAL (probe, candidate, cos) set. Corpus assignment
+    * and probe navigation run on the single-pass kernels
+    * ([[VectorExpressions.twoLevelAssignCol]]/[[VectorExpressions.twoLevelProbeCol]]);
+    * `probeFrame` needs (probe_id, embedding). */
+  private[graft] def twoLevelCandidateFrame(probeFrame: DataFrame, corpus: DataFrame,
+      cents: Seq[Array[Float]], broadcastProbes: Boolean): DataFrame = {
+    val (perGroup, _) = twoLevelGeometry(cents.length)
+    val side = corpus
+      .withColumn("cluster",
+        VectorExpressions.twoLevelAssignCol(col("embedding"), cents, perGroup))
       .withColumn("c_norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("cluster"), col("c_norm"))
-    // probe navigation: group pick + the nprobe best fine cells inside
-    // the matched group, in one generated pass (the TwoLevelProbe kernel
-    // — same rejection story as the assignment CASE chain)
-    val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+    val p0 = probeFrame
       .withColumn("top_c",
         VectorExpressions.twoLevelProbeCol(col("embedding"), cents, perGroup, NProbeBuckets))
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        explode(col("top_c")).as("cluster"))
+      .select(col("probe_id"), col("embedding").as("p_emb"), explode(col("top_c")).as("cluster"))
       .withColumn("p_norm", sqrt(VectorExpressions.dot(col("p_emb"), col("p_emb"))))
-    val scored = corpus.join(broadcast(probes), Seq("cluster"))
+    val pj = if (broadcastProbes) broadcast(p0) else p0
+    side.join(pj, Seq("cluster"))
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         round(VectorExpressions.dot(col("embedding"), col("p_emb"))
           / (col("c_norm") * col("p_norm")), 6).as("cos"))
-    TopK.perKeyExec(scored, "probe_id", "cos", "vec_id", TopKK)
-      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
   private def twoLevelTopKSql = {

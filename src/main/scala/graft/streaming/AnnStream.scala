@@ -139,6 +139,24 @@ object AnnStream {
     topKPerProbe(cands, k)
   }
 
+  /** r11 — streaming twin of `ann_ivf_topk_twolevel`: arriving probes
+    * navigate the STATIC archive through the beyond-cap two-level tower
+    * (the single-pass `graft_twolevel_assign`/`_probe` kernels; only the
+    * bounded centroid recipe is embedded in the plan) via a
+    * stream-static join on the probed cells. Candidate expressions are
+    * shared verbatim with the batch query
+    * ([[AnnQueries.twoLevelCandidateFrame]]), so streamed hits are
+    * row-identical to their batch twins — the spec pins it. */
+  def twoLevelTopK(probes: Dataset[Probe], corpus: DataFrame,
+                   cents: Seq[Array[Float]], k: Int): Dataset[Hit] = {
+    val spark = probes.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val cands = AnnQueries.twoLevelCandidateFrame(
+      probes.toDF(), corpus, cents, broadcastProbes = false).as[Scored]
+    topKPerProbe(cands, k)
+  }
+
   /** Per-probe ranked top-k over scored candidates — the streaming
     * counterpart of [[graft.operators.TopK.perKeyExec]], same bounded
     * heap, same (score DESC, vec_id ASC) ranking. */

@@ -130,6 +130,28 @@ class AnnStreamSpec extends AnyFunSuite {
     assert(got == want && got.size == 20)
   }
 
+  test("streamed twoLevelTopK matches batch ann_ivf_topk_twolevel row-for-row, chunked arrivals") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = TestSpark.Sf0001
+    val emb = graft.sources.Tables(dir).embeddings
+    val cents = AnnQueries.seedCentroids(spark, dir)
+
+    val mem = MemoryStream[Probe](spark)
+    val q = AnnStream.twoLevelTopK(mem.toDS(), emb, cents, k = 5)
+      .toDF().writeStream.format("memory").queryName("s_ann_twolevel").outputMode("append").start()
+    try {
+      probeSeq.grouped(4).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.table("s_ann_twolevel")
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = AnnQueries.queries("ann_ivf_topk_twolevel").fn(spark, dir)
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streamed crossModalTopK matches batch mm_ann_crossmodal row-for-row") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val dir = TestSpark.Sf0001
