@@ -117,6 +117,9 @@ object Bench {
       // flat threshold scan (r09; deployment twin: ann_ivf_range — the
       // same threshold through the bucket-pruned index)
       "dedup_embedding_cosine",
+      // r11: stage 1 is a P×C prefix-cosine scan by construction (quarter
+      // flops, not sub-linear; composes with IVF pruning for that)
+      "ann_matryoshka_refine",
       // train-inside-the-query PQ demonstrations (deployment twin: *_served)
       "ann_ivfpq", "ann_ivfpq_trained", "ann_pq_trained")
     // a renamed query must not silently fold back into the deployment tier

@@ -79,9 +79,16 @@ object AnnQueries {
   /** Left-associative explicit cosine chain — evaluation-order-identical to
     * [[graft.plans.CosineSim]]'s sequential loop, so both engines produce
     * bit-identical doubles. */
-  private[operators] def cosChainDuck(a: String, b: String): String = {
+  private[operators] def cosChainDuck(a: String, b: String): String =
+    cosChainDuckN(a, b, Dim)
+
+  /** [[cosChainDuck]] over the first `n` components only (the Matryoshka
+    * prefix-dim audits truncate the SAME left-associative chain, so the
+    * prefix cosine is bit-identical to [[graft.plans.DotProduct]] over a
+    * `slice(embedding, 1, n)`). */
+  private[operators] def cosChainDuckN(a: String, b: String, n: Int): String = {
     def dot(x: String, y: String) =
-      (1 to Dim).map(i => s"CAST($x[$i] AS DOUBLE) * CAST($y[$i] AS DOUBLE)").mkString("(", " + ", ")")
+      (1 to n).map(i => s"CAST($x[$i] AS DOUBLE) * CAST($y[$i] AS DOUBLE)").mkString("(", " + ", ")")
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
@@ -2954,6 +2961,183 @@ object AnnQueries {
        |FROM agg a JOIN labs l USING (label) CROSS JOIN gn
        |ORDER BY a.label""".stripMargin
 
+  // ------------------------------------------- Matryoshka prefix dims
+
+  /** Matryoshka prefix lengths audited: quarter and half of [[Dim]].
+    * MRL-trained embedding stacks (Kusupati et al., NeurIPS 2022) order
+    * information so a PREFIX of the vector is itself a usable embedding;
+    * serving at d/4 cuts the score-stage flops and — with the prefix
+    * materialized as its own column — the scan bytes 4×. These audits
+    * quantify what that truncation costs on THIS corpus before anyone
+    * flips the serving tier to it. */
+  private val MrlDims: Seq[Int] = Seq(Dim / 4, Dim / 2)
+
+  /** Stage-1 candidate pool of the truncate-then-refine pipeline:
+    * 4·k prefix-dim candidates per probe, re-ranked exactly. */
+  private val MrlCandK = 4 * TopKK
+
+  /** Shared scored frame: ONE probes×corpus pass computing the full-dim
+    * cosine and every [[MrlDims]] prefix cosine on the same row (the
+    * prefix self-norms are precomputed per side before the join, so the
+    * pair stage is one [[graft.plans.DotProduct]] per d). */
+  private def mrlScored(t: Tables)(implicit spark: SparkSession): DataFrame = {
+    def withNorms(df: DataFrame, vec: String, pfx: String): DataFrame =
+      MrlDims.foldLeft(
+        df.withColumn(s"${pfx}n$Dim", sqrt(VectorExpressions.dot(col(vec), col(vec))))) {
+        case (d, n) =>
+          d.withColumn(s"${pfx}n$n",
+            sqrt(VectorExpressions.dot(slice(col(vec), 1, n), slice(col(vec), 1, n))))
+      }
+    val corpus = withNorms(t.embeddings.select(col("vec_id"), col("embedding")), "embedding", "c")
+    val probes = withNorms(
+      auditRestrict(t.embeddings.where(col("vec_id") % ProbeMod === 0))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")), "p_emb", "p")
+    def cosAt(n: Int): Column = {
+      val (e, p) =
+        if (n == Dim) (col("embedding"), col("p_emb"))
+        else (slice(col("embedding"), 1, n), slice(col("p_emb"), 1, n))
+      round(VectorExpressions.dot(e, p) / (col(s"cn$n") * col(s"pn$n")), 6)
+    }
+    corpus.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id") +: col("vec_id") +:
+        (MrlDims :+ Dim).map(n => cosAt(n).as(s"cos_$n")): _*)
+  }
+
+  /** §8w(ea) — Matryoshka truncation audit: recall@k of the prefix-dim
+    * exact top-k against the full-dim exact top-k, per probe and prefix
+    * length. The go/no-go read before serving truncated vectors: a d/4
+    * row at recall_pm ≥ 950 says the 4× cheaper tier loses <5% of true
+    * neighbors. Fixed [[AuditProbeBudget]] probe draw on both sides, so
+    * the audit costs budget × corpus (linear) at any scale; the three
+    * rankings share ONE persisted scored frame (one pair pass, not
+    * three). */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val scored = Cached.track(mrlScored(Tables(dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val truth = TopK.perKeyExec(
+        scored.select(col("probe_id"), col("vec_id"), col(s"cos_$Dim").as("cos")),
+        "probe_id", "cos", "vec_id", TopKK)
+      .select("probe_id", "vec_id")
+    MrlDims.map { d =>
+      val pfx = TopK.perKeyExec(
+          scored.select(col("probe_id"), col("vec_id"), col(s"cos_$d").as("cos")),
+          "probe_id", "cos", "vec_id", TopKK)
+        .select("probe_id", "vec_id")
+      val overlap = truth.join(pfx, Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+      truth.select("probe_id").distinct()
+        .join(overlap, Seq("probe_id"), "left")
+        .select(lit(d).as("d"), col("probe_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .withColumn("recall_pm", expr(s"n_overlap * 1000 div $TopKK"))
+    }.reduce(_.union(_))
+  }
+
+  private def mrlScoredSql: String =
+    s"""probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p
+       |  FROM embeddings JOIN audit_ids USING (vec_id)),
+       |scored AS (
+       |  SELECT probe_id, e.vec_id,
+       |    ${(MrlDims :+ Dim).map(n =>
+             s"ROUND(${cosChainDuckN("e.embedding", "p", n)}, 6) AS cos_$n").mkString(",\n    ")}
+       |  FROM embeddings e CROSS JOIN probes WHERE e.vec_id <> probe_id)""".stripMargin
+
+  private def mrlRecallSql = {
+    def topk(scoreCol: String, name: String) =
+      s"""$name AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY $scoreCol DESC, vec_id) AS rn
+         |    FROM scored) x WHERE rn <= $TopKK)""".stripMargin
+    val arms = MrlDims.map { d =>
+      s"""SELECT $d AS d, p.probe_id, COALESCE(ov.n, 0) AS n_overlap,
+         |  COALESCE(ov.n, 0) * 1000 // $TopKK AS recall_pm
+         |FROM (SELECT DISTINCT probe_id FROM tr) p
+         |LEFT JOIN (SELECT probe_id, COUNT(*) AS n
+         |           FROM tr JOIN p$d USING (probe_id, vec_id) GROUP BY 1) ov
+         |USING (probe_id)""".stripMargin
+    }
+    s"""WITH $auditIdsCte,
+       |${mrlScoredSql},
+       |${topk(s"cos_$Dim", "tr")},
+       |${MrlDims.map(d => topk(s"cos_$d", s"p$d")).mkString(",\n")}
+       |${arms.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY d, probe_id""".stripMargin
+  }
+
+  /** §8w(eb) — truncate-then-refine retrieval (the MRL "adaptive
+    * retrieval" deployment shape): stage 1 ranks the corpus by the d/4
+    * PREFIX cosine and keeps [[MrlCandK]] candidates per probe; stage 2
+    * re-scores ONLY those candidates at full dimension and returns the
+    * exact-rank top-k. Stage 1 is the only corpus-width pass and runs at
+    * a quarter of the flops (and, with the prefix stored as its own
+    * column/table, a quarter of the scan bytes); stage 2 touches
+    * candidates × k rows. The full %-mod probe set — probe-proportional
+    * work is the deployment semantics, as with the IVF family. */
+  def matryoshkaRefine(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val d = Dim / 4
+    val corpus = t.embeddings
+      .select(col("vec_id"), slice(col("embedding"), 1, d).as("e_pfx"))
+      .withColumn("cn", sqrt(VectorExpressions.dot(col("e_pfx"), col("e_pfx"))))
+    val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"),
+        slice(col("embedding"), 1, d).as("p_pfx"))
+      .withColumn("pn", sqrt(VectorExpressions.dot(col("p_pfx"), col("p_pfx"))))
+    val stage1 = TopK.perKeyExec(
+      corpus.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(VectorExpressions.dot(col("e_pfx"), col("p_pfx"))
+            / (col("cn") * col("pn")), 6).as("cos")),
+      "probe_id", "cos", "vec_id", MrlCandK)
+    val full = t.embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("fn"))
+    val pfull = t.embeddings.select(col("vec_id").as("probe_id"),
+      col("embedding").as("p_emb"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("pfn"))
+    TopK.perKeyExec(
+      stage1.select("probe_id", "vec_id")
+        .join(full, Seq("vec_id"))
+        .join(broadcast(pfull), Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+            / (col("fn") * col("pfn")), 6).as("cos")),
+      "probe_id", "cos", "vec_id", TopKK)
+  }
+
+  private def mrlRefineSql = {
+    val d = Dim / 4
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p FROM embeddings
+       |  WHERE vec_id % $ProbeMod = 0),
+       |stage1 AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY ROUND(${cosChainDuckN("e.embedding", "p", d)}, 6) DESC, e.vec_id) AS rn
+       |    FROM embeddings e CROSS JOIN probes WHERE e.vec_id <> probe_id) x
+       |  WHERE rn <= $MrlCandK),
+       |refined AS (
+       |  SELECT s.probe_id, s.vec_id,
+       |    ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM stage1 s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings p ON p.vec_id = s.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM refined)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_sq_topk" -> Q(sqTopK _, sqSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_sq_topk" -> Q(ivfSqTopK _, ivfSqSql, Seq(col("probe_id"), col("rank"))),
@@ -2995,5 +3179,9 @@ object AnnQueries {
     "ann_rank_overlap" -> Q(rankOverlap _, rankOverlapSql, Seq(col("probe_id"))),
     "ann_ivf_refined" -> Q(ivfRefinedTopK _, ivfRefinedSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_refined2" -> Q(ivfRefined2TopK _, ivfRefined2Sql, Seq(col("probe_id"), col("rank"))),
+    "ann_matryoshka_recall" -> Q(matryoshkaRecall _, mrlRecallSql,
+      Seq(col("d"), col("probe_id"))),
+    "ann_matryoshka_refine" -> Q(matryoshkaRefine _, mrlRefineSql,
+      Seq(col("probe_id"), col("rank"))),
   )
 }

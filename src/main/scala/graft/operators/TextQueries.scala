@@ -433,6 +433,82 @@ object TextQueries {
        |FROM grid GROUP BY 1, 2
        |ORDER BY lang, len_bucket""".stripMargin
 
+  // ------------------------------------------ differentially-private release
+
+  /** Release epoch salt: rotating it re-draws every cell's noise (a real
+    * release pipeline rotates per publication; the privacy accounting is
+    * per-epoch). */
+  private val DpSalt = "graft-dp-v1:"
+
+  /** Stability-style publication threshold on the NOISY count (thresholding
+    * on the true count would itself leak; thresholding the noisy count is
+    * the standard contingency-release shape). */
+  private val DpReleaseMin = 10L
+
+  /** §8x(ec) — ε = ln 2 geometric-mechanism release of the corpus
+    * composition marginal (lang × source — the grain dataset cards
+    * actually publish; the finer len-bucketed grid is the AUDIT grain of
+    * [[kanonAudit]]): each cell's count is perturbed with two-sided
+    * geometric noise — the universally-utility-maximizing mechanism for
+    * counting queries under ε-DP (Ghosh, Roughgarden & Sundararajan,
+    * STOC 2009) — and only cells whose NOISY count clears
+    * [[DpReleaseMin]] are published. The fourth rung of the
+    * release-privacy ladder: k-anonymity flags sparse cohorts,
+    * l-diversity/t-closeness flag leaky ones, this one actually produces
+    * the publishable table.
+    *
+    * The "noise" is a DETERMINISTIC seeded surrogate: two independent
+    * 16-bit fields of the cell key's salted md5 each yield a
+    * leading-1-bits count — 16 fair coin flips, so P(M = m) = 2⁻⁽ᵐ⁺¹⁾,
+    * exactly Geometric(α = ½) — and their DIFFERENCE M₁ − M₂ is the
+    * two-sided geometric (discrete Laplace) with α = e^{−ε} = ½.
+    * Auditable release pipelines need bit-reproducible outputs (and the
+    * oracle needs to replay them); against an adversary without the salt
+    * the distribution is exactly the mechanism's. Pure integer
+    * bit-arithmetic — no transcendentals to diverge between engines.
+    *
+    * Scale shape: one corpus groupBy into the bounded cell table; noise,
+    * threshold and release are map-side over cells. */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    // leading-ones(u16): top m bits all 1 ⇔ u ≥ 2¹⁶ − 2^(16−m)
+    def magCase(u: String) = (16 to 1 by -1)
+      .map(m => s"WHEN $u >= ${65536L - (1L << (16 - m))} THEN ${m}L")
+      .mkString("CASE ", " ", " ELSE 0L END")
+    Tables(dir).documents
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("m", md5(concat(lit(DpSalt), col("lang"), lit("|"), col("source"))))
+      .withColumn("u1", expr("CAST(conv(substring(m, 1, 4), 16, 10) AS BIGINT)"))
+      .withColumn("u2", expr("CAST(conv(substring(m, 5, 4), 16, 10) AS BIGINT)"))
+      .select(col("lang"), col("source"),
+        (col("n_true") + expr(magCase("u1")) - expr(magCase("u2"))).as("n_released"))
+      .where(col("n_released") >= DpReleaseMin)
+  }
+
+  private val dpReleaseSql = {
+    val u1 = DedupQueries.hexToLongDuck("m", 4)
+    val u2 = DedupQueries.hexToLongDuck("substring(m, 5, 4)", 4)
+    def magCase(u: String) = (16 to 1 by -1)
+      .map(m => s"WHEN $u >= ${65536L - (1L << (16 - m))} THEN ${m}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH cells AS (
+       |  SELECT lang, source, COUNT(*) AS n_true
+       |  FROM documents GROUP BY 1, 2),
+       |seeded AS (
+       |  SELECT lang, source, n_true,
+       |    md5('$DpSalt' || lang || '|' || source) AS m
+       |  FROM cells),
+       |noised AS (
+       |  SELECT lang, source, n_true, $u1 AS u1, $u2 AS u2
+       |  FROM seeded)
+       |SELECT lang, source,
+       |  n_true + (${magCase("u1")}) - (${magCase("u2")}) AS n_released
+       |FROM noised
+       |WHERE n_true + (${magCase("u1")}) - (${magCase("u2")}) >= $DpReleaseMin
+       |ORDER BY lang, source""".stripMargin
+  }
+
   private val MaxPhraseLen = 6
   private val breakRe = "[^a-z0-9]"
 
@@ -629,6 +705,8 @@ object TextQueries {
       Seq(col("lang"), col("len_bucket"))),
     "docs_tcloseness_audit" -> Q(tclosenessAudit _, tclosenessAuditSql,
       Seq(col("lang"), col("len_bucket"))),
+    "docs_dp_release" -> Q(dpRelease _, dpReleaseSql,
+      Seq(col("lang"), col("source"))),
     "text_token_stats" -> Q(tokenStats _, tokenStatsSql, Seq(col("doc_id"))),
     "text_quality_score" -> Q(qualityScore _, qualityScoreSql, Seq(col("doc_id"))),
     "text_quality_buckets" -> Q(qualityBuckets _, qualityBucketsSql, Seq(col("doc_id"))),
