@@ -3138,6 +3138,119 @@ object AnnQueries {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------ nprobe tuning curve
+
+  /** Arms of the probe curve (the max is also the single pair pass's
+    * pruning width — smaller arms are rank filters over the same frame). */
+  private val CurveProbes = Seq(1, 2, 4)
+
+  /** §8x(ed) — recall-vs-nprobe TUNING CURVE for the IVF tower: one row
+    * per nprobe arm with the aggregate recall@k against the exact top-k
+    * AND the scanned candidate-pair count — the two axes of the only
+    * tuning decision an IVF deployment has (scan more buckets = linearly
+    * more cost for asymptotically less recall). Reading the curve at
+    * 100 TB decides nprobe BEFORE committing a fleet to it.
+    *
+    * Cost shape: the fixed [[AuditProbeBudget]] hash-rank probe draw on
+    * both sides (truth = budget × corpus, linear); ALL arms share ONE
+    * scored pair pass at the widest pruning (cluster rank ≤ max nprobe,
+    * persisted) — each arm is a rank filter + bounded-heap top-k over
+    * that frame, so the curve costs one arm, not three. */
+  def probeCurve(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = centroids(spark, t).toSeq.map(_._2)
+    val maxP = CurveProbes.max
+    val corpus = assignNearest(t.embeddings, cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val probes = auditRestrict(t.embeddings.where(col("vec_id") % ProbeMod === 0))
+      .withColumn("top_c",
+        slice(reverse(array_sort(transform(
+          VectorExpressions.centroidCosines(col("embedding"), cents),
+          (c, i) => struct(c.as("cos"), (-i).as("nidx"), i.as("idx"))))), 1, maxP))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("p_norm"),
+        posexplode(expr("transform(top_c, x -> x.idx)")).as(Seq("crank0", "cluster")))
+    val scored = Cached.track(corpus
+      .join(broadcast(probes), Seq("cluster"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), (col("crank0") + 1).as("crank"),
+        round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val truth = Cached.track(
+      TopK.perKeyExec(scoredProbes(t, audited = true),
+          "probe_id", "cos", "vec_id", TopKK)
+        .select("probe_id", "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nProbes = truth.agg(countDistinct(col("probe_id")).as("n_probes"))
+    CurveProbes.map { np =>
+      val cand = scored.where(col("crank") <= np)
+      val ivf = TopK.perKeyExec(cand.select("probe_id", "vec_id", "cos"),
+        "probe_id", "cos", "vec_id", TopKK)
+      val overlap = truth.join(ivf.select("probe_id", "vec_id"),
+        Seq("probe_id", "vec_id")).agg(count(lit(1)).as("n_overlap"))
+      val scanned = cand.agg(count(lit(1)).as("scanned_pairs"))
+      nProbes.crossJoin(overlap).crossJoin(scanned)
+        .select(lit(np).as("nprobe"), col("n_probes"), col("scanned_pairs"),
+          expr(s"n_overlap * 1000 div (n_probes * $TopKK)").as("recall_pm"))
+    }.reduce(_.union(_))
+  }
+
+  private def probeCurveSql = {
+    val maxP = CurveProbes.max
+    val arms = CurveProbes.map { np =>
+      s"""SELECT $np AS nprobe,
+         |  (SELECT COUNT(DISTINCT probe_id) FROM tr) AS n_probes,
+         |  (SELECT COUNT(*) FROM scored WHERE crank <= $np) AS scanned_pairs,
+         |  (SELECT COUNT(*) FROM tr JOIN (
+         |      SELECT probe_id, vec_id FROM (
+         |        SELECT probe_id, vec_id,
+         |          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+         |        FROM scored WHERE crank <= $np) x WHERE rn <= $TopKK) iv
+         |    USING (probe_id, vec_id)) * 1000
+         |    // ((SELECT COUNT(DISTINCT probe_id) FROM tr) * $TopKK) AS recall_pm""".stripMargin
+    }
+    s"""WITH $auditIdsCte,
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT ${scaledKSql}
+       |                  FROM embeddings)),
+       |assign AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |cluster AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign) x WHERE rn = 1),
+       |pa AS (
+       |  SELECT vec_id AS probe_id, cid AS cluster, rn AS crank FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM assign JOIN audit_ids USING (vec_id)) x WHERE rn <= $maxP),
+       |scored AS (
+       |  SELECT pa.probe_id, e.vec_id, pa.crank,
+       |    ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) AS cos
+       |  FROM pa
+       |  JOIN cluster cl ON cl.cluster = pa.cluster
+       |  JOIN embeddings e ON e.vec_id = cl.vec_id
+       |  JOIN embeddings p ON p.vec_id = pa.probe_id
+       |  WHERE e.vec_id <> pa.probe_id),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p
+       |  FROM embeddings JOIN audit_ids USING (vec_id)),
+       |tr AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY ROUND(${cosChainDuck("e.embedding", "p")}, 6) DESC, e.vec_id) AS rn
+       |    FROM embeddings e CROSS JOIN probes WHERE e.vec_id <> probe_id) x
+       |  WHERE rn <= $TopKK)
+       |${arms.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_sq_topk" -> Q(sqTopK _, sqSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_sq_topk" -> Q(ivfSqTopK _, ivfSqSql, Seq(col("probe_id"), col("rank"))),
@@ -3183,5 +3296,6 @@ object AnnQueries {
       Seq(col("d"), col("probe_id"))),
     "ann_matryoshka_refine" -> Q(matryoshkaRefine _, mrlRefineSql,
       Seq(col("probe_id"), col("rank"))),
+    "ann_probe_curve" -> Q(probeCurve _, probeCurveSql, Seq(col("nprobe"))),
   )
 }
