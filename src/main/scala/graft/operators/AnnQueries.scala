@@ -2974,7 +2974,30 @@ object AnnQueries {
 
   /** Stage-1 candidate pool of the truncate-then-refine pipeline:
     * 4·k prefix-dim candidates per probe, re-ranked exactly. */
-  private val MrlCandK = 4 * TopKK
+  private[graft] val MrlCandK = 4 * TopKK
+
+  /** Stage-1 prefix-cosine candidate frame shared by [[matryoshkaRefine]]
+    * and the streaming twin ([[graft.streaming.AnnStream.matryoshkaTopK]]):
+    * per (probe, corpus row), the d/4-prefix cosine as `approx`, with the
+    * probe's FULL vector and norm carried along for the stage-2 exact
+    * re-rank (a streamed probe is transient — there is no table to
+    * re-join it from). */
+  private[graft] def mrlCandidateFrame(probes: DataFrame, corpus: DataFrame,
+                                       broadcastProbes: Boolean = true): DataFrame = {
+    val d = Dim / 4
+    val c = corpus.select(col("vec_id"), slice(col("embedding"), 1, d).as("e_pfx"))
+      .withColumn("cn", sqrt(VectorExpressions.dot(col("e_pfx"), col("e_pfx"))))
+    val p0 = probes
+      .select(col("probe_id"), col("embedding").as("p_emb"),
+        slice(col("embedding"), 1, d).as("p_pfx"))
+      .withColumn("pn", sqrt(VectorExpressions.dot(col("p_pfx"), col("p_pfx"))))
+      .withColumn("p_norm", sqrt(VectorExpressions.dot(col("p_emb"), col("p_emb"))))
+    val p = if (broadcastProbes) broadcast(p0) else p0
+    c.join(p, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("p_emb"), col("p_norm"), col("vec_id"),
+        round(VectorExpressions.dot(col("e_pfx"), col("p_pfx"))
+          / (col("cn") * col("pn")), 6).as("approx"))
+  }
 
   /** Shared scored frame: ONE probes×corpus pass computing the full-dim
     * cosine and every [[MrlDims]] prefix cosine on the same row (the
@@ -3082,20 +3105,11 @@ object AnnQueries {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val d = Dim / 4
-    val corpus = t.embeddings
-      .select(col("vec_id"), slice(col("embedding"), 1, d).as("e_pfx"))
-      .withColumn("cn", sqrt(VectorExpressions.dot(col("e_pfx"), col("e_pfx"))))
     val probes = t.embeddings.where(col("vec_id") % ProbeMod === 0)
-      .select(col("vec_id").as("probe_id"),
-        slice(col("embedding"), 1, d).as("p_pfx"))
-      .withColumn("pn", sqrt(VectorExpressions.dot(col("p_pfx"), col("p_pfx"))))
+      .select(col("vec_id").as("probe_id"), col("embedding"))
     val stage1 = TopK.perKeyExec(
-      corpus.crossJoin(broadcast(probes))
-        .where(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"),
-          round(VectorExpressions.dot(col("e_pfx"), col("p_pfx"))
-            / (col("cn") * col("pn")), 6).as("cos")),
+      mrlCandidateFrame(probes, t.embeddings.select(col("vec_id"), col("embedding")))
+        .select(col("probe_id"), col("vec_id"), col("approx").as("cos")),
       "probe_id", "cos", "vec_id", MrlCandK)
     val full = t.embeddings.select(col("vec_id"), col("embedding"),
       sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("fn"))

@@ -157,6 +157,46 @@ object AnnStream {
     topKPerProbe(cands, k)
   }
 
+  /** r11 — streaming twin of `ann_matryoshka_refine` (MRL truncate-then-
+    * refine): arriving probes rank the STATIC corpus by the d/4 PREFIX
+    * cosine (stream-static join; the corpus-width pass runs at a quarter
+    * of the flops, and against a materialized prefix column would read a
+    * quarter of the bytes), a bounded per-probe shortlist of
+    * [[AnnQueries.MrlCandK]] candidates survives, and only those re-rank
+    * at full dimension against the raw embedding table — the
+    * [[servedTopK]] economics with the prefix cosine in place of the ADC
+    * approximation. Candidate expressions are shared verbatim with the
+    * batch query ([[AnnQueries.mrlCandidateFrame]]), so streamed hits
+    * are row-identical to their batch twins — the spec pins it. */
+  def matryoshkaTopK(probes: Dataset[Probe], corpus: DataFrame, k: Int): Dataset[Hit] = {
+    val spark = probes.sparkSession
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val cands = AnnQueries.mrlCandidateFrame(
+      probes.toDF().select(col("probe_id"), col("embedding")), corpus,
+      broadcastProbes = false).as[AdcCand]
+    val short = cands.groupByKey(_.probe_id)
+      .flatMapGroupsWithState[Boolean, ShortCand](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (pid: Long, rows: Iterator[AdcCand], _: GroupState[Boolean]) =>
+          var pEmb: Array[Float] = null
+          var pNorm = 0.0
+          val kept = heapSelect(rows.map { c =>
+            if (pEmb == null) { pEmb = c.p_emb; pNorm = c.p_norm }
+            (c.approx, c.vec_id)
+          }, AnnQueries.MrlCandK)
+          kept.iterator.map { case (_, id) => ShortCand(pid, id, pEmb, pNorm) }
+      }
+    val corpusN = corpus.select(col("vec_id"), col("embedding").as("c_emb"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val exact = short.join(corpusN, Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.dot(col("c_emb"), col("p_emb"))
+          / (col("c_norm") * col("p_norm")), 6).as("cos"))
+      .as[Scored]
+    topKPerProbe(exact, k)
+  }
+
   /** Per-probe ranked top-k over scored candidates — the streaming
     * counterpart of [[graft.operators.TopK.perKeyExec]], same bounded
     * heap, same (score DESC, vec_id ASC) ranking. */

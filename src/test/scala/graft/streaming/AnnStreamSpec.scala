@@ -152,6 +152,27 @@ class AnnStreamSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streamed matryoshkaTopK matches batch ann_matryoshka_refine row-for-row, chunked arrivals") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = TestSpark.Sf0001
+    val emb = graft.sources.Tables(dir).embeddings
+
+    val mem = MemoryStream[Probe](spark)
+    val q = AnnStream.matryoshkaTopK(mem.toDS(), emb, k = 5)
+      .toDF().writeStream.format("memory").queryName("s_ann_mrl").outputMode("append").start()
+    try {
+      probeSeq.grouped(4).foreach { c => mem.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.table("s_ann_mrl")
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = AnnQueries.queries("ann_matryoshka_refine").fn(spark, dir)
+      .orderBy("probe_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streamed crossModalTopK matches batch mm_ann_crossmodal row-for-row") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val dir = TestSpark.Sf0001
