@@ -334,6 +334,100 @@ object DedupQueries {
        |JOIN sets sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------- LSH recall audit
+
+  /** Anchor-draw salt for [[lshRecallAudit]] (the `ann_lsh_recall`
+    * treatment ported to the Jaccard family: pairs have no %-mod
+    * population, so a fixed hash-rank anchor draw bounds the truth). */
+  private val DedupAuditSalt = "graft-dedup-audit:"
+  private val DedupAuditBudget = 40
+
+  /** §8x(ee) — recall/precision audit of the MinHash-LSH candidate stage
+    * against the EXACT shingle-Jaccard truth at the same τ — the missing
+    * quality read for the dedup family (`ann_ivf_recall` tells you what
+    * the vector index loses; this tells you what the banding loses, and
+    * what fraction of the banded candidates the verify stage will throw
+    * away — the two knobs B×R trade). Truth is τ-pairs touching a fixed
+    * [[DedupAuditBudget]]-anchor hash-rank draw: exact side = anchors'
+    * shingle sets joined through the (doc, shingle) frame (one keyed
+    * join, anchors broadcast — budget × corpus, linear, never all-pairs),
+    * LSH side = the anchors' band rows against the full band frame =
+    * the full banded pair set ∩ anchor pairs. Anchor-pair recall is an
+    * unbiased estimate of the global pair recall. One output row:
+    * (n_exact, n_cand, n_found, recall_pm, precision_pm). */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val anchors = t.documents.select(col("doc_id"))
+      .withColumn("h", md5(concat(lit(DedupAuditSalt), col("doc_id").cast("string"))))
+      .orderBy(col("h"), col("doc_id")).limit(DedupAuditBudget).drop("h")
+    // the (doc, shingle) frame feeds FOUR branches (sizes, both join sides)
+    // and the band frame two — unpersisted, Catalyst re-runs the tokenize/
+    // shingle (and for bands the K-minhash) pass per branch (measured
+    // 16.7 s vs 3 s at sf0.1)
+    val docSh = Cached.track(shingled(t)
+      .select(col("doc_id"), explode(array_distinct(col("s"))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val aSh = docSh.join(broadcast(anchors), Seq("doc_id"))
+      .select(col("doc_id").as("a_id"), col("sh"))
+    val exact = docSh.join(broadcast(aSh), Seq("sh"))
+      .where(col("doc_id") =!= col("a_id"))
+      .groupBy(col("a_id"), col("doc_id")).agg(count(lit(1)).as("n_int"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("n_a")), Seq("a_id"))
+      .join(sizes.select(col("doc_id"), col("n").as("n_b")), Seq("doc_id"))
+      .select(least(col("a_id"), col("doc_id")).as("id_a"),
+        greatest(col("a_id"), col("doc_id")).as("id_b"),
+        round(col("n_int") / (col("n_a") + col("n_b") - col("n_int")), 6).as("j"))
+      .where(col("j") >= JaccardThreshold)
+      .select("id_a", "id_b").distinct()
+    val bands = Cached.track(bandBuckets(t)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val aBands = bands.join(broadcast(anchors), Seq("doc_id"))
+      .select(col("doc_id").as("a_id"), col("band_id"), col("band_hash"))
+    val cand = bands.join(broadcast(aBands), Seq("band_id", "band_hash"))
+      .where(col("doc_id") =!= col("a_id"))
+      .select(least(col("a_id"), col("doc_id")).as("id_a"),
+        greatest(col("a_id"), col("doc_id")).as("id_b"))
+      .distinct()
+    exact.join(cand.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_found"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .select(col("n_exact"), col("n_cand"), col("n_found"),
+        expr("n_found * 1000 div greatest(n_exact, 1)").as("recall_pm"),
+        expr("n_found * 1000 div greatest(n_cand, 1)").as("precision_pm"))
+  }
+
+  private def lshRecallAuditSql =
+    s"""WITH $minhashCtes,
+       |anchor AS (
+       |  SELECT doc_id FROM documents
+       |  ORDER BY md5('$DedupAuditSalt' || CAST(doc_id AS VARCHAR)), doc_id
+       |  LIMIT $DedupAuditBudget),
+       |sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),
+       |ex AS (
+       |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+       |         GREATEST(a.doc_id, b.doc_id) AS id_b
+       |  FROM sets a JOIN anchor an ON an.doc_id = a.doc_id
+       |  JOIN sets b ON b.doc_id <> a.doc_id
+       |  WHERE ROUND(LEN(list_intersect(a.ss, b.ss))
+       |          / LEN(list_distinct(list_concat(a.ss, b.ss))), 6) >= $JaccardThreshold),
+       |abands AS (SELECT b.* FROM bands b JOIN anchor USING (doc_id)),
+       |cand AS (
+       |  SELECT DISTINCT LEAST(a.doc_id, c.doc_id) AS id_a,
+       |         GREATEST(a.doc_id, c.doc_id) AS id_b
+       |  FROM abands a JOIN bands c
+       |    ON a.band_id = c.band_id AND a.band_hash = c.band_hash AND a.doc_id <> c.doc_id),
+       |fnd AS (SELECT COUNT(*) AS n_found FROM ex JOIN cand USING (id_a, id_b))
+       |SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+       |       (SELECT COUNT(*) FROM cand) AS n_cand,
+       |       n_found,
+       |       n_found * 1000 // GREATEST((SELECT COUNT(*) FROM ex), 1) AS recall_pm,
+       |       n_found * 1000 // GREATEST((SELECT COUNT(*) FROM cand), 1) AS precision_pm
+       |FROM fnd""".stripMargin
+
   private[graft] val CosVerifyThreshold = 0.8
 
   /** §8k(bb) — WEIGHTED-cosine verify over the same LSH candidate pairs:
@@ -1586,6 +1680,7 @@ object DedupQueries {
     "dedup_survivors" -> Q(dedupedCorpus _, dedupedCorpusSql, Seq(col("kept_doc_id"))),
     "dedup_quality_survivors" -> Q(qualitySurvivors _, qualitySurvivorsSql, Seq(col("cluster_id"))),
     "dedup_ngram_jaccard" -> Q(ngramJaccard _, ngramJaccardSql, Seq(col("doc_a"), col("doc_b"))),
+    "dedup_lsh_recall" -> Q(lshRecallAudit _, lshRecallAuditSql),
     "dedup_cosine_verify" -> Q(cosineVerify _, cosineVerifySql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_minhash_estimate" -> Q(minhashEstimate _, minhashEstimateSql,
       Seq(col("doc_a"), col("doc_b"))),

@@ -12,7 +12,7 @@ class RegistrySpec extends AnyFunSuite {
     * rows, or rows-only checks). */
   private val sortExempt = Set("q_distinct_customers", "q_approx_distinct", "events_funnel",
     "events_funnel_windowed", "q14_promo_share", "q19_disjunctive_revenue", "q6_forecast_revenue",
-    "events_ab_test", "ann_lsh_recall")
+    "events_ab_test", "ann_lsh_recall", "dedup_lsh_recall")
 
   test("every oracle SQL orders its output (single-row aggregates exempt)") {
     val missing = SparkEntry.registry.collect {
