@@ -3,6 +3,7 @@ package graft.operators
 import graft.Q
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY §2.3 row 35).
@@ -153,6 +154,70 @@ object MultimodalQueries {
        |  CAST(list_aggregate($bytesOfFrame, 'max') AS BIGINT) AS peak
        |FROM f, UNNEST(generate_series(0, n_frames - 1)) AS t(i)
        |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
+  /** Scene-cut threshold: a frame whose energy moved more than this many
+    * per-mille from its predecessor starts a new "scene". */
+  private val CutThresholdPm = 40L
+  private val SceneFrameBytes = 64L
+
+  /** §8x(ef) — scene-cut detection over the "video" payloads: each video
+    * is cut into fixed non-overlapping frames, per-frame energy reads
+    * straight off the raw binary via the [[graft.plans.VectorExpressions.ByteSliceSum]]
+    * codegen kernel (the `mm_audio_windows` treatment — the decode stays
+    * a byte-level stub, the frame geometry and signal arithmetic are
+    * real), and a cut fires where the energy moves more than
+    * [[CutThresholdPm]]‰ from the previous frame — the
+    * luminance-histogram-delta shape every keyframe/thumbnail/sampling
+    * stage runs before choosing which frames to decode expensively.
+    * All-integer deltas; the lag window is per-video over ≤12 frames, so
+    * partitions stay bounded at any corpus size and nothing but
+    * (doc_id, frame) scalars ever shuffles. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    Tables(dir).documents
+      .where(col("doc_id") % 3 === 2)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .where(col("n_bytes") >= SceneFrameBytes)
+      .withColumn("n_frames",
+        least(expr(s"n_bytes div $SceneFrameBytes").cast("int"), lit(MaxFrames)))
+      .select(col("doc_id"), col("payload"),
+        posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("frame_idx", "i")))
+      .withColumn("energy", graft.plans.VectorExpressions.byteSliceSum(
+        col("payload"), (col("i") * SceneFrameBytes).cast("long"), lit(SceneFrameBytes)))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("energy"))
+      .withColumn("prev", lag(col("energy"), 1).over(w))
+      .withColumn("delta_pm",
+        coalesce(expr("abs(energy - prev) * 1000 div greatest(prev, 1)"), lit(0L)))
+      .drop("prev")
+      .withColumn("is_cut", col("delta_pm") > CutThresholdPm)
+  }
+
+  private val sceneCutsSql = {
+    val bytesOfFrame =
+      s"list_transform(generate_series(0, ${SceneFrameBytes - 1}), j -> ${duckByte("hx", s"(i * $SceneFrameBytes + j) * 2 + 1")})"
+    s"""WITH a AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(LENGTH(hex(encode(text))) / 2 AS BIGINT) AS n_bytes
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |f AS (
+       |  SELECT doc_id,
+       |    LEAST(CAST(n_bytes // $SceneFrameBytes AS INT), $MaxFrames) AS n_frames, hx
+       |  FROM a WHERE n_bytes >= $SceneFrameBytes),
+       |e AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       |    CAST(list_aggregate($bytesOfFrame, 'sum') AS BIGINT) AS energy
+       |  FROM f, UNNEST(generate_series(0, n_frames - 1)) AS t(i)),
+       |d AS (
+       |  SELECT doc_id, frame_idx, energy,
+       |    COALESCE(ABS(energy - LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)) * 1000
+       |      // GREATEST(LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx), 1), 0) AS delta_pm
+       |  FROM e)
+       |SELECT doc_id, frame_idx, energy, delta_pm, delta_pm > $CutThresholdPm AS is_cut
+       |FROM d ORDER BY doc_id, frame_idx""".stripMargin
   }
 
   /** §8s(dq) — content-addressed media dedup (the first stage of every
@@ -372,5 +437,6 @@ object MultimodalQueries {
     "mm_corrupt_scan" -> Q(corruptScan _, corruptScanSql, Seq(col("fmt"))),
     "mm_frame_dedup" -> Q(frameDedup _, frameDedupSql, Seq(col("frame_hash"))),
     "mm_phash_buckets" -> Q(phashBuckets _, phashBucketsSql, Seq(col("sig"))),
+    "mm_scene_cuts" -> Q(sceneCuts _, sceneCutsSql, Seq(col("doc_id"), col("frame_idx"))),
   )
 }
