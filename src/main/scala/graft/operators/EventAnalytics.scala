@@ -2347,6 +2347,68 @@ object EventAnalytics {
         col("sl").as("sum_left"), col("gain"), col("is_changepoint"))
   }
 
+  /** Seasonal-naive period: forecast today's count with last week's —
+    * the standard monitoring baseline every fancier forecaster must
+    * beat before it earns a pager. */
+  private val SeasonalPeriodDays = 7
+
+  /** §8x(eg) — FORECAST BACKTEST: how well does the seasonal-naive
+    * baseline (count(t) ≈ count(t − 7d)) predict each event type's daily
+    * volume on its own calendar-complete history? Per type: days scored,
+    * total actual volume, total absolute error and the per-mille WAPE
+    * (Σ|err|·1000 div Σactual — the scale-free accuracy number, exact
+    * integers end-to-end, no MAPE divide-by-zero trap on quiet days).
+    * The monitoring read BEFORE wiring an alarm to a forecast: a type
+    * whose own last week explains it at 50‰ WAPE can alarm on small
+    * deviations; one at 500‰ can't.
+    *
+    * Scale shape: one keyed count into (type, day) cells; the calendar
+    * grid (sequence over the type's [min, max] day span) and the lag-7
+    * window run per type over day-count-bounded partitions; zero-filled
+    * missing days make the lag calendar-true, not row-offset-true. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cnt = Tables(dir).events
+      .select(col("event_type").as("type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("type", "day").agg(count(lit(1)).as("x"))
+    val grid = cnt.groupBy("type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy(col("type")).orderBy(col("day"))
+    grid.join(cnt, Seq("type", "day"), "left")
+      .na.fill(0L, Seq("x"))
+      .withColumn("fc", lag(col("x"), SeasonalPeriodDays).over(w))
+      .where(col("fc").isNotNull)
+      .groupBy("type")
+      .agg(count(lit(1)).as("n_days_scored"),
+        sum(col("x")).as("sum_actual"),
+        sum(abs(col("x") - col("fc"))).as("sum_abs_err"))
+      .withColumn("wape_pm",
+        expr("sum_abs_err * 1000 div greatest(sum_actual, 1)"))
+  }
+
+  private val forecastBacktestSql =
+    s"""WITH cnt AS (
+       |  SELECT event_type AS type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT type, UNNEST(generate_series(MIN(day), MAX(day))) AS day
+       |  FROM cnt GROUP BY type),
+       |filled AS (
+       |  SELECT g.type, g.day, COALESCE(c.x, 0) AS x
+       |  FROM grid g LEFT JOIN cnt c ON c.type = g.type AND c.day = g.day),
+       |sc AS (
+       |  SELECT type, day, x,
+       |    LAG(x, $SeasonalPeriodDays) OVER (PARTITION BY type ORDER BY day) AS fc
+       |  FROM filled)
+       |SELECT type, COUNT(*) AS n_days_scored,
+       |  CAST(SUM(x) AS BIGINT) AS sum_actual,
+       |  CAST(SUM(ABS(x - fc)) AS BIGINT) AS sum_abs_err,
+       |  CAST(SUM(ABS(x - fc)) AS BIGINT) * 1000
+       |    // GREATEST(CAST(SUM(x) AS BIGINT), 1) AS wape_pm
+       |FROM sc WHERE fc IS NOT NULL
+       |GROUP BY type ORDER BY type""".stripMargin
+
   private val changepointSql =
     """WITH daily AS (
       |  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
@@ -2535,6 +2597,7 @@ object EventAnalytics {
     "events_cusum_alarm" -> Q(cusumAlarm _, cusumAlarmSql,
       Seq(col("event_type"), col("day"))),
     "events_changepoint" -> Q(changepoint _, changepointSql, Seq(col("day"))),
+    "events_forecast_backtest" -> Q(forecastBacktest _, forecastBacktestSql, Seq(col("type"))),
     "events_changepoint_tree" -> Q(changepointTree _, changepointTreeSql,
       Seq(col("depth"), col("day"))),
     "events_user_features" -> Q(userFeatures _, userFeaturesSql, Seq(col("user_id"))),
