@@ -33,6 +33,9 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # modest worker pool: at threads=n_cores the allocator intermittently
+    # fails on a loaded box (EAGAIN thread spawn / spurious bad_alloc)
+    con.execute("SET threads=8")
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
