@@ -1165,15 +1165,6 @@ object AnnQueries {
     * per-vector equality with the independently composed form. */
   private[operators] val TwoLevelRouteK: Int = CentroidCap
 
-  /** Parameterized two-level navigation parts over any centroid table:
-    * k1 = ⌈√k⌉ consecutive groups of ⌈k/k1⌉ (reps = each group's first
-    * centroid — the [[twoLevelAssign]] demo rule, which at its toy
-    * geometry k=16 is exactly k1=4 × 4, so the registered agreement
-    * audit exercises THIS builder). Returns the group-pick column and
-    * the per-group fine-rank columns; the caller materializes the group
-    * pick once (withColumn) so the CASE chain reads a plain attribute
-    * and only the matched group's kernel runs per row (codegen CASE
-    * short-circuit). */
   /** Shared two-level geometry: (perGroup, nGroups) for a k-cell tower —
     * k1 = ⌈√k⌉ consecutive blocks of ⌈k/k1⌉ (the same integer arithmetic
     * the DuckDB twins carry: pg = (k + k1 − 1) // k1). */
@@ -1199,13 +1190,38 @@ object AnnQueries {
     else df.withColumn(out, VectorExpressions.twoLevelAssignCol(
       col("embedding"), cents, twoLevelGeometry(cents.length)._1))
 
-  /** The nprobe nearest clusters (cos desc, centroid id asc) as a
-    * struct array off ONE kernel evaluation — transform-with-index so
-    * the k-wide fold runs once per row, not once per element. */
-  private def probeTopC(cents: Seq[Array[Float]]): Column =
-    slice(reverse(array_sort(transform(
-      VectorExpressions.centroidCosines(col("embedding"), cents),
-      (c, i) => struct(c.as("cos"), (-i).as("nidx"), i.as("idx"))))), 1, NProbeBuckets)
+  /** ROUTED probe-side navigation — [[assignNearest]]'s twin for "which
+    * nprobe cells does this probe search": below [[TwoLevelRouteK]] the
+    * flat ranking (cos desc, centroid id asc) off ONE kernel evaluation
+    * (bit-identical to the pre-r11 form — transform-with-index so the
+    * k-wide fold runs once per row, not once per element); at or above
+    * it the two-level navigation (best group rep, then the nprobe best
+    * cells WITHIN that group via [[VectorExpressions.twoLevelProbeCol]]),
+    * so above the cap a probe ranks 2√k cells, not k, AND probes search
+    * the same quantizer the corpus was assigned under — a mixed
+    * flat-probe/two-level-corpus tower would silently misroute probes
+    * into cells their neighbors never landed in. Both branches emit the
+    * same `array<struct<…, idx>>` shape (consumers read only `x.idx`).
+    * `routeAt` is a test seam; production callers take the default. */
+  private def probeTopC(cents: Seq[Array[Float]],
+      routeAt: Int = TwoLevelRouteK): Column =
+    if (cents.length < routeAt)
+      slice(reverse(array_sort(transform(
+        VectorExpressions.centroidCosines(col("embedding"), cents),
+        (c, i) => struct(c.as("cos"), (-i).as("nidx"), i.as("idx"))))), 1, NProbeBuckets)
+    else
+      transform(
+        VectorExpressions.twoLevelProbeCol(col("embedding"), cents,
+          twoLevelGeometry(cents.length)._1, NProbeBuckets),
+        c => struct(c.as("idx")))
+
+  /** Test seams for [[probeTopC]] (the spec forces the route below the
+    * cap and pins it to the driver recompute; the default seam pins the
+    * flat branch bit-identical to the committed family form). */
+  private[operators] def probeTopCForced(cents: Seq[Array[Float]]): Column =
+    probeTopC(cents, routeAt = 0)
+  private[operators] def probeTopCDefault(cents: Seq[Array[Float]]): Column =
+    probeTopC(cents)
 
   /** §8n(cg) — per-cluster MEDOID prototypes: every vector assigned to
     * its nearest seed centroid (the `ann_ivf_topk` assignment — same

@@ -1539,20 +1539,22 @@ object DedupQueries {
     val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
     val docs = t.documents.select(col("doc_id"), col("text"), (bucket < 80).as("in_index"))
     val arch = docs.where(col("in_index"))
-    val archSh = Cached.track(arch
+    // ONE archive tokenize/shingle pass: the set frame persists and both
+    // the inverted-index branches and the verify stage derive from it
+    // (an unpersisted second words→shingles pass re-scanned the whole
+    // archive — the lshRecallAudit pitfall)
+    val archSets = Cached.track(arch
       .withColumn("w", words(col("text")))
       .withColumn("s", shingles("w"))
-      .select(col("doc_id"), explode_outer(array_distinct(col("s"))).as("shingle"))
-      .where(col("shingle").isNotNull)
+      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
       .persist())
+    val archSh = archSets
+      .select(col("doc_id"), explode_outer(col("ss")).as("shingle"))
+      .where(col("shingle").isNotNull)
     val rare = archSh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") >= 1 && col("df") <= RareDfMax)
       .select("shingle")
     val rareOcc = archSh.join(rare, Seq("shingle"))
-    val archSets = arch
-      .withColumn("w", words(col("text")))
-      .withColumn("s", shingles("w"))
-      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
     val batch = docs.where(!col("in_index")).select("doc_id", "text")
     graft.streaming.DocStreams.incrementalContainment(batch, rareOcc, archSets)
   }

@@ -1282,19 +1282,21 @@ object GraphQueries {
     * top-k per node. The center's FULL degree sets the weight; the cap
     * bounds only which pairs it votes on. */
   /** r11 perf form (same results, hash-verified): the wedge votes carry a
-    * PACKED single-long pair key (a·2³² + b — partkeys are far below 2³²;
-    * one long hashes/shuffles cheaper than a two-long struct through the
-    * 55M-row-at-sf1 aggregate), and the per-node ranking triple
-    * (ra_nano DESC, common DESC, cand ASC) packs exactly into one long
-    * score ra_nano·1024 + common (ra_nano ≤ 1023 voters × 5·10⁸ ≈
-    * 5.2·10¹⁴, exact; common < 1024 holds because common ≤ min-degree of
-    * the pair, and the packing is hash-gated by the oracle at every
-    * verification scale) — the WindowGroupLimit's partial map-side sort
-    * compares 3 longs instead of 4 columns. The bounded-heap exec was
-    * measured here and REJECTED (sf1 19.2 → 37.8 s: per-row interpreted
-    * key projection loses to the codegen'd sort on the many-small-groups
-    * shape — pitfall re-confirmed; the heap stays for few-keys × huge
-    * candidate sets like the ANN probes). */
+    * PACKED single-long pair key (a·2³² + b — one long hashes/shuffles
+    * cheaper than a two-long struct through the 55M-row-at-sf1
+    * aggregate), and the per-node ranking triple (ra_nano DESC,
+    * common DESC, cand ASC) packs exactly into one long score
+    * ra_nano·1024 + common — the WindowGroupLimit's partial map-side
+    * sort compares 3 longs instead of 4 columns. Both packings carry
+    * in-plan raise_error GUARDS on their domain bounds (partkey < 2³²;
+    * common < 1024): a corpus that outgrows either domain — ids past
+    * 4.3 B, or a pair co-listed by 1024+ capped centers — fails LOUDLY
+    * instead of silently aliasing keys or inverting ranks, since the
+    * small-SF oracle gate can't witness those regimes. The bounded-heap
+    * exec was measured here and REJECTED (sf1 19.2 → 37.8 s: per-row
+    * interpreted key projection loses to the codegen'd sort on the
+    * many-small-groups shape — pitfall re-confirmed; the heap stays for
+    * few-keys × huge candidate sets like the ANN probes). */
   def resourceAllocation(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val e = stagedEdges(spark, dir)
@@ -1308,7 +1310,9 @@ object GraphQueries {
     val pairs = capped
       .select(col("w"), explode(expr(
         "flatten(transform(ns, (x, i) -> " +
-          "transform(slice(ns, i + 2, size(ns) - i - 1), y -> x * 4294967296L + y)))")).as("ab"))
+          "transform(slice(ns, i + 2, size(ns) - i - 1), y -> " +
+          "CASE WHEN y < 4294967296L THEN x * 4294967296L + y " +
+          "ELSE CAST(raise_error('graph_resource_allocation: partkey exceeds the 32-bit packed-pair domain') AS BIGINT) END)))")).as("ab"))
       .groupBy("ab")
       .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_nano"))
     val directed = pairs
@@ -1317,7 +1321,9 @@ object GraphQueries {
         col("common"), col("ra_nano"))
       .unionByName(pairs.select(col("ab").bitwiseAND(lit(4294967295L)).as("node"),
         shiftright(col("ab"), 32).as("cand"), col("common"), col("ra_nano")))
-      .withColumn("score", col("ra_nano") * lit(1024L) + col("common"))
+      .withColumn("score", expr(
+        "CASE WHEN common < 1024 THEN ra_nano * 1024 + common " +
+        "ELSE CAST(raise_error('graph_resource_allocation: common exceeds the 10-bit packed-score domain') AS BIGINT) END"))
     val w = Window.partitionBy(col("node"))
       .orderBy(col("score").desc, col("cand"))
     directed.withColumn("rank", row_number().over(w).cast("long"))

@@ -96,4 +96,55 @@ class TwoLevelRouteSpec extends AnyFunSuite {
     assert(n > 0)
     assert(agree.toDouble / n >= 0.3, s"two-level agreement $agree/$n below floor")
   }
+
+  test("forced route: probe navigation = best group rep, then nprobe best cells within it") {
+    import spark.implicits._
+    val k = 16
+    val cs = cents(k)
+    val perGroup = 4; val nGroups = 4; val nprobe = 2 // NProbeBuckets
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val expected = vecs.map { case (id, v) =>
+      // best group by rep cosine, strict >, tie -> lower group (kernel rule)
+      var bg = 0; var bgc = cos(v, cs(0))
+      (1 until nGroups).foreach { g =>
+        val c = cos(v, cs(g * perGroup)); if (c > bgc) { bgc = c; bg = g }
+      }
+      val lo = bg * perGroup
+      val cells = (lo until math.min(lo + perGroup, k)).map(i => (i, cos(v, cs(i))))
+      // nprobe best within the group, strict >, first index on ties
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+      (0 until math.min(nprobe, cells.length)).foreach { _ =>
+        val best = cells.filterNot(c => picked.contains(c._1))
+          .reduceLeft((a, b) => if (b._2 > a._2) b else a)
+        picked += best._1
+      }
+      id -> picked.toSeq
+    }.toMap
+    val got = emb.withColumn("top_c", AnnQueries.probeTopCForced(cs))
+      .select(col("vec_id"), expr("transform(top_c, x -> x.idx)").as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got === expected && got.nonEmpty)
+    // and below the route the default branch is the flat struct ranking
+    // (the committed family form — consumers read x.idx)
+    val flat = emb.withColumn("top_c",
+        org.apache.spark.sql.functions.slice(reverse(array_sort(transform(
+          VectorExpressions.centroidCosines(col("embedding"), cs),
+          (c, i) => struct(c.as("cos"), (-i).as("nidx"), i.as("idx"))))), 1, nprobe))
+      .select(col("vec_id"), expr("transform(top_c, x -> x.idx)").as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val dflt = emb.withColumn("top_c", AnnQueries.probeTopCDefault(cs))
+      .select(col("vec_id"), expr("transform(top_c, x -> x.idx)").as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(dflt === flat)
+  }
 }
