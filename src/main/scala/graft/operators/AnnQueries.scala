@@ -1202,17 +1202,21 @@ object AnnQueries {
     * flat-probe/two-level-corpus tower would silently misroute probes
     * into cells their neighbors never landed in. Both branches emit the
     * same `array<struct<…, idx>>` shape (consumers read only `x.idx`).
-    * `routeAt` is a test seam; production callers take the default. */
+    * `routeAt` is a test seam; production callers take the default.
+    * `width` is the navigation fan-out (how many cells the probe visits):
+    * the serving family takes the [[NProbeBuckets]] default; the tuning
+    * curve asks for its widest arm so every caller — whatever its
+    * nprobe — navigates the SAME routed quantizer as the corpus. */
   private def probeTopC(cents: Seq[Array[Float]],
-      routeAt: Int = TwoLevelRouteK): Column =
+      routeAt: Int = TwoLevelRouteK, width: Int = NProbeBuckets): Column =
     if (cents.length < routeAt)
       slice(reverse(array_sort(transform(
         VectorExpressions.centroidCosines(col("embedding"), cents),
-        (c, i) => struct(c.as("cos"), (-i).as("nidx"), i.as("idx"))))), 1, NProbeBuckets)
+        (c, i) => struct(c.as("cos"), (-i).as("nidx"), i.as("idx"))))), 1, width)
     else
       transform(
         VectorExpressions.twoLevelProbeCol(col("embedding"), cents,
-          twoLevelGeometry(cents.length)._1, NProbeBuckets),
+          twoLevelGeometry(cents.length)._1, width),
         c => struct(c.as("idx")))
 
   /** Test seams for [[probeTopC]] (the spec forces the route below the
@@ -3195,11 +3199,14 @@ object AnnQueries {
     val corpus = assignNearest(t.embeddings, cents)
       .select(col("vec_id"), col("embedding"), col("cluster"),
         sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("c_norm"))
+    // Probe navigation through the ROUTED quantizer (probeTopC at the
+    // curve's widest arm), not an inline flat top-c: above the cap the
+    // corpus assignment below is two-level, and a flat-probe arm would
+    // tune nprobe against cells the corpus never landed in. Below the
+    // cap (every committed oracle) the routed form is bit-identical to
+    // the flat ranking, so the DuckDB twin's flat pa CTE still matches.
     val probes = auditRestrict(t.embeddings.where(col("vec_id") % ProbeMod === 0))
-      .withColumn("top_c",
-        slice(reverse(array_sort(transform(
-          VectorExpressions.centroidCosines(col("embedding"), cents),
-          (c, i) => struct(c.as("cos"), (-i).as("nidx"), i.as("idx"))))), 1, maxP))
+      .withColumn("top_c", probeTopC(cents, width = maxP))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("p_norm"),
         posexplode(expr("transform(top_c, x -> x.idx)")).as(Seq("crank0", "cluster")))

@@ -393,7 +393,11 @@ object DedupQueries {
       .distinct()
     exact.join(cand.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_found"))
+        // outer coalesce: SUM over ZERO rows (an anchor draw with no
+        // exact τ-pairs — quiet corpus) is NULL in Spark while the
+        // DuckDB twin's COUNT over the empty join emits 0
+        coalesce(sum(coalesce(col("hit"), lit(0))), lit(0))
+          .cast("long").as("n_found"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .select(col("n_exact"), col("n_cand"), col("n_found"),
         expr("n_found * 1000 div greatest(n_exact, 1)").as("recall_pm"),

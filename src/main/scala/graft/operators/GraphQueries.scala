@@ -1315,12 +1315,18 @@ object GraphQueries {
           "ELSE CAST(raise_error('graph_resource_allocation: partkey exceeds the 32-bit packed-pair domain') AS BIGINT) END)))")).as("ab"))
       .groupBy("ab")
       .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_nano"))
+    // UNSIGNED unpack: for x in [2^31, 2^32) the pack x·2^32 + y wraps
+    // the long negative; bits are still exactly (x | y), but an
+    // arithmetic shiftright would smear the sign into the high word and
+    // alias node = x − 2^32. shiftrightunsigned recovers x over the
+    // guard's FULL [0, 2^32) domain (and y > x in the sorted wedge, so
+    // the y-guard alone bounds both halves).
     val directed = pairs
-      .select(shiftright(col("ab"), 32).as("node"),
+      .select(shiftrightunsigned(col("ab"), 32).as("node"),
         col("ab").bitwiseAND(lit(4294967295L)).as("cand"),
         col("common"), col("ra_nano"))
       .unionByName(pairs.select(col("ab").bitwiseAND(lit(4294967295L)).as("node"),
-        shiftright(col("ab"), 32).as("cand"), col("common"), col("ra_nano")))
+        shiftrightunsigned(col("ab"), 32).as("cand"), col("common"), col("ra_nano")))
       .withColumn("score", expr(
         "CASE WHEN common < 1024 THEN ra_nano * 1024 + common " +
         "ELSE CAST(raise_error('graph_resource_allocation: common exceeds the 10-bit packed-score domain') AS BIGINT) END"))

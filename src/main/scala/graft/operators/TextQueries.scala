@@ -459,9 +459,15 @@ object TextQueries {
     *
     * The "noise" is a DETERMINISTIC seeded surrogate: two independent
     * 16-bit fields of the cell key's salted md5 each yield a
-    * leading-1-bits count — 16 fair coin flips, so P(M = m) = 2⁻⁽ᵐ⁺¹⁾,
-    * exactly Geometric(α = ½) — and their DIFFERENCE M₁ − M₂ is the
-    * two-sided geometric (discrete Laplace) with α = e^{−ε} = ½.
+    * leading-1-bits count — 16 fair coin flips, so P(M = m) = 2⁻⁽ᵐ⁺¹⁾
+    * for m < 16, Geometric(α = ½) TRUNCATED at 16 (the field has no
+    * 17th bit: P(M = 16) = 2⁻¹⁶ absorbs the tail, so no mass beyond
+    * 16) — and their DIFFERENCE M₁ − M₂ is the two-sided geometric
+    * (discrete Laplace) with α = e^{−ε} = ½, truncated to |noise| ≤ 16
+    * (the spec pins that envelope). The truncation shifts ~2⁻¹⁷ of
+    * probability mass, so the stated ε = ln 2 accounting is off only
+    * at that negligible tail; a release needing the untruncated
+    * mechanism widens the field, not the algorithm.
     * Auditable release pipelines need bit-reproducible outputs (and the
     * oracle needs to replay them); against an adversary without the salt
     * the distribution is exactly the mechanism's. Pure integer

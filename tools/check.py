@@ -6,10 +6,32 @@ tables and compares with the Spark results Verify wrote to outDir/<name>/.
 Not part of the shipped library — the engine itself has no Python deps.
 
 Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
+
+Every run also MERGES its per-query verdicts into correctness_full.json
+(repo root): {"sf0.001": {name: {"rows": bool, "schema": bool,
+"hash": bool}}, "sf0.01": {...}} — the committed hard correctness
+signal the r11 verdict asked for (the round's driver-side
+CORRECTNESS_r11.json came back empty; this record makes the round
+auditable without it). RegistrySpec asserts it covers the registry at
+both gate SFs, so the per-query gate ritual keeps it current.
 """
 import json, sys, glob, os
 import duckdb
 import pyarrow.parquet as pq
+
+RECORD = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "correctness_full.json")
+
+def record_merge(tier, verdicts):
+    rec = {}
+    if os.path.exists(RECORD):
+        with open(RECORD) as f:
+            rec = json.load(f)
+    rec.setdefault(tier, {}).update(verdicts)
+    rec[tier] = dict(sorted(rec[tier].items()))
+    with open(RECORD, "w") as f:
+        json.dump(dict(sorted(rec.items())), f, indent=1, sort_keys=True)
+        f.write("\n")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -43,6 +65,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    verdicts = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -50,22 +73,27 @@ def main():
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            verdicts[name] = {"rows": False, "schema": False, "hash": False}
             n_fail += 1
             continue
         try:
             duck = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
+            verdicts[name] = {"rows": False, "schema": False, "hash": False}
             n_fail += 1
             continue
         spark = pq.read_table(spark_dir)
         dc, dr = rows_of(duck)
         sc, sr = rows_of(spark)
-        if dc != sc:
+        v = {"rows": len(dr) == len(sr), "schema": dc == sc,
+             "hash": dc == sc and sorted(map(repr, dr)) == sorted(map(repr, sr))}
+        verdicts[name] = v
+        if not v["schema"]:
             print(f"FAIL {name}: cols duck={dc} spark={sc}")
             n_fail += 1
             continue
-        if sorted(map(repr, dr)) != sorted(map(repr, sr)):
+        if not v["hash"]:
             print(f"FAIL {name}: {len(dr)} duck rows vs {len(sr)} spark rows")
             for i, (a, b) in enumerate(zip(sorted(map(repr, dr)), sorted(map(repr, sr)))):
                 if a != b:
@@ -75,6 +103,8 @@ def main():
             continue
         print(f"PASS {name} ({len(dr)} rows)")
         n_pass += 1
+    if verdicts:
+        record_merge(os.path.basename(os.path.normpath(sf_dir)), verdicts)
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
