@@ -121,7 +121,11 @@ object Bench {
       // flops, not sub-linear; composes with IVF pruning for that)
       "ann_matryoshka_refine",
       // train-inside-the-query PQ demonstrations (deployment twin: *_served)
-      "ann_ivfpq", "ann_ivfpq_trained", "ann_pq_trained")
+      "ann_ivfpq", "ann_ivfpq_trained", "ann_pq_trained",
+      // r12: build-inside-the-query graph demonstration — pays the fact-
+      // table self-join edge construction per run BY DESIGN; the family's
+      // deployment path is graph_pagerank_served off the staged adjacency
+      "graph_pagerank")
     // a renamed query must not silently fold back into the deployment tier
     // (or leave a stale name excluding nothing): fail loudly instead
     val staleBaselines = flatBaselines -- SparkEntry.queries.keySet

@@ -258,17 +258,70 @@ object GraphQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
-  /** PageRank served from the staged edge dataset (edge build paid once
-    * per corpus state, not per query — the ann_*_served precedent). */
+  /** r12 (verdict #4) — the graph family's SHARED derived frame: the
+    * symmetric ADJACENCY (node, sorted-distinct neighbor array), staged
+    * once per corpus state behind the same content-signature gate as
+    * [[stagedEdges]]. Six of r11's ten slowest sf0.1 deployment rows were
+    * graph fixed-point queries each rebuilding symmetrized/degree-
+    * annotated adjacency from the edge list per query; every one of
+    * those derivatives is a NARROW map over this one frame:
+    *   sym     = explode(ns)            — no union-of-two-scans, no shuffle
+    *   degrees = size(ns)               — no |E| groupBy per query
+    *   symDeg  = explode(ns) + size(ns) — no sym⋈deg join per query
+    *   nodes   = node                   — no distinct per query
+    * Whale note: one row per node, array length = degree — the same
+    * bound the per-query collect_set builds already carried; consumers
+    * with whale caps ([[jaccardNeighborsCapped]], [[resourceAllocation]])
+    * slice AFTER the read, so one staged artifact serves every cap. */
+  private def stagedAdj(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_gadj_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/lineitem.parquet") {
+      val e = stagedEdges(spark, dir)
+      e.select(col("pa").as("node"), col("pb").as("dst"))
+        .unionByName(e.select(col("pb").as("node"), col("pa").as("dst")))
+        .groupBy("node").agg(sort_array(collect_set(col("dst"))).as("ns"))
+        .write.mode("overwrite").parquet(path)
+    }
+    Cached.track(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Symmetric edge list derived narrowly from [[stagedAdj]]. */
+  private def symFromAdj(adj: DataFrame): DataFrame =
+    adj.select(col("node").as("src"), explode(col("ns")).as("dst"))
+
+  /** Per-node degree derived narrowly from [[stagedAdj]] (degree =
+    * #distinct neighbors = array length; the edge list is distinct pairs
+    * so this equals the per-query explode-groupBy builds it replaces). */
+  private def degFromAdj(adj: DataFrame): DataFrame =
+    adj.select(col("node"), size(col("ns")).cast("long").as("deg"))
+
+  /** PageRank served from the staged adjacency (edge build AND the
+    * symmetrize/degree-annotate pass paid once per corpus state, not per
+    * query — the ann_*_served precedent). */
   def pagerankServed(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    pagerankFrom(stagedEdges(spark, dir))
+    val adj = stagedAdj(spark, dir)
+    pagerankCore(
+      adj.select(col("node").as("src"), size(col("ns")).cast("long").as("outdeg"),
+        explode(col("ns")).as("dst")),
+      degFromAdj(adj).select(col("node").as("src")))
   }
 
   private def pagerankFrom(e: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    pagerankCore(sym.join(deg, "src"), deg.select("src"))
+  }
+
+  /** The PageRank fixpoint over a degree-annotated symmetric edge frame
+    * (src, outdeg, dst) and the node domain — shared by the full-build
+    * demonstration ([[pagerank]]) and the staged-adjacency serving path
+    * ([[pagerankServed]]); only the PREAMBLE differs. */
+  private def pagerankCore(symDegIn: DataFrame, nodes: DataFrame)
+      (implicit spark: SparkSession): DataFrame = {
     // Deliberately NOT pre-partitioned on dst: the per-iteration Exchange
     // is cheap because it carries map-side PARTIAL sums (≤ partitions·|V|
     // rows, not |E| messages), while a dst repartition of the full edge
@@ -276,10 +329,10 @@ object GraphQueries {
     // relation does not expose its partitioning at planning time, so the
     // iteration aggs re-add their ENSURE_REQUIREMENTS exchange anyway
     // (measured: the repartition made the query ~15% slower, r05d).
-    val symDeg = Cached.track(sym.join(deg, "src")
+    val symDeg = Cached.track(symDegIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val teleport = PrScale * 15L / 100L
-    var ranks = deg.select(col("src").as("node"), lit(PrScale).as("r"))
+    var ranks = nodes.select(col("src").as("node"), lit(PrScale).as("r"))
     for (_ <- 1 to PrIters) {
       ranks = symDeg
         .join(ranks, symDeg("src") === ranks("node"))
@@ -312,15 +365,17 @@ object GraphQueries {
     * edge list. */
   def pagerankPersonalized(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val e = edges(Tables(dir))
-    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val symDeg = Cached.track(sym.join(deg, "src")
+    // r12: preamble served from the staged adjacency — symDeg and the
+    // node domain are narrow maps over one shared frame, not a per-query
+    // union + |E| groupBy + join (verdict #4)
+    val adj = stagedAdj(spark, dir)
+    val symDeg = Cached.track(
+      adj.select(col("node").as("src"), size(col("ns")).cast("long").as("outdeg"),
+        explode(col("ns")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val teleport = PrScale * 15L / 100L
-    var ranks = deg.select(col("src").as("node"),
-      when(col("src") % 100 === 0, lit(PrScale)).otherwise(lit(0L)).as("r"))
+    var ranks = adj.select(col("node"),
+      when(col("node") % 100 === 0, lit(PrScale)).otherwise(lit(0L)).as("r"))
     for (_ <- 1 to PrIters) {
       ranks = symDeg
         .join(ranks, symDeg("src") === ranks("node"))
@@ -636,10 +691,10 @@ object GraphQueries {
   def bfsHops(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val e = stagedEdges(spark, dir)
-    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
-    val nodes = sym.select(col("src").as("node")).distinct()
+    // r12: sym + node domain off the staged adjacency (verdict #4)
+    val adj = stagedAdj(spark, dir)
+    val sym = symFromAdj(adj)
+    val nodes = adj.select(col("node"))
     val seeds = t.part.filter(col("p_brand") === BfsBrand)
       .select(col("p_partkey").as("node"))
       .join(nodes, Seq("node"), "left_semi")
@@ -689,10 +744,9 @@ object GraphQueries {
     * then histogram cells (≤max-degree rows). */
   def degreeHist(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val e = stagedEdges(spark, dir)
-    val sym = e.select(col("pa").as("node"))
-      .unionByName(e.select(col("pb").as("node")))
-    sym.groupBy("node").agg(count(lit(1)).as("deg"))
+    // r12: degrees are size(ns) over the staged adjacency — the |E|
+    // groupBy this query used to pay per run is in the staged build
+    degFromAdj(stagedAdj(spark, dir))
       .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
   }
 
@@ -808,13 +862,9 @@ object GraphQueries {
     // node-domain estimate from parquet metadata (a row-count-only scan):
     // the gate's input, never the data path
     val nodeDomain = Tables(dir).part.count()
-    val e = stagedEdges(spark, dir)
-    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
-    val adj = sym.groupBy(col("src"))
-      .agg(sort_array(collect_set(col("dst"))).as("ns"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(Cached.track)
+    // r12: the sorted symmetric adjacency IS the staged frame — this
+    // query used to rebuild it (|E| collect_set shuffle) per run
+    val adj = stagedAdj(spark, dir).select(col("node").as("src"), col("ns"))
     val deg = adj.select(col("src").as("node"), size(col("ns")).cast("long").as("deg"))
     val capped = if (cap == Int.MaxValue) adj
       else adj.select(col("src"), slice(col("ns"), 1, cap).as("ns"))
@@ -1054,7 +1104,10 @@ object GraphQueries {
     * sums — the same Pregel-by-join economics as PageRank. */
   def hits(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val e = edges(Tables(dir))
+    // r12: the oriented edge list comes from the staged materialization
+    // (build paid once per corpus state), not a per-query fact-table
+    // self-join — the same serving economics as the rest of the family
+    val e = stagedEdges(spark, dir)
     val dirE = Cached.track(
       e.select(col("pa").as("src"), col("pb").as("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1143,8 +1196,8 @@ object GraphQueries {
     implicit val s: SparkSession = spark
     val nodeDomain = Tables(dir).part.count()
     val e = stagedEdges(spark, dir)
-    val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // r12: shared staged degree table (same equality note as transitivity)
+    val deg = degFromAdj(stagedAdj(spark, dir))
     val j = e
       .join(gatedBroadcast(deg.toDF("pa", "deg_a"), nodeDomain), Seq("pa"))
       .join(gatedBroadcast(deg.toDF("pb", "deg_b"), nodeDomain), Seq("pb"))
@@ -1198,8 +1251,10 @@ object GraphQueries {
     implicit val s: SparkSession = spark
     val nodeDomain = Tables(dir).part.count()
     val e = stagedEdges(spark, dir)
-    val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // r12: degree table off the staged adjacency (degree = #distinct
+    // neighbors = size(ns); the edge list is distinct pairs, so this
+    // equals the explode-groupBy it replaces)
+    val deg = degFromAdj(stagedAdj(spark, dir))
     val withDeg = e
       .join(gatedBroadcast(deg.toDF("pa", "deg_a"), nodeDomain), Seq("pa"))
       .join(gatedBroadcast(deg.toDF("pb", "deg_b"), nodeDomain), Seq("pb"))
@@ -1299,11 +1354,9 @@ object GraphQueries {
     * few-keys × huge candidate sets like the ANN probes). */
   def resourceAllocation(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val e = stagedEdges(spark, dir)
-    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
-    val adj = sym.groupBy(col("src"))
-      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+    // r12: the sorted symmetric adjacency comes from the shared staged
+    // frame (verdict #4) — the wedge stage starts at the capped slice
+    val adj = stagedAdj(spark, dir)
     val capped = adj.select(
       expr("1000000000 div size(ns)").cast("long").as("w"),
       slice(col("ns"), 1, RaCenterCap).as("ns"))
@@ -1392,10 +1445,15 @@ object GraphQueries {
   def closeness(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    val e = stagedEdges(spark, dir)
-    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
-      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
-    val seeds = sym.select(col("src").as("node")).distinct()
+    // r12: sym + seed domain off the staged adjacency (the node list is
+    // the adjacency's key — no distinct over |2E| rows per query). The
+    // exploded sym is PERSISTED: the K-hop loop joins it every round,
+    // and re-exploding per hop cost more than the build it replaced
+    // (measured 9.1 s vs 6.7 s at sf0.1 unpersisted).
+    val adj = stagedAdj(spark, dir)
+    val sym = Cached.track(symFromAdj(adj)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val seeds = adj.select(col("node"))
       .withColumn("hx", graft.plans.VectorExpressions.hexPrefix(
         md5(col("node").cast("string")), 8))
       .orderBy(col("hx"), col("node")).limit(ClosenessSeeds)
