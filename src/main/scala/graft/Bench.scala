@@ -201,7 +201,10 @@ object Bench {
       "docs_jsonl_ingest", "docs_bpe_segment", "docs_bpe_ids",
       "ann_pq_served", "ann_ivfpq_served", "ann_ivfpq_pruned",
       "graph_pagerank_served", "graph_bfs_hops", "graph_components",
-      "text_bm25_served", "text_phrase_served", "text_bm25_incremental")
+      "text_bm25_served", "text_phrase_served", "text_bm25_incremental",
+      // r12 staged artifacts: the shared graph adjacency, the full-corpus
+      // minhash signature frame
+      "graph_degree_hist", "dedup_minhash_estimate")
     stageGated.filter(n => only.forall(_(n))).foreach { name =>
       try {
         SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -807,18 +807,47 @@ object DedupQueries {
     * Scale shape: signatures and shingle sets are rebuilt only for
     * candidate docs (the [[ngramJaccard]] semi-join discipline); the
     * audit joins are candidate-bounded. */
+  /** r12 (verdict #5) — the full-corpus K-component minhash SIGNATURES as
+    * a staged artifact (doc_id, m), content-signature gated on the
+    * documents table like the ANN indices: the expensive part of the LSH
+    * family's preamble (one md5 per shingle + K mixes over every doc) is
+    * paid once per corpus state, not per query. Bands derive narrowly
+    * ([[bandsFromSigs]] — B md5-of-concat per doc); the signatures an
+    * audit scores are bit-identical to what the pipeline buckets on
+    * because they ARE the same staged rows. */
+  private def stagedSigs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_mhsig_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/documents.parquet") {
+      minhashSigs(shingled(Tables(dir))).select("doc_id", "m")
+        .write.mode("overwrite").parquet(path)
+    }
+    Cached.track(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val cands = lshCandidates(t)
+    // signatures come staged; bands are a narrow derivation over them —
+    // this query used to pay the full shingle-md5-minhash pass TWICE
+    // (bandBuckets for candidates, minhashSigs again for scoring)
+    val sigsAll = stagedSigs(spark, dir)
+    val cands = Banded.pairsExec(bandsFromSigs(sigsAll),
+        Seq("band_id", "band_hash"), "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(Cached.track)
     val candDocs = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val sigs = minhashSigs(shingled(t).join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
-      .select(col("doc_id"), col("m"), array_distinct(col("s")).as("ss"))
+    // exact side still rebuilds SHINGLE SETS for candidate docs only (the
+    // ngramJaccard semi-join discipline) — but no md5/minhash re-pass
+    val sigs = shingled(t).join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
+      .join(sigsAll, Seq("doc_id"))
     cands
       .join(sigs.select(col("doc_id").as("doc_a"), col("m").as("m_a"), col("ss").as("ss_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("m").as("m_b"), col("ss").as("ss_b")), Seq("doc_b"))
