@@ -2371,6 +2371,16 @@ object EventAnalytics {
     val cnt = Tables(dir).events
       .select(col("event_type").as("type"), expr("unix_micros(ts) div 86400000000").as("day"))
       .groupBy("type", "day").agg(count(lit(1)).as("x"))
+    forecastFromDaily(cnt)
+  }
+
+  /** The backtest TAIL over a landed (type, day, x) daily-count table —
+    * shared verbatim with the streaming twin
+    * ([[graft.streaming.EventStreams.dailyVolume]] maintains the counts
+    * as mergeable watermarked state; this derives the WAPE table from
+    * whatever counts have landed), so replaying a corpus through the
+    * stream and scoring it equals the batch query bit-for-bit. */
+  private[graft] def forecastFromDaily(cnt: DataFrame): DataFrame = {
     val grid = cnt.groupBy("type")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("type"), explode(expr("sequence(d0, d1)")).as("day"))

@@ -174,26 +174,44 @@ object MultimodalQueries {
     * partitions stay bounded at any corpus size and nothing but
     * (doc_id, frame) scalars ever shuffles. */
   def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
-    graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    Tables(dir).documents
-      .where(col("doc_id") % 3 === 2)
+    sceneCutFrames(spark,
+      Tables(dir).documents.where(col("doc_id") % 3 === 2))
+  }
+
+  /** The scene-cut transform as a STATELESS per-row map (r12): every frame
+    * of a video lives in ITS OWN row's payload, so the energy series, the
+    * lag, and the cut test all compute IN-ROW over a ≤[[MaxFrames]]-element
+    * array — `prev` is `element_at(es, i)` (1-based = the 0-based i−1),
+    * not a `lag` window. This replaces the r11 form's
+    * Window.partitionBy(doc_id): same rows out (spec-pinned), but ZERO
+    * shuffle — at 100 TB the (doc, frame) rows never leave their input
+    * partition — and, being row-local, the IDENTICAL function is the
+    * streaming twin ([[graft.streaming.DocStreams.sceneCutStream]] applies
+    * it to a readStream of documents in append mode, no state at all). */
+  private[graft] def sceneCutFrames(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    docs
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("n_bytes", length(col("payload")).cast("long"))
       .where(col("n_bytes") >= SceneFrameBytes)
       .withColumn("n_frames",
         least(expr(s"n_bytes div $SceneFrameBytes").cast("int"), lit(MaxFrames)))
-      .select(col("doc_id"), col("payload"),
-        posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("frame_idx", "i")))
-      .withColumn("energy", graft.plans.VectorExpressions.byteSliceSum(
-        col("payload"), (col("i") * SceneFrameBytes).cast("long"), lit(SceneFrameBytes)))
-      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"), col("energy"))
-      .withColumn("prev", lag(col("energy"), 1).over(w))
+      .withColumn("es", expr(
+        s"""transform(sequence(0, n_frames - 1), i ->
+           |  graft_byte_slice_sum(payload, CAST(i * $SceneFrameBytes AS BIGINT),
+           |                       CAST($SceneFrameBytes AS BIGINT)))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("doc_id"), col("es"),
+        posexplode(col("es")).as(Seq("frame_idx", "energy")))
+      .withColumn("prev",
+        when(col("frame_idx") === 0, lit(null).cast("long"))
+          .otherwise(element_at(col("es"), col("frame_idx"))))
       .withColumn("delta_pm",
         coalesce(expr("abs(energy - prev) * 1000 div greatest(prev, 1)"), lit(0L)))
-      .drop("prev")
-      .withColumn("is_cut", col("delta_pm") > CutThresholdPm)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("energy"), col("delta_pm"),
+        (col("delta_pm") > CutThresholdPm).as("is_cut"))
   }
 
   private val sceneCutsSql = {

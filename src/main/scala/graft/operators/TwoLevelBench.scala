@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.plans.VectorExpressions
+
+/** r12 (verdict #1) — measure the two-level coarse-quantizer tower IN THE
+  * REGIME IT EXISTS FOR: a corpus large enough that flat assignment's k
+  * cosines/vector visibly loses to the tower's ~2√k navigation, with the
+  * route FORCED through the production seams ([[AnnQueries.assignNearest]]
+  * `routeAt`, [[AnnQueries.probeTopCForced]]) rather than simulated.
+  *
+  * The committed sf gates never exceed [[AnnQueries.CentroidCap]] (the
+  * route's own threshold needs ≥ ~16.4M vectors), so this harness inflates
+  * the source embeddings table by `factor` DETERMINISTIC near-copies
+  * (vec_id-offset, ±1% per-component xxhash64 jitter so twins are not
+  * bit-identical and the recall read is not tie-degenerate), then reports,
+  * as one JSON line:
+  *   - full-corpus assignment wall-clock, flat vs forced two-level
+  *     (min-of-`runs`, noop-sink materialization — the [[graft.Bench]]
+  *     discipline);
+  *   - end-to-end top-k retrieval wall-clock, flat route vs forced
+  *     two-level route, same probe draw;
+  *   - recall@k of BOTH routes against the exact brute-force truth on the
+  *     inflated corpus — what the √k navigation costs in recall, not just
+  *     what it saves in time.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.operators.TwoLevelBench \
+  *   /tmp/testdata_sf1 100"  (→ 2M vectors, k = 8000, k1 = 90).
+  * The reading is committed to BASELINE.md; results here are evidence for
+  * the 100 TB design, not an oracle gate (the oracled equivalence of the
+  * routed kernels lives in TwoLevelRouteSpec and ann_ivf_topk_twolevel).
+  */
+object TwoLevelBench {
+  // Mirrors of AnnQueries' object-private conventions (kept object-private
+  // there to protect the oracle contract; the bench only needs the values).
+  private val ProbeMod = 50
+  private val TopKK = 5
+  private val AuditProbeBudget = 40
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/tmp/testdata_sf1")
+    val factor = if (args.length > 1) args(1).toInt else 100
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = graft.GraftSession(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+    VectorExpressions.register(spark)
+
+    // ---- fixture: factor× deterministic near-copies, staged like ScaleUp
+    val srcName = new java.io.File(srcDir).getName
+    val fixPath = s"/tmp/graft_tlb_${srcName}_x$factor"
+    Stage.ensure(fixPath, s"$srcDir/embeddings.parquet") {
+      val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val stride = src.agg(max(col("vec_id"))).head().getLong(0) + 1
+      src.crossJoin(spark.range(factor.toLong).select(col("id").as("c")))
+        .select((col("vec_id") + col("c") * stride).as("vec_id"),
+          expr("""transform(embedding, (x, i) ->
+                 |  CAST(x * (1.0D + (CAST(pmod(xxhash64(vec_id, c, i), 1000) AS DOUBLE)
+                 |                    - 500.0D) / 50000.0D) AS FLOAT))""".stripMargin
+            .replace("\n", " ")).as("embedding"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(fixPath)
+    }
+    val corpus = spark.read.parquet(fixPath)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = corpus.count()
+
+    // ---- tower geometry at the family's scaled-k rule
+    val k = AnnQueries.scaledK(n).toInt
+    val (perGroup, nGroups) = AnnQueries.twoLevelGeometry(k)
+    // seed centroids by the family convention (vec_id < k — copy-0 vectors)
+    val cents = corpus.where(col("vec_id") < k).orderBy(col("vec_id"))
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+
+    def timed(f: => DataFrame): Double = {
+      val samples = (1 to runs).map { _ =>
+        spark.catalog.clearCache()
+        corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        corpus.write.mode("overwrite").format("noop").save() // re-warm cache
+        val t0 = System.nanoTime()
+        f.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      samples.min
+    }
+
+    // ---- (1) full-corpus assignment: flat k-wide argmax vs forced tower
+    val assignFlat = timed(
+      AnnQueries.assignNearest(corpus, cents, routeAt = Int.MaxValue))
+    val assignTwoLevel = timed(
+      AnnQueries.assignNearest(corpus, cents, routeAt = 0))
+
+    // ---- (2) retrieval + recall on the fixed probe draw
+    val probes = corpus.where(col("vec_id") % ProbeMod === 0)
+      .withColumn("h", md5(concat(lit("graft-tlb:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(AuditProbeBudget).drop("h")
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probes.count()
+
+    def flatCandidates: DataFrame = {
+      val side = AnnQueries.assignNearest(corpus, cents, routeAt = Int.MaxValue)
+        .withColumn("c_norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
+      val p = probes
+        .withColumn("top_c", AnnQueries.probeTopCDefault(cents))
+        .select(col("probe_id"), col("embedding").as("p_emb"),
+          explode(expr("transform(top_c, x -> x.idx)")).as("cluster"))
+        .withColumn("p_norm", sqrt(VectorExpressions.dot(col("p_emb"), col("p_emb"))))
+      side.join(broadcast(p), Seq("cluster"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+            / (col("c_norm") * col("p_norm")), 6).as("cos"))
+    }
+    def twoLevelCandidates: DataFrame =
+      AnnQueries.twoLevelCandidateFrame(probes, corpus, cents, broadcastProbes = true)
+
+    def topk(cand: DataFrame): DataFrame =
+      TopK.perKeyExec(cand, "probe_id", "cos", "vec_id", TopKK)
+        .select("probe_id", "vec_id")
+
+    val retrFlat = timed(topk(flatCandidates))
+    val retrTwoLevel = timed(topk(twoLevelCandidates))
+
+    // exact truth: brute-force cosine over the full fixture (timed too —
+    // the linear baseline every sub-linear claim is relative to)
+    def truthFrame: DataFrame = {
+      val c = corpus
+        .withColumn("c_norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
+      val p = probes
+        .withColumn("p_norm", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
+        .select(col("probe_id"), col("embedding").as("p_emb"), col("p_norm"))
+      topk(c.crossJoin(broadcast(p))
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(VectorExpressions.dot(col("embedding"), col("p_emb"))
+            / (col("c_norm") * col("p_norm")), 6).as("cos")))
+    }
+    val truthSec = timed(truthFrame)
+    val truth = truthFrame
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTruth = truth.count()
+
+    def recallPm(cand: DataFrame): Long =
+      truth.join(topk(cand), Seq("probe_id", "vec_id"))
+        .count() * 1000 / math.max(nTruth, 1)
+    val recallFlat = recallPm(flatCandidates)
+    val recallTwoLevel = recallPm(twoLevelCandidates)
+
+    spark.sparkContext.setLogLevel("ERROR")
+    val json =
+      s"""{"metric":"twolevel_forced","n":$n,"k":$k,"k1":$nGroups,"per_group":$perGroup,""" +
+      s""""factor":$factor,"assign_flat_sec":${f"$assignFlat%.3f"},""" +
+      s""""assign_twolevel_sec":${f"$assignTwoLevel%.3f"},""" +
+      s""""retrieval_flat_sec":${f"$retrFlat%.3f"},""" +
+      s""""retrieval_twolevel_sec":${f"$retrTwoLevel%.3f"},""" +
+      s""""truth_scan_sec":${f"$truthSec%.3f"},""" +
+      s""""recall_flat_pm":$recallFlat,"recall_twolevel_pm":$recallTwoLevel,""" +
+      s""""probes":$AuditProbeBudget,"topk":$TopKK,"sf":"$srcDir"}"""
+    spark.stop()
+    println(json)
+    System.out.flush()
+  }
+}

@@ -42,6 +42,19 @@ object DocStreams {
 
   private def nTokensCol: Column = size(words(col("text"))).cast("long")
 
+  /** r12 (verdict #6) — scene-cut detection AS DOCUMENTS LAND: the batch
+    * `mm_scene_cuts` transform is row-local by construction (every frame
+    * of a video lives in its own row's payload; the lag is an in-row
+    * `element_at` over the ≤12-element energy array — see
+    * [[graft.operators.MultimodalQueries.sceneCutFrames]], shared
+    * VERBATIM), so the streaming twin is STATELESS append mode: no
+    * watermark, no state store, per-video results emitted in the
+    * micro-batch their payload arrives in. Spec pins replay equality
+    * row-for-row against the batch query. */
+  def sceneCutStream(spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame =
+    graft.operators.MultimodalQueries.sceneCutFrames(spark,
+      docs.where(col("doc_id") % 3 === 2))
+
   /** §8f(v) — the config-driven gate: SAME scoring expressions as
     * [[scored]], thresholds resolved per source from a [[CorpusPolicy]].
     * The policy reaches the plan as a broadcast left join on `source`
