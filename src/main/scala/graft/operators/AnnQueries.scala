@@ -607,6 +607,97 @@ object AnnQueries {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** §8y(eh) r12 — RECALL@k of the two-level tower against the exact
+    * top-k, on the fixed audit probe draw: the go/no-go number for
+    * routing a deployment through the √k navigation ([[twoLevelTopK]] is
+    * the path; this is its [[ivfRecall]]). Per probe: how many of the
+    * exact k nearest survive retrieval when BOTH corpus and probes
+    * navigate the two-level quantizer — group representative first, then
+    * the nprobe best cells within that group. A probe whose true
+    * neighbors live across a group boundary loses them here and not in
+    * the flat tower: recall_twolevel ≤ recall_flat is the navigation's
+    * price, and this table is where it shows up first.
+    *
+    * Scale shape: truth = budget × corpus (linear, the r10 audit
+    * discipline); two-level side = the same map-side kernels as
+    * `ann_ivf_topk_twolevel` over the budgeted probe set. The forced-
+    * route wall-clock/recall reading at 2M vectors lives in BASELINE.md
+    * ([[TwoLevelBench]]); this query pins the same recall arithmetic to
+    * the DuckDB oracle at every gate SF. */
+  def twoLevelRecall(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    val cents = centroids(spark, t).toSeq.map(_._2)
+    val exact = TopK.perKeyExec(scoredProbes(t, audited = true),
+        "probe_id", "cos", "vec_id", TopKK)
+      .select("probe_id", "vec_id")
+    val probes = auditRestrict(t.embeddings.where(col("vec_id") % ProbeMod === 0))
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val tl = TopK.perKeyExec(
+        twoLevelCandidateFrame(probes, t.embeddings, cents, broadcastProbes = true),
+        "probe_id", "cos", "vec_id", TopKK)
+      .select("probe_id", "vec_id")
+    val overlap = exact.join(tl, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+    exact.select("probe_id").distinct()
+      .join(overlap, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_pm", expr(s"n_overlap * 1000 div $TopKK"))
+  }
+
+  // def, not val: embeds bruteForceSql, declared later in the object
+  private def twoLevelRecallSql =
+    s"""WITH $auditIdsCte,
+       |geo AS (
+       |  SELECT k, (k + CAST(CEIL(SQRT(k)) AS BIGINT) - 1) // CAST(CEIL(SQRT(k)) AS BIGINT) AS pg
+       |  FROM (SELECT ${scaledKSql} AS k FROM embeddings)),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings
+       |  WHERE vec_id < (SELECT k FROM geo)),
+       |reps AS (SELECT cid // (SELECT pg FROM geo) AS grp, c FROM cents
+       |         WHERE cid % (SELECT pg FROM geo) = 0),
+       |acc AS (
+       |  SELECT e.vec_id, cid, ${cosChainDuck("e.embedding", "c")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents),
+       |gpick AS (
+       |  SELECT vec_id, grp FROM (
+       |    SELECT e.vec_id, r.grp,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosChainDuck("e.embedding", "r.c")} DESC, r.grp) AS rn
+       |    FROM embeddings e CROSS JOIN reps r) x WHERE rn = 1),
+       |corpus AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT a.vec_id, a.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY a.ccos DESC, a.cid) AS rn
+       |    FROM acc a JOIN gpick g
+       |      ON g.vec_id = a.vec_id AND a.cid // (SELECT pg FROM geo) = g.grp) x WHERE rn = 1),
+       |probe_assign AS (
+       |  SELECT vec_id AS probe_id, cid AS cluster FROM (
+       |    SELECT a.vec_id, a.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY a.ccos DESC, a.cid) AS rn
+       |    FROM acc a JOIN gpick g
+       |      ON g.vec_id = a.vec_id AND a.cid // (SELECT pg FROM geo) = g.grp
+       |    JOIN audit_ids ai ON ai.vec_id = a.vec_id) x WHERE rn <= $NProbeBuckets),
+       |tl AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY ROUND(${cosChainDuck("e.embedding", "p.embedding")}, 6) DESC, e.vec_id) AS rank
+       |    FROM probe_assign pa
+       |    JOIN corpus cl ON cl.cluster = pa.cluster
+       |    JOIN embeddings e ON e.vec_id = cl.vec_id
+       |    JOIN embeddings p ON p.vec_id = pa.probe_id
+       |    WHERE e.vec_id <> pa.probe_id) x WHERE rank <= $TopKK),
+       |ex AS (SELECT probe_id, vec_id FROM (${auditSqlRestrict(bruteForceSql).replace("\n", "\n     ")}) t1),
+       |ov AS (SELECT probe_id, COUNT(*) AS n_overlap
+       |       FROM ex JOIN tl USING (probe_id, vec_id) GROUP BY 1)
+       |SELECT p.probe_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  COALESCE(ov.n_overlap, 0) * 1000 // $TopKK AS recall_pm
+       |FROM (SELECT DISTINCT probe_id FROM ex) p
+       |LEFT JOIN ov USING (probe_id) ORDER BY probe_id""".stripMargin
+
   // ------------------------------------------- cross-modal bridge (r10)
 
   /** Deterministic modality tag over vec_id — the `mm_binary_meta` fmt
@@ -3334,5 +3425,6 @@ object AnnQueries {
     "ann_matryoshka_refine" -> Q(matryoshkaRefine _, mrlRefineSql,
       Seq(col("probe_id"), col("rank"))),
     "ann_probe_curve" -> Q(probeCurve _, probeCurveSql, Seq(col("nprobe"))),
+    "ann_twolevel_recall" -> Q(twoLevelRecall _, twoLevelRecallSql, Seq(col("probe_id"))),
   )
 }

@@ -874,6 +874,127 @@ object DedupQueries {
        |SELECT doc_a, doc_b, est_pm, exact_pm, est_pm - exact_pm AS err_pm
        |FROM scored ORDER BY doc_a, doc_b""".stripMargin
 
+  /** §8y(ej) r12 — CALIBRATION of the minhash estimator: the
+    * [[minhashEstimate]] per-pair audit rolled into the reliability
+    * table the K-vs-accuracy knob is actually read from. Pairs bucket by
+    * their ESTIMATED similarity decile (est_pm div 100 — the number the
+    * pipeline acts on); per bucket: pair count, the mean TRUE similarity
+    * (integer per-mille), and the mean |error| — a bucket whose
+    * mean_exact_pm strays from its nominal decile is where K=12
+    * signatures mislead the banding threshold. All integer arithmetic
+    * (sums then one truncating div), so the calibration of a
+    * probabilistic estimator is itself engine-exact.
+    *
+    * Scale shape: [[minhashEstimate]]'s candidate-bounded frame (staged
+    * signatures, narrow band derivation) plus ONE ≤11-cell aggregate —
+    * the audit's cost, not a new corpus pass. */
+  def estimateCalibration(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    minhashEstimate(spark, dir)
+      .groupBy(expr("est_pm div 100").as("est_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("exact_pm")).as("sum_exact"),
+        sum(abs(col("err_pm"))).as("sum_abs_err"))
+      .select(col("est_decile"), col("n_pairs"),
+        expr("sum_exact div n_pairs").as("mean_exact_pm"),
+        expr("sum_abs_err div n_pairs").as("mean_abs_err_pm"))
+  }
+
+  private val estimateCalibrationSql =
+    s"""WITH est AS (${minhashEstimateSql.replace("ORDER BY doc_a, doc_b", "")})
+       |SELECT est_pm // 100 AS est_decile, COUNT(*) AS n_pairs,
+       |  CAST(SUM(exact_pm) AS BIGINT) // COUNT(*) AS mean_exact_pm,
+       |  CAST(SUM(ABS(err_pm)) AS BIGINT) // COUNT(*) AS mean_abs_err_pm
+       |FROM est GROUP BY 1 ORDER BY est_decile""".stripMargin
+
+  /** §8y(em) r12 — SOURCE-OVERLAP MATRIX: pairwise shingle-set Jaccard
+    * between ingestion sources — which feeds duplicate EACH OTHER, the
+    * question upstream of `dedup_source_trend` (that one watches a
+    * source's overlap against everything already landed; this one names
+    * the specific pair, which is what actually gets a feed deprecated or
+    * a crawl boundary fixed). Same 3-gram shingle convention as the
+    * whole minhash family; sets are distinct per source, so a document
+    * duplicated WITHIN one source counts once. Shingles travel as 60-bit
+    * md5-prefix HASHES, not strings (the `dedup_jaccard_sorted`
+    * convention — the distinct and the join shuffle 8-byte longs instead
+    * of ~40-byte 3-gram text; equal up to md5-prefix collisions,
+    * negligible at any corpus size, and the oracle recomputes the
+    * identical hashed formulation). Measured 10.5 → 3.0 s at sf0.1.
+    *
+    * Scale shape: one (source, hash) distinct (map-side partial), then
+    * the `graph_resource_allocation` packed-key pattern instead of a
+    * hash-keyed self-join: sources map to DENSE integer ids (driver
+    * dict, loudly required < 1024), each shingle's sorted id set emits
+    * its pairs IN-ROW as single packed longs (a·1024 + b), and ONE
+    * count aggregate with map-side combine collapses them to ≤|sources|²
+    * rows before anything shuffles. The join form was measured and
+    * REJECTED at sf0.1: hot shingles live in ALL sources, so the join
+    * materialized ~|shingles|·|sources|² two-string rows (10.5 s); the
+    * packed aggregate reads 3.0 s. Sizes broadcast; names map back
+    * through the bounded dict. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val t = Tables(dir)
+    // Per-doc hashed-shingle ARRAYS are persisted BEFORE the explode:
+    // Generate inlines its input expression and re-evaluates the whole
+    // words→shingles→md5 chain once per OUTPUT row (measured 8.7 s for a
+    // 260k-row explode vs 0.19 s exploding the cached arrays at sf0.1) —
+    // the barrier costs one bounded row per document.
+    val docArrays = Cached.track(t.documents
+      .withColumn("w", words(col("text")))
+      .withColumn("sarr", shingles("w"))
+      .select(col("source"), array_distinct(transform(col("sarr"),
+        x => graft.plans.VectorExpressions.hexPrefix(md5(x), 15))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ss = Cached.track(docArrays
+      .select(col("source"), explode(col("hs")).as("shg"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val names = ss.select("source").distinct().orderBy("source")
+      .collect().map(_.getString(0)) // bounded: one row per ingestion feed
+    require(names.length < 1024,
+      s"dedup_source_overlap: ${names.length} sources exceed the 10-bit packed-pair domain")
+    val sid = names.zipWithIndex.toMap
+    val sidCol = element_at(typedlit(sid), col("source"))
+    val nameCol = (c: Column) => element_at(typedlit(names.toSeq), c.cast("int") + 1)
+    val pairs = ss.select(col("shg"), sidCol.cast("long").as("sid"))
+      .groupBy("shg").agg(sort_array(collect_set(col("sid"))).as("sids"))
+      .select(explode(expr(
+        "flatten(transform(sids, (x, i) -> " +
+          "transform(slice(sids, i + 2, size(sids) - i - 1), y -> x * 1024 + y)))")).as("ab"))
+      .groupBy("ab").agg(count(lit(1)).as("n_common"))
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    pairs
+      .select(nameCol(expr("ab div 1024")).as("src_a"),
+        nameCol(col("ab") % 1024).as("src_b"), col("n_common"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        expr("n_common * 1000 div (n_a + n_b - n_common)").as("jaccard_pm"))
+  }
+
+  private val sourceOverlapSql =
+    s"""WITH ws AS (
+       |  SELECT source, list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0) AS w
+       |  FROM documents),
+       |shs AS (SELECT source, CASE WHEN LEN(w) >= 3
+       |    THEN list_transform(generate_series(1, LEN(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [array_to_string(w, ' ')] END AS s FROM ws),
+       |ss AS (SELECT DISTINCT source, ${hexToLongDuck("md5(shg0)", 15)} AS shg
+       |       FROM (SELECT source, UNNEST(s) AS shg0 FROM shs)),
+       |sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+       |  FROM ss a JOIN ss b ON a.shg = b.shg AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       |  n_common * 1000 // (sa.n + sb.n - n_common) AS jaccard_pm
+       |FROM inter
+       |JOIN sizes sa ON sa.source = src_a
+       |JOIN sizes sb ON sb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   /** §8j(av) — the same candidate-pair Jaccard verify over SORTED
     * 60-bit shingle-HASH sets and the two-pointer merge kernel
     * ([[graft.plans.SortedIntersectCount]]), instead of
@@ -1719,6 +1840,10 @@ object DedupQueries {
     "dedup_cosine_verify" -> Q(cosineVerify _, cosineVerifySql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_minhash_estimate" -> Q(minhashEstimate _, minhashEstimateSql,
       Seq(col("doc_a"), col("doc_b"))),
+    "dedup_estimate_calibration" -> Q(estimateCalibration _, estimateCalibrationSql,
+      Seq(col("est_decile"))),
+    "dedup_source_overlap" -> Q(sourceOverlap _, sourceOverlapSql,
+      Seq(col("src_a"), col("src_b"))),
     "docs_training_pairs" -> Q(trainingPairs _, trainingPairsSql,
       Seq(col("anchor"), col("draw"))),
     "docs_hard_negatives" -> Q(hardNegatives _, hardNegativesSql,

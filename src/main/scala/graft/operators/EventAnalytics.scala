@@ -2397,6 +2397,65 @@ object EventAnalytics {
         expr("sum_abs_err * 1000 div greatest(sum_actual, 1)"))
   }
 
+  /** A day whose volume strays more than this many per-mille from its
+    * seasonal-naive forecast is anomalous. */
+  private val AnomalyThresholdPm = 500L
+
+  /** §8y(ek) r12 — VOLUME-ANOMALY DAYS: the alarm the backtest gates.
+    * Per (type, day) on the calendar-complete zero-filled grid: actual
+    * vs the seasonal-naive forecast (count(t−7d)), the absolute
+    * deviation in per-mille of the forecast, and the flag at
+    * [[AnomalyThresholdPm]] — only flagged days are emitted, newest
+    * first within a type. Read TOGETHER with `events_forecast_backtest`:
+    * a type whose WAPE is ~500‰ will fire here every other day (alarm is
+    * noise); one at 50‰ fires only on real shifts. Same grid, same lag
+    * arithmetic, same integer lane as the backtest — shared calendar
+    * conventions mean the two tables never disagree about what "a day"
+    * or "the forecast" is.
+    *
+    * Scale shape: identical to [[forecastBacktest]] minus its final
+    * rollup — one keyed count, per-type bounded-partition window, then a
+    * flag filter that shrinks output to the anomalous days only. */
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cnt = Tables(dir).events
+      .select(col("event_type").as("type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("type", "day").agg(count(lit(1)).as("x"))
+    val grid = cnt.groupBy("type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy(col("type")).orderBy(col("day"))
+    grid.join(cnt, Seq("type", "day"), "left")
+      .na.fill(0L, Seq("x"))
+      .withColumn("fc", lag(col("x"), SeasonalPeriodDays).over(w))
+      .where(col("fc").isNotNull)
+      .withColumn("dev_pm", expr("abs(x - fc) * 1000 div greatest(fc, 1)"))
+      .where(col("dev_pm") > AnomalyThresholdPm)
+      .select(col("type"), col("day"), col("x").as("n_events"),
+        col("fc").as("forecast"), col("dev_pm"))
+  }
+
+  private val volumeAnomalySql =
+    s"""WITH cnt AS (
+       |  SELECT event_type AS type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT type, UNNEST(generate_series(MIN(day), MAX(day))) AS day
+       |  FROM cnt GROUP BY type),
+       |filled AS (
+       |  SELECT g.type, g.day, COALESCE(c.x, 0) AS x
+       |  FROM grid g LEFT JOIN cnt c ON c.type = g.type AND c.day = g.day),
+       |sc AS (
+       |  SELECT type, day, x,
+       |    LAG(x, $SeasonalPeriodDays) OVER (PARTITION BY type ORDER BY day) AS fc
+       |  FROM filled)
+       |SELECT type, day, CAST(x AS BIGINT) AS n_events,
+       |  CAST(fc AS BIGINT) AS forecast,
+       |  CAST(ABS(x - fc) AS BIGINT) * 1000 // GREATEST(CAST(fc AS BIGINT), 1) AS dev_pm
+       |FROM sc WHERE fc IS NOT NULL
+       |  AND CAST(ABS(x - fc) AS BIGINT) * 1000 // GREATEST(CAST(fc AS BIGINT), 1) > $AnomalyThresholdPm
+       |ORDER BY type, day""".stripMargin
+
   private val forecastBacktestSql =
     s"""WITH cnt AS (
        |  SELECT event_type AS type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
@@ -2608,6 +2667,8 @@ object EventAnalytics {
       Seq(col("event_type"), col("day"))),
     "events_changepoint" -> Q(changepoint _, changepointSql, Seq(col("day"))),
     "events_forecast_backtest" -> Q(forecastBacktest _, forecastBacktestSql, Seq(col("type"))),
+    "events_volume_anomaly" -> Q(volumeAnomaly _, volumeAnomalySql,
+      Seq(col("type"), col("day"))),
     "events_changepoint_tree" -> Q(changepointTree _, changepointTreeSql,
       Seq(col("depth"), col("day"))),
     "events_user_features" -> Q(userFeatures _, userFeaturesSql, Seq(col("user_id"))),

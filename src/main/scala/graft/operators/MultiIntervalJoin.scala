@@ -336,9 +336,81 @@ object MultiIntervalJoin {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Partners surfaced per user in the co-presence serving view. */
+  private val CopresenceK = 5
+
+  /** §8y(ei) r12 — CO-PRESENCE TOP-K: for each user, the
+    * [[CopresenceK]] partners whose stays overlap theirs the most
+    * (ties by partner id) — the SERVING shape of
+    * [[overlappingStays]]. The full pair table is the audit artifact
+    * (42M rows at sf1 — nobody pages through it); the deployment
+    * question is "who shares sessions with THIS user", and its answer
+    * is |users|·K rows however dense the corpus gets. Reuses the
+    * overlapping-stays pair machinery verbatim (same sessionize, same
+    * two-phase keyed multi-interval join, same overlap-count kernel),
+    * then one directed union + the bounded-heap top-k exec per user.
+    * Output stays linear in |users| while the pair table it summarizes
+    * grows ~quadratically with co-presence density — the same
+    * output-taming move as `graph_resource_allocation`'s RaTopK. */
+  def copresenceTopK(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val pairs = overlappingStays(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Cached.track)
+    val directed = pairs
+      .select(col("a_user").as("user_id"), col("b_user").as("partner"), col("n_overlap_pairs"))
+      .unionByName(pairs.select(col("b_user").as("user_id"), col("a_user").as("partner"),
+        col("n_overlap_pairs")))
+    // the heap ranks on double (exact for counts ≪ 2^53); output keeps long
+    TopK.perKeyExec(directed.select(col("user_id"), col("partner"),
+        col("n_overlap_pairs").cast("double").as("score")),
+        "user_id", "score", "partner", CopresenceK)
+      .select(col("user_id"), col("rank"), col("partner"),
+        col("score").cast("long").as("n_overlap_pairs"))
+  }
+
+  private val copresenceTopKSql =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |numbered AS (
+       |  SELECT user_id, ts,
+       |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM flagged),
+       |sess AS (
+       |  SELECT user_id, session_seq,
+       |    epoch_us(MIN(ts)) AS s, epoch_us(MAX(ts)) AS e
+       |  FROM numbered GROUP BY user_id, session_seq),
+       |pairs AS (
+       |  SELECT a.user_id AS a_user, b.user_id AS b_user,
+       |    COUNT(*) AS n_overlap_pairs
+       |  FROM sess a JOIN sess b
+       |    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+       |  GROUP BY 1, 2),
+       |directed AS (
+       |  SELECT a_user AS user_id, b_user AS partner, n_overlap_pairs FROM pairs
+       |  UNION ALL
+       |  SELECT b_user, a_user, n_overlap_pairs FROM pairs)
+       |SELECT user_id, rank, partner, n_overlap_pairs FROM (
+       |  SELECT user_id, partner, n_overlap_pairs,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY n_overlap_pairs DESC, partner) AS rank
+       |  FROM directed) x
+       |WHERE rank <= $CopresenceK
+       |ORDER BY user_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "events_overlapping_stays" -> Q(overlappingStays _, overlappingStaysSql,
       Seq(col("a_user"), col("b_user"))),
+    "events_copresence_topk" -> Q(copresenceTopK _, copresenceTopKSql,
+      Seq(col("user_id"), col("rank"))),
     "events_asof_stay" -> Q(asofStay _, asofStaySql, Seq(col("event_id"))),
   )
 }

@@ -238,6 +238,63 @@ object MultimodalQueries {
        |FROM d ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** §8y(el) r12 — SCENE SEGMENTATION: the cut table rolled into per-scene
+    * rows — (video, scene) with frame bounds, length, and total energy —
+    * the table a keyframe/thumbnail/sampling stage actually consumes
+    * ("decode one frame per scene", "skip scenes shorter than N"). A
+    * scene id is the running count of cuts at-or-before the frame
+    * ([[sceneCutFrames]]' is_cut, shared verbatim), so segment bounds are
+    * exactly the cut positions the oracle sees.
+    *
+    * Scale shape: the stateless per-row cut table plus ONE window over
+    * ≤[[MaxFrames]]-row per-video partitions and ONE (video, scene)
+    * aggregate — both bounded per video, nothing but scalar frame rows
+    * shuffle. */
+  def sceneSegments(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    sceneCuts(spark, dir)
+      .withColumn("scene_id", sum(col("is_cut").cast("long")).over(w))
+      .groupBy("doc_id", "scene_id")
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("sum_energy"))
+  }
+
+  private val sceneSegmentsSql = {
+    val bytesOfFrame =
+      s"list_transform(generate_series(0, ${SceneFrameBytes - 1}), j -> ${duckByte("hx", s"(i * $SceneFrameBytes + j) * 2 + 1")})"
+    s"""WITH a AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(LENGTH(hex(encode(text))) / 2 AS BIGINT) AS n_bytes
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |f AS (
+       |  SELECT doc_id,
+       |    LEAST(CAST(n_bytes // $SceneFrameBytes AS INT), $MaxFrames) AS n_frames, hx
+       |  FROM a WHERE n_bytes >= $SceneFrameBytes),
+       |e AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       |    CAST(list_aggregate($bytesOfFrame, 'sum') AS BIGINT) AS energy
+       |  FROM f, UNNEST(generate_series(0, n_frames - 1)) AS t(i)),
+       |d AS (
+       |  SELECT doc_id, frame_idx, energy,
+       |    COALESCE(ABS(energy - LAG(energy) OVER w) * 1000
+       |      // GREATEST(LAG(energy) OVER w, 1), 0) AS delta_pm
+       |  FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+       |sc AS (
+       |  SELECT doc_id, frame_idx, energy,
+       |    CAST(SUM(CASE WHEN delta_pm > $CutThresholdPm THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY frame_idx
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+       |  FROM d)
+       |SELECT doc_id, scene_id, MIN(frame_idx) AS start_frame,
+       |  MAX(frame_idx) AS end_frame, COUNT(*) AS n_frames,
+       |  CAST(SUM(energy) AS BIGINT) AS sum_energy
+       |FROM sc GROUP BY doc_id, scene_id
+       |ORDER BY doc_id, scene_id""".stripMargin
+  }
+
   /** §8s(dq) — content-addressed media dedup (the first stage of every
     * blob store: identical payloads stored once, references counted).
     * Exact: group by (fmt, md5, n_bytes) — the byte-length alongside the
@@ -456,5 +513,7 @@ object MultimodalQueries {
     "mm_frame_dedup" -> Q(frameDedup _, frameDedupSql, Seq(col("frame_hash"))),
     "mm_phash_buckets" -> Q(phashBuckets _, phashBucketsSql, Seq(col("sig"))),
     "mm_scene_cuts" -> Q(sceneCuts _, sceneCutsSql, Seq(col("doc_id"), col("frame_idx"))),
+    "mm_scene_segments" -> Q(sceneSegments _, sceneSegmentsSql,
+      Seq(col("doc_id"), col("scene_id"))),
   )
 }
