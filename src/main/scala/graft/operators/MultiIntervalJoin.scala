@@ -239,6 +239,14 @@ object MultiIntervalJoin {
       .transform(Cached.track)
     val a = sess.toDF("a_user", "a_ivs")
     val b = sess.toDF("b_user", "b_ivs")
+    // r12 measured REJECTION: a count-at-detection form (exactly-once bin
+    // attribution summed inside the detection join, payload re-join
+    // deleted) was built and benched at 34.6 s fresh-JVM sf1 vs 23.8 s
+    // for this form — the attribution arithmetic runs on EVERY candidate
+    // occurrence (Σ occupancy², no short-circuit) while exists() exits on
+    // the first overlapping local pair, and that dominates the payload
+    // shuffle it saved. Detection stays exists(); the count runs once per
+    // TRUE pair below.
     overlapPairsMultiKeyed(a, "a_ivs", "a_user", b, "b_ivs", "b_user", HourUs)
       .where(col("a_user") < col("b_user"))
       // per-pair overlap count via the codegen two-pointer kernel
