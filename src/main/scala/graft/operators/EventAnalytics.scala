@@ -2397,6 +2397,83 @@ object EventAnalytics {
         expr("sum_abs_err * 1000 div greatest(sum_actual, 1)"))
   }
 
+  /** §8y(en) r12 — GROWTH ACCOUNTING: the new / retained / resurrected /
+    * churned daily user ledger (the canonical DAU decomposition — every
+    * growth dashboard's first table). Per active (user, day): NEW if it
+    * is the user's first-ever day, RETAINED if the user was also active
+    * the previous calendar day, RESURRECTED otherwise (a gap > 1 day);
+    * CHURNED(d) counts users active at d−1 with no activity at d
+    * (attributed from each active day's lead — a user churning and
+    * resurrecting later counts in both ledgers, as growth accounting
+    * defines it). The boundary day past the corpus emits no churn row.
+    *
+    * Scale shape: one distinct over (user, day) — map-side partial —
+    * then ONE per-user window (lag + lead + running first) over
+    * day-count-bounded partitions and a ≤|days| aggregate; no joins,
+    * no grid explosion. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val active = Tables(dir).events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val lab = active
+      .withColumn("first_day", min(col("day")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+    val states = lab.groupBy("day").agg(
+      sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev_day") === col("day") - 1, 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("day") =!= col("first_day")
+        && (col("prev_day").isNull || col("prev_day") < col("day") - 1), 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val maxDay = active.agg(max(col("day")).as("max_day"))
+    val churn = lab
+      .where(col("next_day").isNull || col("next_day") > col("day") + 1)
+      .crossJoin(broadcast(maxDay))
+      .where(col("day") + 1 <= col("max_day"))
+      .select((col("day") + 1).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_churned"))
+    states.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  private val growthAccountingSql =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |lab AS (
+      |  SELECT user_id, day,
+      |    MIN(day) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS first_day,
+      |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+      |    LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      |  FROM active),
+      |states AS (
+      |  SELECT day,
+      |    CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN day <> first_day
+      |      AND (prev_day IS NULL OR prev_day < day - 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM lab GROUP BY day),
+      |churn AS (
+      |  SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+      |  FROM lab
+      |  WHERE (next_day IS NULL OR next_day > day + 1)
+      |    AND day + 1 <= (SELECT MAX(day) FROM active)
+      |  GROUP BY day + 1)
+      |SELECT COALESCE(s.day, c.day) AS day,
+      |  COALESCE(n_new, 0) AS n_new,
+      |  COALESCE(n_retained, 0) AS n_retained,
+      |  COALESCE(n_resurrected, 0) AS n_resurrected,
+      |  COALESCE(n_churned, 0) AS n_churned
+      |FROM states s FULL OUTER JOIN churn c ON s.day = c.day
+      |ORDER BY day""".stripMargin
+
   /** A day whose volume strays more than this many per-mille from its
     * seasonal-naive forecast is anomalous. */
   private val AnomalyThresholdPm = 500L
@@ -2669,6 +2746,8 @@ object EventAnalytics {
     "events_forecast_backtest" -> Q(forecastBacktest _, forecastBacktestSql, Seq(col("type"))),
     "events_volume_anomaly" -> Q(volumeAnomaly _, volumeAnomalySql,
       Seq(col("type"), col("day"))),
+    "events_growth_accounting" -> Q(growthAccounting _, growthAccountingSql,
+      Seq(col("day"))),
     "events_changepoint_tree" -> Q(changepointTree _, changepointTreeSql,
       Seq(col("depth"), col("day"))),
     "events_user_features" -> Q(userFeatures _, userFeaturesSql, Seq(col("user_id"))),

@@ -55,6 +55,55 @@ object TextQueries {
        |            w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
        |          / CAST(LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) AS DOUBLE)) * 0.3, 6)""".stripMargin
 
+  /** Long-word threshold for the LIX readability index (Björnsson 1968:
+    * words of 7+ characters). */
+  private val LixLongWord = 7
+
+  /** §8y(eo) r12 — READABILITY metrics per document: sentence/word/long-
+    * word counts and the LIX index in per-mille integers
+    * (LIX = words/sentences + 100·longwords/words — the readability
+    * formula with NO syllable counting, so it is exactly computable from
+    * splits alone and engine-identical; lix_pm = LIX·1000 in truncating
+    * integer arithmetic). The quality-filter complement: `quality` says
+    * "is this clean text", LIX says "how hard is it to read" — corpus
+    * difficulty stratification (curriculum ordering, grade-level
+    * filtering) reads this column, not the cleanliness score.
+    *
+    * Scale shape: pure row-local splits and counts — one narrow map over
+    * the corpus, no shuffle at all. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .withColumn("w", words(col("text")))
+      .select(col("doc_id"),
+        size(expr("filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)"))
+          .cast("long").as("n_sentences"),
+        size(col("w")).cast("long").as("n_words"),
+        size(expr(s"filter(w, x -> length(x) >= $LixLongWord)"))
+          .cast("long").as("n_long_words"))
+      .where(col("n_sentences") > 0 && col("n_words") > 0)
+      .withColumn("lix_pm",
+        expr("n_words * 1000 div n_sentences + n_long_words * 100000 div n_words"))
+  }
+
+  private val readabilitySql =
+    s"""SELECT doc_id,
+       |  CAST(LEN(list_filter(string_split_regex(text, '[.!?]+'),
+       |    x -> LEN(trim(x)) > 0)) AS BIGINT) AS n_sentences,
+       |  CAST(LEN(list_filter(string_split_regex(text, '\\s+'),
+       |    x -> LEN(x) > 0)) AS BIGINT) AS n_words,
+       |  CAST(LEN(list_filter(list_filter(string_split_regex(text, '\\s+'),
+       |    x -> LEN(x) > 0), x -> LEN(x) >= $LixLongWord)) AS BIGINT) AS n_long_words,
+       |  CAST(LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) AS BIGINT) * 1000
+       |    // LEN(list_filter(string_split_regex(text, '[.!?]+'), x -> LEN(trim(x)) > 0))
+       |  + CAST(LEN(list_filter(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> LEN(x) > 0), x -> LEN(x) >= $LixLongWord)) AS BIGINT) * 100000
+       |    // LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) AS lix_pm
+       |FROM documents
+       |WHERE LEN(list_filter(string_split_regex(text, '[.!?]+'), x -> LEN(trim(x)) > 0)) > 0
+       |  AND LEN(list_filter(string_split_regex(text, '\\s+'), x -> LEN(x) > 0)) > 0
+       |ORDER BY doc_id""".stripMargin
+
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
@@ -715,6 +764,7 @@ object TextQueries {
       Seq(col("lang"), col("source"))),
     "text_token_stats" -> Q(tokenStats _, tokenStatsSql, Seq(col("doc_id"))),
     "text_quality_score" -> Q(qualityScore _, qualityScoreSql, Seq(col("doc_id"))),
+    "text_readability" -> Q(readability _, readabilitySql, Seq(col("doc_id"))),
     "text_quality_buckets" -> Q(qualityBuckets _, qualityBucketsSql, Seq(col("doc_id"))),
     "text_lang_id" -> Q(langId _, langIdSql, Seq(col("doc_id"))),
     "text_langid_confusion" -> Q(langConfusion _, langConfusionSql,

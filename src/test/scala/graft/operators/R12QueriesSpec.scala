@@ -138,6 +138,53 @@ class R12QueriesSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("events_growth_accounting: ledger identities hold and match a driver recompute") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val active = graft.sources.Tables(sf).events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = active.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).sorted }
+    val maxDay = active.map(_._2).max
+    val rows = scala.collection.mutable.Map[Long, Array[Long]]() // day -> new,ret,res,chu
+    def cell(d: Long) = rows.getOrElseUpdate(d, Array(0L, 0L, 0L, 0L))
+    byUser.foreach { case (_, days) =>
+      days.zipWithIndex.foreach { case (d, i) =>
+        if (i == 0) cell(d)(0) += 1
+        else if (days(i - 1) == d - 1) cell(d)(1) += 1
+        else cell(d)(2) += 1
+        val nxt = if (i + 1 < days.length) days(i + 1) else Long.MaxValue
+        if (nxt > d + 1 && d + 1 <= maxDay) cell(d + 1)(3) += 1
+      }
+    }
+    val want = rows.toSeq.sortBy(_._1)
+      .map { case (d, a) => (d, a(0), a(1), a(2), a(3)) }
+    val got = EventAnalytics.queries("events_growth_accounting").fn(spark, sf)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want && got.nonEmpty)
+    // ledger identity: Σnew = distinct users (every user is new exactly once)
+    assert(got.map(_._2).sum == byUser.size)
+  }
+
+  test("text_readability: LIX arithmetic recomputed from raw text") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = graft.sources.Tables(sf).documents
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, t) =>
+      val sent = t.split("[.!?]+").count(_.trim.nonEmpty).toLong
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      val long = w.count(_.length >= 7).toLong
+      if (sent > 0 && w.nonEmpty)
+        Some((id, sent, w.length.toLong, long,
+          w.length.toLong * 1000 / sent + long * 100000 / w.length))
+      else None
+    }.sortBy(_._1).toSeq
+    val got = TextQueries.queries("text_readability").fn(spark, sf)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("dedup_source_overlap equals a driver shingle-set recompute") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = graft.sources.Tables(sf).documents
