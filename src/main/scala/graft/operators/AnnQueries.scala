@@ -615,8 +615,12 @@ object AnnQueries {
     * navigate the two-level quantizer — group representative first, then
     * the nprobe best cells within that group. A probe whose true
     * neighbors live across a group boundary loses them here and not in
-    * the flat tower: recall_twolevel ≤ recall_flat is the navigation's
-    * price, and this table is where it shows up first.
+    * the flat tower — the navigation's EXPECTED failure mode, and this
+    * table is where it would show up first. It is not an inequality:
+    * the forced-route fixture measured two-level recall ABOVE flat at
+    * 2M vectors (1000‰ vs 840‰ — flat's top-nprobe-of-k pruning can
+    * clip more neighbor mass than group-then-cells at equal nprobe), so
+    * read the table, don't assume the sign.
     *
     * Scale shape: truth = budget × corpus (linear, the r10 audit
     * discipline); two-level side = the same map-side kernels as
