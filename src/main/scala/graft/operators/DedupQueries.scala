@@ -815,7 +815,7 @@ object DedupQueries {
     * ([[bandsFromSigs]] — B md5-of-concat per doc); the signatures an
     * audit scores are bit-identical to what the pipeline buckets on
     * because they ARE the same staged rows. */
-  private def stagedSigs(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def stagedSigs(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val path = s"/tmp/graft_mhsig_${new java.io.File(dir).getName}"
     Stage.ensure(path, s"$dir/documents.parquet") {

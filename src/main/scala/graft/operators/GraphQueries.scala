@@ -248,7 +248,7 @@ object GraphQueries {
   /** The staged co-purchase edge dataset (content-signature gated on the
     * fact table): build once per corpus state, serve every graph pass —
     * PageRank, BFS, and any future traversal. */
-  private def stagedEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def stagedEdges(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val path = s"/tmp/graft_edges_${new java.io.File(dir).getName}"
     Stage.ensure(path, s"$dir/lineitem.parquet") {
@@ -273,7 +273,7 @@ object GraphQueries {
     * bound the per-query collect_set builds already carried; consumers
     * with whale caps ([[jaccardNeighborsCapped]], [[resourceAllocation]])
     * slice AFTER the read, so one staged artifact serves every cap. */
-  private def stagedAdj(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def stagedAdj(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val path = s"/tmp/graft_gadj_${new java.io.File(dir).getName}"
     Stage.ensure(path, s"$dir/lineitem.parquet") {
@@ -288,13 +288,13 @@ object GraphQueries {
   }
 
   /** Symmetric edge list derived narrowly from [[stagedAdj]]. */
-  private def symFromAdj(adj: DataFrame): DataFrame =
+  private[operators] def symFromAdj(adj: DataFrame): DataFrame =
     adj.select(col("node").as("src"), explode(col("ns")).as("dst"))
 
   /** Per-node degree derived narrowly from [[stagedAdj]] (degree =
     * #distinct neighbors = array length; the edge list is distinct pairs
     * so this equals the per-query explode-groupBy builds it replaces). */
-  private def degFromAdj(adj: DataFrame): DataFrame =
+  private[operators] def degFromAdj(adj: DataFrame): DataFrame =
     adj.select(col("node"), size(col("ns")).cast("long").as("deg"))
 
   /** PageRank served from the staged adjacency (edge build AND the

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r12 — direct pins for the staged-derived-frame equalities the graph
+  * rewiring and the minhash-signature staging rely on. The oracles prove
+  * them indirectly (every consumer stayed hash-green); these make the
+  * claims checkable without DuckDB in the loop. */
+class StagedFramesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.Sf0001
+
+  test("symFromAdj equals the union-built symmetric edge list") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val e = GraphQueries.stagedEdges(spark, sf)
+    val want = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .orderBy("src", "dst").collect().map(_.toSeq).toSeq
+    val got = GraphQueries.symFromAdj(GraphQueries.stagedAdj(spark, sf))
+      .orderBy("src", "dst").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("degFromAdj equals the explode-groupBy degree table") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val e = GraphQueries.stagedEdges(spark, sf)
+    val want = e.select(explode(array(col("pa"), col("pb"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    val got = GraphQueries.degFromAdj(GraphQueries.stagedAdj(spark, sf))
+      .orderBy("node").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("staged adjacency arrays are sorted-distinct (the consumers' cap/slice contract)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val bad = GraphQueries.stagedAdj(spark, sf)
+      .where(expr("ns <> array_sort(array_distinct(ns))"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("staged minhash signatures equal an in-query recompute") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    graft.plans.VectorExpressions.register(spark)
+    val got = DedupQueries.stagedSigs(spark, sf)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val want = DedupQueries.minhashSigs(
+        graft.sources.Tables(sf).documents
+          .withColumn("w", graft.functions.TextFunctions.words(col("text")))
+          .withColumn("s", graft.functions.TextFunctions.shingles("w"))
+          .select("doc_id", "s"))
+      .select("doc_id", "m")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+}
