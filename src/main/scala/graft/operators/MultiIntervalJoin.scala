@@ -347,24 +347,45 @@ object MultiIntervalJoin {
   /** Partners surfaced per user in the co-presence serving view. */
   private val CopresenceK = 5
 
+  /** r13 (verdict #1) — the overlapping-stays PAIR TABLE as a staged
+    * artifact, content-signature gated on the events table (the
+    * `stagedAdj` / `stagedSigs` discipline): the ~quadratic
+    * session-pair aggregate is paid once per corpus state, and every
+    * serving read over the pair table ([[copresenceTopK]], any future
+    * co-presence view) is a parquet scan of a frame that is bounded by
+    * the TRUE pair count — never a rebuild of the detection join. The
+    * audit query `events_overlapping_stays` stays an inline
+    * computation by design (it IS the definition the stage persists,
+    * and its fresh-JVM sf1 cost was adjudicated output-bound in r12);
+    * a new drop invalidates the signature and the next serving read
+    * rebuilds. */
+  private[operators] def stagedStayPairs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_staypairs_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/events.parquet") {
+      overlappingStays(spark, dir).write.mode("overwrite").parquet(path)
+    }
+    Cached.track(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** §8y(ei) r12 — CO-PRESENCE TOP-K: for each user, the
     * [[CopresenceK]] partners whose stays overlap theirs the most
     * (ties by partner id) — the SERVING shape of
     * [[overlappingStays]]. The full pair table is the audit artifact
     * (42M rows at sf1 — nobody pages through it); the deployment
     * question is "who shares sessions with THIS user", and its answer
-    * is |users|·K rows however dense the corpus gets. Reuses the
-    * overlapping-stays pair machinery verbatim (same sessionize, same
-    * two-phase keyed multi-interval join, same overlap-count kernel),
-    * then one directed union + the bounded-heap top-k exec per user.
-    * Output stays linear in |users| while the pair table it summarizes
-    * grows ~quadratically with co-presence density — the same
-    * output-taming move as `graph_resource_allocation`'s RaTopK. */
+    * is |users|·K rows however dense the corpus gets. r13: reads the
+    * pair table from [[stagedStayPairs]] — the serving view no longer
+    * re-materializes the quadratic overlapping-stays intermediate per
+    * run (46.5 s at sf1 in r12; staged, the read + directed union +
+    * bounded-heap top-k is seconds). Output stays linear in |users|
+    * while the pair table it summarizes grows ~quadratically with
+    * co-presence density — the same output-taming move as
+    * `graph_resource_allocation`'s RaTopK. */
   def copresenceTopK(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val pairs = overlappingStays(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(Cached.track)
+    val pairs = stagedStayPairs(spark, dir)
     val directed = pairs
       .select(col("a_user").as("user_id"), col("b_user").as("partner"), col("n_overlap_pairs"))
       .unionByName(pairs.select(col("b_user").as("user_id"), col("a_user").as("partner"),
