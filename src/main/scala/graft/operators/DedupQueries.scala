@@ -79,9 +79,12 @@ object DedupQueries {
   private def mixB(i: Int): Long = Math.floorMod(1103515245L * (i + 7), 1L << 30)
 
   /** (doc_id, band_id, band_hash): K minhashes → B banded md5 bucket keys.
-    * Everything up to here is narrow (map-side). */
-  private def bandBuckets(t: Tables): DataFrame =
-    bandExplode(shingled(t))
+    * r13: reads the staged signature artifact ([[stagedSigs]]) — the
+    * corpus md5+mix pass is paid once per corpus state; band derivation
+    * stays narrow (map-side). [[bandExplode]] remains the from-scratch
+    * pipeline for arbitrary/streaming frames. */
+  private def bandBuckets(t: Tables)(implicit s: SparkSession): DataFrame =
+    bandsFromSigs(stagedSigs(s, t.dir))
 
   /** Append the K-component minhash signature array `m` to any (doc_id, s)
     * frame — the shared prefix of [[bandExplode]], factored out so the
@@ -118,9 +121,15 @@ object DedupQueries {
   }
 
   /** Candidate pairs from the banded self-join (co-partitioned on the
-    * bucket key — never all-pairs). */
-  private def lshCandidates(t: Tables): DataFrame =
-    Banded.pairsExec(bandBuckets(t), Seq("band_id", "band_hash"), "doc_id")
+    * bucket key — never all-pairs). r13: the signature front comes from
+    * [[stagedSigs]] — the corpus md5+K-mix pass is paid once per corpus
+    * state, and every LSH-family consumer (minhash_lsh, clusters,
+    * ngram/sorted Jaccard verify, cosine verify, the pair miners)
+    * buckets the SAME staged rows the audits score. Bands derive
+    * narrowly (B md5-of-concat per doc). */
+  private def lshCandidates(t: Tables)(implicit s: SparkSession): DataFrame =
+    Banded.pairsExec(bandsFromSigs(stagedSigs(s, t.dir)),
+        Seq("band_id", "band_hash"), "doc_id")
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
 
@@ -499,27 +508,47 @@ object DedupQueries {
     (tfAll, dfx, nDocs)
   }
 
+  /** r13 (verdict #3) — the full-corpus per-doc TF-IDF TERM-WEIGHT frame
+    * (doc_id, term, wgt) as a staged artifact, content-signature gated
+    * on the documents table (the [[stagedSigs]] precedent). The verify
+    * scoring tail was measured NOT to be the cost (the r10 SortedTermDot
+    * rejection); what the two heaviest non-graph deployment rows
+    * (`docs_training_pairs`, `docs_hard_negatives`) each paid per run
+    * was this frame's corpus-linear front — the shingle explode, the
+    * (doc, term) tf groupBy, and the df groupBy. Weights depend only on
+    * corpus state (tf, df, N — never on the candidate set), so the
+    * frame stages whole; scoring passes semi-join it down to candidate
+    * docs, exactly the rows the inline build produced. */
+  private[operators] def stagedTermWeights(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_tfwgt_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/documents.parquet") {
+      val (tfAll, dfx, nDocs) = tfParts(Tables(dir))
+      tfAll.join(dfx, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("wgt", expr("tf * ((100 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"))
+        .select("doc_id", "term", "wgt")
+        .write.mode("overwrite").parquet(path)
+    }
+    Cached.track(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** TF-IDF-cosine scoring of an arbitrary (doc_a, doc_b) pair frame —
     * the verify body factored out of [[cosineVerifyCore]] so the
     * hard-negative miner scores its candidate sets with the IDENTICAL
-    * weights and float chain. `cands` must already be persisted (it feeds
-    * ≥3 branches); pass persisted `parts` when scoring more than one
-    * candidate set. */
+    * weights and float chain. `cands` must already be persisted (it
+    * feeds ≥3 branches). Weights read staged ([[stagedTermWeights]]). */
   private def scorePairs(t: Tables, cands: DataFrame)(
       implicit s: SparkSession): DataFrame =
-    scorePairsWith(tfParts(t), cands)
+    scorePairsWith(stagedTermWeights(s, t.dir), cands)
 
-  private def scorePairsWith(parts: (DataFrame, DataFrame, DataFrame), cands: DataFrame)(
+  private def scorePairsWith(wtAll: DataFrame, cands: DataFrame)(
       implicit s: SparkSession): DataFrame = {
-    val (tfAll, dfx, nDocs) = parts
     val candDocs = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val wt = tfAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .join(dfx, Seq("term"))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("wgt", expr("tf * ((100 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"))
-      .select("doc_id", "term", "wgt")
+    val wt = wtAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(Cached.track)
     val n2 = wt.groupBy("doc_id")
@@ -678,8 +707,10 @@ object DedupQueries {
     // the whole K-component minhash tree substituted inline — a
     // non-codegen per-row re-derivation (92 s vs 4 s at sf0.1). The
     // signature array always has exactly K elements, so outer semantics
-    // are identical and no filter is planted.
-    val comp = minhashSigs(shingled(t))
+    // are identical and no filter is planted. r13: signatures come
+    // staged ([[stagedSigs]]) — the component view explodes the same
+    // rows the band pipeline buckets.
+    val comp = stagedSigs(s, t.dir)
       .select(col("doc_id"), posexplode_outer(col("m")).as(Seq("comp_id", "v")))
     Banded.pairsExec(comp, Seq("comp_id", "v"), "doc_id", maxBucket = cap)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))

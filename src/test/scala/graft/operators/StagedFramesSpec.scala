@@ -42,6 +42,35 @@ class StagedFramesSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("staged stay-pair table equals an inline overlappingStays run") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val got = MultiIntervalJoin.stagedStayPairs(spark, sf)
+      .orderBy("a_user", "b_user").collect().map(_.toSeq).toSeq
+    val want = MultiIntervalJoin.overlappingStays(spark, sf)
+      .orderBy("a_user", "b_user").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("staged term weights equal the inline tf/df/N build") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val t = graft.sources.Tables(sf)
+    val sh = t.documents
+      .withColumn("w", graft.functions.TextFunctions.words(col("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles("w")).as("term"))
+    val tfAll = sh.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfx = tfAll.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    val want = tfAll.join(dfx, Seq("term")).crossJoin(nDocs)
+      .select(col("doc_id"), col("term"),
+        expr("tf * ((100 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))").as("wgt"))
+      .orderBy("doc_id", "term").collect().map(_.toSeq).toSeq
+    val got = DedupQueries.stagedTermWeights(spark, sf)
+      .select("doc_id", "term", "wgt")
+      .orderBy("doc_id", "term").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("staged minhash signatures equal an in-query recompute") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     graft.plans.VectorExpressions.register(spark)
