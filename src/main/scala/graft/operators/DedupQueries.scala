@@ -963,22 +963,42 @@ object DedupQueries {
     * materialized ~|shingles|·|sources|² two-string rows (10.5 s); the
     * packed aggregate reads 3.0 s. Sizes broadcast; names map back
     * through the bounded dict. */
+  /** r13 (verdict #4) — the source-governance family's ONE staged frame:
+    * per-doc DISTINCT 60-bit hashed-shingle arrays with the doc's
+    * source/lang identity, (doc_id, source, lang, hs: array<long>),
+    * content-signature gated on the documents table. `dedup_source_
+    * overlap`, `dedup_source_similarity` and `dedup_source_trend` each
+    * paid the corpus words→shingles(→md5) pass per run; all three now
+    * explode this frame narrowly (overlap drops doc identity, trend
+    * derives its vintage from doc_id, similarity derives its 32-bit
+    * mix-input as hs div 2^28 — the leading-8-hex-chars value, exactly
+    * `hexPrefix(md5(shingle), 8)`). Hashes are built per-doc-distinct
+    * BEFORE any explode (the documented generator-re-evaluation
+    * pitfall); the oracles recompute the identical hashed formulation
+    * (the `dedup_jaccard_sorted` convention). */
+  private[operators] def stagedSourceShingles(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.plans.VectorExpressions.register(spark)
+    val path = s"/tmp/graft_srcsh_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/documents.parquet") {
+      Tables(dir).documents
+        .withColumn("w", words(col("text")))
+        .withColumn("sarr", shingles("w"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          array_distinct(transform(col("sarr"),
+            x => graft.plans.VectorExpressions.hexPrefix(md5(x), 15))).as("hs"))
+        .write.mode("overwrite").parquet(path)
+    }
+    Cached.track(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    val t = Tables(dir)
-    // Per-doc hashed-shingle ARRAYS are persisted BEFORE the explode:
-    // Generate inlines its input expression and re-evaluates the whole
-    // words→shingles→md5 chain once per OUTPUT row (measured 8.7 s for a
-    // 260k-row explode vs 0.19 s exploding the cached arrays at sf0.1) —
-    // the barrier costs one bounded row per document.
-    val docArrays = Cached.track(t.documents
-      .withColumn("w", words(col("text")))
-      .withColumn("sarr", shingles("w"))
-      .select(col("source"), array_distinct(transform(col("sarr"),
-        x => graft.plans.VectorExpressions.hexPrefix(md5(x), 15))).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val ss = Cached.track(docArrays
+    // hashed per-doc arrays come staged ([[stagedSourceShingles]]); the
+    // explode here reads stored arrays, so no generator re-derivation
+    val ss = Cached.track(stagedSourceShingles(spark, dir)
       .select(col("source"), explode(col("hs")).as("shg"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1506,19 +1526,21 @@ object DedupQueries {
   def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    val ssh = Cached.track(Tables(dir).documents
-      .withColumn("w", words(col("text")))
-      .withColumn("s", shingles("w"))
-      .select(col("source"), explode_outer(col("s")).as("shingle"))
-      .where(col("shingle").isNotNull)
+    // r13: shingles travel as staged 60-bit hashes ([[stagedSourceShingles]]
+    // — identity up to md5-prefix collisions, the dedup_jaccard_sorted
+    // convention; the oracle recomputes the identical hashed formulation).
+    // The minwise mix input is the leading-8-hex-chars value, recovered
+    // from the 15-char prefix as h div 2^28.
+    val ssh = Cached.track(stagedSourceShingles(spark, dir)
+      .select(col("source"), explode(col("hs")).as("h"))
       .distinct()
       .persist())
     val sigs = ssh
-      .withColumn("h", graft.plans.VectorExpressions.hexPrefix(md5(col("shingle")), 8))
+      .withColumn("h8", expr("h div 268435456"))
       .groupBy("source")
       .agg(count(lit(1)).as("n"),
         array((0 until K).map(i =>
-          min(expr(s"(${mixA(i)}L * h + ${mixB(i)}L) % ${P}L"))): _*).as("m"))
+          min(expr(s"(${mixA(i)}L * h8 + ${mixB(i)}L) % ${P}L"))): _*).as("m"))
     val pairs = sigs.select(col("source").as("src_a"), col("n").as("n_a"), col("m").as("ma"))
       .join(broadcast(sigs.select(col("source").as("src_b"), col("n").as("n_b"), col("m").as("mb"))),
         col("src_a") < col("src_b"))
@@ -1526,7 +1548,7 @@ object DedupQueries {
         "aggregate(zip_with(ma, mb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)"))
     val inter = ssh.as("x")
       .join(ssh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.source") < col("y.source"))
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
       .agg(count(lit(1)).as("n_inter"))
     pairs.join(inter, Seq("src_a", "src_b"), "left")
@@ -1538,21 +1560,20 @@ object DedupQueries {
 
   private def sourceSimilaritySql = {
     val mins = (0 until K)
-      .map(i => s"MIN((${mixA(i)} * h + ${mixB(i)}) % $P) AS m$i").mkString(",\n    ")
+      .map(i => s"MIN((${mixA(i)} * (h // 268435456) + ${mixB(i)}) % $P) AS m$i").mkString(",\n    ")
     val matches = (0 until K)
       .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH ws AS (SELECT source, ${graft.functions.DuckSql.wordsOf("text")} AS w FROM documents),
        |sh AS (SELECT source, CASE WHEN LEN(w) >= 3
        |    THEN list_transform(generate_series(1, LEN(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
        |    ELSE [array_to_string(w, ' ')] END AS s FROM ws),
-       |ssh AS (SELECT DISTINCT source, shingle
+       |ssh AS (SELECT DISTINCT source, ${hexToLongDuck("md5(shingle)", 15)} AS h
        |        FROM (SELECT source, unnest(s) AS shingle FROM sh)),
-       |hv AS (SELECT source, ${hexToLongDuck("md5(shingle)")} AS h FROM ssh),
        |sigs AS (SELECT source, COUNT(*) AS n,
        |    $mins
-       |  FROM hv GROUP BY 1),
+       |  FROM ssh GROUP BY 1),
        |inter AS (SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_inter
-       |  FROM ssh x JOIN ssh y ON x.shingle = y.shingle AND x.source < y.source
+       |  FROM ssh x JOIN ssh y ON x.h = y.h AND x.source < y.source
        |  GROUP BY 1, 2),
        |pairs AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
        |    $matches AS matches
@@ -1590,16 +1611,17 @@ object DedupQueries {
   def sourceTrend(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
+    // r13: reads the staged hashed-shingle frame ([[stagedSourceShingles]])
+    // — vintage derives from the staged doc_id, shingle identity is the
+    // 60-bit hash (oracle recomputes the identical hashed formulation)
     val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
-    val docs = Tables(dir).documents
+    val docs = stagedSourceShingles(spark, dir)
       .withColumn("vintage", (bucket / (lit(100L) / TrendVintages)).cast("long"))
     val cells = docs.groupBy("source", "lang", "vintage")
       .agg(count(lit(1)).as("n_docs"))
     val sh = Cached.track(docs
-      .withColumn("w", words(col("text")))
-      .withColumn("s", shingles("w"))
       .select(col("source"), col("lang"), col("vintage"),
-        explode_outer(array_distinct(col("s"))).as("shingle"))
+        explode_outer(col("hs")).as("shingle"))
       .where(col("shingle").isNotNull)
       .distinct()
       .persist())
@@ -1625,7 +1647,7 @@ object DedupQueries {
        |shl AS (SELECT source, lang, vintage, CASE WHEN LEN(w) >= 3
        |    THEN list_transform(generate_series(1, LEN(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
        |    ELSE [array_to_string(w, ' ')] END AS s FROM ws),
-       |sh AS (SELECT DISTINCT source, lang, vintage, shingle
+       |sh AS (SELECT DISTINCT source, lang, vintage, ${hexToLongDuck("md5(shingle)", 15)} AS shingle
        |       FROM (SELECT source, lang, vintage, unnest(list_distinct(s)) AS shingle FROM shl)),
        |fv AS (SELECT shingle, MIN(vintage) AS fv FROM sh GROUP BY 1),
        |rolled AS (
