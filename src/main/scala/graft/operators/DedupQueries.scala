@@ -1046,6 +1046,145 @@ object DedupQueries {
        |JOIN sizes sb ON sb.source = src_b
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------- source overlap, incremental
+
+  /** The mergeable state behind the incremental source-overlap matrix:
+    * per-shingle sorted source-id sets, the packed pair counts, the
+    * per-source distinct-shingle sizes, and the id→name dict. All four
+    * are distributive over batch folds ([[sourceOverlapFold]]), so any
+    * micro-batch replay lands the same state — spec-pinned. */
+  private[graft] final case class SourceOverlapState(
+      catalog: DataFrame, pairs: DataFrame, sizes: DataFrame, names: Seq[String])
+
+  /** Fold one batch of distinct (source, shg) cells into the state.
+    * Only shingles the batch TOUCHES are re-aggregated: a new cell
+    * (shg, sid) contributes pairs against the sids already on that
+    * shingle plus pairs among the batch's own new sids — the archive's
+    * untouched rows pass through. Work is ∝ batch-touched shingles,
+    * never archive size. */
+  private[graft] def sourceOverlapFold(st: SourceOverlapState, batchCells: DataFrame)(
+      implicit s: SparkSession): SourceOverlapState = {
+    val newNames = batchCells.select("source").distinct()
+      .collect().map(_.getString(0)).filterNot(st.names.toSet).sorted
+    val names = st.names ++ newNames // archive ids stay stable; new sources append
+    require(names.length < 1024,
+      s"source_overlap_incremental: ${names.length} sources exceed the 10-bit packed-pair domain")
+    val sid = names.zipWithIndex.toMap
+    val bc = batchCells
+      .select(col("shg"), element_at(typedlit(sid), col("source")).cast("long").as("sid"))
+      .groupBy("shg").agg(sort_array(collect_set(col("sid"))).as("nsids0"))
+    val touched = Cached.track(bc.join(st.catalog, Seq("shg"), "left")
+      .select(col("shg"),
+        expr("coalesce(sids, CAST(array() AS ARRAY<BIGINT>))").as("osids"),
+        expr("array_sort(array_except(nsids0, coalesce(sids, CAST(array() AS ARRAY<BIGINT>))))").as("nn"))
+      .where(size(col("nn")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // pair delta: new×old cross (disjoint by construction) + new×new
+    val deltaPairs = touched
+      .select(explode(expr(
+        """concat(
+          |  flatten(transform(nn, x -> transform(osids, y ->
+          |    IF(x < y, x * 1024 + y, y * 1024 + x)))),
+          |  flatten(transform(nn, (x, i) ->
+          |    transform(slice(nn, i + 2, size(nn) - i - 1), y -> x * 1024 + y))))""".stripMargin)).as("ab"))
+      .groupBy("ab").agg(count(lit(1)).as("d"))
+    val pairs = st.pairs.join(deltaPairs, Seq("ab"), "full_outer")
+      .select(col("ab"),
+        (coalesce(col("n_common"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n_common"))
+    val deltaSizes = touched.select(explode(col("nn")).as("sid"))
+      .groupBy("sid").agg(count(lit(1)).as("d"))
+    val sizes = st.sizes.join(deltaSizes, Seq("sid"), "full_outer")
+      .select(col("sid"), (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
+    val catalog = st.catalog.join(touched.select("shg", "nn"), Seq("shg"), "full_outer")
+      .select(col("shg"), sort_array(concat(
+        expr("coalesce(sids, CAST(array() AS ARRAY<BIGINT>))"),
+        expr("coalesce(nn, CAST(array() AS ARRAY<BIGINT>))"))).as("sids"))
+    SourceOverlapState(catalog, pairs, sizes, names)
+  }
+
+  /** The matrix view of a state: names back through the dict, pair
+    * orientation normalized LEXICALLY (new sources take ids past the
+    * archive's, so packed numeric order need not be name order). */
+  private[graft] def sourceOverlapMatrix(st: SourceOverlapState)(
+      implicit s: SparkSession): DataFrame = {
+    val nameCol = (c: Column) => element_at(typedlit(st.names), c.cast("int") + 1)
+    val byName = broadcast(st.sizes.select(nameCol(col("sid")).as("nm"), col("n")))
+    st.pairs
+      .select(nameCol(expr("ab div 1024")).as("x"), nameCol(col("ab") % 1024).as("y"),
+        col("n_common"))
+      .select(least(col("x"), col("y")).as("src_a"),
+        greatest(col("x"), col("y")).as("src_b"), col("n_common"))
+      .join(byName.select(col("nm").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(byName.select(col("nm").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        expr("n_common * 1000 div (n_a + n_b - n_common)").as("jaccard_pm"))
+  }
+
+  /** The empty state (a cold start folds the whole corpus as one batch). */
+  private[graft] def emptyOverlapState(implicit s: SparkSession): SourceOverlapState = {
+    import org.apache.spark.sql.types._
+    def empty(schema: StructType) =
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    SourceOverlapState(
+      empty(StructType(Seq(StructField("shg", LongType),
+        StructField("sids", ArrayType(LongType))))),
+      empty(StructType(Seq(StructField("ab", LongType), StructField("n_common", LongType)))),
+      empty(StructType(Seq(StructField("sid", LongType), StructField("n", LongType)))),
+      Nil)
+  }
+
+  /** The archive (md5 doc-bucket < 80, the [[incrementalDedup]] split)
+    * folded into [[SourceOverlapState]] artifacts ONCE per corpus state
+    * — catalog/pairs/sizes/dict parquet under one content-gated stage.
+    * Serving cycles read these and fold only the arriving batch. */
+  private[graft] def stagedSourceOverlapState(spark: SparkSession, dir: String): SourceOverlapState = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_srcovlst_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/documents.parquet") {
+      val archCells = stagedSourceShingles(spark, dir)
+        .where(graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100 < 80)
+        .select(col("source"), explode(col("hs")).as("shg"))
+        .distinct()
+      val st = sourceOverlapFold(emptyOverlapState, archCells)
+      st.catalog.write.mode("overwrite").parquet(s"$path/catalog")
+      st.pairs.write.mode("overwrite").parquet(s"$path/pairs")
+      st.sizes.write.mode("overwrite").parquet(s"$path/sizes")
+      import spark.implicits._
+      st.names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("sid", "source").coalesce(1).write.mode("overwrite").parquet(s"$path/dict")
+      Cached.releaseAll()
+    }
+    val names = spark.read.parquet(s"$path/dict").orderBy("sid")
+      .collect().map(_.getString(1)).toSeq // bounded: one row per ingestion feed
+    SourceOverlapState(
+      Cached.track(spark.read.parquet(s"$path/catalog")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+      spark.read.parquet(s"$path/pairs"),
+      spark.read.parquet(s"$path/sizes"),
+      names)
+  }
+
+  /** §8z(eo) r13 — INCREMENTAL source-overlap: the updated full-corpus
+    * overlap matrix computed by folding only the NEW batch (md5
+    * doc-bucket ≥ 80) into the archive's staged overlap state — the
+    * archive is never re-shingled and archive-only shingles are never
+    * re-aggregated (untouched pair cells pass through the merge). The
+    * result EQUALS the batch `dedup_source_overlap` over the whole
+    * corpus, which is exactly what the oracle recomputes; the fold is
+    * associative over micro-batch splits (spec-pinned), making it the
+    * `dedup_containment_incremental`-style serving twin of the overlap
+    * matrix. */
+  def sourceOverlapIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val st = stagedSourceOverlapState(spark, dir)
+    val batchCells = stagedSourceShingles(spark, dir)
+      .where(graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100 >= 80)
+      .select(col("source"), explode(col("hs")).as("shg"))
+      .distinct()
+    sourceOverlapMatrix(sourceOverlapFold(st, batchCells))
+  }
+
   /** §8j(av) — the same candidate-pair Jaccard verify over SORTED
     * 60-bit shingle-HASH sets and the two-pointer merge kernel
     * ([[graft.plans.SortedIntersectCount]]), instead of
@@ -1896,6 +2035,8 @@ object DedupQueries {
     "dedup_estimate_calibration" -> Q(estimateCalibration _, estimateCalibrationSql,
       Seq(col("est_decile"))),
     "dedup_source_overlap" -> Q(sourceOverlap _, sourceOverlapSql,
+      Seq(col("src_a"), col("src_b"))),
+    "dedup_source_overlap_incremental" -> Q(sourceOverlapIncremental _, sourceOverlapSql,
       Seq(col("src_a"), col("src_b"))),
     "docs_training_pairs" -> Q(trainingPairs _, trainingPairsSql,
       Seq(col("anchor"), col("draw"))),

@@ -2416,6 +2416,18 @@ object EventAnalytics {
     val active = Tables(dir).events
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
       .distinct()
+    growthFromActive(active)
+  }
+
+  /** The ledger TAIL over a landed (user_id, day) activity-cell table —
+    * shared verbatim with the streaming twin
+    * ([[graft.streaming.EventStreams.activeDays]] maintains the distinct
+    * cells as mergeable watermarked state; this derives the
+    * new/retained/resurrected/churned ledger from whatever cells have
+    * landed), the [[forecastFromDaily]] discipline: replaying a corpus
+    * through the stream and scoring the landed cells equals the batch
+    * query bit-for-bit. */
+  private[graft] def growthFromActive(active: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val lab = active
       .withColumn("first_day", min(col("day")).over(

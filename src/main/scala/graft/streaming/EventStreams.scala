@@ -75,6 +75,26 @@ object EventStreams {
       .select(col("type"),
         expr("unix_micros(w.start) div 86400000000").as("day"), col("x"))
 
+  /** r13 (verdict #2) — MERGEABLE ACTIVITY-CELL STATE, the streaming
+    * half of growth accounting: the distinct (user_id, epoch-day) cells
+    * as a watermarked streaming aggregation. Per-(user, day) presence is
+    * idempotent-mergeable (re-delivery and out-of-order arrival fold
+    * into the same cell until the watermark closes the day), and the
+    * day key is derived EXACTLY as the batch query derives it
+    * (unix_micros div 86.4e9 — epoch-day UTC), so the landed cell table
+    * is bit-identical to the batch distinct stage and
+    * [[graft.operators.EventAnalytics.growthFromActive]] (the SHARED
+    * tail) derives the same new/retained/resurrected/churned ledger —
+    * spec-pinned. The serving shape at 100 TB: the stream maintains
+    * ~(active users × open days) cells of state; the ledger reads the
+    * landed cells, never the raw event history. */
+  def activeDays(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), expr("unix_micros(w.start) div 86400000000").as("day"))
+
   /** Row 37 (built-in path) — gap-based sessionization via session_window
     * (30-minute inactivity gap, matching the batch twin). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",

@@ -71,6 +71,30 @@ class StagedFramesSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("source-overlap fold is associative over batch splits and equals the batch matrix") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    graft.plans.VectorExpressions.register(spark)
+    val docs = DedupQueries.stagedSourceShingles(spark, sf)
+    val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
+    def cellsOf(cond: org.apache.spark.sql.Column) = docs.where(cond)
+      .select(col("source"), explode(col("hs")).as("shg")).distinct()
+    // doc-split batches: their cell sets OVERLAP (same (source, shg) can
+    // arrive in both), exercising the fold's already-present dedup
+    val all = cellsOf(lit(true))
+    val b1 = cellsOf(bucket < 50)
+    val b2 = cellsOf(bucket >= 50)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src_a", "src_b").collect().map(_.toSeq).toSeq
+    val oneShot = sortedRows(DedupQueries.sourceOverlapMatrix(
+      DedupQueries.sourceOverlapFold(DedupQueries.emptyOverlapState, all)))
+    val twoStep = sortedRows(DedupQueries.sourceOverlapMatrix(
+      DedupQueries.sourceOverlapFold(
+        DedupQueries.sourceOverlapFold(DedupQueries.emptyOverlapState, b1), b2)))
+    val batch = sortedRows(DedupQueries.sourceOverlap(spark, sf))
+    assert(oneShot == batch && oneShot.nonEmpty)
+    assert(twoStep == batch)
+  }
+
   test("staged minhash signatures equal an in-query recompute") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     graft.plans.VectorExpressions.register(spark)

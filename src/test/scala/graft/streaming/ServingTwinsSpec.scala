@@ -71,6 +71,40 @@ class ServingTwinsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming activeDays + shared tail equals the batch events_growth_accounting") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val maxTs = batchEvents.map(_.ts.getTime).max
+    val sentinel = Event(-1L, new Timestamp(maxTs + 12L * 86400 * 1000), -1L, "zz_sentinel", 0.0)
+    val mem = MemoryStream[Event](spark)
+    val q = EventStreams.activeDays(mem.toDF(), watermark = "10 days")
+      .writeStream.format("memory").queryName("s_activedays").outputMode("append").start()
+    try {
+      val chunks = batchEvents.sortBy(_.ts.getTime).grouped(100).toSeq
+      val swapped = chunks.grouped(2).flatMap(_.reverse).toSeq
+      swapped.foreach { c => mem.addData(c); q.processAllAvailable() }
+      mem.addData(sentinel)
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.table("s_activedays").where(col("user_id") =!= -1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("user_id", "day")
+
+    // landed cells ≡ the batch distinct (user, day) stage
+    val batchCells = Tables(TestSpark.Sf0001).events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val gotCells = landed.orderBy("user_id", "day").collect().map(_.toSeq).toSeq
+    val wantCells = batchCells.orderBy("user_id", "day").collect().map(_.toSeq).toSeq
+    assert(gotCells == wantCells && gotCells.nonEmpty)
+
+    // shared tail over the landed cells ≡ the registered batch query
+    val got = graft.operators.EventAnalytics.growthFromActive(landed)
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    val want = graft.operators.EventAnalytics.growthAccounting(spark, TestSpark.Sf0001)
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   // ---------------------------------------------------- scene-cut twin
 
   private case class Doc(doc_id: Long, text: String)
