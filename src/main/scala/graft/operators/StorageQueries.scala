@@ -232,30 +232,62 @@ object StorageQueries {
     * linear files each span the whole partkey domain (prune ≈ 0), z-cells
     * span ≈ 1/16 of it (prune ≈ 15/16). Scaling rides the DECIMAL/HUGEINT
     * lane so a 6e18 orderkey cannot overflow the ×65536. */
-  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame =
+    zorderLayoutImpl(spark, dir, forceDecimal = false)
+
+  /** `forceDecimal` pins the overflow-fallback lane in specs (the gate
+    * SFs always take the long lane, so lane equality needs its own pin). */
+  private[operators] def zorderLayoutImpl(spark: SparkSession, dir: String,
+                                          forceDecimal: Boolean): DataFrame = {
     implicit val s: SparkSession = spark
-    val maxes = Tables(dir).lineitem.agg(
-      max(col("l_orderkey")).as("max_o"), max(col("l_partkey")).as("max_p"))
+    // ONE bounded collect (a single max/max row — the graph_hits
+    // 1-row-collect precedent): with the maxima in hand as literals, the
+    // per-row range scaling runs in the plain LONG lane whenever
+    // max·65536 provably cannot overflow int64 (r13: the DECIMAL(38)
+    // multiply-divide ×3 per row was the sf1 cost center — 29.4 s → the
+    // scan-bound floor; DuckDB's HUGEINT lane lands the same values, so
+    // the oracle is unchanged). Keys past 2^47 fall back to the exact
+    // DECIMAL lane, same expressions as before.
+    val mrow = Tables(dir).lineitem.agg(
+      max(col("l_orderkey")).as("max_o"), max(col("l_partkey")).as("max_p")).head()
+    val (maxO, maxP) = (mrow.getLong(0), mrow.getLong(1))
+    val longSafe = !forceDecimal &&
+      maxO < (Long.MaxValue / 65536) - 1 && maxP < (Long.MaxValue / 65536) - 1
+    def scaled(c: String, mx: Long, f: Long): String =
+      if (longSafe) s"$c * ${f}L div ${mx + 1}L"
+      else s"CAST(CAST($c AS DECIMAL(38,0)) * $f div ${mx + 1} AS BIGINT)"
     val xy = Tables(dir).lineitem
       .select(col("l_orderkey"), col("l_partkey"))
-      .crossJoin(broadcast(maxes))
-      .withColumn("x", expr("CAST(CAST(l_orderkey AS DECIMAL(38,0)) * 65536 div (max_o + 1) AS BIGINT)"))
-      .withColumn("y", expr("CAST(CAST(l_partkey AS DECIMAL(38,0)) * 65536 div (max_p + 1) AS BIGINT)"))
+      .withColumn("x", expr(scaled("l_orderkey", maxO, 65536L)))
+      .withColumn("y", expr(scaled("l_partkey", maxP, 65536L)))
       .withColumn("z", expr(s"${zSpread("x", sparkShl)} | ${sparkShl(zSpread("y", sparkShl), 1)}"))
-      .withColumn("lin_file", expr(s"CAST(CAST(l_orderkey AS DECIMAL(38,0)) * $ZFiles div (max_o + 1) AS BIGINT)"))
+      .withColumn("lin_file", expr(scaled("l_orderkey", maxO, ZFiles.toLong)))
       .withColumn("z_file", expr(s"z div $ZCellWidth"))
-      .withColumn("lo", expr(s"max_p * $PredLoPct div 100"))
-      .withColumn("hi", expr(s"max_p * $PredHiPct div 100"))
-    val perFile = xy
-      .select(col("l_partkey"), col("lo"), col("hi"),
+      .withColumn("lo", lit(maxP * PredLoPct / 100))
+      .withColumn("hi", lit(maxP * PredHiPct / 100))
+    // r13: pre-aggregate on the COMPOSITE (lin_file, z_file) cell before
+    // any explode — ≤ ZFiles² groups, map-side combined over the scan, so
+    // the fact table is never doubled through the shuffle (the old plan
+    // exploded 2 structs per row and aggregated 2|T| rows; this one
+    // aggregates |T| rows once, then replays the ≤65k cells). min/max/sum
+    // are merge-exact over whole cells, so per-file stats are identical.
+    val cells = xy
+      .groupBy(col("lin_file"), col("z_file"))
+      .agg(
+        count(lit(1)).as("cn"),
+        min(col("l_partkey")).as("cmin"),
+        max(col("l_partkey")).as("cmax"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+    val perFile = cells
+      .select(col("cn"), col("cmin"), col("cmax"), col("lo"), col("hi"),
         explode(array(
           struct(lit("linear").as("layout"), col("lin_file").as("file")),
           struct(lit("zorder").as("layout"), col("z_file").as("file")))).as("a"))
       .groupBy(col("a.layout").as("layout"), col("a.file").as("file"))
       .agg(
-        count(lit(1)).as("n_rows"),
-        min(col("l_partkey")).as("min_p"),
-        max(col("l_partkey")).as("max_p"),
+        sum(col("cn")).as("n_rows"),
+        min(col("cmin")).as("min_p"),
+        max(col("cmax")).as("max_p"),
         first(col("lo")).as("lo"), first(col("hi")).as("hi"))
     perFile
       .groupBy(col("layout"))

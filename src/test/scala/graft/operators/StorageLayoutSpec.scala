@@ -53,6 +53,14 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(rows(merged) == rows(full) && rows(full).nonEmpty)
   }
 
+  test("z-order long lane equals the decimal overflow-fallback lane") {
+    val got = StorageQueries.zorderLayout(spark, TestSpark.Sf0001)
+      .orderBy("layout").collect().map(_.toSeq).toSeq
+    val want = StorageQueries.zorderLayoutImpl(spark, TestSpark.Sf0001, forceDecimal = true)
+      .orderBy("layout").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("z-order audit matches the driver interleave and prunes better than linear") {
     def spread(v: Long): Long = {
       var s = (v | (v << 8)) & 0x00FF00FFL
