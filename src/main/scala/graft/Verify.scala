@@ -21,6 +21,12 @@ object Verify {
     // shape, instead of 150 per-query analysis errors
     graft.sources.Tables(sfDir)(spark).assertVintage()
     new java.io.File(outDir).mkdirs()
+    // per-query outcome map for the final-line JSON (r12 verdict #6: the
+    // driver-side CORRECTNESS artifact came back empty two rounds running;
+    // this gives its scrape a BENCH-style machine-readable last line —
+    // rows written per query, plus the failed set)
+    val outcome = scala.collection.mutable.TreeMap.empty[String, Long]
+    val failed = scala.collection.mutable.TreeSet.empty[String]
     SparkEntry.registry
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, q) =>
@@ -28,8 +34,11 @@ object Verify {
         val df = q.fn(spark, sfDir)
         val sorted = if (q.sort.nonEmpty) df.orderBy(q.sort: _*) else df
         sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // parquet footer count — metadata-only, no second execution
+        outcome(name) = spark.read.parquet(s"$outDir/$name").count()
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       } finally {
         // release operator-persisted intermediates (the Cached contract):
         // a 150+ query dump would otherwise accumulate every edge list and
@@ -52,6 +61,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // ONE machine-readable summary line (the Bench stdout contract)
+    println(s"""{"metric":"verify","sf":${q(sfDir)},"out":${q(outDir)},""" +
+      s""""n_ok":${outcome.size},"n_failed":${failed.size},""" +
+      s""""failed":${failed.map(q).mkString("[", ",", "]")},""" +
+      s""""rows":${outcome.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }

@@ -72,32 +72,19 @@ class RegistrySpec extends AnyFunSuite {
     val p = java.nio.file.Paths.get("correctness_full.json")
     assert(java.nio.file.Files.exists(p),
       "correctness_full.json missing — run Verify + tools/check.py at sf0.001 and sf0.01")
-    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .replaceAll("\\s", "")
-    val qre =
-      ("\"([a-z][a-z0-9_]*)\":\\{\"hash\":(true|false)," +
-        "\"rows\":(true|false),\"schema\":(true|false)\\}").r
-    def tierBody(t: String): String = {
-      val key = "\"" + t + "\":{"
-      val i = txt.indexOf(key)
-      assert(i >= 0, s"tier $t absent from correctness_full.json")
-      var depth = 0
-      var j = i + key.length - 1
-      var end = -1
-      while (end < 0 && j < txt.length) {
-        txt(j) match {
-          case '{' => depth += 1
-          case '}' => depth -= 1; if (depth == 0) end = j
-          case _ =>
-        }
-        j += 1
-      }
-      assert(end > 0, s"unterminated tier $t in correctness_full.json")
-      txt.substring(i + key.length, end)
-    }
+    // ADVICE r12: a real JSON parse (Jackson rides the Spark classpath)
+    // instead of the regex + brace counter that silently read any writer
+    // format drift as "unrecorded"
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(p))
     for (t <- Seq("sf0.001", "sf0.01")) {
-      val vs = qre.findAllMatchIn(tierBody(t)).map(m =>
-        m.group(1) -> Seq(2, 3, 4).forall(g => m.group(g) == "true")).toMap
+      val tier = root.get(t)
+      assert(tier != null && tier.isObject, s"tier $t absent from correctness_full.json")
+      val vs = scala.collection.mutable.Map.empty[String, Boolean]
+      tier.properties().forEach { e =>
+        vs(e.getKey) = Seq("hash", "rows", "schema")
+          .forall(k => e.getValue.path(k).asBoolean(false))
+      }
       val missing = SparkEntry.registry.keySet -- vs.keySet
       val failing = vs.filterNot(_._2).keySet.intersect(SparkEntry.registry.keySet)
       assert(missing.isEmpty && failing.isEmpty,

@@ -15,23 +15,45 @@ CORRECTNESS_r11.json came back empty; this record makes the round
 auditable without it). RegistrySpec asserts it covers the registry at
 both gate SFs, so the per-query gate ritual keeps it current.
 """
-import json, sys, glob, os
+import json, sys, glob, os, fcntl
 import duckdb
 import pyarrow.parquet as pq
 
 RECORD = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       "correctness_full.json")
 
-def record_merge(tier, verdicts):
-    rec = {}
-    if os.path.exists(RECORD):
-        with open(RECORD) as f:
-            rec = json.load(f)
-    rec.setdefault(tier, {}).update(verdicts)
-    rec[tier] = dict(sorted(rec[tier].items()))
-    with open(RECORD, "w") as f:
-        json.dump(dict(sorted(rec.items())), f, indent=1, sort_keys=True)
-        f.write("\n")
+# ADVICE r12: only the gate tiers are recordable — a run pointed at a
+# nonstandard dir must fail loudly instead of landing an unchecked tier.
+KNOWN_TIERS = {"sf0.001", "sf0.01", "sf0.1", "sf1", "testdata_sf1"}
+
+def record_merge(tier, verdicts, prune_to=None):
+    """Merge per-query verdicts into the committed record.
+
+    ADVICE r12 hardening: the read-merge-write runs under an exclusive
+    fcntl lock and lands via temp-file + os.replace (concurrent per-query
+    gate invocations can no longer lose verdicts or tear the file), and a
+    FULL run passes prune_to=<oracle keys> so renamed/deleted queries do
+    not linger as stale greens.
+    """
+    if tier not in KNOWN_TIERS:
+        raise SystemExit(f"record_merge: unknown tier '{tier}' "
+                         f"(expected one of {sorted(KNOWN_TIERS)})")
+    lock_path = RECORD + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        rec = {}
+        if os.path.exists(RECORD):
+            with open(RECORD) as f:
+                rec = json.load(f)
+        rec.setdefault(tier, {}).update(verdicts)
+        if prune_to is not None:
+            rec[tier] = {k: v for k, v in rec[tier].items() if k in prune_to}
+        rec[tier] = dict(sorted(rec[tier].items()))
+        tmp = RECORD + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dict(sorted(rec.items())), f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, RECORD)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -104,7 +126,9 @@ def main():
         print(f"PASS {name} ({len(dr)} rows)")
         n_pass += 1
     if verdicts:
-        record_merge(os.path.basename(os.path.normpath(sf_dir)), verdicts)
+        # full (no-filter) runs prune stale keys; filtered runs only merge
+        record_merge(os.path.basename(os.path.normpath(sf_dir)), verdicts,
+                     prune_to=None if only else set(oracle))
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
