@@ -1117,7 +1117,14 @@ object GraphQueries {
     implicit val s: SparkSession = spark
     // r12: the oriented edge list comes from the staged materialization
     // (build paid once per corpus state), not a per-query fact-table
-    // self-join — the same serving economics as the rest of the family
+    // self-join — the same serving economics as the rest of the family.
+    // r13 measured REJECTION (verdict #7): pre-partitioning two persisted
+    // edge copies on the half-steps' aggregation keys (so the broadcast
+    // join's output feeds each message groupBy exchange-free) read
+    // 5.01 s vs 5.15 s baseline at sf0.1 min-of-3 — margin-level, because
+    // the cost is the 8 sequential renorm persists + 1-row max collects
+    // (fixed job latency), not the exchanges — while doubling the cached
+    // edge footprint. Keeping the single unpartitioned persist.
     val e = stagedEdges(spark, dir)
     val dirE = Cached.track(
       e.select(col("pa").as("src"), col("pb").as("dst"))
