@@ -294,6 +294,53 @@ object DedupQueries {
        |SELECT cluster_rep AS kept_doc_id, COUNT(*) AS n_absorbed
        |FROM labels GROUP BY cluster_rep ORDER BY kept_doc_id""".stripMargin
 
+  /** §8z(eq) r13 — CLUSTER-SIZE SPECTRUM: the near-dup cluster table
+    * rolled to one row per exact cluster size — n_clusters, n_docs, and
+    * the character MASS sitting at that size. The governance read behind
+    * every dedup decision: a corpus whose mass hides in a few whale
+    * clusters dedups very differently from one with millions of pairs,
+    * and "how much of my data is a size-k near-dup family" is the first
+    * question a training-data owner asks of the cluster table (nobody
+    * pages through `dedup_clusters`' per-doc rows). Distinct sizes are
+    * ≤ √(2·|docs|)-ish in practice, so the output is tiny at any scale;
+    * the plan is the cluster build (staged-signature front) + one
+    * doc-keyed join for n_chars + two keyed aggregates. */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val perCluster = nearDupClusters(spark, dir)
+      .join(Tables(dir).documents.select("doc_id", "n_chars"), Seq("doc_id"))
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("sz"), sum(col("n_chars")).as("chars"))
+    perCluster.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("chars")).as("total_chars"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"), col("total_chars"))
+  }
+
+  private val clusterSizesSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+       |labels AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+       |per_cluster AS (
+       |  SELECT l.cluster_rep, COUNT(*) AS sz, SUM(d.n_chars) AS chars
+       |  FROM labels l JOIN documents d USING (doc_id)
+       |  GROUP BY l.cluster_rep)
+       |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(chars) AS BIGINT) AS total_chars
+       |FROM per_cluster GROUP BY sz
+       |ORDER BY cluster_size""".stripMargin
+
   // ------------------------------------------------------------- jaccard
 
   /** §27 — n-gram Jaccard verification of the LSH candidates only (the
@@ -2025,6 +2072,7 @@ object DedupQueries {
     "dedup_crossmodal_audit" -> Q(crossModalAudit _, crossModalAuditSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_minhash_lsh" -> Q(minhashLsh _, minhashLshSql, Seq(col("doc_a"), col("doc_b"))),
     "dedup_clusters" -> Q(nearDupClusters _, nearDupClustersSql, Seq(col("doc_id"))),
+    "dedup_cluster_sizes" -> Q(clusterSizes _, clusterSizesSql, Seq(col("cluster_size"))),
     "dedup_survivors" -> Q(dedupedCorpus _, dedupedCorpusSql, Seq(col("kept_doc_id"))),
     "dedup_quality_survivors" -> Q(qualitySurvivors _, qualitySurvivorsSql, Seq(col("cluster_id"))),
     "dedup_ngram_jaccard" -> Q(ngramJaccard _, ngramJaccardSql, Seq(col("doc_a"), col("doc_b"))),

@@ -57,6 +57,59 @@ object TextQueries {
 
   /** Long-word threshold for the LIX readability index (Björnsson 1968:
     * words of 7+ characters). */
+  /** §8z(er) r13 — TOKEN DIVERSITY per document: total/distinct token
+    * counts, type-token ratio, and unigram GINI impurity — all in
+    * per-mille integers. Gini (1 − Σp²) is the transcendental-free
+    * diversity measure (entropy needs log, whose engine-local rounding
+    * breaks oracle exactness; Gini is one Σcnt² per doc):
+    * gini_pm = 1000 − Σcnt²·1000 div n². A spammy doc repeating one
+    * phrase scores near 0, natural prose near 1000 — the repetition
+    * family's distribution-level complement (text_repetition flags
+    * repeated n-gram RUNS; this reads the whole unigram distribution).
+    * Σcnt² rides the DECIMAL lane (a 10⁷-token doc squares past int64
+    * before the final divide).
+    *
+    * Scale shape: one explode + (doc, token) count + per-doc aggregate —
+    * map-side partials on both keyed steps, output one row per doc. */
+  def tokenDiversity(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Tables(dir).documents
+      .select(col("doc_id"), explode_outer(words(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("tok").isNotNull, col("cnt")).otherwise(0L)).as("n_tokens"),
+        sum(when(col("tok").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
+        sum(when(col("tok").isNotNull,
+          expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("ss"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("CASE WHEN n_tokens = 0 THEN 0L ELSE n_distinct * 1000 div n_tokens END").as("ttr_pm"),
+        expr("""CASE WHEN n_tokens = 0 THEN 0L
+               |ELSE CAST(1000 - ss * 1000 div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)
+               |END""".stripMargin).as("gini_pm"))
+  }
+
+  private val tokenDiversitySql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> LEN(x) > 0)) AS tok
+      |  FROM documents),
+      |cnts AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    SUM(CAST(cnt AS HUGEINT) * cnt) AS ss
+      |  FROM cnts GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(n_tokens, 0) AS n_tokens,
+      |  COALESCE(n_distinct, 0) AS n_distinct,
+      |  CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0
+      |       ELSE n_distinct * 1000 // n_tokens END AS ttr_pm,
+      |  CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0
+      |       ELSE CAST(1000 - ss * 1000 // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+      |       END AS gini_pm
+      |FROM documents d LEFT JOIN per_doc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   private val LixLongWord = 7
 
   /** §8y(eo) r12 — READABILITY metrics per document: sentence/word/long-
@@ -765,6 +818,7 @@ object TextQueries {
     "text_token_stats" -> Q(tokenStats _, tokenStatsSql, Seq(col("doc_id"))),
     "text_quality_score" -> Q(qualityScore _, qualityScoreSql, Seq(col("doc_id"))),
     "text_readability" -> Q(readability _, readabilitySql, Seq(col("doc_id"))),
+    "text_token_diversity" -> Q(tokenDiversity _, tokenDiversitySql, Seq(col("doc_id"))),
     "text_quality_buckets" -> Q(qualityBuckets _, qualityBucketsSql, Seq(col("doc_id"))),
     "text_lang_id" -> Q(langId _, langIdSql, Seq(col("doc_id"))),
     "text_langid_confusion" -> Q(langConfusion _, langConfusionSql,
