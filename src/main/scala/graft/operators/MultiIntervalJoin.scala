@@ -385,14 +385,39 @@ object MultiIntervalJoin {
     * `graph_resource_allocation`'s RaTopK. */
   def copresenceTopK(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val pairs = stagedStayPairs(spark, dir)
+    // ensure the stage exists, then read it through a child session whose
+    // file-split size is small: the staged table is BYTE-slim (~28 MB for
+    // 14M pairs at sf1 — three longs a row), so the default 128 MB split
+    // packs the scan into 1–2 tasks and EVERYTHING downstream of it (the
+    // directed union's exchange map side, the top-k partial heaps) ran
+    // near-serial however the later plan was partitioned — measured
+    // 15.5 s persisted, 14.8 unpersisted, 16.7 with a post-scan
+    // repartition, all scan-bound. A 1 MB split puts each part file in
+    // its own task (32-way) and the same plan reads 8.6 s fresh-JVM
+    // min-of-3 at sf1 (the residual is the heap pass over the 2|pairs|
+    // directed rows, now fully parallel). newSession shares the
+    // SparkContext and caches; only its SQLConf differs, so no other
+    // query's split sizing is touched.
+    stagedStayPairs(spark, dir)
+    val path = s"/tmp/graft_staypairs_${new java.io.File(dir).getName}"
+    val rs = spark.newSession()
+    rs.conf.set("spark.sql.files.maxPartitionBytes", (1L << 20).toString)
+    rs.conf.set("spark.sql.files.openCostInBytes", "0")
+    val pairs = rs.read.parquet(path)
     val directed = pairs
       .select(col("a_user").as("user_id"), col("b_user").as("partner"), col("n_overlap_pairs"))
       .unionByName(pairs.select(col("b_user").as("user_id"), col("a_user").as("partner"),
         col("n_overlap_pairs")))
-    // the heap ranks on double (exact for counts ≪ 2^53); output keeps long
+    // the heap ranks on double (exact for counts ≪ 2^53); output keeps long.
+    // Explicit hash-repartition on the key: the staged pair table is SLIM
+    // (~28 MB for 14M pairs at sf1), so the scan packs into 1–2 input
+    // tasks and the whole 2|pairs|-row heap pass would run near-serial;
+    // the repartition spreads the partial heaps evenly whatever the
+    // stage's file layout AND satisfies the final exec's
+    // ClusteredDistribution, so it is the plan's only exchange.
     TopK.perKeyExec(directed.select(col("user_id"), col("partner"),
-        col("n_overlap_pairs").cast("double").as("score")),
+        col("n_overlap_pairs").cast("double").as("score"))
+        .repartition(col("user_id")),
         "user_id", "score", "partner", CopresenceK)
       .select(col("user_id"), col("rank"), col("partner"),
         col("score").cast("long").as("n_overlap_pairs"))
