@@ -365,7 +365,7 @@ object MultiIntervalJoin {
     Stage.ensure(path, s"$dir/events.parquet") {
       overlappingStays(spark, dir).write.mode("overwrite").parquet(path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(Stage.read(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -400,10 +400,7 @@ object MultiIntervalJoin {
     // query's split sizing is touched.
     stagedStayPairs(spark, dir)
     val path = s"/tmp/graft_staypairs_${new java.io.File(dir).getName}"
-    val rs = spark.newSession()
-    rs.conf.set("spark.sql.files.maxPartitionBytes", (1L << 20).toString)
-    rs.conf.set("spark.sql.files.openCostInBytes", "0")
-    val pairs = rs.read.parquet(path)
+    val pairs = Stage.read(spark, path)
     val directed = pairs
       .select(col("a_user").as("user_id"), col("b_user").as("partner"), col("n_overlap_pairs"))
       .unionByName(pairs.select(col("b_user").as("user_id"), col("a_user").as("partner"),

@@ -45,6 +45,43 @@ object Stage {
   def record(stage: String, sourcePath: String): Unit =
     Files.write(sigFile(stage), signature(sourcePath).getBytes("UTF-8"))
 
+  /** Read a staged artifact with file splits sized to the ARTIFACT, not
+    * the global 128 MB default (r13): staged frames are byte-slim —
+    * dictionary-coded longs land 14M rows in 28 MB — so the default
+    * split packs the scan into 1–2 tasks and everything before the
+    * plan's first exchange (explodes, join/aggregate map sides, persist
+    * materializations, and the CACHED partitioning itself) runs
+    * near-serial however the later plan is partitioned (measured: the
+    * copresence serving read was 15.5 s scan-bound, 8.6 s after this).
+    * Splits target `targetTasks` with a 1 MB floor; the read goes
+    * through a child session (shared SparkContext, cache, and catalog —
+    * only the SQLConf differs), so no other query's sizing is touched.
+    *
+    * WHEN TO USE (r13, measured): ONLY for reads whose downstream work
+    * before the first exchange is heavy AND single-pass (the copresence
+    * heap pass). Switching ALL staged readers to this was built and
+    * REJECTED on measurement — the graph/verify families got SLOWER
+    * (five-query sf1 subset 52.9 → 62.6 s: their staged frames persist
+    * and feed iterative consumers, where 64 tiny cached partitions add
+    * per-task overhead on every iteration and the first shuffle already
+    * re-spreads the work). Default stays `spark.read.parquet`. */
+  def read(spark: org.apache.spark.sql.SparkSession, stage: String,
+           targetTasks: Int = 64): org.apache.spark.sql.DataFrame = {
+    val p = Paths.get(stage)
+    val bytes =
+      if (Files.isDirectory(p)) {
+        val listing = Files.list(p)
+        try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+        finally listing.close()
+      } else if (Files.exists(p)) Files.size(p) else 0L
+    val split = math.max(1L << 20, bytes / math.max(targetTasks, 1))
+    val rs = spark.newSession()
+    rs.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+    rs.conf.set("spark.sql.files.openCostInBytes", "0")
+    rs.read.parquet(stage)
+  }
+
   /** Build-if-stale with the sig invalidated FIRST: a `mode(overwrite)`
     * rewrite deletes and re-creates the stage directory, and a stale `.sig`
     * surviving into that window would let a later `current` call serve a
