@@ -248,8 +248,13 @@ object DedupQueries {
       .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
   }
 
-  private val nearDupClustersSql =
-    s"""WITH RECURSIVE $minhashCtes,
+  /** Shared WITH-RECURSIVE chain ending in `labels(doc_id, cluster_rep)`
+    * — the connected-components labeling over the LSH band graph, used
+    * verbatim by the cluster, survivor, and size-spectrum oracles (one
+    * definition so a labeling fix cannot desynchronize them — the same
+    * hazard [[minhashCtes]] was factored out to prevent). */
+  private def clusterCtes: String =
+    s"""$minhashCtes,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -261,7 +266,10 @@ object DedupQueries {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
-       |labels AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id)
+       |labels AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id)""".stripMargin
+
+  private val nearDupClustersSql =
+    s"""WITH RECURSIVE $clusterCtes
        |SELECT doc_id, cluster_rep,
        |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
        |FROM labels ORDER BY doc_id""".stripMargin
@@ -278,19 +286,7 @@ object DedupQueries {
   }
 
   private val dedupedCorpusSql =
-    s"""WITH RECURSIVE $minhashCtes,
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-       |edges AS (
-       |  SELECT doc_a AS s, doc_b AS d FROM pairs
-       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(id, r) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
-       |labels AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id)
+    s"""WITH RECURSIVE $clusterCtes
        |SELECT cluster_rep AS kept_doc_id, COUNT(*) AS n_absorbed
        |FROM labels GROUP BY cluster_rep ORDER BY kept_doc_id""".stripMargin
 
@@ -318,19 +314,7 @@ object DedupQueries {
   }
 
   private val clusterSizesSql =
-    s"""WITH RECURSIVE $minhashCtes,
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-       |edges AS (
-       |  SELECT doc_a AS s, doc_b AS d FROM pairs
-       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(id, r) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
-       |labels AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+    s"""WITH RECURSIVE $clusterCtes,
        |per_cluster AS (
        |  SELECT l.cluster_rep, COUNT(*) AS sz, SUM(d.n_chars) AS chars
        |  FROM labels l JOIN documents d USING (doc_id)
@@ -1199,7 +1183,10 @@ object DedupQueries {
       import spark.implicits._
       st.names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
         .toDF("sid", "source").coalesce(1).write.mode("overwrite").parquet(s"$path/dict")
-      Cached.releaseAll()
+      // build-time persists stay on the Cached registry — the CONSUMER
+      // releases after its action (a releaseAll here would unpersist
+      // unrelated in-flight frames session-wide, and drop the
+      // stagedSourceShingles cache the caller immediately re-reads)
     }
     val names = spark.read.parquet(s"$path/dict").orderBy("sid")
       .collect().map(_.getString(1)).toSeq // bounded: one row per ingestion feed

@@ -385,22 +385,16 @@ object MultiIntervalJoin {
     * `graph_resource_allocation`'s RaTopK. */
   def copresenceTopK(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    // ensure the stage exists, then read it through a child session whose
-    // file-split size is small: the staged table is BYTE-slim (~28 MB for
-    // 14M pairs at sf1 — three longs a row), so the default 128 MB split
-    // packs the scan into 1–2 tasks and EVERYTHING downstream of it (the
-    // directed union's exchange map side, the top-k partial heaps) ran
-    // near-serial however the later plan was partitioned — measured
-    // 15.5 s persisted, 14.8 unpersisted, 16.7 with a post-scan
-    // repartition, all scan-bound. A 1 MB split puts each part file in
-    // its own task (32-way) and the same plan reads 8.6 s fresh-JVM
-    // min-of-3 at sf1 (the residual is the heap pass over the 2|pairs|
-    // directed rows, now fully parallel). newSession shares the
-    // SparkContext and caches; only its SQLConf differs, so no other
-    // query's split sizing is touched.
-    stagedStayPairs(spark, dir)
-    val path = s"/tmp/graft_staypairs_${new java.io.File(dir).getName}"
-    val pairs = Stage.read(spark, path)
+    // stagedStayPairs reads the stage via Stage.read: the table is
+    // BYTE-slim (~28 MB for 14M pairs at sf1 — three longs a row), so the
+    // default 128 MB split packed the scan into 1–2 tasks and EVERYTHING
+    // downstream (the union's exchange map side, the top-k partial heaps,
+    // even the CACHED partitioning) ran near-serial however the later
+    // plan was partitioned — measured 15.5 s persisted, 14.8 unpersisted,
+    // 16.7 with a post-scan repartition, all scan-bound; artifact-sized
+    // splits read 8.6 s fresh-JVM min-of-3 at sf1 (the residual is the
+    // heap pass over the 2|pairs| directed rows, now fully parallel).
+    val pairs = stagedStayPairs(spark, dir)
     val directed = pairs
       .select(col("a_user").as("user_id"), col("b_user").as("partner"), col("n_overlap_pairs"))
       .unionByName(pairs.select(col("b_user").as("user_id"), col("a_user").as("partner"),

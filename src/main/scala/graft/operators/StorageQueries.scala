@@ -250,7 +250,10 @@ object StorageQueries {
     // DECIMAL lane, same expressions as before.
     val mrow = Tables(dir).lineitem.agg(
       max(col("l_orderkey")).as("max_o"), max(col("l_partkey")).as("max_p")).head()
-    val (maxO, maxP) = (mrow.getLong(0), mrow.getLong(1))
+    // empty table → null maxes; 0 keeps the (empty) plan analyzable so the
+    // query degrades to zero output rows like the pre-r13 form did
+    val maxO = if (mrow.isNullAt(0)) 0L else mrow.getLong(0)
+    val maxP = if (mrow.isNullAt(1)) 0L else mrow.getLong(1)
     val longSafe = !forceDecimal &&
       maxO < (Long.MaxValue / 65536) - 1 && maxP < (Long.MaxValue / 65536) - 1
     def scaled(c: String, mx: Long, f: Long): String =

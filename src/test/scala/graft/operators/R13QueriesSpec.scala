@@ -55,7 +55,8 @@ class R13QueriesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(got == want && got.nonEmpty)
     // a doc repeating one token scores 0 diversity; all-distinct scores
-    // 1000·(1 − 1/n) — spot the extremes exist in-range
-    assert(got.forall(t => t._5 >= 0 && t._5 < 1000))
+    // 1000·(1 − 1/n), which the integer div rounds to exactly 1000 once
+    // n > 1000 (ss·1000 < n²) — so the bound is inclusive
+    assert(got.forall(t => t._5 >= 0 && t._5 <= 1000))
   }
 }
