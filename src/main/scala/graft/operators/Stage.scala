@@ -15,6 +15,15 @@ import java.nio.file.{Files, Paths}
   */
 object Stage {
 
+  /** ADVICE r13 — code-version token folded into every signature: staged
+    * artifacts were gated only on the SOURCE's (size, mtime), so a change
+    * to a builder's formula kept serving the stale frame built by the
+    * prior code version until /tmp was cleared or the oracle gate caught
+    * it. Bump this constant whenever ANY staged builder's output formula
+    * changes; every stage then reads as stale exactly once and rebuilds
+    * under the new code. */
+  private[operators] val StageVersion = "s14"
+
   private[operators] def signature(sourcePath: String): String = {
     val p = Paths.get(sourcePath)
     if (Files.isDirectory(p)) {
@@ -26,11 +35,12 @@ object Stage {
         try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
           .filter(Files.isRegularFile(_)).sortBy(_.toString)
         finally listing.close()
-      parts.map(f => s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+      StageVersion + "|" + parts
+        .map(f => s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
         .mkString("|")
     } else if (Files.exists(p))
-      s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
-    else "absent"
+      s"$StageVersion|${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    else s"$StageVersion|absent"
   }
 
   private def sigFile(stage: String) = Paths.get(stage + ".sig")
@@ -68,18 +78,39 @@ object Stage {
   def read(spark: org.apache.spark.sql.SparkSession, stage: String,
            targetTasks: Int = 64): org.apache.spark.sql.DataFrame = {
     val p = Paths.get(stage)
+    // ADVICE r13: sum only the *.parquet part files — _SUCCESS / .crc
+    // sidecars are not data and skewed the computed split slightly low
     val bytes =
       if (Files.isDirectory(p)) {
         val listing = Files.list(p)
         try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
-          .filter(Files.isRegularFile(_)).map(Files.size).sum
+          .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size).sum
         finally listing.close()
       } else if (Files.exists(p)) Files.size(p) else 0L
     val split = math.max(1L << 20, bytes / math.max(targetTasks, 1))
-    val rs = spark.newSession()
-    rs.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
-    rs.conf.set("spark.sql.files.openCostInBytes", "0")
-    rs.read.parquet(stage)
+    readSession(spark, split).read.parquet(stage)
+  }
+
+  /** ADVICE r13: one child session PER (context, split size), reused —
+    * `newSession()` on every read accumulated SessionState objects for
+    * the life of the JVM under repeated invocations. The cache key
+    * includes the parent's SparkContext so a stopped context's sessions
+    * are never served to a fresh one (each test JVM / restart gets its
+    * own entries; stale ones are dropped on sight). */
+  private val readSessions =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, Long),
+      org.apache.spark.sql.SparkSession]
+
+  private def readSession(spark: org.apache.spark.sql.SparkSession,
+                          split: Long): org.apache.spark.sql.SparkSession = {
+    readSessions.filterInPlace((k, _) => !k._1.isStopped)
+    readSessions.getOrElseUpdate((spark.sparkContext, split), {
+      val rs = spark.newSession()
+      rs.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+      rs.conf.set("spark.sql.files.openCostInBytes", "0")
+      rs
+    })
   }
 
   /** Build-if-stale with the sig invalidated FIRST: a `mode(overwrite)`

@@ -76,6 +76,13 @@ def rows_of(table):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    # ADVICE r13: validate the tier BEFORE running anything — a run pointed
+    # at a nonstandard dir used to fail only inside record_merge, after the
+    # whole oracle pass, discarding every verdict and the exit-code contract.
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    if tier not in KNOWN_TIERS:
+        raise SystemExit(f"check.py: unknown tier '{tier}' "
+                         f"(expected one of {sorted(KNOWN_TIERS)})")
     con = duckdb.connect()
     # modest worker pool: at threads=n_cores the allocator intermittently
     # fails on a loaded box (EAGAIN thread spawn / spurious bad_alloc)
@@ -127,9 +134,18 @@ def main():
         n_pass += 1
     if verdicts:
         # full (no-filter) runs prune stale keys; filtered runs only merge
-        record_merge(os.path.basename(os.path.normpath(sf_dir)), verdicts,
-                     prune_to=None if only else set(oracle))
+        record_merge(tier, verdicts, prune_to=None if only else set(oracle))
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    # r13 verdict #5: one machine-readable correctness line, the BENCH
+    # stdout contract, as the ABSOLUTE LAST act — whichever stream the
+    # driver scrapes (Verify's final line or this checker's) now carries
+    # the round's hard correctness record.
+    failed = sorted(n for n, v in verdicts.items()
+                    if not (v["rows"] and v["schema"] and v["hash"]))
+    print(json.dumps({"metric": "correctness", "sf": sf_dir,
+                      "n_ok": n_pass, "n_failed": n_fail, "failed": failed},
+                     separators=(",", ":")))
+    sys.stdout.flush()
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
