@@ -88,28 +88,14 @@ object GraphQueries {
     * the |E|-row edge table — still never on wedges), corner rollup (1). */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val e = edges(Tables(dir))
-    val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val withDeg = e
-      .join(broadcast(deg.toDF("pa", "deg_a")), Seq("pa"))
-      .join(broadcast(deg.toDF("pb", "deg_b")), Seq("pb"))
-    val oriented = withDeg.select(
-      when(col("deg_a") < col("deg_b")
-        || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pa"))
-        .otherwise(col("pb")).as("src"),
-      when(col("deg_a") < col("deg_b")
-        || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pb"))
-        .otherwise(col("pa")).as("dst"))
-    val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_set(col("dst"))).as("ns"))
-    val tri = oriented
-      .join(broadcast(adj.toDF("src", "ns_a")), Seq("src"))
-      .join(broadcast(adj.select(col("src").as("dst"), col("ns").as("ns_b"))), Seq("dst"))
-      .select(col("src"), col("dst"),
-        explode(array_intersect(col("ns_a"), col("ns_b"))).as("w"))
-    val perPart = tri
-      .select(explode(array(col("src"), col("dst"), col("w"))).as("p_partkey"))
+    // r14: the whole orientation + adjacency + intersect front comes from
+    // the shared staged apex-edge frame ([[stagedTriEdges]]); per-part
+    // participation is one explode over it — a row (src, dst, tris)
+    // contributes |tris| to src and dst and 1 to each closing node.
+    val perPart = stagedTriEdges(spark, dir)
+      .select(explode(concat(col("tris"),
+        array_repeat(col("src"), size(col("tris"))),
+        array_repeat(col("dst"), size(col("tris"))))).as("p_partkey"))
       .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
     perPart.orderBy(col("n_triangles").desc, col("p_partkey")).limit(100)
   }
@@ -296,6 +282,51 @@ object GraphQueries {
     * so this equals the per-query explode-groupBy builds it replaces). */
   private[operators] def degFromAdj(adj: DataFrame): DataFrame =
     adj.select(col("node"), size(col("ns")).cast("long").as("deg"))
+
+  /** r14 (verdict #3) — the shared per-APEX-EDGE triangle frame: for each
+    * degree-ordered oriented edge (src, dst), the closing nodes
+    * N⁺(src) ∩ N⁺(dst) as an array (edges with no closing node are
+    * dropped — neither consumer reads them). The acyclic orientation
+    * gives every triangle exactly ONE apex edge, so each triangle appears
+    * in exactly one row; `graph_triangles`' per-part rollup is an
+    * explode over these rows and `graph_transitivity`'s global count is
+    * Σ size — both previously re-ran the orientation + oriented-adjacency
+    * build + map-side intersect per query (the two heaviest rows of the
+    * sf1 graph family, 23.7 + 11.6 s). Content-gated on the fact table
+    * like [[stagedEdges]]/[[stagedAdj]]; the frame is |apex edges with
+    * triangles| rows with arrays bounded by the orientation's ~√|E|
+    * out-degree, so it stays a small fraction of the edge list. */
+  private[operators] def stagedTriEdges(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_gtri_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/lineitem.parquet") {
+      val nodeDomain = Tables(dir).part.count()
+      val e = stagedEdges(spark, dir)
+      val deg = degFromAdj(stagedAdj(spark, dir))
+      val withDeg = e
+        .join(gatedBroadcast(deg.toDF("pa", "deg_a"), nodeDomain), Seq("pa"))
+        .join(gatedBroadcast(deg.toDF("pb", "deg_b"), nodeDomain), Seq("pb"))
+      val oriented = withDeg.select(
+        when(col("deg_a") < col("deg_b")
+          || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pa"))
+          .otherwise(col("pb")).as("src"),
+        when(col("deg_a") < col("deg_b")
+          || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pb"))
+          .otherwise(col("pa")).as("dst"))
+      val adj = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_set(col("dst"))).as("ns"))
+      oriented
+        .join(gatedBroadcast(adj.toDF("src", "ns_a"), nodeDomain), Seq("src"))
+        .join(gatedBroadcast(adj.select(col("src").as("dst"), col("ns").as("ns_b")),
+          nodeDomain), Seq("dst"))
+        .select(col("src"), col("dst"),
+          array_intersect(col("ns_a"), col("ns_b")).as("tris"))
+        .where(size(col("tris")) > 0)
+        .write.mode("overwrite").parquet(path)
+    }
+    Cached.track(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** PageRank served from the staged adjacency (edge build AND the
     * symmetrize/degree-annotate pass paid once per corpus state, not per
@@ -1267,30 +1298,17 @@ object GraphQueries {
     * fold lanes: Σdeg² at a 100 TB catalog passes int64. */
   def transitivity(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val nodeDomain = Tables(dir).part.count()
     val e = stagedEdges(spark, dir)
     // r12: degree table off the staged adjacency (degree = #distinct
     // neighbors = size(ns); the edge list is distinct pairs, so this
     // equals the explode-groupBy it replaces)
     val deg = degFromAdj(stagedAdj(spark, dir))
-    val withDeg = e
-      .join(gatedBroadcast(deg.toDF("pa", "deg_a"), nodeDomain), Seq("pa"))
-      .join(gatedBroadcast(deg.toDF("pb", "deg_b"), nodeDomain), Seq("pb"))
-    val oriented = withDeg.select(
-      when(col("deg_a") < col("deg_b")
-        || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pa"))
-        .otherwise(col("pb")).as("src"),
-      when(col("deg_a") < col("deg_b")
-        || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pb"))
-        .otherwise(col("pa")).as("dst"))
-    val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_set(col("dst"))).as("ns"))
-    val triTotal = oriented
-      .join(gatedBroadcast(adj.toDF("src", "ns_a"), nodeDomain), Seq("src"))
-      .join(gatedBroadcast(adj.select(col("src").as("dst"), col("ns").as("ns_b")),
-        nodeDomain), Seq("dst"))
-      .agg(coalesce(sum(expr(
-        "CAST(size(array_intersect(ns_a, ns_b)) AS DECIMAL(38,0))")), lit(0))
+    // r14: the triangle NUMERATOR is Σ size over the shared staged
+    // apex-edge frame ([[stagedTriEdges]] — every triangle appears in
+    // exactly one row), replacing this query's own orientation +
+    // adjacency + intersect re-run
+    val triTotal = stagedTriEdges(spark, dir)
+      .agg(coalesce(sum(expr("CAST(size(tris) AS DECIMAL(38,0))")), lit(0))
         .as("n_triangles"))
     val degSums = deg.agg(
       count(lit(1)).as("n_nodes"),

@@ -346,6 +346,54 @@ object StorageQueries {
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
     "l_returnflag", "l_linestatus")
 
+  /** r14 (verdict #2) — the storage-governance family's SHARED staged
+    * frame: the fact table's (col_name, val, cnt) value-multiplicity
+    * cells over [[StatsCols]], content-gated on lineitem.parquet (the
+    * [[graft.operators.DedupQueries]] stagedSourceShingles precedent).
+    * `storage_table_stats`, `q_join_skew_audit`, and
+    * `storage_join_advisor` each re-melted and re-aggregated the fact
+    * table per run — the largest unshared heavy front left at sf1
+    * (16.8 + 12.9 + 12.0 s). Every one of their measures is a fold over
+    * these cells (row/null/width sums weighted by cnt, NDV a count,
+    * skew's count-of-counts a (col, cnt) groupBy, the advisor's
+    * max-key-rows a max) — so the corpus-linear melt lands ONCE per
+    * fact-table state and the three reads work ∝ |distinct (col, val)|,
+    * never |rows|·6. At 100 TB this is the ANALYZE discipline: cells are
+    * per-partition landable and merge by cnt-sum, and the governance
+    * dashboards consult the landed frame. */
+  private[operators] def stagedValCounts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_vcnt_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/lineitem.parquet") {
+      // explode_outer: the literal array is never empty, and the outer
+      // form plants no generator filter for pushdown to re-derive
+      Tables(dir).lineitem
+        .select(explode_outer(array(StatsCols.map(c =>
+          struct(lit(c).as("k"), col(c).cast("string").as("v"))): _*)).as("a"))
+        .select(col("a.k").as("col_name"), col("a.v").as("val"))
+        .groupBy("col_name", "val").agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(path)
+    }
+    Cached.track(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The o_custkey leg of the skew/advisor melt, staged against the
+    * orders table (same (col_name, val, cnt) schema as
+    * [[stagedValCounts]] so the consumers union the two frames). */
+  private[operators] def stagedCustKeyCounts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_ocust_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/orders.parquet") {
+      Tables(dir).orders
+        .select(lit("o_custkey").as("col_name"), col("o_custkey").cast("string").as("val"))
+        .groupBy("col_name", "val").agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(path)
+    }
+    Cached.track(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** §8p(cu) — ANALYZE-style table statistics: per column, the numbers a
     * cost-based optimizer actually consumes — row count, null count and
     * null fraction (ppm), average rendered width (per-mille chars), and
@@ -366,21 +414,13 @@ object StorageQueries {
   def tableStats(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    // melt is NOT persisted: both consumers re-derive it from the scan —
-    // a scan + explode re-run beats materializing a 6×-row string frame
-    // (explode_outer: the literal array is never empty, and the outer
-    // form plants no generator filter for pushdown to re-derive)
-    val melted = Tables(dir).lineitem
-      .select(explode_outer(array(StatsCols.map(c =>
-        struct(lit(c).as("k"), col(c).cast("string").as("v"))): _*)).as("a"))
-      .select(col("a.k").as("col_name"), col("a.v").as("val"))
-    // ONE melt pass: collapse to (col, val, multiplicity) first — every
-    // stat is a fold over that frame (row/null/width sums weighted by
-    // multiplicity, exact NDV a plain count), and the sketch hashes the
-    // value SET (register max is duplicate-idempotent), so md5 runs over
-    // |values|, not |rows|·6. Two consumers → persist the small frame.
-    val valCounts = Cached.track(
-      melted.groupBy("col_name", "val").agg(count(lit(1)).as("cnt")).persist())
+    // r14: the (col, val, multiplicity) frame comes STAGED — every stat
+    // is a fold over it (row/null/width sums weighted by multiplicity,
+    // exact NDV a plain count), and the sketch hashes the value SET
+    // (register max is duplicate-idempotent), so md5 runs over |values|,
+    // not |rows|·6, and the corpus-linear melt is paid once per
+    // fact-table state, not per run.
+    val valCounts = stagedValCounts(spark, dir)
     val stats = valCounts.groupBy("col_name").agg(
       sum(col("cnt")).as("n_rows"),
       coalesce(sum(when(col("val").isNull, col("cnt"))), lit(0L)).as("n_nulls"),

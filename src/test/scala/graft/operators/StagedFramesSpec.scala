@@ -95,6 +95,61 @@ class StagedFramesSpec extends AnyFunSuite {
     assert(twoStep == batch)
   }
 
+  test("staged apex-edge triangle frame equals the inline orientation + intersect") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val e = GraphQueries.stagedEdges(spark, sf)
+    val deg = GraphQueries.degFromAdj(GraphQueries.stagedAdj(spark, sf))
+    val withDeg = e
+      .join(deg.toDF("pa", "deg_a"), Seq("pa"))
+      .join(deg.toDF("pb", "deg_b"), Seq("pb"))
+    val oriented = withDeg.select(
+      when(col("deg_a") < col("deg_b")
+        || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pa"))
+        .otherwise(col("pb")).as("src"),
+      when(col("deg_a") < col("deg_b")
+        || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pb"))
+        .otherwise(col("pa")).as("dst"))
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+    val want = oriented
+      .join(adj.toDF("src", "ns_a"), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("ns").as("ns_b")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        expr("array_sort(array_intersect(ns_a, ns_b))").as("tris"))
+      .where(size(col("tris")) > 0)
+      .orderBy("src", "dst").collect().map(_.toSeq).toSeq
+    val got = GraphQueries.stagedTriEdges(spark, sf)
+      .select(col("src"), col("dst"), expr("array_sort(tris)").as("tris"))
+      .orderBy("src", "dst").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("staged fact value-counts equal the inline melt aggregate") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val want = graft.sources.Tables(sf).lineitem
+      .select(explode_outer(array(cols.map(c =>
+        struct(lit(c).as("k"), col(c).cast("string").as("v"))): _*)).as("a"))
+      .groupBy(col("a.k").as("col_name"), col("a.v").as("val"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("col_name", "val").collect().map(_.toSeq).toSeq
+    val got = StorageQueries.stagedValCounts(spark, sf)
+      .orderBy("col_name", "val").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("staged o_custkey counts equal the inline orders aggregate") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val want = graft.sources.Tables(sf).orders
+      .groupBy(lit("o_custkey").as("col_name"), col("o_custkey").cast("string").as("val"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("val").collect().map(_.toSeq).toSeq
+    val got = StorageQueries.stagedCustKeyCounts(spark, sf)
+      .orderBy("val").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("staged minhash signatures equal an in-query recompute") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     graft.plans.VectorExpressions.register(spark)
