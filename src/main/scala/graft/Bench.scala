@@ -114,6 +114,13 @@ object Bench {
       // flat-scan exact family (by-construction P×C scans)
       "ann_pq_adc", "ann_sq_topk", "ann_lsh_recall", "ann_lsh_cosine",
       "ann_bruteforce_topk", "ann_knn_label", "ann_knn_calibration",
+      // r14 (r13 verdict #6): the recall-tuned variant of the same flat
+      // pair-search family as ann_lsh_cosine — its per-band probe set is
+      // 2× the band rows of that query, so candidate volume (and the
+      // verify scan) is P×C by construction, not sub-linear; the
+      // deployment-shaped LSH path is dedup_minhash_lsh / the banded
+      // bucket joins, which stay in the deployment tier
+      "ann_lsh_multiprobe",
       // flat threshold scan (r09; deployment twin: ann_ivf_range — the
       // same threshold through the bucket-pruned index)
       "dedup_embedding_cosine",
