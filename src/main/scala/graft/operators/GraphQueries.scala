@@ -110,12 +110,17 @@ object GraphQueries {
     * both ways). */
   def trianglesCapped(spark: SparkSession, dir: String, cap: Int): DataFrame = {
     implicit val s: SparkSession = spark
-    val e = edges(Tables(dir))
-    val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // r14: edges + degrees come from the staged family frames (the last
+    // deployment-tier query still paying the inline fact-table self-join
+    // per run — 18.3 s of its r13 sf1 reading was that rebuild). The
+    // staged edge list is distinct pairs and degFromAdj counts distinct
+    // neighbors, so both equal the inline builds they replace.
+    val nodeDomain = Tables(dir).part.count()
+    val e = stagedEdges(spark, dir)
+    val deg = degFromAdj(stagedAdj(spark, dir))
     val withDeg = e
-      .join(broadcast(deg.toDF("pa", "deg_a")), Seq("pa"))
-      .join(broadcast(deg.toDF("pb", "deg_b")), Seq("pb"))
+      .join(gatedBroadcast(deg.toDF("pa", "deg_a"), nodeDomain), Seq("pa"))
+      .join(gatedBroadcast(deg.toDF("pb", "deg_b"), nodeDomain), Seq("pb"))
     val oriented = withDeg.select(
       when(col("deg_a") < col("deg_b")
         || (col("deg_a") === col("deg_b") && col("pa") < col("pb")), col("pa"))
