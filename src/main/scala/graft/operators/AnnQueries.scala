@@ -1835,15 +1835,7 @@ object AnnQueries {
             explode(array((0 until nBands).map(b =>
               struct(lit(b).as("band_id"), bandHash(b).as("h"), bandMargins(b).as("m"))): _*)).as("s"))
           .select(col("vec_id"), col("s.band_id").as("band_id"), col("s.h").as("h"), col("s.m").as("m"))
-        val flipped = (0 until nRows).foldLeft(Option.empty[Column]) { (acc, r) =>
-          val isMin = ((r + 1) until nRows).map(t => col("m")(r) <= col("m")(t)).reduceOption(_ && _)
-          Some((acc, isMin) match {
-            case (None, Some(cond)) => when(cond, col("h").bitwiseXOR(lit(1 << r)))
-            case (Some(c), Some(cond)) => c.when(cond, col("h").bitwiseXOR(lit(1 << r)))
-            case (Some(c), None) => c.otherwise(col("h").bitwiseXOR(lit(1 << r)))
-            case (None, None) => col("h").bitwiseXOR(lit(1 << r)) // nRows == 1
-          })
-        }.get
+        val flipped = flippedHashCol(nRows)
         sig.select(col("vec_id"), col("band_id"),
           explode(array(col("h"), flipped)).as("band_hash"))
       }
@@ -1860,6 +1852,21 @@ object AnnQueries {
         round(VectorExpressions.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
       .where(col("cos") >= CosineThreshold)
   }
+
+  /** The nearest-miss bucket hash: the band signature with its
+    * lowest-margin bit flipped (margin = |v[i] − v[j]|, ties to the
+    * lowest bit). Reads columns `h` and `m` — shared by the flat
+    * multiprobe pair search and the served probe path. */
+  private def flippedHashCol(nRows: Int): Column =
+    (0 until nRows).foldLeft(Option.empty[Column]) { (acc, r) =>
+      val isMin = ((r + 1) until nRows).map(t => col("m")(r) <= col("m")(t)).reduceOption(_ && _)
+      Some((acc, isMin) match {
+        case (None, Some(cond)) => when(cond, col("h").bitwiseXOR(lit(1 << r)))
+        case (Some(c), Some(cond)) => c.when(cond, col("h").bitwiseXOR(lit(1 << r)))
+        case (Some(c), None) => c.otherwise(col("h").bitwiseXOR(lit(1 << r)))
+        case (None, None) => col("h").bitwiseXOR(lit(1 << r)) // nRows == 1
+      })
+    }.get
 
   private val MpBands = 8
   private val MpRows = 8
@@ -1918,6 +1925,127 @@ object AnnQueries {
        |  JOIN embeddings eb ON eb.vec_id = id_b)
        |SELECT id_a, id_b, cos FROM scored WHERE cos >= $CosineThreshold
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Per-bucket candidate budget of the served LSH index: each
+    * (band, hash) bucket keeps its [[LshServeCap]] lowest vec_ids as
+    * servable candidates — the whale-bucket cap baked into the INDEX
+    * build (a deterministic, documented undercount, mirrored in the
+    * oracle), which is what bounds per-probe work at any corpus size. */
+  private val LshServeCap = 16
+
+  /** r14 (r13 verdict #6 alternative) — the served sign-LSH index: the
+    * capped (band_id, band_hash, vec_id) bucket table at the tight
+    * multiprobe geometry, staged content-gated on the embeddings table
+    * (the IVF/PQ `*_served` discipline: train/build once per corpus
+    * state, serve reads). Only plain hashes are stored — the multiprobe
+    * flip is probe-side arithmetic, so the index carries zero extra
+    * signature storage. The cap lives in the BUILD (not the read): a
+    * serving query never re-ranks corpus buckets. */
+  private[operators] def stagedLshSigs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_lshsig_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/embeddings.parquet") {
+      val prs = hyperplanePairs(MpBands * MpRows)
+      def bandHash(b: Int): Column =
+        (0 until MpRows).map { r =>
+          val (i, j) = prs(b * MpRows + r)
+          when(col("embedding")(i) > col("embedding")(j), lit(1 << r)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_id"), col("band_hash")).orderBy(col("vec_id"))
+      Tables(dir).embeddings
+        .select(col("vec_id"),
+          explode(array((0 until MpBands).map(b =>
+            struct(lit(b).as("band_id"), bandHash(b).as("band_hash"))): _*)).as("b"))
+        .select(col("vec_id"), col("b.band_id").as("band_id"), col("b.band_hash").as("band_hash"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= LshServeCap)
+        .select("band_id", "band_hash", "vec_id")
+        .write.mode("overwrite").parquet(path)
+    }
+    Cached.track(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** §29c(r14) — FIXED-BUDGET probed LSH serving: top-[[TopKK]] neighbors
+    * per probe through the staged capped index. Per probe the budget is
+    * hard: 2 buckets per band (own + nearest-miss flip, probe-side
+    * arithmetic) × [[MpBands]] bands × ≤[[LshServeCap]] candidates per
+    * bucket = ≤256 exact cosines — per-probe work is CONSTANT in corpus
+    * size, the serving shape `ann_lsh_multiprobe` (a deliberate flat
+    * pair-search baseline, P×C by construction) is not. Probes broadcast
+    * against the index join; candidates dedupe across bands before
+    * scoring; ranking is the bounded-heap TopK exec with the family's
+    * (cos desc, vec_id) tie rule. The oracle replays the identical
+    * capped index + probe set. */
+  def lshServed(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val emb = Tables(dir).embeddings
+    val prs = hyperplanePairs(MpBands * MpRows)
+    def bandHash(b: Int): Column =
+      (0 until MpRows).map { r =>
+        val (i, j) = prs(b * MpRows + r)
+        when(col("embedding")(i) > col("embedding")(j), lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    def bandMargins(b: Int): Column = array((0 until MpRows).map { r =>
+      val (i, j) = prs(b * MpRows + r)
+      abs(col("embedding")(i).cast("double") - col("embedding")(j).cast("double"))
+    }: _*)
+    val sig = emb.where(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id").as("probe_id"),
+        explode(array((0 until MpBands).map(b =>
+          struct(lit(b).as("band_id"), bandHash(b).as("h"), bandMargins(b).as("m"))): _*)).as("s"))
+      .select(col("probe_id"), col("s.band_id").as("band_id"),
+        col("s.h").as("h"), col("s.m").as("m"))
+    val probeBuckets = sig.select(col("probe_id"), col("band_id"),
+      explode(array(col("h"), flippedHashCol(MpRows))).as("band_hash"))
+    val cands = stagedLshSigs(spark, dir)
+      .join(broadcast(probeBuckets), Seq("band_id", "band_hash"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))).as("norm"))
+    val scored = cands
+      .join(withNorm.select(col("vec_id").as("probe_id"),
+        col("embedding").as("p_emb"), col("norm").as("p_norm")), Seq("probe_id"))
+      .join(withNorm.select(col("vec_id"),
+        col("embedding").as("e_emb"), col("norm").as("e_norm")), Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorExpressions.dot(col("e_emb"), col("p_emb"))
+          / (col("e_norm") * col("p_norm")), 6).as("cos"))
+    TopK.perKeyExec(scored, "probe_id", "cos", "vec_id", TopKK)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  private val lshServedSql =
+    s"""WITH sig AS (
+       |  $mpSigDuck),
+       |capped AS (
+       |  SELECT band_id, band_hash, vec_id FROM (
+       |    SELECT band_id, h AS band_hash, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY band_id, h ORDER BY vec_id) AS rn
+       |    FROM sig) x WHERE rn <= $LshServeCap),
+       |probe AS (
+       |  SELECT vec_id AS probe_id, band_id, h AS band_hash FROM sig WHERE vec_id % $ProbeMod = 0
+       |  UNION ALL
+       |  SELECT vec_id, band_id, $mpFlipDuck AS band_hash FROM sig WHERE vec_id % $ProbeMod = 0),
+       |cand AS (
+       |  SELECT DISTINCT p.probe_id, c.vec_id
+       |  FROM probe p JOIN capped c
+       |    ON c.band_id = p.band_id AND c.band_hash = p.band_hash
+       |  WHERE c.vec_id <> p.probe_id),
+       |scored AS (
+       |  SELECT probe_id, cand.vec_id,
+       |    ROUND(${cosChainDuck("e.embedding", "pe.embedding")}, 6) AS cos
+       |  FROM cand
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id
+       |  JOIN embeddings pe ON pe.vec_id = cand.probe_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopKK
+       |ORDER BY probe_id, rank""".stripMargin
 
   private def lshBandHashDuck(b: Int): String =
     (0 until LshRows).map { r =>
@@ -3400,6 +3528,7 @@ object AnnQueries {
     "ann_centroid_drift" -> Q(centroidDrift _, centroidDriftSql, Seq(col("label"))),
     "ann_lsh_cosine" -> Q(lshCosine _, lshCosineSql, Seq(col("id_a"), col("id_b"))),
     "ann_lsh_multiprobe" -> Q(lshMultiprobe _, lshMultiprobeSql, Seq(col("id_a"), col("id_b"))),
+    "ann_lsh_served" -> Q(lshServed _, lshServedSql, Seq(col("probe_id"), col("rank"))),
     "ann_bruteforce_topk" -> Q(bruteForceTopK _, bruteForceSql, Seq(col("probe_id"), col("rank"))),
     "ann_filtered_topk" -> Q(filteredTopK _, filteredTopKSql, Seq(col("probe_id"), col("rank"))),
     "ann_ivf_filtered_topk" -> Q(ivfFilteredTopK _, ivfFilteredSql,
