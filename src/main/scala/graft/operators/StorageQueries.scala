@@ -361,18 +361,20 @@ object StorageQueries {
     * never |rows|·6. At 100 TB this is the ANALYZE discipline: cells are
     * per-partition landable and merge by cnt-sum, and the governance
     * dashboards consult the landed frame. */
+  /** One melt pass of a lineitem-shaped frame to (col_name, val, cnt)
+    * cells (explode_outer: the literal array is never empty, and the
+    * outer form plants no generator filter for pushdown to re-derive). */
+  private def meltCells(li: DataFrame): DataFrame =
+    li.select(explode_outer(array(StatsCols.map(c =>
+        struct(lit(c).as("k"), col(c).cast("string").as("v"))): _*)).as("a"))
+      .select(col("a.k").as("col_name"), col("a.v").as("val"))
+      .groupBy("col_name", "val").agg(count(lit(1)).as("cnt"))
+
   private[operators] def stagedValCounts(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val path = s"/tmp/graft_vcnt_${new java.io.File(dir).getName}"
     Stage.ensure(path, s"$dir/lineitem.parquet") {
-      // explode_outer: the literal array is never empty, and the outer
-      // form plants no generator filter for pushdown to re-derive
-      Tables(dir).lineitem
-        .select(explode_outer(array(StatsCols.map(c =>
-          struct(lit(c).as("k"), col(c).cast("string").as("v"))): _*)).as("a"))
-        .select(col("a.k").as("col_name"), col("a.v").as("val"))
-        .groupBy("col_name", "val").agg(count(lit(1)).as("cnt"))
-        .write.mode("overwrite").parquet(path)
+      meltCells(Tables(dir).lineitem).write.mode("overwrite").parquet(path)
     }
     Cached.track(spark.read.parquet(path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -420,7 +422,14 @@ object StorageQueries {
     // (register max is duplicate-idempotent), so md5 runs over |values|,
     // not |rows|·6, and the corpus-linear melt is paid once per
     // fact-table state, not per run.
-    val valCounts = stagedValCounts(spark, dir)
+    tableStatsFrom(spark, stagedValCounts(spark, dir))
+  }
+
+  /** The ANALYZE tail over any (col_name, val, cnt) cell frame — shared
+    * by the batch query and the incremental twin, so both consume the
+    * IDENTICAL fold/sketch chain. */
+  private def tableStatsFrom(spark: SparkSession, valCounts: DataFrame): DataFrame = {
+    implicit val s: SparkSession = spark
     val stats = valCounts.groupBy("col_name").agg(
       sum(col("cnt")).as("n_rows"),
       coalesce(sum(when(col("val").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
@@ -471,6 +480,45 @@ object StorageQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ------------------------------------- incremental table statistics
+
+  /** The ARCHIVE split's cells (md5 orderkey-bucket < 80, the
+    * `incrementalDedup` split convention at order grain — a whole order
+    * lands at once), staged once per fact-table state. */
+  private def stagedArchiveValCounts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.plans.VectorExpressions.register(spark)
+    val path = s"/tmp/graft_vcnt80_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/lineitem.parquet") {
+      meltCells(Tables(dir).lineitem.where(
+        graft.plans.VectorExpressions.hexPrefix(md5(col("l_orderkey").cast("string")), 8) % 100 < 80))
+        .write.mode("overwrite").parquet(path)
+    }
+    Cached.track(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** §8aa(et) r14 — INCREMENTAL table statistics: the full-table ANALYZE
+    * result computed by melting only the NEW batch (orderkey-bucket
+    * ≥ 80) and merging its cells into the staged archive cells by
+    * cnt-SUM — the claim [[stagedValCounts]] makes for a 100 TB ANALYZE
+    * ("cells are per-partition landable and merge by cnt-sum"),
+    * registered and oracled: the archive is never re-melted, untouched
+    * cells pass through the merge, and the shared [[tableStatsFrom]]
+    * tail (folds + HLL sketch — register max is duplicate-idempotent,
+    * so merged cells feed it unchanged) lands exactly the batch
+    * `storage_table_stats` rows. Oracle = the full-table stats SQL. */
+  def tableStatsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    implicit val s: SparkSession = spark
+    val batchCells = meltCells(Tables(dir).lineitem.where(
+      graft.plans.VectorExpressions.hexPrefix(md5(col("l_orderkey").cast("string")), 8) % 100 >= 80))
+    val merged = stagedArchiveValCounts(spark, dir)
+      .unionByName(batchCells)
+      .groupBy("col_name", "val").agg(sum(col("cnt")).as("cnt"))
+    tableStatsFrom(spark, merged)
+  }
+
   val queries: Map[String, Q] = Map(
     "zone_map_stats" -> Q(zoneMapStats _, zoneMapStatsSql, Seq(col("column"))),
     "csr_column_profile" -> Q(columnProfile _, columnProfileSql, Seq(col("column"))),
@@ -478,5 +526,7 @@ object StorageQueries {
       Seq(col("source"), col("shard"))),
     "storage_zorder_layout" -> Q(zorderLayout _, zorderLayoutSql, Seq(col("layout"))),
     "storage_table_stats" -> Q(tableStats _, tableStatsSql, Seq(col("col_name"))),
+    "storage_stats_incremental" -> Q(tableStatsIncremental _, tableStatsSql,
+      Seq(col("col_name"))),
   )
 }

@@ -139,6 +139,29 @@ class StagedFramesSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("archive cells + batch cells merge by cnt-sum to the full cell frame") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    graft.plans.VectorExpressions.register(spark)
+    val li = graft.sources.Tables(sf).lineitem
+    val bucket = graft.plans.VectorExpressions
+      .hexPrefix(md5(col("l_orderkey").cast("string")), 8) % 100
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode_outer(array(cols.map(c =>
+        struct(lit(c).as("k"), col(c).cast("string").as("v"))): _*)).as("a"))
+      .groupBy(col("a.k").as("col_name"), col("a.v").as("val"))
+      .agg(count(lit(1)).as("cnt"))
+    // both splits are non-empty at sf0.001, so the merge is exercised
+    assert(li.where(bucket < 80).count() > 0 && li.where(bucket >= 80).count() > 0)
+    val merged = cells(li.where(bucket < 80)).unionByName(cells(li.where(bucket >= 80)))
+      .groupBy("col_name", "val").agg(sum(col("cnt")).as("cnt"))
+      .orderBy("col_name", "val").collect().map(_.toSeq).toSeq
+    val full = StorageQueries.stagedValCounts(spark, sf)
+      .orderBy("col_name", "val").collect().map(_.toSeq).toSeq
+    assert(merged == full && merged.nonEmpty)
+  }
+
   test("staged o_custkey counts equal the inline orders aggregate") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val want = graft.sources.Tables(sf).orders
