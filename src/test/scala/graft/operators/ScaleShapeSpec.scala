@@ -61,18 +61,16 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(planOf("events_top_users_hourly").contains("PartialTopK"))
   }
 
-  test("triangle edge build: one aggregated lineitem pass, edge table materialized") {
+  test("triangle serving plan reads only the staged apex-edge frame") {
     val opt = graft.SparkEntry.registry("graph_triangles").fn(spark, TestSpark.Sf0001)
       .queryExecution.optimizedPlan.toString
-    // the edge list is built by per-order collect_set + map-side pair
-    // explode (one lineitem shuffle, no self-join) and persisted: every
-    // consumer reads the materialization, so in the optimized logical plan
-    // lineitem never appears as a bare (uncached) relation leaf — only
-    // inside InMemoryRelation renders of the one edge-build plan. (The
-    // rendered SUBTREE of the cache varies with materialization state, so
-    // the assertion deliberately avoids counting physical FileScans.)
-    assert(opt.contains("collect_set"), opt)
+    // r14: the orientation + adjacency + intersect build runs once per
+    // corpus state inside the stagedTriEdges builder (its content is
+    // pinned against the inline build by StagedFramesSpec); the SERVING
+    // plan must read the cached staged frame and never touch the fact
+    // table — no bare lineitem relation leaf anywhere.
     assert(opt.contains("InMemoryRelation"), opt)
+    assert(opt.contains("graft_gtri_"), s"triangles not reading the staged frame:\n$opt")
     assert("Relation ?\\[[^\\]]*l_orderkey".r.findFirstIn(opt).isEmpty,
       s"uncached lineitem leaf in triangle plan:\n$opt")
   }
