@@ -35,5 +35,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r14 (opt, guide §5): local[N] packs the driver AND every executor's
+  // working memory into this one JVM; at 8g the 311-query sf0.1 sweep was
+  // GC-bound — full sweep 251.8 s at 8g vs 227.6 s at 24g (−9.6%), with
+  // the cache-heavy rows (graph_resource_allocation 4.8→2.7,
+  // docs_bpe_merges 3.7→1.8, events_overlapping_stays 2.8→1.4) moving
+  // most. 24g is ~19% of the 128-GiB box — safe headroom for the
+  // driver's lower-core-count runs too; override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -139,7 +139,13 @@ object CorpusQueries {
     * reference BPE at sf0.001. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    bpeMergesOf(Tables(dir).documents)
+    // r14 (opt): the merge loop is a chain of micro-jobs over the
+    // language-bounded distinct-word table — below the size gate AQE's
+    // per-stage re-planning is the dominant term (measured 2.09 → 1.74 s
+    // at sf0.1 min-of-2, merge sequence identical).
+    LoopConf.noAqeBelow(spark, Stage.bytes(s"$dir/documents.parquet")) {
+      bpeMergesOf(Tables(dir).documents)
+    }
   }
 
   /** The trainer over any document frame with a `text` column — the
@@ -171,12 +177,21 @@ object CorpusQueries {
         val (a, b, w) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round, a, b, w))
         val (la, lb) = (lit(a), lit(b))
-        cur = cur.withColumn("syms",
+        // r14 (opt): PERSIST each round's symbol table. The higher-order
+        // `aggregate` fold is interpreted (CodegenFallback); left lazy,
+        // round k re-evaluates all k−1 earlier folds on every row —
+        // Σk = O(K²) interpreted fold passes across training (measured:
+        // the last rounds' pair-count jobs slow down linearly). Cached,
+        // every round evaluates exactly ONE fold over the previous
+        // round's materialized |W|-row table; round k's next `top`
+        // collect materializes it. Same merge sequence by construction.
+        cur = Cached.track(cur.withColumn("syms",
           aggregate(col("syms"), array().cast("array<string>"),
             (acc, sym) => when(size(acc) > 0
                 && element_at(acc, -1) === la && sym === lb,
               concat(slice(acc, lit(1), size(acc) - 1), array(concat(la, lb))))
               .otherwise(concat(acc, array(sym)))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         round += 1
       }
     }

@@ -239,9 +239,12 @@ object GraphQueries {
   /** The staged co-purchase edge dataset (content-signature gated on the
     * fact table): build once per corpus state, serve every graph pass —
     * PageRank, BFS, and any future traversal. */
+  private[operators] def stagedEdgesPath(dir: String): String =
+    s"/tmp/graft_edges_${new java.io.File(dir).getName}"
+
   private[operators] def stagedEdges(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val path = s"/tmp/graft_edges_${new java.io.File(dir).getName}"
+    val path = stagedEdgesPath(dir)
     Stage.ensure(path, s"$dir/lineitem.parquet") {
       persistEdges(spark, dir, path)
     }
@@ -1178,16 +1181,26 @@ object GraphQueries {
       raw.select(col("node"),
         expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $HitsScale) div CAST('$mx' AS DECIMAL(38,0)) AS BIGINT)").as("s"))
     }
-    var h = dirE.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(HitsScale).as("s"))
-    var a: DataFrame = null
-    for (_ <- 1 to HitsIters) {
-      a = renorm(dirE.join(h, dirE("src") === h("node"))
-        .groupBy(col("dst")).agg(sum(cast38(col("s"))).as("raw"))
-        .select(col("dst").as("node"), col("raw")))
-      h = renorm(dirE.join(a, dirE("dst") === a("node"))
-        .groupBy(col("src")).agg(sum(cast38(col("s"))).as("raw"))
-        .select(col("src").as("node"), col("raw")))
+    // r14 (opt): the eight half-step jobs fire INSIDE this block, so the
+    // size-gated AQE-off scope covers them (measured 6.3 → 4.8 s at
+    // sf0.1 min-of-2, rows identical; see LoopConf for why this loop
+    // benefits while components/label-prop/pagerank measurably do not).
+    // A fully lazy renorm (max via broadcast cross-join, one action) was
+    // built and REJECTED: 170 s AQE-on / 8.9 s AQE-off vs this
+    // structure's 4.8 s.
+    val (a, h) = LoopConf.noAqeBelow(spark, Stage.bytes(stagedEdgesPath(dir))) {
+      var h0 = dirE.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(HitsScale).as("s"))
+      var a0: DataFrame = null
+      for (_ <- 1 to HitsIters) {
+        a0 = renorm(dirE.join(h0, dirE("src") === h0("node"))
+          .groupBy(col("dst")).agg(sum(cast38(col("s"))).as("raw"))
+          .select(col("dst").as("node"), col("raw")))
+        h0 = renorm(dirE.join(a0, dirE("dst") === a0("node"))
+          .groupBy(col("src")).agg(sum(cast38(col("s"))).as("raw"))
+          .select(col("src").as("node"), col("raw")))
+      }
+      (a0, h0)
     }
     a.select(col("node"), col("s").as("auth_scaled"))
       .join(h.select(col("node"), col("s").as("hub_scaled")), Seq("node"), "full_outer")

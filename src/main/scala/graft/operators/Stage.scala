@@ -77,19 +77,23 @@ object Stage {
     * re-spreads the work). Default stays `spark.read.parquet`. */
   def read(spark: org.apache.spark.sql.SparkSession, stage: String,
            targetTasks: Int = 64): org.apache.spark.sql.DataFrame = {
-    val p = Paths.get(stage)
-    // ADVICE r13: sum only the *.parquet part files — _SUCCESS / .crc
-    // sidecars are not data and skewed the computed split slightly low
-    val bytes =
-      if (Files.isDirectory(p)) {
-        val listing = Files.list(p)
-        try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
-          .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
-          .map(Files.size).sum
-        finally listing.close()
-      } else if (Files.exists(p)) Files.size(p) else 0L
-    val split = math.max(1L << 20, bytes / math.max(targetTasks, 1))
+    val split = math.max(1L << 20, bytes(stage) / math.max(targetTasks, 1))
     readSession(spark, split).read.parquet(stage)
+  }
+
+  /** Data bytes of a staged artifact. ADVICE r13: sum only the *.parquet
+    * part files — _SUCCESS / .crc sidecars are not data and skewed the
+    * computed split slightly low. Also the size signal for scale-gated
+    * execution choices ([[LoopConf.noAqeBelow]]). */
+  private[operators] def bytes(stage: String): Long = {
+    val p = Paths.get(stage)
+    if (Files.isDirectory(p)) {
+      val listing = Files.list(p)
+      try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      finally listing.close()
+    } else if (Files.exists(p)) Files.size(p) else 0L
   }
 
   /** ADVICE r13: one child session PER (context, split size), reused —
