@@ -211,7 +211,12 @@ object Bench {
       "text_bm25_served", "text_phrase_served", "text_bm25_incremental",
       // r12 staged artifacts: the shared graph adjacency, the full-corpus
       // minhash signature frame
-      "graph_degree_hist", "dedup_minhash_estimate")
+      "graph_degree_hist", "dedup_minhash_estimate",
+      // r14 staged artifacts: the apex-edge triangle frame, the shared
+      // capped wedge-pair aggregate, the storage value-count cells
+      "graph_triangles", "graph_resource_allocation", "storage_table_stats",
+      // r14: the per-doc bigram-LM score frame
+      "text_bigram_lm")
     stageGated.filter(n => only.forall(_(n))).foreach { name =>
       try {
         SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -891,20 +891,58 @@ object GraphQueries {
     * explode MAP-SIDE from the capped sorted arrays; one pair-keyed
     * shuffle counts them; the per-node rank is a WindowGroupLimit
     * window (map-side partial top-k). */
+  /** r14 (opt) — the shared capped WEDGE-PAIR aggregate: per packed pair
+    * key ab = a·2³² + b, the capped common-neighbor count AND the
+    * RA-weighted vote sum. [[resourceAllocation]] and [[jaccardNeighbors]]
+    * ran the IDENTICAL wedge explode + pair-keyed shuffle per query off
+    * the same capped ([[JaccCenterCap]] = [[RaCenterCap]] = 24) sorted
+    * adjacency slices, differing only in which aggregate columns they
+    * read — the family's hottest shuffle paid twice per sweep (guide
+    * §2.4: two operations keyed the same way share one exchange; here
+    * they share the whole materialized aggregate). Content-gated on the
+    * fact table like [[stagedAdj]]; the in-plan raise_error domain guards
+    * fire at build time — every serving read carries only guarded keys.
+    * Consumers slice columns; staged≡inline pinned in StagedFramesSpec. */
+  private[operators] def stagedWedgePairs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_gwedge_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/lineitem.parquet") {
+      val adj = stagedAdj(spark, dir)
+      val capped = adj.select(
+        expr("1000000000 div size(ns)").cast("long").as("w"),
+        slice(col("ns"), 1, RaCenterCap).as("ns"))
+      capped
+        .select(col("w"), explode(expr(
+          "flatten(transform(ns, (x, i) -> " +
+            "transform(slice(ns, i + 2, size(ns) - i - 1), y -> " +
+            "CASE WHEN y < 4294967296L THEN x * 4294967296L + y " +
+            "ELSE CAST(raise_error('graph wedge pairs: partkey exceeds the 32-bit packed-pair domain') AS BIGINT) END)))")).as("ab"))
+        .groupBy("ab")
+        .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_nano"))
+        .write.mode("overwrite").parquet(path)
+    }
+    // Stage.read (artifact-sized splits): the frame is byte-slim (35 MB
+    // for ~4M pairs at sf0.1) so the default 128 MB split packs it into
+    // ONE task and both consumers' pre-exchange work (union, the jaccard
+    // degree joins) runs serial — the copresence small-split lesson; both
+    // consumers are single-pass, the boundary Stage.read's doc demands
+    Cached.track(Stage.read(spark, path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   def jaccardNeighbors(spark: SparkSession, dir: String): DataFrame =
-    jaccardNeighborsCapped(spark, dir, JaccCenterCap)
+    // r14 (opt): the registered cap equals the staged frame's — serve the
+    // shared wedge-pair aggregate instead of re-running the explode+shuffle
+    jaccardTail(spark, dir, stagedWedgePairs(spark, dir).select(col("ab"), col("common")),
+      NodeBroadcastMaxRows)
 
   private[operators] def jaccardNeighborsCapped(spark: SparkSession, dir: String,
                                                 cap: Int,
                                                 broadcastMax: Long = NodeBroadcastMaxRows): DataFrame = {
     implicit val s: SparkSession = spark
-    // node-domain estimate from parquet metadata (a row-count-only scan):
-    // the gate's input, never the data path
-    val nodeDomain = Tables(dir).part.count()
     // r12: the sorted symmetric adjacency IS the staged frame — this
     // query used to rebuild it (|E| collect_set shuffle) per run
     val adj = stagedAdj(spark, dir).select(col("node").as("src"), col("ns"))
-    val deg = adj.select(col("src").as("node"), size(col("ns")).cast("long").as("deg"))
     val capped = if (cap == Int.MaxValue) adj
       else adj.select(col("src"), slice(col("ns"), 1, cap).as("ns"))
     // r12: the wedge pairs travel as PACKED single longs through the
@@ -919,6 +957,16 @@ object GraphQueries {
           "CASE WHEN y < 4294967296L THEN x * 4294967296L + y " +
           "ELSE CAST(raise_error('graph_jaccard_neighbors: partkey exceeds the 32-bit packed-pair domain') AS BIGINT) END)))")).as("ab"))
       .groupBy("ab").agg(count(lit(1)).as("common"))
+    jaccardTail(spark, dir, pairs, broadcastMax)
+  }
+
+  private def jaccardTail(spark: SparkSession, dir: String, pairs: DataFrame,
+                          broadcastMax: Long): DataFrame = {
+    implicit val s: SparkSession = spark
+    // node-domain estimate from parquet metadata (a row-count-only scan):
+    // the gate's input, never the data path
+    val nodeDomain = Tables(dir).part.count()
+    val deg = degFromAdj(stagedAdj(spark, dir))
     // deg is a |V|-row table — broadcast both lookups while the node
     // domain fits the budget (the alternative is two sort-merge joins of
     // the 2·Σpairs directed stream); past the budget the keyed join is
@@ -1408,20 +1456,11 @@ object GraphQueries {
     * few-keys × huge candidate sets like the ANN probes). */
   def resourceAllocation(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    // r12: the sorted symmetric adjacency comes from the shared staged
-    // frame (verdict #4) — the wedge stage starts at the capped slice
-    val adj = stagedAdj(spark, dir)
-    val capped = adj.select(
-      expr("1000000000 div size(ns)").cast("long").as("w"),
-      slice(col("ns"), 1, RaCenterCap).as("ns"))
-    val pairs = capped
-      .select(col("w"), explode(expr(
-        "flatten(transform(ns, (x, i) -> " +
-          "transform(slice(ns, i + 2, size(ns) - i - 1), y -> " +
-          "CASE WHEN y < 4294967296L THEN x * 4294967296L + y " +
-          "ELSE CAST(raise_error('graph_resource_allocation: partkey exceeds the 32-bit packed-pair domain') AS BIGINT) END)))")).as("ab"))
-      .groupBy("ab")
-      .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_nano"))
+    // r14 (opt): the capped wedge explode + pair-keyed aggregate is the
+    // shared staged frame ([[stagedWedgePairs]] — the same build this
+    // query ran inline per run, now paid once per corpus state and
+    // shared with graph_jaccard_neighbors)
+    val pairs = stagedWedgePairs(spark, dir)
     // UNSIGNED unpack: for x in [2^31, 2^32) the pack x·2^32 + y wraps
     // the long negative; bits are still exactly (x | y), but an
     // arithmetic shiftright would smear the sign into the high word and

@@ -221,7 +221,7 @@ object TextIndexQueries {
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val docs = Tables(dir).documents
-    docPred(docs).join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+    stagedDocPred(spark, dir).join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         expr("sum(doc_pred) div count(1)").as("mean_pred"),
@@ -232,7 +232,25 @@ object TextIndexQueries {
   /** The per-document bigram-LM predictability score (doc_id, doc_pred)
     * — the chain [[bigramLm]] aggregates and the CCNet-style bucketing
     * ([[pplBuckets]]) ranks. All-integer (see [[bigramLm]]'s doc). */
-  private def docPred(docs: DataFrame)(implicit s: SparkSession): DataFrame = {
+  /** r14 (opt) — the per-document LM score as a STAGED artifact
+    * (doc_id, doc_pred), content-gated on the documents table (the
+    * [[graft.operators.DedupQueries]] stagedTermWeights precedent): the
+    * bigram explode + three count groupBys are corpus-linear and depend
+    * only on corpus state, and BOTH consumers (`text_bigram_lm`,
+    * `docs_ppl_buckets`) re-ran them per query. The oracles keep
+    * recomputing the identical chain from the base table; staged≡inline
+    * pinned in StagedFramesSpec. */
+  private[operators] def stagedDocPred(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_dpred_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/documents.parquet") {
+      docPred(Tables(dir).documents).write.mode("overwrite").parquet(path)
+    }
+    Cached.track(spark.read.parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private[operators] def docPred(docs: DataFrame)(implicit s: SparkSession): DataFrame = {
     val toks = docs.select(col("doc_id"), words(col("text")).as("w"))
       .where(size(col("w")) >= 2)
     val bg = toks.select(col("doc_id"),
@@ -293,7 +311,7 @@ object TextIndexQueries {
   def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val docs = Tables(dir).documents
-    val scored = docPred(docs)
+    val scored = stagedDocPred(spark, dir)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.operators.Cached.track)

@@ -42,6 +42,40 @@ class StagedFramesSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("staged wedge pairs serve jaccard and RA exactly (staged ≡ inline)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // the staged frame's common-count column reproduces the inline capped
+    // wedge build (cap 24 is the family constant both consumers used)
+    val gotJ = GraphQueries.jaccardNeighbors(spark, sf)
+      .orderBy("node", "rank").collect().map(_.toSeq).toSeq
+    val wantJ = GraphQueries.jaccardNeighborsCapped(spark, sf, 24)
+      .orderBy("node", "rank").collect().map(_.toSeq).toSeq
+    assert(gotJ == wantJ && gotJ.nonEmpty)
+    // and the ra_nano column is the inline weighted-vote sum
+    val adj = GraphQueries.stagedAdj(spark, sf)
+    val wantRa = adj.select(
+        expr("1000000000 div size(ns)").cast("long").as("w"),
+        slice(col("ns"), 1, 24).as("ns"))
+      .select(col("w"), explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns) - i - 1), y -> x * 4294967296L + y)))")).as("ab"))
+      .groupBy("ab")
+      .agg(count(lit(1)).as("common"), sum(col("w")).as("ra_nano"))
+      .orderBy("ab").collect().map(_.toSeq).toSeq
+    val gotRa = GraphQueries.stagedWedgePairs(spark, sf)
+      .orderBy("ab").collect().map(_.toSeq).toSeq
+    assert(gotRa == wantRa && gotRa.nonEmpty)
+  }
+
+  test("staged per-doc LM scores equal the inline docPred build") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val got = TextIndexQueries.stagedDocPred(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val want = TextIndexQueries.docPred(graft.sources.Tables(sf).documents)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("staged stay-pair table equals an inline overlappingStays run") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val got = MultiIntervalJoin.stagedStayPairs(spark, sf)
