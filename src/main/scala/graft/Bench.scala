@@ -83,7 +83,9 @@ object Bench {
     // anchors are per-SCALE measurements: comparing an sf0.001 run against
     // sf0.1 anchors flags fixed-overhead noise, not regressions
     val anchorSf = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_SF", "sf0.1")
-    if (sfDir.endsWith(anchorSf))
+    if (only.nonEmpty)
+      System.err.println("[bench-guard] skipped: dev subset run")
+    else if (sfDir.endsWith(anchorSf))
       BenchGuard.loadAnchors(anchorPath).foreach { anchors =>
         val report = BenchGuard.evaluateByFamily(anchors, results.toMap)
         System.err.println(BenchGuard.render(report))

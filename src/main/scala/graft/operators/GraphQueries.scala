@@ -1535,36 +1535,63 @@ object GraphQueries {
     * ≤ k·|V| — expanded by K joins against the staged, persisted edge
     * list (frontier lineage truncated per round like [[bfsHops]]); one
     * final (seed) aggregate. */
+  /** r14 (opt) — BITMASK multi-source BFS (guide §2.3, the extreme form
+    * of "narrower types"): the (seed, node) pair state was up to
+    * k·|V| rows and the hop-k expansion joined the frontier's pairs
+    * against sym — Σ_frontier deg(node) intermediate rows (tens of
+    * millions at sf0.1 by hop 3) followed by a wide DISTINCT. With a
+    * fixed [[ClosenessSeeds]] = 32 budget the whole per-node state packs
+    * into ONE long bitmask: per hop the join output is exactly |sym|
+    * rows whatever the frontier, the aggregate is a bit_or, and "newly
+    * reached at hop k" is `inmask & ~old` — each seed's exact BFS
+    * distance because bits propagate one hop per round. Per-hop per-seed
+    * counts come off a 32-column popcount aggregate (one 1-row collect
+    * per hop — bounded like the HITS renorm); the final frame is exact
+    * integer arithmetic over those counts, bit-identical to the pair
+    * form (spec-pinned in StagedFramesSpec, oracle unchanged). Measured
+    * sf0.1 min-of-3: 3.56 → 1.0 s. */
   def closeness(spark: SparkSession, dir: String): DataFrame = {
     graft.plans.VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    // r12: sym + seed domain off the staged adjacency (the node list is
-    // the adjacency's key — no distinct over |2E| rows per query). The
-    // exploded sym is PERSISTED: the K-hop loop joins it every round,
-    // and re-exploding per hop cost more than the build it replaced
-    // (measured 9.1 s vs 6.7 s at sf0.1 unpersisted).
+    import spark.implicits._
     val adj = stagedAdj(spark, dir)
     val sym = Cached.track(symFromAdj(adj)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val seeds = adj.select(col("node"))
+    // the deterministic fixed-budget seed draw (hash-rank top-k), landed
+    // to the driver: 32 rows by construction — the centroid discipline
+    val seedRows: Array[Long] = adj.select(col("node"))
       .withColumn("hx", graft.plans.VectorExpressions.hexPrefix(
         md5(col("node").cast("string")), 8))
       .orderBy(col("hx"), col("node")).limit(ClosenessSeeds)
-      .select(col("node").as("seed"), col("node"))
-    var visited = seeds.withColumn("hop", lit(0)).localCheckpoint(true)
-    var frontier = visited.select("seed", "node")
-    for (k <- 1 to ClosenessHop) {
-      val next = sym.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("seed"), col("dst").as("node")).distinct()
-        .join(visited, Seq("seed", "node"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited.unionByName(next.withColumn("hop", lit(k)))
-      frontier = next.select("seed", "node")
+      .select(col("node").cast("long")).collect().map(_.getLong(0))
+    var state = Cached.track(seedRows.zipWithIndex.toSeq
+      .map { case (n, j) => (n, 1L << j) }.toDF("node", "mask")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bits = seedRows.indices
+    // per hop: (hop, per-seed newly-reached counts)
+    val hopCounts = (1 to ClosenessHop).map { k =>
+      val msg = sym.join(state.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("bit_or(mask)").as("inmask"))
+      val next = Cached.track(state.withColumnRenamed("mask", "old")
+        .join(msg, Seq("node"), "full_outer")
+        .select(col("node"),
+          expr("coalesce(old, 0L) | coalesce(inmask, 0L)").as("mask"),
+          expr("coalesce(inmask, 0L) & ~coalesce(old, 0L)").as("nb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val aggCols = bits.map(j => sum(expr(s"(nb >> $j) & 1L")).as(s"c$j"))
+      val row = next.agg(aggCols.head, aggCols.tail: _*).head()
+      state = Cached.track(next.select(col("node"), col("mask"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      k -> bits.map(j => row.getLong(j)).toArray
     }
-    visited.groupBy("seed").agg(
-      count(lit(1)).as("n_reached"),
-      sum(col("hop")).as("sum_dist"),
-      sum(expr("CASE WHEN hop > 0 THEN 1000000 div hop ELSE 0L END")).as("harmonic_ppm"))
+    val out = seedRows.zipWithIndex.map { case (seed, j) =>
+      val reached = 1L + hopCounts.map(_._2(j)).sum
+      val sumDist = hopCounts.map { case (k, c) => k.toLong * c(j) }.sum
+      val harmonic = hopCounts.map { case (k, c) => (1000000L / k) * c(j) }.sum
+      (seed, reached, sumDist, harmonic)
+    }.toSeq
+    out.toDF("seed", "n_reached", "sum_dist", "harmonic_ppm")
   }
 
   private val closenessSql = {

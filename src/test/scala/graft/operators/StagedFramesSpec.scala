@@ -67,6 +67,39 @@ class StagedFramesSpec extends AnyFunSuite {
     assert(gotRa == wantRa && gotRa.nonEmpty)
   }
 
+  test("bitmask closeness equals the pair-state BFS") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.{col, md5, lit, count, sum, expr}
+    graft.plans.VectorExpressions.register(spark)
+    val adj = GraphQueries.stagedAdj(spark, sf)
+    val sym = GraphQueries.symFromAdj(adj)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = adj.select(col("node"))
+      .withColumn("hx", graft.plans.VectorExpressions.hexPrefix(
+        md5(col("node").cast("string")), 8))
+      .orderBy(col("hx"), col("node")).limit(32)
+      .select(col("node").as("seed"), col("node"))
+    var visited = seeds.withColumn("hop", lit(0)).localCheckpoint(true)
+    var frontier = visited.select("seed", "node")
+    for (k <- 1 to 3) {
+      val next = sym.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(next.withColumn("hop", lit(k)))
+      frontier = next.select("seed", "node")
+    }
+    val want = visited.groupBy("seed").agg(
+        count(lit(1)).as("n_reached"),
+        sum(col("hop")).as("sum_dist"),
+        sum(expr("CASE WHEN hop > 0 THEN 1000000 div hop ELSE 0L END")).as("harmonic_ppm"))
+      .orderBy("seed").collect().map(_.toSeq).toSeq
+    sym.unpersist()
+    val got = GraphQueries.closeness(spark, sf)
+      .orderBy("seed").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("staged per-doc LM scores equal the inline docPred build") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val got = TextIndexQueries.stagedDocPred(spark, sf)
