@@ -482,7 +482,9 @@ object AnalyticsQueries {
     import org.apache.spark.sql.types.DecimalType
     def dsq(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(28, 6)))
     val x = col("l_quantity"); val y = col("l_extendedprice")
-    Tables(dir).lineitem
+    // r14 (opt): gated spread — six decimal power sums serialized behind
+    // the one-task scan (1.83 → 0.77 s at sf0.1; Tables.spread doc)
+    Tables(dir).spread("lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).cast("double").as("n"),

@@ -746,7 +746,9 @@ object CorpusQueries {
     * engine-identical. */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val bg = Tables(dir).documents
+    // r14 (opt): gated spread — the bigram explode is evaluated by two
+    // consumers off the one-task scan (Tables.spread doc)
+    val bg = Tables(dir).spread("documents")
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), explode(shingles("w", 2)).as("bigram"))
     val top = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))

@@ -570,9 +570,22 @@ object DedupQueries {
     * hard-negative miner scores its candidate sets with the IDENTICAL
     * weights and float chain. `cands` must already be persisted (it
     * feeds ≥3 branches). Weights read staged ([[stagedTermWeights]]). */
-  private def scorePairs(t: Tables, cands: DataFrame)(
+  private[operators] def scorePairs(t: Tables, cands: DataFrame)(
       implicit s: SparkSession): DataFrame =
     scorePairsWith(stagedTermWeights(s, t.dir), cands)
+
+  /** r14 (opt): candidate-doc weight tables small enough to broadcast
+    * skip the sort-merge of the pair×term intermediate entirely — the
+    * dots join becomes scan-cands → two broadcast hash joins → map-side
+    * partial agg, ONE exchange of partial sums instead of three sorted
+    * exchanges (measured on docs_hard_negatives' loose candidates:
+    * scoring 5.4 → 3.5 s at sf0.1, rows identical). The decision is
+    * RUNTIME-adaptive, not a blanket hint: wt is persisted anyway (≥3
+    * consumers), so the gate counts the materialized frame — rows, the
+    * stable proxy for its hash-relation footprint — and keeps the keyed
+    * join beyond the budget (a 100 TB candidate set never broadcasts). */
+  private val WeightBroadcastMaxRows: Long =
+    sys.env.getOrElse("SPARK_GRAFT_WGT_BCAST_MAX_ROWS", (4L << 20).toString).toLong
 
   private def scorePairsWith(wtAll: DataFrame, cands: DataFrame)(
       implicit s: SparkSession): DataFrame = {
@@ -582,18 +595,20 @@ object DedupQueries {
     val wt = wtAll.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(Cached.track)
+    val gate: DataFrame => DataFrame =
+      if (wt.count() <= WeightBroadcastMaxRows) broadcast _ else identity _
     val n2 = wt.groupBy("doc_id")
       .agg(sum(expr("CAST(wgt AS DECIMAL(18,0)) * wgt")).as("n2"))
     val dots = cands
-      .join(wt.select(col("doc_id").as("doc_a"), col("term"), col("wgt").as("w_a")), Seq("doc_a"))
-      .join(wt.select(col("doc_id").as("doc_b"), col("term"), col("wgt").as("w_b")),
+      .join(gate(wt.select(col("doc_id").as("doc_a"), col("term"), col("wgt").as("w_a"))), Seq("doc_a"))
+      .join(gate(wt.select(col("doc_id").as("doc_b"), col("term"), col("wgt").as("w_b"))),
         Seq("doc_b", "term"))
       .groupBy("doc_a", "doc_b")
       .agg(sum(expr("CAST(w_a AS DECIMAL(18,0)) * w_b")).as("dot"))
     val scored = cands
       .join(dots, Seq("doc_a", "doc_b"), "left")
-      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
-      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
+      .join(gate(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2_a"))), Seq("doc_a"))
+      .join(gate(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2_b"))), Seq("doc_b"))
       .withColumn("cos", round(expr(
         """CASE WHEN n2_a = 0 OR n2_b = 0 THEN CAST(0 AS DOUBLE)
           |ELSE CAST(coalesce(dot, 0) AS DOUBLE) / sqrt(CAST(n2_a AS DOUBLE) * CAST(n2_b AS DOUBLE)) END""".stripMargin), 6))

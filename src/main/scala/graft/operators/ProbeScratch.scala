@@ -1,59 +1,74 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Scratch decomposition probe for the optimization round — NOT registered,
-  * deleted (or inert) at round close. Times registered queries with AQE
-  * on vs off (min of 2 steady-state runs after a warm run) and checks the
-  * outputs are identical. */
+/** Scratch decomposition probe for the optimization round — NOT registered. */
 object ProbeScratch {
+  def t[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    System.err.println(f"[probe] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
-      "graph_hits", "graph_closeness", "graph_components", "graph_pagerank_served",
-      "graph_bfs_hops", "graph_label_prop", "docs_bpe_merges", "docs_pipeline_report",
-      "dedup_clusters", "dedup_source_overlap", "docs_hard_negatives",
-      "text_bigram_lm", "ann_projection_audit", "q_stats_moments", "dedup_containment",
-      "graph_resource_allocation", "graph_jaccard_neighbors", "docs_ppl_buckets",
-      "dedup_source_overlap_incremental", "dedup_substring_coverage",
-      "dedup_allpairs_jaccard", "events_overlapping_stays", "dedup_scrub_spans")
     val spark = graft.GraftSession()
     implicit val s: SparkSession = spark
+    import org.apache.spark.sql.types.DecimalType
+    val t0s = graft.sources.Tables(dir)
 
-    def timeOne(name: String, aqe: Boolean): (Double, Seq[String]) = {
-      val q = graft.SparkEntry.registry(name)
-      spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
-      try {
-        var best = Double.MaxValue
-        var rows: Seq[String] = Nil
-        for (i <- 1 to 2) {
-          Cached.releaseAll(); spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          val df = q.fn(spark, dir)
-          df.write.mode("overwrite").format("noop").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          if (dt < best) best = dt
-          if (i == 1) {
-            val sorted = if (q.sort.nonEmpty) df.orderBy(q.sort: _*) else df
-            rows = sorted.collect().map(_.toString).toSeq
-          }
-        }
-        (best, rows)
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    def moments(li: DataFrame): DataFrame = {
+      def dsq(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(28, 6)))
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dsq(x).cast("double").as("sx"), dsq(y).cast("double").as("sy"),
+          dsq(x * x).cast("double").as("sxx"), dsq(y * y).cast("double").as("syy"),
+          dsq(x * y).cast("double").as("sxy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          round(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            / (col("n") * (col("n") - 1))), 6).as("stddev_qty"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
     }
-    // session warmup
-    spark.read.parquet(s"$dir/lineitem.parquet").count()
-    graft.plans.VectorExpressions.register(spark)
-    names.foreach { n =>
-      try {
-        val warm = timeOne(n, aqe = true) // absorbs stage builds
-        val (on, ron) = timeOne(n, aqe = true)
-        val (off, roff) = timeOne(n, aqe = false)
-        val eq = ron == roff
-        System.err.println(f"[probe] $n%-35s on=$on%7.2f off=$off%7.2f ratio=${off / on}%5.2f equal=$eq")
-        if (!eq) System.err.println(s"[probe]   MISMATCH rows on=${ron.size} off=${roff.size}")
-      } catch { case e: Throwable => System.err.println(s"[probe] $n FAILED: $e") }
+    def run(label: String, df: => DataFrame): Seq[String] = {
+      df.write.mode("overwrite").format("noop").save() // warm
+      var best = Double.MaxValue
+      for (_ <- 1 to 3) {
+        val d = df
+        val tt0 = System.nanoTime()
+        d.write.mode("overwrite").format("noop").save()
+        best = math.min(best, (System.nanoTime() - tt0) / 1e9)
+      }
+      System.err.println(f"[probe] $label%-44s $best%8.3f s (min of 3)")
+      df.orderBy(df.columns.head).collect().map(_.toString).toSeq
     }
+    val n = spark.sparkContext.defaultParallelism
+    val m0 = run("stats_moments plain", moments(t0s.lineitem))
+    val m1 = run(s"stats_moments repartition($n)", moments(t0s.lineitem.repartition(n)))
+    System.err.println(s"[probe] moments equal: ${m0 == m1}")
+
+    val q1fn = graft.SparkEntry.registry("q1_pricing_summary").fn
+    val q0 = run("q1 plain", q1fn(spark, dir))
+    // q1 reads Tables internally; emulate spread via conf? instead re-build q1 body here:
+    val q1sp = {
+      val li = t0s.lineitem.repartition(n)
+      li.where(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }
+    t("q1 spread (1 noop, warm)") { q1sp.write.mode("overwrite").format("noop").save() }
+    t("q1 spread (noop)") { q1sp.write.mode("overwrite").format("noop").save() }
     spark.stop()
   }
 }

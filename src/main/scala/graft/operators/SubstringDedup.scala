@@ -55,7 +55,10 @@ object SubstringDedup {
     * pos. Two-step select so the generator plants no derived-filter scan
     * (pitfall: explode pushdown re-derivation); the array is non-empty by
     * the size guard, so posexplode_outer emits no null row. */
-  private def windows(t: Tables): DataFrame = windowsOf(t.documents)
+  // r14 (opt): gated spread — the stride-1 window md5 explode is the
+  // family's heaviest map-side work and ran inside the one-task scan
+  // (Tables.spread doc; scrub_spans 1.73 -> 0.90 in the sweep A/B)
+  private def windows(t: Tables): DataFrame = windowsOf(t.spread("documents"))
 
   /** The same window extraction over an ARBITRARY document frame — the
     * streaming census twin hashes arriving micro-batches with this, so

@@ -314,7 +314,9 @@ object TextQueries {
   /** §34 — document fingerprint: min-of-shingle-md5s (winnowing-style). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    Tables(dir).documents
+    // r14 (opt): gated spread — per-row min-of-shingle-md5s off the
+    // one-task scan (Tables.spread doc)
+    Tables(dir).spread("documents")
       .withColumn("w", words(col("text")))
       .select(col("doc_id"), fingerprint(shingles("w")).as("fingerprint"))
   }

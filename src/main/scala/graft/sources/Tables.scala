@@ -10,6 +10,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class Tables(dir: String)(implicit spark: SparkSession) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  /** r14 (opt, guide §2.5 "input skew: one huge unsplittable file …
+    * repartition immediately after the read"): the bench tables are
+    * single-file, single-row-group parquet, so a scan is ONE task at any
+    * core count and compute-heavy map-side work (decimal power sums,
+    * tokenize/shingle explodes, per-row scoring) serializes behind it.
+    * When the file cannot split (bytes ≤ the session's split size) and
+    * the session has more than one core, redistribute right after the
+    * read — column pruning pushes below the round-robin exchange, so only
+    * consumed columns shuffle. At cluster scale the file splits natively
+    * (bytes > split size) and this is IDENTITY, so deployment plans keep
+    * their native scan parallelism and pay no extra exchange. Applied
+    * per-operator where measured faster, never blanket: a full-sweep
+    * experiment applying it to every fact-table accessor REGRESSED
+    * 143 queries (+61.6 s) against 16 improvements (−13.7 s) — the
+    * round-robin sort + exchange costs ~0.3–0.7 s per query here, a
+    * clear loss for every scan whose downstream is not compute-heavy.
+    * (Row-group note: maxPartitionBytes cannot help here — one row group
+    * means byte-range splits beyond the first read nothing.) */
+  def spread(name: String): DataFrame =
+    spreadDf(if (name == "events") eventsRaw else t(name), name)
+
+  private def spreadDf(df: DataFrame, name: String): DataFrame = {
+    val p = java.nio.file.Paths.get(s"$dir/$name.parquet")
+    val bytes = if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else Long.MaxValue
+    val split = spark.conf.get("spark.sql.files.maxPartitionBytes", s"${128L << 20}")
+      .stripSuffix("b").toLong
+    val n = spark.sparkContext.defaultParallelism
+    if (bytes <= split && n > 1) df.repartition(n) else df
+  }
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
   def customer: DataFrame = t("customer")
@@ -31,7 +61,9 @@ final case class Tables(dir: String)(implicit spark: SparkSession) {
     * The nanosAsLong conf is harmless for micros-vintage files (it only
     * affects NANOS-typed columns) and idempotent, so setting it here can't
     * change any other read's schema. */
-  def events: DataFrame = {
+  def events: DataFrame = eventsRaw
+
+  private def eventsRaw: DataFrame = {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
