@@ -1900,7 +1900,9 @@ object DedupQueries {
     graft.plans.BandedPairsRewrite.install(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val sh = Cached.track(t.documents
+    // r14 (opt): gated spread - both shingle passes ran inside the
+    // one-task documents scan (Tables.spread doc; A/B 2.54 -> 1.86 s)
+    val sh = Cached.track(t.spread("documents")
       .withColumn("w", words(col("text")))
       .withColumn("s", shingles("w"))
       .select(col("doc_id"), explode_outer(array_distinct(col("s"))).as("shingle"))
