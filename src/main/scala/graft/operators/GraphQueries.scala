@@ -1213,9 +1213,20 @@ object GraphQueries {
     // (fixed job latency), not the exchanges — while doubling the cached
     // edge footprint. Keeping the single unpartitioned persist.
     val e = stagedEdges(spark, dir)
-    val dirE = Cached.track(
-      e.select(col("pa").as("src"), col("pb").as("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // r14 (opt): TWO persisted edge copies, hash-partitioned on each
+    // half-step's aggregation key, so the groupBy after the broadcast
+    // score join reuses the cached partitioning — one stage per
+    // half-step instead of two. r13 measured this as a wash UNDER AQE
+    // (5.01 vs 5.15 s — the adaptive re-planning latency swamped the
+    // saved exchange); under the size-gated AQE-off scope below it
+    // measured 6.59 → 3.45 s (probe, min after warm, rows identical),
+    // so the rejection inverts. Cache cost: 2× a 1.2M-row long-pair
+    // frame — the rank-vector budget.
+    val dirE0 = e.select(col("pa").as("src"), col("pb").as("dst"))
+    val eDst = Cached.track(dirE0.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val eSrc = Cached.track(dirE0.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Each half-step PERSISTS its |V|-row raw-score frame and reads the
     // L∞ norm back as a 1-row driver literal. Without this the lazy plan
     // embeds the full upstream lineage twice per renorm (raw + max(raw)),
@@ -1237,14 +1248,14 @@ object GraphQueries {
     // built and REJECTED: 170 s AQE-on / 8.9 s AQE-off vs this
     // structure's 4.8 s.
     val (a, h) = LoopConf.noAqeBelow(spark, Stage.bytes(stagedEdgesPath(dir))) {
-      var h0 = dirE.select(col("src").as("node")).distinct()
+      var h0 = eSrc.select(col("src").as("node")).distinct()
         .select(col("node"), lit(HitsScale).as("s"))
       var a0: DataFrame = null
       for (_ <- 1 to HitsIters) {
-        a0 = renorm(dirE.join(h0, dirE("src") === h0("node"))
+        a0 = renorm(eDst.join(h0, eDst("src") === h0("node"))
           .groupBy(col("dst")).agg(sum(cast38(col("s"))).as("raw"))
           .select(col("dst").as("node"), col("raw")))
-        h0 = renorm(dirE.join(a0, dirE("dst") === a0("node"))
+        h0 = renorm(eSrc.join(a0, eSrc("dst") === a0("node"))
           .groupBy(col("src")).agg(sum(cast38(col("s"))).as("raw"))
           .select(col("src").as("node"), col("raw")))
       }

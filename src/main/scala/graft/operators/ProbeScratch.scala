@@ -7,68 +7,89 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ProbeScratch {
   def t[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
-    System.err.println(f"[probe] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    System.err.println(f"[probe] $label%-46s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     r
+  }
+  val HitsScale = 1000000000000L
+  def cast38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+
+  def hitsWith(spark: SparkSession, dir: String, prePartition: Boolean): DataFrame = {
+    implicit val s: SparkSession = spark
+    val e = GraphQueries.stagedEdges(spark, dir)
+    val dirE0 = e.select(col("pa").as("src"), col("pb").as("dst"))
+    val (eDst, eSrc) =
+      if (prePartition) {
+        val d = Cached.track(dirE0.repartition(col("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val sdf = Cached.track(dirE0.repartition(col("src"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        (d, sdf)
+      } else {
+        val one = Cached.track(dirE0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        (one, one)
+      }
+    def renorm(rawIn: DataFrame): DataFrame = {
+      val raw = Cached.track(rawIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val mx = raw.agg(max(col("raw")).as("mx")).head().getDecimal(0)
+      raw.select(col("node"),
+        expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $HitsScale) div CAST('$mx' AS DECIMAL(38,0)) AS BIGINT)").as("s"))
+    }
+    LoopConf.noAqeBelow(spark, 0L) {
+      var h = eSrc.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(HitsScale).as("s"))
+      var a: DataFrame = null
+      for (_ <- 1 to 4) {
+        a = renorm(eDst.join(h, eDst("src") === h("node"))
+          .groupBy(col("dst")).agg(sum(cast38(col("s"))).as("raw"))
+          .select(col("dst").as("node"), col("raw")))
+        h = renorm(eSrc.join(a, eSrc("dst") === a("node"))
+          .groupBy(col("src")).agg(sum(cast38(col("s"))).as("raw"))
+          .select(col("src").as("node"), col("raw")))
+      }
+      a.select(col("node"), col("s").as("auth_scaled"))
+        .join(h.select(col("node"), col("s").as("hub_scaled")), Seq("node"), "full_outer")
+        .select(col("node").as("p_partkey"),
+          coalesce(col("auth_scaled"), lit(0L)).as("auth_scaled"),
+          coalesce(col("hub_scaled"), lit(0L)).as("hub_scaled"))
+        .orderBy(col("auth_scaled").desc, col("hub_scaled").desc, col("p_partkey"))
+        .limit(50)
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.GraftSession()
     implicit val s: SparkSession = spark
-    import org.apache.spark.sql.types.DecimalType
-    val t0s = graft.sources.Tables(dir)
+    graft.plans.VectorExpressions.register(spark)
 
-    def moments(li: DataFrame): DataFrame = {
-      def dsq(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(28, 6)))
-      val x = col("l_quantity"); val y = col("l_extendedprice")
-      li.groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).cast("double").as("n"),
-          dsq(x).cast("double").as("sx"), dsq(y).cast("double").as("sy"),
-          dsq(x * x).cast("double").as("sxx"), dsq(y * y).cast("double").as("syy"),
-          dsq(x * y).cast("double").as("sxy"))
-        .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
-          round(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-            / (col("n") * (col("n") - 1))), 6).as("stddev_qty"),
-          round((col("n") * col("sxy") - col("sx") * col("sy"))
-            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
-              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
-    }
-    def run(label: String, df: => DataFrame): Seq[String] = {
-      df.write.mode("overwrite").format("noop").save() // warm
-      var best = Double.MaxValue
-      for (_ <- 1 to 3) {
-        val d = df
-        val tt0 = System.nanoTime()
-        d.write.mode("overwrite").format("noop").save()
-        best = math.min(best, (System.nanoTime() - tt0) / 1e9)
+    def run(label: String, f: => DataFrame): Seq[String] = {
+      Cached.releaseAll(); spark.catalog.clearCache()
+      f.write.mode("overwrite").format("noop").save() // warm
+      Cached.releaseAll(); spark.catalog.clearCache()
+      var rows: Seq[String] = Nil
+      t(label) {
+        val out = f
+        out.write.mode("overwrite").format("noop").save()
+        rows = out.collect().map(_.toString).toSeq
       }
-      System.err.println(f"[probe] $label%-44s $best%8.3f s (min of 3)")
-      df.orderBy(df.columns.head).collect().map(_.toString).toSeq
+      Cached.releaseAll(); spark.catalog.clearCache()
+      rows
     }
-    val n = spark.sparkContext.defaultParallelism
-    val m0 = run("stats_moments plain", moments(t0s.lineitem))
-    val m1 = run(s"stats_moments repartition($n)", moments(t0s.lineitem.repartition(n)))
-    System.err.println(s"[probe] moments equal: ${m0 == m1}")
+    val h0 = run("hits single persisted cache", hitsWith(spark, dir, prePartition = false))
+    val h1 = run("hits dual pre-partitioned caches", hitsWith(spark, dir, prePartition = true))
+    System.err.println(s"[probe] hits equal: ${h0 == h1}")
 
-    val q1fn = graft.SparkEntry.registry("q1_pricing_summary").fn
-    val q0 = run("q1 plain", q1fn(spark, dir))
-    // q1 reads Tables internally; emulate spread via conf? instead re-build q1 body here:
-    val q1sp = {
-      val li = t0s.lineitem.repartition(n)
-      li.where(col("l_shipdate") <= lit("1998-09-02").cast("date"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
-          avg(col("l_quantity")).as("avg_qty"),
-          avg(col("l_extendedprice")).as("avg_price"),
-          avg(col("l_discount")).as("avg_disc"),
-          count(lit(1)).as("count_order"))
+    // projection audit: planning vs execution
+    val fn = graft.SparkEntry.registry("ann_projection_audit").fn
+    fn(spark, dir).write.mode("overwrite").format("noop").save() // warm
+    Cached.releaseAll(); spark.catalog.clearCache()
+    val df = t("projection_audit: build DataFrame (analysis)") { fn(spark, dir) }
+    t("projection_audit: executedPlan (plan+codegen prep)") { df.queryExecution.executedPlan }
+    t("projection_audit: noop execute") { df.write.mode("overwrite").format("noop").save() }
+    t("projection_audit: second noop (fresh fn)") {
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
     }
-    t("q1 spread (1 noop, warm)") { q1sp.write.mode("overwrite").format("noop").save() }
-    t("q1 spread (noop)") { q1sp.write.mode("overwrite").format("noop").save() }
     spark.stop()
   }
 }

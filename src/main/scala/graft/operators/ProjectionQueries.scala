@@ -52,9 +52,30 @@ object ProjectionQueries {
       else if (sign(j, i) > 0) s"+ $t" else s"- $t"
     }.mkString(" ")
 
-  private def projArraySpark(col0: String): String =
-    (0 until OutDim).map(j =>
-      s"CAST(${projChain(j, i => s"$col0[$i]")} AS FLOAT)").mkString("array(", ", ", ")")
+  /** r14 (opt): the Spark side no longer inlines the 16×64-term literal
+    * chain — that generated ~17k expression terms whose whole-stage
+    * source CHANGES with every DataFrame build (fresh expr ids), so the
+    * Janino compile (~2.4 s) missed the codegen cache on every run and
+    * dominated a 16k-row audit. The sign matrix is now a LITERAL
+    * double[][] and each projected coordinate a higher-order `aggregate`
+    * fold — interpreted, but over 440 rows that is microseconds, and the
+    * generated source stays tiny. Bit-identical to the chain: the fold
+    * is the same left-associative double sum (0.0 + s·t ≡ the chain's
+    * first term for all finite t; ±1.0·t is an exact sign flip;
+    * a + (−t) ≡ a − t in IEEE), and the DuckDB oracle still evaluates
+    * the original inlined chain — oracle-green at both gate SFs and the
+    * whole distortion table is pinned against a plain-Scala driver recompute (ProjectionAuditSpec). */
+  private[operators] def signMatrix: Seq[Seq[Double]] =
+    (0 until OutDim).map(j => (0 until InDim).map(i => sign(j, i).toDouble))
+
+  private def projArraySparkHof(col0: String): org.apache.spark.sql.Column = {
+    val signs = typedlit(signMatrix)
+    transform(sequence(lit(1), lit(OutDim)), j =>
+      aggregate(sequence(lit(1), lit(InDim)), lit(0.0),
+        (acc, i) => acc + element_at(element_at(signs, j), i)
+          * element_at(col(col0), i).cast("double"))
+        .cast("float"))
+  }
 
   private def projArrayDuck(col0: String): String =
     (0 until OutDim).map(j =>
@@ -90,7 +111,7 @@ object ProjectionQueries {
     implicit val s: SparkSession = spark
     val emb = Tables(dir).embeddings
     def withProj(df: DataFrame): DataFrame = df
-      .withColumn("p", expr(projArraySpark("embedding")))
+      .withColumn("p", projArraySparkHof("embedding"))
       .withColumn("n64", sqrt(VectorExpressions.dot(col("embedding"), col("embedding"))))
       .withColumn("n16", sqrt(VectorExpressions.dot(col("p"), col("p"))))
     val base = emb.select(col("vec_id"), col("embedding"))
