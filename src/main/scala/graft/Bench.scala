@@ -217,8 +217,9 @@ object Bench {
       // r14 staged artifacts: the apex-edge triangle frame, the shared
       // capped wedge-pair aggregate, the storage value-count cells
       "graph_triangles", "graph_resource_allocation", "storage_table_stats",
-      // r14: the per-doc bigram-LM score frame
-      "text_bigram_lm")
+      // r14: the per-doc bigram-LM score frame; the staged scored
+      // candidate-pair frames (band + loose retrievers)
+      "text_bigram_lm", "dedup_cosine_verify", "docs_hard_negatives")
     stageGated.filter(n => only.forall(_(n))).foreach { name =>
       try {
         SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()

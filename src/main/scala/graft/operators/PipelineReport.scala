@@ -50,7 +50,11 @@ object PipelineReport {
 
     // stage 4: content-keyed split + leakage scrub (train side only)
     val asg = SplitQueries.assigned(t).select(col("doc_id"), col("split"))
-    val pairs = DedupQueries.lshPairsOf(docs)
+    // r14 (opt): the registered corpus at the registered 3-gram
+    // convention — the staged-signature candidate path (minhashLsh)
+    // produces the identical pair set without re-shingling the corpus
+    // per run (staged≡inline pinned in StagedFramesSpec)
+    val pairs = DedupQueries.minhashLsh(spark, dir)
       .join(asg.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "split_a"), Seq("doc_a"))
       .join(asg.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "split_b"), Seq("doc_b"))
     val leakTrain = pairs.where(col("split_a") === "train" && col("split_b") =!= "train")

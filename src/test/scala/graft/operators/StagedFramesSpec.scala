@@ -100,6 +100,23 @@ class StagedFramesSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("staged scored candidate pairs equal an inline scorePairs run") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val t = graft.sources.Tables(sf)
+    def inline(cands: org.apache.spark.sql.DataFrame) = {
+      val c = cands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val r = DedupQueries.scorePairs(t, c)
+        .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+      c.unpersist(); r
+    }
+    val gotBand = DedupQueries.stagedBandScored(spark, sf)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(gotBand == inline(DedupQueries.minhashLsh(spark, sf)) && gotBand.nonEmpty)
+    val gotLoose = DedupQueries.stagedLooseScored(spark, sf)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(gotLoose == inline(DedupQueries.looseCandidatesCapped(t, 24)) && gotLoose.nonEmpty)
+  }
+
   test("staged per-doc LM scores equal the inline docPred build") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val got = TextIndexQueries.stagedDocPred(spark, sf)
