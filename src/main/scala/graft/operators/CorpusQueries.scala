@@ -292,6 +292,8 @@ object CorpusQueries {
   def bpeIds(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val merges = trainedBpeMerges(spark, dir)
+    // (r14 opt: Tables.spread on both corpus passes A/B-measured
+    // 1.84 -> 2.21 s — REJECTED)
     val docs = Tables(dir).documents
     val wordFreq = docs.select(explode(words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
@@ -486,6 +488,8 @@ object CorpusQueries {
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
+    // (r14 opt: Tables.spread on the two 8-gram explode passes
+    // A/B-measured 1.24 -> 1.39 s — REJECTED)
     val docs = Tables(dir).documents.withColumn("bucket", docBucket)
     def ngramSet(d: DataFrame): DataFrame = d
       .withColumn("w", words(col("text")))

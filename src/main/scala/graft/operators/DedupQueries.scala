@@ -406,6 +406,8 @@ object DedupQueries {
     // and the band frame two — unpersisted, Catalyst re-runs the tokenize/
     // shingle (and for bands the K-minhash) pass per branch (measured
     // 16.7 s vs 3 s at sf0.1)
+    // (r14 opt: Tables.spread on this shingle front A/B-measured
+    // 1.87 -> 2.33 s — REJECTED, the persist fill is exchange-bound)
     val docSh = Cached.track(shingled(t)
       .select(col("doc_id"), explode(array_distinct(col("s"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1377,6 +1379,9 @@ object DedupQueries {
     val simExpr = (0 until SimBits)
       .map(j => s"(CASE WHEN s_$j > 0 THEN ${1L << j}L ELSE 0L END)")
       .mkString(" + ")
+    // r14 (opt): Tables.spread on this front was built and A/B-measured
+    // 1.99 -> 2.56 s — the round-robin exchange of the text payload costs
+    // more than the serialized token-md5 front saves; REJECTED
     val sims = Tables(dir).documents
       .withColumn("w", words(col("text")))
       .where(size(col("w")) > 0)
@@ -1722,7 +1727,11 @@ object DedupQueries {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
     val src = t.documents.select(col("doc_id"), col("source"))
-    lshPairsOf(t.documents)
+    // r14 (opt, §2.4): the registered corpus at the registered 3-gram
+    // convention — lshCandidates reads the staged signatures instead of
+    // re-running the full shingle+md5+K-mix pass per run (identical pair
+    // set; the docs_pipeline_report precedent)
+    lshCandidates(t)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
       .groupBy(

@@ -143,7 +143,12 @@ object SplitQueries {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
     val t = Tables(dir)
-    val pairs = DedupQueries.lshPairsOf(t.documents)
+    // r14 (opt, §2.4): the registered corpus at the registered 3-gram
+    // convention — the staged-signature candidate path (minhashLsh) is the
+    // identical pair set without re-shingling + re-minhashing the corpus
+    // per run (staged≡inline pinned in StagedFramesSpec; the
+    // docs_pipeline_report precedent)
+    val pairs = DedupQueries.minhashLsh(spark, dir)
     val asg = assigned(t).select("doc_id", "split")
     pairs
       .join(asg.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "split_a"), Seq("doc_a"))
@@ -179,7 +184,9 @@ object SplitQueries {
     implicit val s: SparkSession = spark
     val t = Tables(dir)
     val asg = assigned(t).select("doc_id", "split")
-    val pairs = DedupQueries.lshPairsOf(t.documents)
+    // r14 (opt, §2.4): staged-signature candidate path — identical pair
+    // set, no per-run corpus re-shingle (see splitLeakage note)
+    val pairs = DedupQueries.minhashLsh(spark, dir)
       .join(asg.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "split_a"), Seq("doc_a"))
       .join(asg.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "split_b"), Seq("doc_b"))
     // the train-side member of every train↔eval pair, from either column

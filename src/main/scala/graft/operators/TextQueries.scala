@@ -641,6 +641,8 @@ object TextQueries {
   def keyphrases(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (r14 opt: Tables.spread on the tokenize/posexplode front
+    // A/B-measured 2.12 -> 2.40 s — REJECTED)
     val toks = Tables(dir).documents
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), posexplode_outer(col("w")).as(Seq("pos", "tok")))

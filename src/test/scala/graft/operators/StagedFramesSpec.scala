@@ -257,6 +257,20 @@ class StagedFramesSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("staged-signature candidate pairs equal the from-scratch lshPairsOf pipeline") {
+    // pins the r14 substitution in splitLeakage / splitScrub /
+    // crossSourceMatrix (and pipelineReport before them): over the
+    // registered corpus at the registered 3-gram convention, the
+    // staged-signature path emits the identical candidate pair set
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    graft.plans.VectorExpressions.register(spark)
+    val got = DedupQueries.minhashLsh(spark, sf)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    val want = DedupQueries.lshPairsOf(graft.sources.Tables(sf).documents)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("staged minhash signatures equal an in-query recompute") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     graft.plans.VectorExpressions.register(spark)
