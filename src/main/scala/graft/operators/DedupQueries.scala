@@ -1382,6 +1382,12 @@ object DedupQueries {
     // r14 (opt): Tables.spread on this front was built and A/B-measured
     // 1.99 -> 2.56 s — the round-robin exchange of the text payload costs
     // more than the serialized token-md5 front saves; REJECTED
+    // r14 (opt): the band self-join consumes this frame on both sides and
+    // the planner broadcasts one, so the tokenize+md5+60-bit-sum front
+    // runs TWICE (no ReusedExchange under a BroadcastExchange). A persist
+    // barrier was built and A/B-measured 2.41 -> 2.86 s — REJECTED: on
+    // local[32] the duplicate subtrees run concurrently on spare cores,
+    // while the persist serializes fill -> join and pays materialization
     val sims = Tables(dir).documents
       .withColumn("w", words(col("text")))
       .where(size(col("w")) > 0)
