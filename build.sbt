@@ -43,4 +43,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // most. 24g is ~19% of the 128-GiB box — safe headroom for the
   // driver's lower-core-count runs too; override via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GC_FLAG").toSeq // e.g. -XX:+UseParallelGC for A/B GC experiments
