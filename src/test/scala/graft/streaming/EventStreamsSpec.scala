@@ -462,6 +462,28 @@ class EventStreamsSpec extends AnyFunSuite {
       9L -> dyadic((2 to 9).map(_.toDouble).reverse))
     assert(got == expect)
   }
+
+  test("batch driftAlarms baseline: the non-sentinel pair aggregate equals " +
+    "the transitions matrix (r14 one-window restructure pin)") {
+    // r14 opt: EventAnalytics.driftAlarms derives the baseline from the
+    // SAME persisted transitionPairs frame the windowed counts consume
+    // (one user-window pass instead of two). driftAlarm filters '(end)'
+    // rows and recomputes baseline_pct from n_transitions internally, so
+    // the two constructions must be row-identical on (from, to, n).
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val fromTransitions = graft.operators.EventAnalytics
+      .queries("events_transitions").fn(spark, TestSpark.Sf0001)
+      .where(col("to_type") =!= "(end)")
+      .select(col("from_type"), col("to_type"), col("n_transitions"))
+    val fromPairs = graft.operators.EventAnalytics
+      .transitionPairs(spark, TestSpark.Sf0001)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    assert(fromTransitions.exceptAll(fromPairs).isEmpty,
+      "transitions-derived baseline has rows the pair aggregate lacks")
+    assert(fromPairs.exceptAll(fromTransitions).isEmpty,
+      "pair aggregate has rows the transitions-derived baseline lacks")
+  }
 }
 
 /** One stay interval / one probe row for the streaming overlap spec. */
