@@ -41,6 +41,18 @@ object GraftSession {
       // mid-query (harmless for the current timestamp[us] vintage —
       // the conf only affects NANOS-typed columns)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r15 (opt, guide §1.2 per-task work / codegen): the generated-class
+      // cache defaults to 100 entries (StaticSQLConf CODEGEN_CACHE_MAX_ENTRIES).
+      // An engine session serving the full 311-query registry generates a
+      // few thousand distinct codegen units, so at 100 entries every repeat
+      // execution of a query re-pays Janino compilation for every span —
+      // the bench's interleaved passes thrash it by construction, and any
+      // production session running a query mix does too. 10k entries keeps
+      // every unit's compiled class resident (each is tens of KB — noise in
+      // a multi-GB driver). Scale-independent: the cache is keyed on
+      // generated source, never on data. Env override for A/B.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
