@@ -9,7 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * would be partitioned table paths; the API shape is the same.
   */
 final case class Tables(dir: String)(implicit spark: SparkSession) {
-  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** r15 (opt): relation METADATA cache. A bare `spark.read.parquet(path)`
+    * re-infers the schema (parquet footer read) and rebuilds the file index
+    * (directory listing) on every call; a sweep of the full registry pays
+    * that several hundred times for the same ten immutable files. Catalog
+    * tables get exactly this cache from Spark itself
+    * (spark.sql.filesourceTableRelationCacheSize); path-based reads don't,
+    * so we memoize the resolved DataFrame per (session, dir, table,
+    * mtime). The mtime key invalidates the entry if anything rewrites the
+    * file (ScaleUp output dirs, test fixtures), and nothing about the DATA
+    * is cached — every execution still scans parquet. Scale-independent:
+    * fewer driver-side footer/listing round-trips helps any cluster. */
+  private def t(name: String): DataFrame = Tables.relation(spark, dir, name)
 
   /** r14 (opt, guide §2.5 "input skew: one huge unsplittable file …
     * repartition immediately after the read"): the bench tables are
@@ -145,5 +156,26 @@ final case class Tables(dir: String)(implicit spark: SparkSession) {
         s"graft data-vintage mismatch under $dir — the driver's testdata " +
           s"shape changed; fix graft.sources.Tables before anything else:\n  " +
           problems.mkString("\n  "))
+  }
+}
+
+object Tables {
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Long), DataFrame]()
+
+  private def mtime(path: String): Long =
+    try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+    catch { case _: Throwable => -1L }
+
+  private[sources] def relation(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val m = mtime(path)
+    // unreadable path: no caching, surface the reader's own error
+    if (m < 0) return spark.read.parquet(path)
+    val key = (String.valueOf(System.identityHashCode(spark)), dir, name, m)
+    // stale-session / rewritten-file entries accumulate only in test runs
+    // with many temp dirs; a cheap size valve keeps that bounded
+    if (relationCache.size > 256) relationCache.clear()
+    relationCache.computeIfAbsent(key, _ => spark.read.parquet(path))
   }
 }
