@@ -1962,7 +1962,7 @@ object AnnQueries {
         .select("band_id", "band_hash", "vec_id")
         .write.mode("overwrite").parquet(path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(graft.sources.Tables.relationAt(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -2489,7 +2489,7 @@ object AnnQueries {
   /** Read back a persisted (m, cid, codeword) codebook table. */
   private[graft] def readCodebook(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
     import spark.implicits._
-    spark.read.parquet(path)
+    graft.sources.Tables.relationAt(spark, path)
       .orderBy("m", "cid").as[(Int, Int, Array[Float])].collect()
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }.toArray
@@ -2500,7 +2500,7 @@ object AnnQueries {
   /** Read back a persisted (cluster, embedding) centroid table. */
   private[graft] def readCentroids(spark: SparkSession, path: String): Seq[Array[Float]] = {
     import spark.implicits._
-    spark.read.parquet(path)
+    graft.sources.Tables.relationAt(spark, path)
       .orderBy("cluster").as[(Int, Array[Float])].collect().map(_._2).toSeq
   }
 

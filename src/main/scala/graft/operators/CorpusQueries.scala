@@ -210,7 +210,7 @@ object CorpusQueries {
     Stage.ensure(path, s"$dir/documents.parquet") {
       bpeMerges(spark, dir).write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path).orderBy("rank").collect()
+    graft.sources.Tables.relationAt(spark, path).orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
   }
 

@@ -555,7 +555,7 @@ object DedupQueries {
       scorePairs(Tables(dir), candsOf(Tables(dir)))
         .write.mode("overwrite").parquet(path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(graft.sources.Tables.relationAt(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -599,7 +599,7 @@ object DedupQueries {
         .select("doc_id", "term", "wgt")
         .write.mode("overwrite").parquet(path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(graft.sources.Tables.relationAt(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -935,7 +935,7 @@ object DedupQueries {
       minhashSigs(shingled(Tables(dir))).select("doc_id", "m")
         .write.mode("overwrite").parquet(path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(graft.sources.Tables.relationAt(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -1071,7 +1071,7 @@ object DedupQueries {
             x => graft.plans.VectorExpressions.hexPrefix(md5(x), 15))).as("hs"))
         .write.mode("overwrite").parquet(path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(graft.sources.Tables.relationAt(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -1961,16 +1961,25 @@ object DedupQueries {
       .where(col("df") >= 2 && col("df") <= RareDfMax)
       .select("shingle")
     val occ = sh.join(rare, Seq("shingle"))
-    val cand = occ.select(col("shingle"), col("doc_id").as("doc_a"))
+    // r15 (opt, guide §2.4/§5): the candidate-pair frame is consumed TWICE
+    // (once to derive candDocs for the semi-join pushdown, once as the
+    // verify join's spine) — unpersisted, the BandedPairs sort+dedup and
+    // its upstream ran twice per execution (plan showed two BandedPairs
+    // subtrees). The frame is tiny (bounded by the rare-shingle pair
+    // count), so the persist barrier costs ~nothing and halves that stage.
+    val cand = Cached.track(occ.select(col("shingle"), col("doc_id").as("doc_a"))
       .join(occ.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b").distinct().persist())
     val candDocs = cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val sets = t.documents
+    // same §2.4 move for the candidate shingle sets: joined twice (ss_a /
+    // ss_b), so the candidate-doc tokenize+shingle pass also ran twice
+    val sets = Cached.track(t.documents
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .withColumn("w", words(col("text")))
       .withColumn("s", shingles("w"))
       .select(col("doc_id"), array_distinct(col("s")).as("ss"))
+      .persist())
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), Seq("doc_b"))

@@ -1518,6 +1518,10 @@ object EventAnalytics {
         .select(col("event_type"), col(valueCol).as(outCol))
     }
     val med = lowerMedian(e, "v", "med")
+    // r15 (opt): persisting dev (consumed by the MAD window AND the final
+    // filter) was built and A/B-REJECTED twice (1.13->1.27, 1.25->1.33 s):
+    // the duplicate subtrees run concurrently on spare cores while the
+    // persist barrier serializes fill->window (the dedup_simhash pattern)
     val dev = e.join(broadcast(med), Seq("event_type"))
       .withColumn("dev", abs(col("v") - col("med")))
     val mad = lowerMedian(dev.select(col("event_type"), col("dev").as("v")), "v", "mad")

@@ -248,7 +248,7 @@ object GraphQueries {
     Stage.ensure(path, s"$dir/lineitem.parquet") {
       persistEdges(spark, dir, path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(graft.sources.Tables.relationAt(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -277,7 +277,7 @@ object GraphQueries {
         .groupBy("node").agg(sort_array(collect_set(col("dst"))).as("ns"))
         .write.mode("overwrite").parquet(path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(graft.sources.Tables.relationAt(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -332,7 +332,7 @@ object GraphQueries {
         .where(size(col("tris")) > 0)
         .write.mode("overwrite").parquet(path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(graft.sources.Tables.relationAt(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -525,7 +525,7 @@ object GraphQueries {
     Stage.ensure(path, s"$dir/lineitem.parquet") {
       backbone(Tables(dir)).write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path)
+    graft.sources.Tables.relationAt(spark, path)
   }
 
   /** The contraction loop on any (u, v) edge frame → the converged star

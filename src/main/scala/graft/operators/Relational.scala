@@ -440,6 +440,9 @@ object Relational {
     // per-order counts over that already-collapsed set — and the sole late
     // supplier is read straight out of the per-supplier level, so the raw
     // join output is never revisited
+    // r15 (opt): Tables.spread on the join probe front was built and
+    // A/B-REJECTED (1.74->1.77, 1.45->1.89 s) — the broadcast probe +
+    // partial agg is cheaper than the round-robin exchange it saves
     val perSupp = t.lineitem
       .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))

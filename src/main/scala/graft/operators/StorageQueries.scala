@@ -376,7 +376,7 @@ object StorageQueries {
     Stage.ensure(path, s"$dir/lineitem.parquet") {
       meltCells(Tables(dir).lineitem).write.mode("overwrite").parquet(path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(graft.sources.Tables.relationAt(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -392,7 +392,7 @@ object StorageQueries {
         .groupBy("col_name", "val").agg(count(lit(1)).as("cnt"))
         .write.mode("overwrite").parquet(path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(graft.sources.Tables.relationAt(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -494,7 +494,7 @@ object StorageQueries {
         graft.plans.VectorExpressions.hexPrefix(md5(col("l_orderkey").cast("string")), 8) % 100 < 80))
         .write.mode("overwrite").parquet(path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(graft.sources.Tables.relationAt(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 

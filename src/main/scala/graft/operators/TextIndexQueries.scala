@@ -246,7 +246,7 @@ object TextIndexQueries {
     Stage.ensure(path, s"$dir/documents.parquet") {
       docPred(Tables(dir).documents).write.mode("overwrite").parquet(path)
     }
-    Cached.track(spark.read.parquet(path)
+    Cached.track(graft.sources.Tables.relationAt(spark, path)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 

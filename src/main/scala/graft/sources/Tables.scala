@@ -167,12 +167,18 @@ object Tables {
     try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
     catch { case _: Throwable => -1L }
 
-  private[sources] def relation(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
+  private[sources] def relation(spark: SparkSession, dir: String, name: String): DataFrame =
+    relationAt(spark, s"$dir/$name.parquet")
+
+  /** Same memoization for ANY immutable parquet path — staged artifacts
+    * read this through so their per-query footer/listing cost is also
+    * paid once per (session, content version). The mtime key invalidates
+    * when Stage.ensure rebuilds the artifact. */
+  private[graft] def relationAt(spark: SparkSession, path: String): DataFrame = {
     val m = mtime(path)
     // unreadable path: no caching, surface the reader's own error
     if (m < 0) return spark.read.parquet(path)
-    val key = (String.valueOf(System.identityHashCode(spark)), dir, name, m)
+    val key = (String.valueOf(System.identityHashCode(spark)), path, "", m)
     // stale-session / rewritten-file entries accumulate only in test runs
     // with many temp dirs; a cheap size valve keeps that bounded
     if (relationCache.size > 256) relationCache.clear()
