@@ -43,4 +43,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // most. 24g is ~19% of the 128-GiB box — safe headroom for the
   // driver's lower-core-count runs too; override via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-) ++ sys.env.get("SPARK_GC_FLAG").toSeq // e.g. -XX:+UseParallelGC for A/B GC experiments
+  // ADVICE r14: split on whitespace so multi-flag values (e.g.
+  // '-XX:+UseParallelGC -XX:ParallelGCThreads=8') don't become one
+  // malformed option in the forked JVM
+) ++ sys.env.get("SPARK_GC_FLAG").toSeq.flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

@@ -2127,13 +2127,18 @@ object AnnQueries {
       .select(least(col("a_id"), col("vec_id")).as("id_a"),
         greatest(col("a_id"), col("vec_id")).as("id_b"))
       .distinct()
-    val lsh = cand
+    // r15 (opt, guide §2.4): consumed TWICE (the overlap left-join AND the
+    // n_lsh count) — unpersisted, the full band explode + candidate join +
+    // cosine verify ran twice per execution (sf1 read 17.6 s vs the r13
+    // record's 2.0). The frame is tiny (τ-pairs touching ≤ budget anchors).
+    val lsh = graft.operators.Cached.track(cand
       .join(withNorm.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("norm").as("n_a")), "id_a")
       .join(withNorm.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("norm").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(VectorExpressions.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
       .where(col("cos") >= CosineThreshold)
       .select("id_a", "id_b")
+      .persist())
     exact.join(lsh.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))

@@ -428,11 +428,16 @@ object DedupQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val aBands = bands.join(broadcast(anchors), Seq("doc_id"))
       .select(col("doc_id").as("a_id"), col("band_id"), col("band_hash"))
-    val cand = bands.join(broadcast(aBands), Seq("band_id", "band_hash"))
+    // r15 (opt, guide §2.4): cand is consumed twice (the recall left-join
+    // AND the precision count) — unpersisted, the banded candidate join +
+    // distinct ran twice per execution (the ann_lsh_recall pattern,
+    // 17.6 -> 3.2 s at sf1 there). The frame is anchor-bounded and tiny.
+    val cand = Cached.track(bands.join(broadcast(aBands), Seq("band_id", "band_hash"))
       .where(col("doc_id") =!= col("a_id"))
       .select(least(col("a_id"), col("doc_id")).as("id_a"),
         greatest(col("a_id"), col("doc_id")).as("id_b"))
       .distinct()
+      .persist())
     exact.join(cand.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_exact"),
         // outer coalesce: SUM over ZERO rows (an anchor draw with no
