@@ -1610,6 +1610,10 @@ object AnnQueries {
 
   private def lloydStep(t: Tables, cents: Seq[Array[Float]])
                        (implicit spark: SparkSession): Seq[Array[Float]] = {
+    // r15 (opt): Tables.spread on the training scan was built and
+    // A/B-REJECTED (ann_ivf_refined2 0.58 -> 0.83/1.04, ivfpq_trained
+    // wash) — the round-robin exchange ships the raw embedding arrays
+    // (~300 B/row), which costs more than parallelizing the argmax saves
     val assigned = assignNearest(t.embeddings, cents)
 
     // (cluster, dim) → exact integer sum of quantized components
