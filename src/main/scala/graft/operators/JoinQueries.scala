@@ -137,9 +137,17 @@ object JoinQueries {
     val items = op.distinct().groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
     val totals = op.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders_total"))
+    // r15 (opt, §2.4): both rule directions from ONE mining pass — the
+    // former self-union re-ran the whole BandedPairs pair-mining subtree
+    // per branch (the before plan holds BandedPairs twice and five
+    // lineitem scans; no exchange reuse fires because the branches project
+    // swapped columns). Exploding a 2-struct array emits a→b and b→a from
+    // the single mined row instead.
     val directed = pairs
-      .select(col("id_a").as("lhs"), col("id_b").as("rhs"), col("n_pair"))
-      .unionByName(pairs.select(col("id_b").as("lhs"), col("id_a").as("rhs"), col("n_pair")))
+      .select(explode(array(
+        struct(col("id_a").as("lhs"), col("id_b").as("rhs"), col("n_pair")),
+        struct(col("id_b").as("lhs"), col("id_a").as("rhs"), col("n_pair")))).as("d"))
+      .select(col("d.lhs").as("lhs"), col("d.rhs").as("rhs"), col("d.n_pair").as("n_pair"))
     directed
       .join(items.select(col("l_partkey").as("lhs"), col("n_item").as("n_lhs")), Seq("lhs"))
       .join(items.select(col("l_partkey").as("rhs"), col("n_item").as("n_rhs")), Seq("rhs"))

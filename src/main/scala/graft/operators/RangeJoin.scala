@@ -124,10 +124,18 @@ object RangeJoin {
     val b = sess.toDF("b_user", "b_seq", "b_start", "b_end")
     val pairs = overlapPairs(a, "a_start", "a_end", b, "b_start", "b_end", HourUs)
       .where(col("a_user") < col("b_user")) // same-user sessions never overlap (gap-based)
+    // r15 (opt, §2.4): credit BOTH endpoints of each pair in ONE pass — the
+    // former self-union consumed `pairs` twice, and because each branch
+    // prunes a different column pair the subtrees differ, so the whole
+    // binned overlap join (the query's cost) executed twice per run (plan
+    // held two BroadcastHashJoin+explode subtrees). The explode of a
+    // 2-struct array is the same multiset of rows with no second join and
+    // no persist barrier (the events_mad_outliers rejection).
     pairs
-      .select(col("a_user").as("user_id"), col("a_seq").as("session_seq"))
-      .unionByName(pairs.select(col("b_user").as("user_id"), col("b_seq").as("session_seq")))
-      .groupBy(col("user_id"), col("session_seq"))
+      .select(explode(array(
+        struct(col("a_user").as("user_id"), col("a_seq").as("session_seq")),
+        struct(col("b_user").as("user_id"), col("b_seq").as("session_seq")))).as("sd"))
+      .groupBy(col("sd.user_id").as("user_id"), col("sd.session_seq").as("session_seq"))
       .agg(count(lit(1)).as("n_concurrent"))
   }
 
