@@ -219,7 +219,9 @@ object Bench {
       "graph_triangles", "graph_resource_allocation", "storage_table_stats",
       // r14: the per-doc bigram-LM score frame; the staged scored
       // candidate-pair frames (band + loose retrievers)
-      "text_bigram_lm", "dedup_cosine_verify", "docs_hard_negatives")
+      "text_bigram_lm", "dedup_cosine_verify", "docs_hard_negatives",
+      // r15: the stride-1 span-hash frame (repeated/scrub spans)
+      "dedup_repeated_spans")
     stageGated.filter(n => only.forall(_(n))).foreach { name =>
       try {
         SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()

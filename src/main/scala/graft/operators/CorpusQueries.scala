@@ -1069,9 +1069,12 @@ object CorpusQueries {
     * the corpus with a documented constant, and embarrassingly parallel
     * where the suffix array is not. Only spans seen in >1 document
     * survive (within-doc repetition is `text_repetition`'s job). */
-  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
-    implicit val s: SparkSession = spark
-    Tables(dir).documents
+  /** The stride-1 [[SpanTokens]]-token window-hash frame
+    * (doc_id, pos, span_hash), pos 1-based — the span family's shared
+    * front, extracted so the staged builder and the spec pin use the one
+    * expression. */
+  private[operators] def spansOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .where(size(col("w")) >= SpanTokens)
       .select(col("doc_id"), explode(expr(
@@ -1079,6 +1082,26 @@ object CorpusQueries {
            |  i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, $SpanTokens))) AS h))""".stripMargin))
         .as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("span_hash"))
+
+  /** r15 (opt, §2.3/§6) — the span front STAGED, content-gated on the
+    * documents table (the `stagedSigs`/`stagedSourceShingles` discipline):
+    * [[repeatedSpans]] and [[scrubSpans]] each re-paid the
+    * words→transform→md5 stride-1 explode per run — the family's whole
+    * map-side front — while both only consume the (doc_id, pos, hash)
+    * rows. Built once per corpus state (spread scan — the one-task
+    * unsplittable-file pitfall), read as a narrow parquet scan. */
+  private[operators] def stagedSpans(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_spans_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/documents.parquet") {
+      spansOf(Tables(dir).spread("documents")).write.mode("overwrite").parquet(path)
+    }
+    graft.sources.Tables.relationAt(spark, path)
+  }
+
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    stagedSpans(spark, dir)
       .groupBy(col("span_hash"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
@@ -1125,13 +1148,11 @@ object CorpusQueries {
     val toks = Tables(dir).documents
       .select(col("doc_id"), words(col("text")).as("w"))
       .where(size(col("w")) > 0)
-    val spans = toks
-      .where(size(col("w")) >= SpanTokens)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(w) - ${SpanTokens - 1}),
-           |  i -> struct(i AS pos, md5(concat_ws(' ', slice(w, i, $SpanTokens))) AS h))""".stripMargin))
-        .as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    // r15 (opt): the span front comes staged ([[stagedSpans]]) — the
+    // stride-1 explode+md5 was re-paid per run while only the
+    // (doc_id, pos, hash) rows are consumed
+    val spans = stagedSpans(spark, dir)
+      .select(col("doc_id"), col("pos"), col("span_hash").as("h"))
     // r10: the first-occurrence filter is ONE window pass over the
     // h-partitions instead of an aggregate + self-join — the join form
     // consumed the unpersisted span table twice (words → explode → md5
@@ -1147,21 +1168,29 @@ object CorpusQueries {
     // window's row buffer itself is the spillable UnsafeExternalSorter,
     // and min/max/min-struct add O(1) each.
     val wH = Window.partitionBy(col("h"))
-    val covered = spans
+    // r15 (opt, §2.3 "shuffle keys instead of payloads"): ship only the
+    // SPAN STARTS of non-first duplicated occurrences (≤ spans-per-doc
+    // values) and reconstruct the covered-position set IN-ROW — the
+    // explode to per-position rows blew each occurrence up 30× into a
+    // corpus-wide distinct (a ~40M-row shuffle at sf1) whose whole output
+    // was immediately re-collapsed per doc. The kept-index filter below
+    // tests i ∈ ∪[p, p+29] directly against the sorted start list; the
+    // covered SET (old `cut`) is exactly the complement, so n_scrubbed =
+    // n_tokens − |kept| and the kept text is unchanged.
+    val starts = spans
       .withColumn("multi", min(col("doc_id")).over(wH) =!= max(col("doc_id")).over(wH))
       .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(wH))
       .where(col("multi") &&
         !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (SpanTokens - 1))).as("cpos"))
-      .distinct()
-    val cuts = covered.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("cpos"))).as("cut"))
-    toks.join(cuts, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        s"filter(sequence(1, size(w)), i -> starts IS NULL OR NOT exists(starts, p -> i >= p AND i <= p + ${SpanTokens - 1}))"))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
-        coalesce(size(col("cut")), lit(0)).cast("long").as("n_scrubbed"),
-        md5(concat_ws(" ", expr(
-          "transform(filter(sequence(1, size(w)), i -> cut IS NULL OR NOT array_contains(cut, i)), i -> element_at(w, i))")))
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_scrubbed"),
+        md5(concat_ws(" ", expr("transform(kept, i -> element_at(w, i))")))
           .as("scrubbed_hash"))
   }
 

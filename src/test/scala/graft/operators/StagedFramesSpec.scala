@@ -271,6 +271,51 @@ class StagedFramesSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("staged span-hash frame equals the inline stride-1 explode") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val got = CorpusQueries.stagedSpans(spark, sf)
+      .orderBy("doc_id", "pos").collect().map(_.toSeq).toSeq
+    val want = CorpusQueries.spansOf(graft.sources.Tables(sf).documents)
+      .orderBy("doc_id", "pos").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("scrub's in-row interval mask equals the covered-position explode form") {
+    // pins the r15 rewrite: reconstructing the covered set per doc from
+    // the sorted non-first span STARTS (i ∈ ∪[p, p+29]) produces the same
+    // (n_scrubbed, scrubbed_hash) as the old explode-to-positions +
+    // corpus-wide distinct + collect_set formulation
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val W = 30
+    val toks = graft.sources.Tables(sf).documents
+      .select(col("doc_id"), graft.functions.TextFunctions.words(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+    val spans = CorpusQueries.stagedSpans(spark, sf)
+      .select(col("doc_id"), col("pos"), col("span_hash").as("h"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val covered = spans
+      .withColumn("multi", min(col("doc_id")).over(wH) =!= max(col("doc_id")).over(wH))
+      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(wH))
+      .where(col("multi") &&
+        !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (W - 1))).as("cpos"))
+      .distinct()
+    val cuts = covered.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("cpos"))).as("cut"))
+    val want = toks.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cut")), lit(0)).cast("long").as("n_scrubbed"),
+        md5(concat_ws(" ", expr(
+          "transform(filter(sequence(1, size(w)), i -> cut IS NULL OR NOT array_contains(cut, i)), i -> element_at(w, i))")))
+          .as("scrubbed_hash"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val got = CorpusQueries.scrubSpans(spark, sf)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+    assert(want.exists(r => r(2).asInstanceOf[Long] > 0L)) // scrubbing actually fires
+  }
+
   test("staged minhash signatures equal an in-query recompute") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     graft.plans.VectorExpressions.register(spark)
