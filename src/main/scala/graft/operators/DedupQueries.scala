@@ -1311,13 +1311,14 @@ object DedupQueries {
     val candDocs = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val sets = t.documents
+    // r15 (opt): the candidate docs' hashed sets come from the staged
+    // per-doc shingle-hash arrays ([[stagedSourceShingles]] — the same
+    // array_distinct(hexPrefix(md5)) chain, stored) instead of
+    // re-shingling the candidate documents per run; only the sort is
+    // in-row here.
+    val sets = stagedSourceShingles(spark, dir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .withColumn("w", words(col("text")))
-      .withColumn("s", shingles("w"))
-      .select(col("doc_id"), array_sort(array_distinct(
-        transform(col("s"), x => graft.plans.VectorExpressions.hexPrefix(md5(x), 15))))
-        .as("hs"))
+      .select(col("doc_id"), array_sort(col("hs")).as("hs"))
     val inter = graft.plans.VectorExpressions.sortedIntersect(col("hs_a"), col("hs_b"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))

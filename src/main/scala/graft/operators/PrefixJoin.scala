@@ -79,15 +79,19 @@ object PrefixJoin {
   def allPairsJaccard(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    val t = Tables(dir)
-    // persisted: the prefix branch (freq + re-group) and the verify branch
-    // (hashed sets) both consume the shingle table — without the barrier
-    // the corpus is re-shingled once per consumer
-    val ws = Cached.track(wordSets(t)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // r15 (opt): the shingle front comes STAGED — the per-doc hashed
+    // 3-gram arrays ([[DedupQueries.stagedSourceShingles]], content-gated
+    // on the documents table) replace the per-run tokenize+shingle+md5
+    // pass AND the in-query persist barrier that materialized it. Tokens
+    // travel as the 60-bit hashes everywhere (freq, prefixes, candidate
+    // buckets): prefix-filter completeness holds under ANY global total
+    // order, and the verify already ran on these same hashes, so the
+    // emitted pair set is unchanged (the oracle computes the naive
+    // all-pairs answer over the identical hashed universe).
+    val ws = DedupQueries.stagedSourceShingles(spark, dir).select(col("doc_id"), col("hs"))
 
     // global rarity order: token -> document frequency (distinct docs)
-    val tok = ws.select(col("doc_id"), explode(col("w")).as("token"))
+    val tok = ws.select(col("doc_id"), explode(col("hs")).as("token"))
     val freq = tok.groupBy("token").agg(count(lit(1)).as("df"))
 
     // per doc: tokens sorted rarest-first, keep the first
@@ -109,7 +113,8 @@ object PrefixJoin {
       .distinct()
 
     // exact verify on sorted hashed sets; integer cross-multiplied τ test
-    val sets = hashedSets(ws)
+    val sets = ws.select(col("doc_id"), array_sort(col("hs")).as("hs"))
+      .withColumn("n", size(col("hs")))
     val inter = VectorExpressions.sortedIntersect(col("hs_a"), col("hs_b"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n").as("n_a")), Seq("doc_a"))
@@ -152,11 +157,14 @@ object PrefixJoin {
   def allPairsIncremental(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    val t = Tables(dir)
+    // r15 (opt): staged hashed shingle arrays (see [[allPairsJaccard]]) —
+    // the membership bucket derives from doc_id alone, so the former
+    // documents re-scan + join is gone with the shingle pass. The frozen
+    // archive order is the hashed-token df order (any total order is
+    // complete; the catalog variant keeps its own string order).
     val bucket = VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
-    val ws = Cached.track(wordSets(t)
-      .join(t.documents.select(col("doc_id"), (bucket < 80).as("in_index")), Seq("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ws = DedupQueries.stagedSourceShingles(spark, dir)
+      .select(col("doc_id"), col("hs").as("w"), (bucket < 80).as("in_index"))
     val archive = ws.where(col("in_index")).select("doc_id", "w")
     val batch = ws.where(!col("in_index")).select("doc_id", "w")
     val freq = archive.select(explode(col("w")).as("token"))
@@ -166,8 +174,11 @@ object PrefixJoin {
     val cand = pre(batch).select(col("doc_id").as("batch_doc"), col("token"))
       .join(pre(archive).select(col("doc_id").as("index_doc"), col("token")), Seq("token"))
       .select("batch_doc", "index_doc").distinct()
-    val setsB = hashedSets(batch)
-    val setsA = hashedSets(archive)
+    def sortedSets(side: DataFrame) = side
+      .select(col("doc_id"), array_sort(col("w")).as("hs"))
+      .withColumn("n", size(col("hs")))
+    val setsB = sortedSets(batch)
+    val setsA = sortedSets(archive)
     val inter = VectorExpressions.sortedIntersect(col("hs_a"), col("hs_b"))
     cand
       .join(setsB.select(col("doc_id").as("batch_doc"), col("hs").as("hs_a"), col("n").as("n_a")), Seq("batch_doc"))
