@@ -1393,7 +1393,14 @@ object DedupQueries {
     // runs TWICE (no ReusedExchange under a BroadcastExchange). A persist
     // barrier was built and A/B-measured 2.41 -> 2.86 s — REJECTED: on
     // local[32] the duplicate subtrees run concurrently on spare cores,
-    // while the persist serializes fill -> join and pays materialization
+    // while the persist serializes fill -> join and pays materialization.
+    // r15 (opt): routing the band pairing through Banded.pairsExec (one
+    // clustered exchange, persisted |docs|-row sims joined back onto the
+    // pairs) was built, oracle-verified, and REJECTED on measurement:
+    // sf1 adjacent A/B read 26.5 s vs 7.5 s — under replica-dense band
+    // buckets the exec's sort + the TWO candidate-keyed join-backs cost
+    // far more than re-running the front under a map-side broadcast probe
+    // that streams pairs straight into the distinct's partial aggregate.
     val sims = Tables(dir).documents
       .withColumn("w", words(col("text")))
       .where(size(col("w")) > 0)

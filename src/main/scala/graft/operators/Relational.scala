@@ -448,6 +448,14 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("supp_late"))
+    // r15 (opt): a single-pass WINDOW qualification (count/late-sum over
+    // l_orderkey partitions replacing the qual aggregate + join, so the
+    // duplicated lineitem⋈orders subtree runs once) was built, oracle-
+    // verified, and REJECTED on measurement: sf1 adjacent A/B read
+    // NEUTRAL at 32 cores (norm. 1.90 vs 1.71 against the q1 control) and
+    // at 8 cores (1.37 vs 1.34) — the window's 6M-row sort costs what the
+    // duplicate hash-agg subtree costs, and the two subtrees overlap on
+    // spare cores (the events_mad_outliers persist lesson).
     val qual = perSupp.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_supp"),
         sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"))
