@@ -220,8 +220,10 @@ object Bench {
       // r14: the per-doc bigram-LM score frame; the staged scored
       // candidate-pair frames (band + loose retrievers)
       "text_bigram_lm", "dedup_cosine_verify", "docs_hard_negatives",
-      // r15: the stride-1 span-hash frame (repeated/scrub spans)
-      "dedup_repeated_spans")
+      // r15: the stride-1 span-hash frame (repeated/scrub spans) and the
+      // per-doc string shingle sets (ngram/incremental/containment/recall
+      // exact verifies)
+      "dedup_repeated_spans", "dedup_ngram_jaccard")
     stageGated.filter(n => only.forall(_(n))).foreach { name =>
       try {
         SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()

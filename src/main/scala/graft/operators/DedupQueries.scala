@@ -69,6 +69,29 @@ object DedupQueries {
       .withColumn("s", shingles("w"))
       .select("doc_id", "s")
 
+  /** r15 (opt) — the per-doc DISTINCT STRING shingle sets as a staged
+    * frame, content-gated on the documents table (the [[stagedSigs]] /
+    * [[stagedSourceShingles]] discipline, string variant): the exact
+    * verifies whose outputs are pinned to string-set Jaccard
+    * ([[ngramJaccard]], [[incrementalDedup]], [[minhashEstimate]]'s exact
+    * side, [[lshRecallAudit]]'s truth side, the containment family) each
+    * re-paid the words→shingles pass per run — and paid it inside the
+    * one-task documents scan. Built once per corpus state with a spread
+    * scan; consumers add their own filters/explodes over the stored
+    * arrays. */
+  private[operators] def stagedShingleSets(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_shset_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/documents.parquet") {
+      Tables(dir).spread("documents")
+        .withColumn("w", words(col("text")))
+        .withColumn("s", shingles("w"))
+        .select(col("doc_id"), array_distinct(col("s")).as("ss"))
+        .write.mode("overwrite").parquet(path)
+    }
+    graft.sources.Tables.relationAt(spark, path)
+  }
+
   /** Per-seed linear-mix constants for the K minwise hashes: one md5 per
     * shingle (the expensive part), then K cheap (a*h + b) % p mixes of its
     * leading 32 bits — vs K full md5 passes, this cuts the map-side hash
@@ -344,11 +367,11 @@ object DedupQueries {
     val candDocs = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val sets = t.documents
+    // r15 (opt): candidate docs' string sets read the staged frame
+    // ([[stagedShingleSets]]) instead of re-shingling inside the one-task
+    // documents scan; the semi-join-before-materialize discipline stands
+    val sets = stagedShingleSets(spark, dir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .withColumn("w", words(col("text")))
-      .withColumn("s", shingles("w"))
-      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), Seq("doc_b"))
@@ -408,8 +431,10 @@ object DedupQueries {
     // 16.7 s vs 3 s at sf0.1)
     // (r14 opt: Tables.spread on this shingle front A/B-measured
     // 1.87 -> 2.33 s — REJECTED, the persist fill is exchange-bound)
-    val docSh = Cached.track(shingled(t)
-      .select(col("doc_id"), explode(array_distinct(col("s"))).as("sh"))
+    // r15 (opt): the fill reads the staged string sets instead of
+    // re-shingling the documents scan
+    val docSh = Cached.track(stagedShingleSets(spark, dir)
+      .select(col("doc_id"), explode(col("ss")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val aSh = docSh.join(broadcast(anchors), Seq("doc_id"))
@@ -961,10 +986,11 @@ object DedupQueries {
     val candDocs = cands
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    // exact side still rebuilds SHINGLE SETS for candidate docs only (the
-    // ngramJaccard semi-join discipline) — but no md5/minhash re-pass
-    val sigs = shingled(t).join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
+    // exact side reads the STAGED string shingle sets for candidate docs
+    // only (the ngramJaccard semi-join discipline) — no md5/minhash
+    // re-pass and (r15) no re-shingle either
+    val sigs = stagedShingleSets(spark, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .join(sigsAll, Seq("doc_id"))
     cands
       .join(sigs.select(col("doc_id").as("doc_a"), col("m").as("m_a"), col("ss").as("ss_a")), Seq("doc_a"))
@@ -1557,11 +1583,10 @@ object DedupQueries {
     val candDocs = cands
       .select(explode(array(col("batch_doc"), col("index_doc"))).as("doc_id"))
       .distinct()
-    val sets = t.documents
+    // r15 (opt): staged string sets for the candidate docs (the
+    // ngramJaccard discipline) — no per-run re-shingle
+    val sets = stagedShingleSets(spark, dir)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .withColumn("w", words(col("text")))
-      .withColumn("s", shingles("w"))
-      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
     cands
       .join(sets.select(col("doc_id").as("batch_doc"), col("ss").as("ss_a")), Seq("batch_doc"))
       .join(sets.select(col("doc_id").as("index_doc"), col("ss").as("ss_b")), Seq("index_doc"))
@@ -1964,10 +1989,10 @@ object DedupQueries {
     val t = Tables(dir)
     // r14 (opt): gated spread - both shingle passes ran inside the
     // one-task documents scan (Tables.spread doc; A/B 2.54 -> 1.86 s)
-    val sh = Cached.track(t.spread("documents")
-      .withColumn("w", words(col("text")))
-      .withColumn("s", shingles("w"))
-      .select(col("doc_id"), explode_outer(array_distinct(col("s"))).as("shingle"))
+    // r15 (opt): the fill reads the staged string sets — no per-run
+    // re-shingle at all
+    val sh = Cached.track(stagedShingleSets(spark, dir)
+      .select(col("doc_id"), explode_outer(col("ss")).as("shingle"))
       .where(col("shingle").isNotNull)
       .persist())
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -2025,15 +2050,15 @@ object DedupQueries {
     val t = Tables(dir)
     val bucket = graft.plans.VectorExpressions.hexPrefix(md5(col("doc_id").cast("string")), 8) % 100
     val docs = t.documents.select(col("doc_id"), col("text"), (bucket < 80).as("in_index"))
-    val arch = docs.where(col("in_index"))
     // ONE archive tokenize/shingle pass: the set frame persists and both
     // the inverted-index branches and the verify stage derive from it
     // (an unpersisted second words→shingles pass re-scanned the whole
     // archive — the lshRecallAudit pitfall)
-    val archSets = Cached.track(arch
-      .withColumn("w", words(col("text")))
-      .withColumn("s", shingles("w"))
-      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
+    // r15 (opt): the fill reads the staged string sets, filtered to the
+    // archive bucket by the same doc_id hash the membership split uses
+    val archSets = Cached.track(stagedShingleSets(spark, dir)
+      .where(graft.plans.VectorExpressions.hexPrefix(
+        md5(col("doc_id").cast("string")), 8) % 100 < 80)
       .persist())
     val archSh = archSets
       .select(col("doc_id"), explode_outer(col("ss")).as("shingle"))

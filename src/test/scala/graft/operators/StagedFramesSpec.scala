@@ -316,6 +316,18 @@ class StagedFramesSpec extends AnyFunSuite {
     assert(want.exists(r => r(2).asInstanceOf[Long] > 0L)) // scrubbing actually fires
   }
 
+  test("staged string shingle sets equal the inline words->shingles build") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val got = DedupQueries.stagedShingleSets(spark, sf)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    val want = graft.sources.Tables(sf).documents
+      .withColumn("w", graft.functions.TextFunctions.words(col("text")))
+      .withColumn("s", graft.functions.TextFunctions.shingles("w"))
+      .select(col("doc_id"), array_distinct(col("s")).as("ss"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("staged minhash signatures equal an in-query recompute") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     graft.plans.VectorExpressions.register(spark)
