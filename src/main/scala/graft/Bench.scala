@@ -223,7 +223,9 @@ object Bench {
       // r15: the stride-1 span-hash frame (repeated/scrub spans) and the
       // per-doc string shingle sets (ngram/incremental/containment/recall
       // exact verifies)
-      "dedup_repeated_spans", "dedup_ngram_jaccard")
+      "dedup_repeated_spans", "dedup_ngram_jaccard",
+      // r15: the tokenized-documents frame (text/corpus token fronts)
+      "text_token_diversity")
     stageGated.filter(n => only.forall(_(n))).foreach { name =>
       try {
         SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -59,8 +59,9 @@ object AnalyticsQueries {
     * top-k window. */
   def topTerms(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val counts = Tables(dir).documents
-      .select(col("lang"), explode(words(col("text"))).as("term"))
+    // r15 (opt): tokens come staged ([[TextQueries.stagedDocTokens]])
+    val counts = TextQueries.stagedDocTokens(spark, dir)
+      .select(col("lang"), explode(col("w")).as("term"))
       .where(col("term").rlike("^[a-z]+$") && length(col("term")) > 2)
       .groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("n"))
@@ -531,9 +532,10 @@ object AnalyticsQueries {
     * join co-partitioned on term against the df aggregate. */
   def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val docs = Tables(dir).documents
+    // r15 (opt): tokens come staged ([[TextQueries.stagedDocTokens]])
+    val docs = TextQueries.stagedDocTokens(spark, dir)
     val terms = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .select(col("doc_id"), explode(col("w")).as("term"))
       .where(col("term").rlike("^[a-z]+$") && length(col("term")) > 2)
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfx = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -43,9 +43,9 @@ object CorpusQueries {
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     implicit val s: SparkSession = spark
-    val docs = Tables(dir).documents.withColumn("bucket", docBucket)
+    // r15 (opt): tokens come staged ([[TextQueries.stagedDocTokens]])
+    val docs = TextQueries.stagedDocTokens(spark, dir).withColumn("bucket", docBucket)
     def shingleSet(d: DataFrame): DataFrame = d
-      .withColumn("w", words(col("text")))
       .where(size(col("w")) > 0)
       .withColumn("sh", explode(array_distinct(shingles("w"))))
       .select(col("doc_id"), col("sh"))
@@ -491,14 +491,17 @@ object CorpusQueries {
     // (r14 opt: Tables.spread on the two 8-gram explode passes
     // A/B-measured 1.24 -> 1.39 s — REJECTED)
     val docs = Tables(dir).documents.withColumn("bucket", docBucket)
+    // r15 (opt): the two n-gram explode fronts read the staged token
+    // frame ([[TextQueries.stagedDocTokens]]); the surviving OUTPUT rows
+    // (which carry `text`) still come from the raw table below
+    val tokDocs = TextQueries.stagedDocTokens(spark, dir).withColumn("bucket", docBucket)
     def ngramSet(d: DataFrame): DataFrame = d
-      .withColumn("w", words(col("text")))
       .where(size(col("w")) > 0)
       .withColumn("sh", explode(array_distinct(shingles("w", DecontamNgram))))
       .select(col("doc_id"), col("sh"))
-    val testSh = ngramSet(docs.where(col("bucket") >= 90))
+    val testSh = ngramSet(tokDocs.where(col("bucket") >= 90))
       .select(col("sh")).distinct()
-    val contaminated = ngramSet(docs.where(col("bucket") < 80))
+    val contaminated = ngramSet(tokDocs.where(col("bucket") < 80))
       .join(testSh, Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
     docs.where(col("bucket") < 80)
@@ -566,8 +569,8 @@ object CorpusQueries {
     * zero shuffles, scales with corpus bytes. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    Tables(dir).documents
-      .withColumn("w", words(col("text")))
+    // r15 (opt): tokens come staged ([[TextQueries.stagedDocTokens]])
+    TextQueries.stagedDocTokens(spark, dir)
       .where(size(col("w")) > 0)
       .withColumn("s", shingles("w"))
       .select(col("doc_id"), size(col("s")).as("n_shingles"),
@@ -1004,16 +1007,21 @@ object CorpusQueries {
     * per-doc id sequence head plus OOV accounting. */
   def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val docs = Tables(dir).documents
-    tokenIdsOf(docs, vocabOf(docs, VocabSize))
+    // r15 (opt): tokens come staged ([[TextQueries.stagedDocTokens]])
+    val toks = TextQueries.stagedDocTokens(spark, dir)
+    tokenIdsOfTokens(toks, vocabOfTokens(toks, VocabSize))
   }
 
   /** Vocabulary fit: top-k terms → (term, id 1..k), count-desc/term-asc
     * deterministic. TakeOrdered over the distributed counts; the id
     * window runs on k rows. */
   def vocabOf(docs: DataFrame, k: Int): DataFrame =
-    docs
-      .select(explode(words(col("text"))).as("term"))
+    vocabOfTokens(docs.select(col("doc_id"), words(col("text")).as("w")), k)
+
+  /** [[vocabOf]] over an already-tokenized (doc_id, w) frame. */
+  def vocabOfTokens(toks: DataFrame, k: Int): DataFrame =
+    toks
+      .select(explode(col("w")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(k)
       .withColumn("id", row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
@@ -1021,8 +1029,12 @@ object CorpusQueries {
 
   /** Id-mapping against a fitted vocabulary (broadcast join; OOV → 0). */
   def tokenIdsOf(docs: DataFrame, vocab: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "tok")))
+    tokenIdsOfTokens(docs.select(col("doc_id"), words(col("text")).as("w")), vocab)
+
+  /** [[tokenIdsOf]] over an already-tokenized (doc_id, w) frame. */
+  def tokenIdsOfTokens(toks: DataFrame, vocab: DataFrame): DataFrame =
+    toks
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
       .join(broadcast(vocab), col("tok") === col("term"), "left")
       .withColumn("id", coalesce(col("id"), lit(0L)))
       .groupBy(col("doc_id"))

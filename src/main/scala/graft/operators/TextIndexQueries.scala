@@ -33,8 +33,9 @@ object TextIndexQueries {
     * bit-for-bit. */
   def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val counts = Tables(dir).documents
-      .select(explode(words(col("text"))).as("term"))
+    // r15 (opt): tokens come staged ([[TextQueries.stagedDocTokens]])
+    val counts = TextQueries.stagedDocTokens(spark, dir)
+      .select(explode(col("w")).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("tot"))
@@ -77,8 +78,9 @@ object TextIndexQueries {
     * term, not a row — this query is the index's catalog view). */
   def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    Tables(dir).documents
-      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    // r15 (opt): tokens come staged ([[TextQueries.stagedDocTokens]])
+    TextQueries.stagedDocTokens(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("term"))
       .groupBy(col("term"))
       .agg(
         countDistinct(col("doc_id")).as("df"),
@@ -112,8 +114,9 @@ object TextIndexQueries {
   def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val phrase = PhraseTerms
-    val pos = Tables(dir).documents
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "term")))
+    // r15 (opt): tokens come staged ([[TextQueries.stagedDocTokens]])
+    val pos = TextQueries.stagedDocTokens(spark, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
       .where(col("term").isin(phrase.distinct: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
@@ -156,16 +159,17 @@ object TextIndexQueries {
     * Unigram counts join back as a broadcast (vocabulary-sized). */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val toks = Tables(dir).documents
-      .select(col("doc_id"), words(col("text")).as("w"))
+    // r15 (opt): tokens come staged ([[TextQueries.stagedDocTokens]])
+    val toks = TextQueries.stagedDocTokens(spark, dir)
+      .select(col("doc_id"), col("w"))
       .where(size(col("w")) >= 2)
     // adjacent pairs via index zip — map-side, no self-join
     val pairs = toks
       .select(explode(expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val pairCounts = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
-    val uni = Tables(dir).documents
-      .select(explode(words(col("text"))).as("term"))
+    val uni = TextQueries.stagedDocTokens(spark, dir)
+      .select(explode(col("w")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n_term"))
     val totPairs = pairCounts.agg(sum(col("n_pair")).cast("long").as("tot_pairs"))
     val totUni = uni.agg(sum(col("n_term")).cast("long").as("tot_uni"))

@@ -12,6 +12,28 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "for")
 
+  /** r15 (opt) — the TOKENIZED documents table as a staged frame
+    * (doc_id, lang, source, n_chars, w: array<string>), content-gated on
+    * the documents table: every text/corpus query front re-paid the
+    * whitespace-split pass per run, and paid it inside the one-task
+    * documents scan (single parquet file, one row group). Built once per
+    * corpus state with a spread scan (so the staged parts read back
+    * parallel); consumers that need only the token arrays read this;
+    * consumers that read `text` itself (PII regexes, sentence splits,
+    * fingerprints) keep the raw table. Tokenization is deterministic, so
+    * stored-w ≡ inline-words(text) row for row (spec-pinned). */
+  private[operators] def stagedDocTokens(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val path = s"/tmp/graft_doctok_${new java.io.File(dir).getName}"
+    Stage.ensure(path, s"$dir/documents.parquet") {
+      Tables(dir).spread("documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          words(col("text")).as("w"))
+        .write.mode("overwrite").parquet(path)
+    }
+    graft.sources.Tables.relationAt(spark, path)
+  }
+
   /** §33 — token counting: whitespace tokens + a BPE-ish regex token count
     * (alpha runs / digit runs / single other non-space chars). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
@@ -73,8 +95,9 @@ object TextQueries {
     * map-side partials on both keyed steps, output one row per doc. */
   def tokenDiversity(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    Tables(dir).documents
-      .select(col("doc_id"), explode_outer(words(col("text"))).as("tok"))
+    // r15 (opt): tokens come staged ([[stagedDocTokens]])
+    stagedDocTokens(spark, dir)
+      .select(col("doc_id"), explode_outer(col("w")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(
@@ -643,8 +666,8 @@ object TextQueries {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // (r14 opt: Tables.spread on the tokenize/posexplode front
     // A/B-measured 2.12 -> 2.40 s — REJECTED)
-    val toks = Tables(dir).documents
-      .select(col("doc_id"), words(col("text")).as("w"))
+    // r15 (opt): tokens come staged ([[stagedDocTokens]])
+    val toks = stagedDocTokens(spark, dir)
       .select(col("doc_id"), posexplode_outer(col("w")).as(Seq("pos", "tok")))
       .where(col("tok").isNotNull)
     val runs = toks
@@ -733,15 +756,17 @@ object TextQueries {
     * pattern). */
   def nbLangId(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val tok = Cached.track(Tables(dir).documents
-      .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+    // r15 (opt): tokens come staged ([[stagedDocTokens]]); the doc-level
+    // reads (count, per-lang priors) use the same frame — identical rows
+    val docTok = stagedDocTokens(spark, dir)
+    val tok = Cached.track(docTok
       .select(col("doc_id"), col("lang"), explode_outer(col("w")).as("word"))
       .where(col("word").isNotNull)
       .persist())
     val vocabV = tok.select("word").distinct().count()
-    val nDocs = Tables(dir).documents.count()
+    val nDocs = docTok.count()
 
-    val clsStats = Tables(dir).documents.groupBy(col("lang").as("cls"))
+    val clsStats = docTok.groupBy(col("lang").as("cls"))
       .agg(count(lit(1)).as("docs_c"))
       .join(tok.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_c")), Seq("cls"))
       .withColumn("prior_u", expr(

@@ -328,6 +328,20 @@ class StagedFramesSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("staged doc tokens equal the inline words(text) build") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val got = TextQueries.stagedDocTokens(spark, sf)
+      .select("doc_id", "lang", "source", "n_chars", "w")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getSeq[String](4))).toSeq
+    val want = graft.sources.Tables(sf).documents
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getSeq[String](4))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("staged minhash signatures equal an in-query recompute") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     graft.plans.VectorExpressions.register(spark)
